@@ -1,0 +1,27 @@
+"""dump1090_db_stream_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of tomswartz07/dump1090-db-stream.
+
+The reference is a streaming ETL system: a Python ingester parses SBS-1
+BaseStation CSV lines from a dump1090 TCP socket and appends them to a
+PostgreSQL table; three SQL views (callsigns / locations / flights) plus a
+documented ad-hoc query corpus form the query surface
+(reference: dump1090-postgres.py, create_schema.sql, README.md).
+
+This package re-expresses that surface Spark-first:
+
+- ``schema``            fixed 23-column StructType (create_schema.sql:52-76)
+- ``functions.parser``  SBS-1 line -> typed row, pure Column expressions
+- ``operators.views``   callsigns / locations / flights as DataFrame builders
+- ``sources``           socket stream + text/parquet batch sources
+- ``sinks``             append-mode parquet (date-partitioned) / JDBC sinks
+- ``streaming``         Structured Streaming ingest pipeline
+- ``operators.dedup``   exact / MinHash-LSH / SimHash / n-gram near-dup
+- ``operators.similarity``  cosine top-k ANN (brute force + LSH-bucketed)
+- ``operators.text``    language-ID, quality scoring, tokenization, fingerprints
+- ``operators.multimodal``  binary-column decode/feature plumbing
+"""
+
+from dump1090_db_stream_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

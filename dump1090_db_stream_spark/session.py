@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Plays the role of the reference's connection bootstrap
+(dump1090-postgres.py:146-157 builds the psycopg2 session; Dockerfile:6-18
+holds the env-default config surface). Here the "session" is a SparkSession
+tuned for the analytic workload; config precedence is env var > default,
+mirroring the reference's env/argparse layering (dump1090-postgres.py:15-30).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Pin UTC so timestamp semantics are stable and oracle (DuckDB) comparisons
+# are deterministic — the reference uses timestamptz throughout
+# (create_schema.sql:75); UTC is the lossless common denominator.
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "dump1090-db-stream-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (the test harness);
+    on a real cluster pass ``None`` with a pre-set master, or e.g.
+    ``yarn`` — every operator in this package is partition-aware and makes
+    no local-mode assumptions.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

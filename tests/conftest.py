@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small JVM for unit tests
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dump1090_db_stream_spark import get_spark
+
+    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
