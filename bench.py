@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count-style materialization via
+``write.format("noop")`` so every row is produced but nothing is collected
+to the driver — the realistic pattern for a 100 TB sink)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dump1090_db_stream_spark import get_spark  # noqa: E402
+
+# Headline set: the reference's hardest query (band join), the scan-heavy
+# agg, the multi-join, the window query, dedup, and the text/similarity
+# extensions — a representative mix of shuffle, join, window, and scan.
+HEADLINE = [
+    "flights_band_join",
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_track_lines",
+    "dedup_by_key",
+    "callsign_sessions",
+    "doc_token_stats",
+]
+
+
+def run_one(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warmup on the smallest SF so measured times are steady-state
+    warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm):
+        for n in names[:2]:
+            run_one(qs[n](spark, warm))
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        run_one(qs[n](spark, sf_dir))
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

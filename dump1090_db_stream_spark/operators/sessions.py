@@ -1,0 +1,115 @@
+"""Generic sessionization + time-band join operators.
+
+Generalizations of the reference's callsigns view (create_schema.sql:85-93)
+and flights band join (create_schema.sql:116-124) to arbitrary key/label/
+timestamp columns, so the same operators serve both the ADS-B schema and
+any other event table.
+
+Scale notes:
+- ``daily_sessions`` is a partial-aggregatable groupBy (map-side combine);
+  output cardinality = distinct (key, label, day), typically orders of
+  magnitude below the input.
+- ``band_join`` is an equi-join on the session key with the time band as
+  a residual predicate. The session side is aggregated and therefore small
+  → AQE broadcasts it; no shuffle of the big side beyond what the equi key
+  needs. Never a nested-loop: the equi key always anchors the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_sessions(
+    df: DataFrame,
+    key: str,
+    label: str,
+    ts: str,
+    date_alias: str = "date_seen",
+    first_alias: str = "first_seen",
+    last_alias: str = "last_seen",
+) -> DataFrame:
+    """Per-day (key, label) sessions with first/last timestamps.
+
+    Reference semantics (create_schema.sql:85-93): rows with an empty or
+    NULL label are excluded (F-9); grouping key includes the calendar date
+    of ``ts`` (A-2); aggregates are min/max (A-3/A-4).
+    """
+    return (
+        df.filter(F.col(label).isNotNull() & (F.col(label) != ""))
+        .groupBy(
+            F.col(key),
+            F.col(label),
+            F.col(ts).cast("date").alias(date_alias),
+        )
+        .agg(
+            F.max(ts).alias(last_alias),
+            F.min(ts).alias(first_alias),
+        )
+    )
+
+
+def band_join(
+    fixes: DataFrame,
+    sessions: DataFrame,
+    key: str,
+    ts: str,
+    band: Column | str = "INTERVAL 10 MINUTES",
+    first_col: str = "first_seen",
+    last_col: str = "last_seen",
+    session_cols: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Associate each timestamped row with every session active (± band)
+    at that time — the reference's flights join (create_schema.sql:116-124,
+    condition :124) with SELECT DISTINCT (A-5) on top.
+
+    ``session_cols`` are the session-side columns carried into the output
+    (default: all non-key, non-bound columns, i.e. the label columns).
+    """
+    if isinstance(band, str):
+        band = F.expr(band)
+    l, s = fixes.alias("l"), sessions.alias("s")
+    joined = l.join(
+        s,
+        (F.col(f"l.{key}") == F.col(f"s.{key}"))
+        & (F.col(f"l.{ts}") <= F.col(f"s.{last_col}") + band)
+        & (F.col(f"l.{ts}") >= F.col(f"s.{first_col}") - band),
+        "inner",
+    )
+    if session_cols is None:
+        bound = {key, first_col, last_col}
+        session_cols = [c for c in sessions.columns if c not in bound]
+    out = joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in fixes.columns],
+        *[F.col(f"s.{c}").alias(c) for c in session_cols],
+    )
+    return out.distinct() if distinct else out
+
+
+def dedup_by_key(
+    df: DataFrame,
+    keys: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Key-based dedup (A-6): the reference's PK
+    (transmission_type, parsed_time, hex_ident) (create_schema.sql:132-133)
+    keeps the first row per key. ``dropDuplicates`` picks an arbitrary
+    survivor; with ``tiebreak`` columns the survivor is deterministic
+    (lowest tiebreak tuple wins) — required for oracle comparison and for
+    reproducible pipelines.
+
+    Scale: single hash-shuffle on the key columns; the row_number window
+    re-uses the same shuffle partitioning (no second exchange).
+    """
+    if not tiebreak:
+        return df.dropDuplicates(keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in tiebreak])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

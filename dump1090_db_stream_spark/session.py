@@ -24,6 +24,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Testdata's events.ts is parquet TIMESTAMP(NANOS) (pandas-written);
+    # Spark has no nanos timestamp — read as long, sources.tables converts
+    # to micros (floor), matching DuckDB's truncation on fetch.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 
