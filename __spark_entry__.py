@@ -180,6 +180,108 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north-star extensions (training-data pipeline ops) --------------------
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (operators.text.quality_features): char/token/punct/
+    upper/stopword signals + composite score, all native expressions."""
+    from dump1090_db_stream_spark.operators.text import quality_features
+
+    return quality_features(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (operators.text.lang_id) rolled up to
+    (predicted_lang, n_docs)."""
+    from dump1090_db_stream_spark.operators.text import lang_id
+
+    return (
+        lang_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators.text.doc_fingerprint): min-md5
+    over word trigram shingles — portable 1-permutation MinHash."""
+    from dump1090_db_stream_spark.operators.text import doc_fingerprint
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text"), 3).alias("fingerprint"))
+
+
+def q_exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (operators.dedup.exact_dup_groups) on documents unioned
+    with a shifted copy of itself (testdata has no natural exact dups, so
+    the dup groups are constructed deterministically)."""
+    from dump1090_db_stream_spark.operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return exact_dup_groups(doubled)
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (operators.dedup.ngram_jaccard_pairs) — no cross join, shingle-keyed."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.03)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (operators.similarity):
+    5 query vectors against the corpus, k=10, deterministic tiebreak."""
+    from dump1090_db_stream_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (operators.dedup.minhash_lsh_pairs),
+    exact-Jaccard verified. Deterministic (seeded md5-derived hashes) but
+    not practically SQL-expressible -> rows-only check."""
+    from dump1090_db_stream_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16, bands=8, threshold=0.03)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators.dedup.simhash_neardup_pairs);
+    rows-only check (bit-vote semantics not practical in ANSI SQL)."""
+    from dump1090_db_stream_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=12, n=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators.multimodal): documents' text bytes
+    stand in for media payloads; Arrow-batched mapInPandas extracts
+    deterministic stub features. Rows-only check (Pandas UDF path)."""
+    from dump1090_db_stream_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return extract_image_features(media, feature_dim=16).select(
+        "media_id", "n_bytes", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -199,6 +301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_docs": q_exact_dup_docs,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -291,5 +402,142 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS text_len,
                    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
             FROM documents
+        """,
+        "doc_quality": """
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_char,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, n_char,
+                       length(toks) AS n_tok,
+                       length(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','in','is','that','it','for','was'],
+                           lower(t)))) AS n_stop,
+                       n_punct, n_upper
+                FROM base
+            ), ratios AS (
+                SELECT doc_id, n_char, n_tok,
+                       CASE WHEN n_tok > 0 THEN (n_char - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_tok_len,
+                       CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN n_char > 0 THEN n_upper / n_char ELSE 0.0 END AS upper_ratio,
+                       CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio
+                FROM feat
+            )
+            SELECT doc_id,
+                   n_char AS q_n_chars,
+                   n_tok AS q_n_tokens,
+                   round(mean_tok_len, 4) AS q_mean_token_len,
+                   round(punct_ratio, 4) AS q_punct_ratio,
+                   round(upper_ratio, 4) AS q_upper_ratio,
+                   round(stop_ratio, 4) AS q_stopword_ratio,
+                   round(least(n_tok / 100.0, 1.0) * 0.4
+                         + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                         + (1 - least(upper_ratio * 5, 1.0)) * 0.3, 4) AS q_quality_score
+            FROM ratios
+        """,
+        "lang_id_counts": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      t -> lower(t)) AS t
+                FROM documents
+            ), hits AS (
+                SELECT doc_id, text,
+                       length(list_filter(t, x -> list_contains(
+                           ['the','and','of','to','in','is','that','it','for','was'], x))) AS he,
+                       length(list_filter(t, x -> list_contains(
+                           ['le','la','les','de','et','un','une','est','que','pour'], x))) AS hf,
+                       length(list_filter(t, x -> list_contains(
+                           ['el','la','los','de','que','y','en','un','una','es'], x))) AS hs,
+                       length(list_filter(t, x -> list_contains(
+                           ['der','die','das','und','ist','von','ein','eine','zu','mit'], x))) AS hd
+                FROM toks
+            ), pred AS (
+                SELECT CASE
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN he > 0 AND he >= hf AND he >= hs AND he >= hd THEN 'en'
+                    WHEN hf > 0 AND hf >= hs AND hf >= hd THEN 'fr'
+                    WHEN hs > 0 AND hs >= hd THEN 'es'
+                    WHEN hd > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+                FROM hits
+            )
+            SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
+        """,
+        "doc_fingerprints": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(
+                       range(1, greatest(length(toks) - 2, 1) + 1),
+                       i -> md5(array_to_string(toks[i:i+2], ' ')))) AS fingerprint
+            FROM t
+        """,
+        "exact_dup_docs": """
+            WITH d2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+            )
+            SELECT md5(text) AS content_md5,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_dups
+            FROM d2 GROUP BY md5(text) HAVING count(*) >= 2
+        """,
+        "ngram_jaccard_dups": """
+            WITH shs AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               (regexp_split_to_array(trim(text), '\\s+'))[i:i+2], ' ')))) AS s
+                FROM documents
+            ), sh AS (
+                -- same 60-bit md5-derived join key as the Spark side
+                SELECT id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS s
+                FROM shs
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_common,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.03
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, length(c.embedding) + 1),
+                           i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, length(qv) + 1),
+                              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(range(1, length(c.embedding) + 1),
+                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+                FROM embeddings c, q
+                WHERE c.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
         """,
     }

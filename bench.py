@@ -31,6 +31,10 @@ HEADLINE = [
     "dedup_by_key",
     "callsign_sessions",
     "doc_token_stats",
+    "doc_quality",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "embedding_topk",
 ]
 
 

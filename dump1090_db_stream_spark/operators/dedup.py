@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each designed for 100 TB scale:
+
+- exact_dedup           hash-groupBy on md5(text) — one shuffle on a
+                        short key, survivor chosen deterministically.
+- ngram_jaccard_pairs   exact Jaccard over word shingles via an inverted-
+                        index self-join (explode -> join on shingle) —
+                        never an O(n^2) cross join.
+- minhash_lsh_pairs     MinHash signatures + banded LSH: candidate pairs
+                        only where a band bucket collides, then exact
+                        verification. The scale path: shuffle volume is
+                        O(docs x bands), independent of corpus pair count.
+- simhash64             64-bit SimHash per doc + hamming-distance pairing
+                        on band prefixes.
+- embedding_neardup_pairs  cosine >= threshold pairs via LSH-ish bucketing
+                        (random hyperplane signs) or brute force for
+                        small dims (see operators.similarity).
+
+Portability rule: every hash is derived from md5 (available in Spark,
+DuckDB, PostgreSQL, Trino) so oracle parity is possible; xxhash64 would be
+faster but engine-specific. For the 100 TB run, swap _hash64 to
+F.xxhash64 — one line, semantics unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.text import content_hash, shingles
+
+
+def _hash64(c: Column, seed: int) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5(seed || value) as a
+    bigint. conv() is Spark-side; DuckDB equivalent is
+    from_hex/epoch-style parsing of the same md5 prefix."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), c)), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical text.
+
+    groupBy on md5 (fixed 32-char key) rather than raw text so the shuffle
+    carries hashes, not document bodies — at 100 TB this is the difference
+    between shuffling 32 bytes/doc and shuffling the corpus.
+    """
+    h = content_hash(F.col(text_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups (>=2 members): content hash, canonical id,
+    member count. The inspection/reporting companion of exact_dedup."""
+    return (
+        df.withColumn("content_md5", content_hash(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    explode(distinct shingles) -> self-join on a 60-bit shingle hash ->
+    count common shingles per pair -> Jaccard = common / (|A|+|B|-common).
+
+    Scale design:
+    - the join key is the md5-derived 60-bit hash, not the shingle string:
+      the shuffle carries 8-byte keys instead of n-gram text (collision
+      odds ~m^2/2^61 — negligible, and reproducible in the SQL oracle);
+    - only documents sharing a shingle ever meet — no cross join;
+    - ``max_df`` drops shingles present in more than max_df documents
+      (stop-phrase skew, the known hazard of inverted-index self-joins).
+      With a cap, reported Jaccard is a lower bound (common-shingle count
+      excludes capped shingles; set sizes don't). Default None = exact.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"))
+        .select("id", _hash64(F.col("s"), 0).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        sh = sh.join(keep, "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# Universal-hash family over a Mersenne-ish prime: h_i(x) = (a_i x + b_i)
+# mod P. P < 2^31 keeps a_i * x inside signed-64 arithmetic.
+_MH_P = (1 << 31) - 1  # 2147483647, prime
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) per permutation via an LCG — reproducible
+    across runs and engines, no RNG state."""
+    s = (i * 2654435761 + 1013904223) % _MH_P
+    a = (s * 48271 % _MH_P) or 1
+    b = (a * 69621 + i) % _MH_P
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures as one row per doc with columns mh0..mh{k-1}.
+
+    Shape chosen for scale: explode distinct shingles to rows, compute
+    ONE md5 per shingle, then k permutations as plain (a*h+b) mod P
+    min-aggregates. Partial (map-side) aggregation collapses each
+    partition to one row per doc before the shuffle, so shuffle volume is
+    O(docs x k x 8B) regardless of shingle count. The naive alternative
+    (k lambda-transforms over the shingle array) recomputes
+    tokenize+shingle+md5 k times — Catalyst does not CSE through
+    higher-order-function lambdas.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    ).select("id", F.pmod(_hash64(F.col("s"), 0), F.lit(_MH_P)).alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _mh_params(i)
+        aggs.append(F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_P))
+        ).alias(f"mh{i}"))
+    return base.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs, verified by exact
+    Jaccard on the candidates only.
+
+    Pipeline: signature (narrow) -> explode bands -> groupBy band bucket
+    (shuffle keyed on band hash) -> pairs within bucket -> exact verify.
+    With b bands of r rows, P(candidate) = 1-(1-j^r)^b. The default
+    (b=16, r=2) misses a j=0.5 pair ~1% of the time and a j=0.7 pair
+    ~0.01% — tuned for threshold≈0.5; more selective thresholds warrant
+    r=4 (fewer false-positive candidates, steeper curve). False positives
+    cost only verification compute: exact Jaccard filters them out.
+
+    Scale: candidate generation shuffles O(docs x bands) short rows;
+    verification touches only candidate pairs. Bucket-size blowup (many
+    docs sharing a band) is bounded in practice by signature diversity;
+    a bucket-size cap is the guard to add for adversarial corpora.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(shingles(F.col(text_col), n)).alias("shs"))
+    va = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    return (
+        candidates.join(va, "id_a").join(vb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("n_union", F.size(F.array_union("shs_a", "shs_b")))
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_bits: int = 60,
+) -> DataFrame:
+    """Per-doc 60-bit SimHash over word n-gram shingles: for each bit
+    position, sum +1/-1 votes from each shingle-hash bit; the sign of the
+    sum is the output bit.
+
+    Same scale shape as minhash_signatures: explode shingles, ONE md5 per
+    shingle, the 60 bit-votes as plain conditional-sum aggregates with
+    map-side partial aggregation. Returns (id, sim)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    ).select("id", _hash64(F.col("s"), 0).alias("h"))
+    votes = base.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(n_bits)
+    ])
+    sim = F.lit(0).cast("bigint")
+    for bit in range(n_bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit))
+            .otherwise(F.lit(0)).cast("bigint"))
+    return votes.select("id", sim.alias("sim"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n: int = 2,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius.
+
+    Pigeonhole LSH: split the 60-bit hash into n_chunks chunks; any pair
+    within max_hamming <= n_chunks - 1 shares at least one exact chunk.
+    Join on (chunk_index, chunk_value), then verify hamming distance via
+    bit_count(xor). Shuffle volume O(docs x n_chunks).
+    """
+    chunk_bits = 60 // n_chunks
+    sim = simhash_table(df, id_col, text_col, n)
+    chunks = sim.select(
+        "id", "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("sim"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cv"),
+            ) for i in range(n_chunks)
+        ])).alias("c"),
+    ).select("id", "sim", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

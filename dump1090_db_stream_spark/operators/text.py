@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's surface (which has none — SURVEY.md §2.10)
+with the operations a 100 TB document pipeline needs: tokenization, token
+counting, quality scoring, language identification, and fingerprinting.
+
+Design rule: everything here is native Column expressions — split /
+regexp / aggregate / transform — so the hot path stays inside
+WholeStageCodegen with zero Python. Each operator is also expressible in
+ANSI SQL for the DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer (the baseline) and a BPE-ish word/punct splitter:
+# words, numbers, or single punctuation marks — the common pre-tokenizer
+# shape used by GPT-2-style BPE vocabularies.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small and hard-coded: language ID at pipeline scale is a
+# first-pass router, not a classifier; precision comes from downstream.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"],
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization: array of tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), pattern)
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenizer: words / numbers / single punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: char length, token count, mean token
+    length, punctuation ratio, uppercase ratio, stopword(en) ratio,
+    and a composite [0,1] quality score.
+
+    Narrow projection, no shuffle: scales linearly with input bytes.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    n_punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_upper = n_char - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    en = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    mean_tok_len = F.when(n_tok > 0,
+                          (n_char - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_char > 0, n_upper / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    # Composite: favor mid-length docs with low punct/upper noise.
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + (1 - F.least(upper_ratio * 5, F.lit(1.0))) * 0.3
+    )
+    return df.select(
+        "*",
+        n_char.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(upper_ratio, 4).alias("q_upper_ratio"),
+        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("q_quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID.
+
+    CJK-script detection first (any CJK codepoint → zh), then the
+    stopword-marker vote: the language whose marker lexicon covers the
+    largest fraction of tokens wins; 'und' when nothing matches.
+    Pure expressions → linear scan, no shuffle, no UDF.
+    """
+    c = F.col(text_col)
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array([F.lit(w) for w in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, hits))
+    # greatest-by-score with deterministic tie-break on language order
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, hits in scores:
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    has_cjk = c.rlike(r"[一-鿿]")
+    return df.withColumn(out_col, F.when(has_cjk, F.lit("zh")).otherwise(best))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (basis for MinHash /
+    Jaccard dedup). Sliding window via transform over token indices."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks)).cast("array<string>")) \
+        .otherwise(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Deterministic document fingerprint: the lexicographic minimum of the
+    md5 hex digests of the document's word n-gram shingles (a 1-permutation
+    MinHash). md5 (not xxhash64) so any ANSI engine reproduces it."""
+    return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
+
+
+def content_hash(text: Column | str) -> Column:
+    """Exact-dedup key: md5 of the raw text (portable across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)

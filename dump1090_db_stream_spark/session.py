@@ -29,6 +29,7 @@ _DEFAULTS = {
     # to micros (floor), matching DuckDB's truncation on fetch.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

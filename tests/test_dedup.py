@@ -1,0 +1,69 @@
+"""Dedup operator tests (operators.dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight")
+NEAR = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest today")  # 1 word changed
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, FAR)],
+        ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    assert len(out) == 3  # {BASE, NEAR, FAR}
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 3, 4}  # lowest id survives
+
+
+def test_exact_dup_groups(docs):
+    out = {r.canonical_id: r.n_dups for r in exact_dup_groups(docs).collect()}
+    assert out == {1: 2, 4: 2}
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert pairs[(4, 5)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0    # near-dup above threshold
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    out = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    # identical docs always collide in every band
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    # verified jaccard is exact, so any reported pair is a true near-dup
+    for r in out:
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_neardups(docs):
+    out = simhash_neardup_pairs(docs, max_hamming=10).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(4, 5)] == 0
+    if (1, 3) in pairs:  # near-dup should be close in hamming space
+        assert pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 10

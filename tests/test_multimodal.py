@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests (operators.multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(range(256)) * (i + 1)) for i in range(4)]
+    return spark.createDataFrame(rows, ["media_id", "payload"])
+
+
+def test_attach_media_meta(media):
+    out = attach_media_meta(media, "payload", "image", "png")
+    row = out.collect()[0]
+    assert row.media_meta.media_type == "image"
+    assert row.media_meta.format == "png"
+    assert row.media_meta.width is None
+
+
+def test_extract_image_features_schema_and_determinism(media):
+    out = extract_image_features(media, feature_dim=8)
+    rows1 = {r.media_id: r for r in out.collect()}
+    rows2 = {r.media_id: r for r in out.collect()}
+    assert len(rows1) == 4
+    for mid in rows1:
+        assert rows1[mid].n_bytes == 256 * (mid + 1)
+        assert len(rows1[mid].feature) == 8
+        assert rows1[mid].feature == rows2[mid].feature  # deterministic
+        assert abs(sum(rows1[mid].feature) - 1.0) < 1e-5
+
+
+def test_extract_uses_arrow_batches(media):
+    plan = extract_image_features(media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_sample_frames_cardinality(media):
+    out = sample_frames(media, max_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[0]) == 4  # 256 bytes -> 4 frames
+    frames = sorted(by_id[0], key=lambda r: r.frame_index)
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+    assert len(frames[0].frame_bytes) == 64
+
+
+def test_decode_stub_seam(media):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        extract_image_features(media, decode_stub=False).collect()

@@ -1,0 +1,96 @@
+"""Text-analysis operator tests (operators.text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.text import (
+    bpe_ish_tokens,
+    content_hash,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    shingles,
+    token_count,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "le chat est sur la table et le chien est la"),
+            (3, "el perro y el gato es en la casa"),
+            (4, "der hund und die katze ist von dem haus"),
+            (5, "这是一个中文句子"),
+            (6, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_count(spark):
+    out = _docs(spark).select("doc_id", token_count("text").alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got[1] == 9
+    assert got[6] == 3
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! 42x",)], ["text"])
+    toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["Hello", ",", "world", "!", "42", "x"]
+
+
+def test_lang_id_heuristic(spark):
+    out = lang_id(_docs(spark)).collect()
+    got = {r.doc_id: r.lang_pred for r in out}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "de"
+    assert got[5] == "zh"
+    assert got[6] == "und"
+
+
+def test_quality_features(spark):
+    out = quality_features(_docs(spark)).filter(F.col("doc_id") == 1).collect()[0]
+    assert out.q_n_tokens == 9
+    assert 0 <= out.q_quality_score <= 1
+    assert out.q_punct_ratio == 0.0
+    assert out.q_stopword_ratio > 0.2  # 'the' twice, 'over' not a marker
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(shingles("text", 3).alias("s"),
+                     doc_fingerprint("text", 3).alias("fp")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # shorter than n -> whole text
+    assert len(rows[0].fp) == 32  # md5 hex
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four"),
+         (3, "four three two one")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r.fp for r in
+            df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_content_hash_matches_duckdb(spark):
+    import duckdb
+    txt = "hello world"
+    got = spark.createDataFrame([(txt,)], ["text"]).select(
+        content_hash("text").alias("h")).collect()[0].h
+    want = duckdb.connect().execute("SELECT md5(?)", [txt]).fetchone()[0]
+    assert got == want
+
+
+def test_text_ops_stay_jvm_side(spark):
+    out = lang_id(quality_features(_docs(spark)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
