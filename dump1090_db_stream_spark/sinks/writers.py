@@ -1,0 +1,80 @@
+"""Sinks: append-only analytic store + JDBC parity sink.
+
+The reference writes row-at-a-time INSERTs into PostgreSQL
+(dump1090-postgres.py:92-131, committed per row :116). Our engine keeps
+the append-only contract (T-2) but writes micro-batches:
+
+- parquet date-partitioned store (the analytic path): partitioning by
+  to_date(parsed_time) replaces the reference's BRIN index on parsed_time
+  (create_schema.sql:141) — time-range queries prune whole partitions and
+  parquet row-group min/max stats prune within files (SURVEY.md §4).
+- JDBC append (the fidelity path): df.write.jdbc with batched inserts —
+  the documented intent of the unused --batch-size knob
+  (dump1090-postgres.py:27,:68-71; bug S-7 not replicated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.schema import PRIMARY_KEY
+
+DATE_PARTITION_COL = "parsed_date"
+
+
+def with_date_partition(messages: DataFrame,
+                        ts_col: str = "parsed_time") -> DataFrame:
+    return messages.withColumn(DATE_PARTITION_COL, F.to_date(F.col(ts_col)))
+
+
+def write_parquet_store(
+    messages: DataFrame,
+    path: str,
+    mode: str = "append",
+    dedup: bool = True,
+) -> None:
+    """Append to the date-partitioned parquet fact store.
+
+    ``dedup`` applies the reference's PK semantics
+    (create_schema.sql:132-133) within the written batch — the batch
+    analog of the PK constraint rejecting duplicate inserts (A-6).
+
+    Scale: partitionBy date keeps files aligned with the dominant query
+    predicate (time ranges); within a day, writes inherit the upstream
+    partitioning — repartition by date first so each task writes one
+    partition directory (avoids small-file explosion on wide clusters).
+    """
+    df = with_date_partition(messages)
+    if dedup:
+        df = df.dropDuplicates(PRIMARY_KEY)
+    (df.repartition(F.col(DATE_PARTITION_COL))
+       .write.mode(mode)
+       .partitionBy(DATE_PARTITION_COL)
+       .parquet(path))
+
+
+def read_parquet_store(spark, path: str) -> DataFrame:
+    """Read the fact store back; partition pruning on parsed_date is
+    automatic for parsed_time/parsed_date range predicates."""
+    return spark.read.parquet(path).drop(DATE_PARTITION_COL)
+
+
+def write_jdbc(
+    messages: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+) -> None:
+    """JDBC append sink (S-4): the Spark re-expression of commit_data
+    (dump1090-postgres.py:92-131). Batched inserts via the JDBC batchsize
+    option implement the documented intent of --batch-size (S-7).
+
+    Requires a JDBC driver jar on the classpath; raises the underlying
+    error otherwise (no driver is bundled in this repo's container).
+    """
+    props = {"batchsize": str(batchsize)}
+    if properties:
+        props.update(properties)
+    messages.write.mode("append").options(**props).jdbc(url, table)

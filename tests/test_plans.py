@@ -1,0 +1,97 @@
+"""Physical-plan property tests: the scale contract.
+
+These assert the plan shapes that make the operators viable at 100 TB —
+pushdown reaching parquet, broadcast for small dims, no cartesian
+products, no Python eval in native paths, bounded shuffle counts.
+A regression here is a performance bug even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_locations_projection_pushdown(spark, sf):
+    plan = plan_of(entrymod.q_locations_projection(spark, sf))
+    assert "PushedFilters: [IsNotNull(value)]" in plan
+    # column pruning: only the 4 selected columns reach the scan
+    assert "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>" in plan
+
+
+def test_like_prefix_pushdown(spark, sf):
+    plan = plan_of(entrymod.q_like_prefix_filter(spark, sf))
+    assert "StringStartsWith(c_mktsegment,AUTO)" in plan
+
+
+def test_time_range_pushdown(spark, sf):
+    plan = plan_of(entrymod.q_time_range_between(spark, sf))
+    # (plan toString truncates the PushedFilters list; the >= bound and the
+    # <= data filter are both visible)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "o_orderdate" in plan and "<=" in plan
+
+
+def test_revenue_join_broadcasts_small_dims(spark, sf):
+    plan = plan_of(entrymod.q_revenue_by_nation(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_join_stays_equi_keyed(spark, sf):
+    plan = plan_of(entrymod.q_flights_band_join(spark, sf))
+    # equi key on user_id anchors a hash-based join; the time band is a
+    # residual condition — never a nested-loop/cartesian plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_pricing_summary_partial_aggregation(spark, sf):
+    plan = plan_of(entrymod.q_pricing_summary(spark, sf))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1  # single shuffle on group keys
+
+
+def test_window_single_shuffle(spark, sf):
+    plan = plan_of(entrymod.q_window_track_lines(spark, sf))
+    # row_number + two leads share one window spec -> one exchange + sort
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_native_queries_have_no_python_eval(spark, sf):
+    for name, fn in entrymod.queries().items():
+        if name == "multimodal_features":  # documented Pandas-UDF path
+            continue
+        plan = plan_of(fn(spark, sf))
+        assert "EvalPython" not in plan, name
+
+
+def test_multimodal_prunes_before_python(spark, sf):
+    plan = plan_of(entrymod.q_multimodal_features(spark, sf))
+    assert "MapInPandas" in plan
+    # only doc_id + text reach the Python worker
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_minhash_partial_aggregates(spark, sf):
+    plan = plan_of(entrymod.q_minhash_lsh_dups(spark, sf))
+    # signature build must partial-aggregate before its shuffle
+    assert "partial_min" in plan

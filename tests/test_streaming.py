@@ -1,0 +1,88 @@
+"""Streaming pipeline tests: file-source ingest end-to-end into the
+date-partitioned parquet store (SURVEY.md §2.9 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dump1090_db_stream_spark.sinks.writers import (
+    read_parquet_store,
+    write_parquet_store,
+)
+from dump1090_db_stream_spark.streaming.pipeline import (
+    file_lines,
+    parsed_stream,
+    run_with_bounded_retries,
+    start_parquet_ingest,
+)
+from tests.fixtures import N_MSG_LINES, SAMPLE_LINES
+
+
+@pytest.fixture()
+def feed_dir(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "batch1.txt").write_text("\n".join(SAMPLE_LINES) + "\n")
+    return str(d)
+
+
+def test_file_stream_ingest_end_to_end(spark, tmp_path, feed_dir):
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = parsed_stream(file_lines(spark, feed_dir))
+    assert stream.isStreaming
+    q = start_parquet_ingest(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = read_parquet_store(spark, out)
+    assert got.count() == N_MSG_LINES
+    assert set(got.columns) >= {"hex_ident", "parsed_time", "callsign"}
+    # restart with no new data: checkpoint makes it a no-op (T-6 resume)
+    q2 = start_parquet_ingest(parsed_stream(file_lines(spark, feed_dir)),
+                              out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert read_parquet_store(spark, out).count() == N_MSG_LINES
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, feed_dir):
+    # duplicate the whole feed file -> PK dedup must collapse replays (T-5)
+    import shutil
+
+    shutil.copy(f"{feed_dir}/batch1.txt", f"{feed_dir}/batch2.txt")
+    out = str(tmp_path / "store2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = start_parquet_ingest(parsed_stream(file_lines(spark, feed_dir)),
+                             out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = read_parquet_store(spark, out)
+    # same micro-batch => same parsed_time stamp => PK dedup applies
+    assert got.count() == N_MSG_LINES
+
+
+def test_batch_store_roundtrip_and_partitioning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.functions.parser import parse_sbs1
+
+    lines = spark.createDataFrame([(line,) for line in SAMPLE_LINES], ["value"])
+    msgs = parse_sbs1(lines, parsed_time=F.lit("2020-01-02 03:04:05").cast("timestamp"))
+    path = str(tmp_path / "batchstore")
+    write_parquet_store(msgs, path)
+    import os
+
+    assert any(p.startswith("parsed_date=") for p in os.listdir(path))
+    got = read_parquet_store(spark, path)
+    assert got.count() == N_MSG_LINES
+    assert "parsed_date" not in got.columns
+
+
+def test_bounded_retries_gives_up(spark):
+    calls = []
+
+    def failing_start():
+        calls.append(1)
+        raise RuntimeError("connect refused")
+
+    with pytest.raises(RuntimeError):
+        run_with_bounded_retries(failing_start, attempt_limit=3,
+                                 attempt_delay=0.01)
+    assert len(calls) == 3
