@@ -180,6 +180,82 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sbs1_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-1..F-8: the SBS-1 parser itself (functions.parser.parse_sbs1) on
+    the reference README's golden wire lines (README.md:82-94), fixed
+    parsed_time for determinism. The DuckDB oracle re-implements the
+    width filter + ''->NULL + try_cast semantics in SQL over the same
+    VALUES list."""
+    from dump1090_db_stream_spark.functions.parser import parse_sbs1
+    from tests.fixtures import SAMPLE_LINES
+
+    lines = spark.createDataFrame([(line,) for line in SAMPLE_LINES], ["value"])
+    return parse_sbs1(
+        lines, parsed_time=F.lit("2020-01-01 00:00:00").cast("timestamp"))
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-1 + global sort: deterministic top-k (ORDER BY ... LIMIT) —
+    the reference's LIMIT queries (README.md:184,:213,:238) made
+    order-stable. Spark plans this as TakeOrderedAndProject: per-partition
+    top-k then a k-row merge on the driver — no global sort shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-8: session windows with a 10-minute gap — the idiomatic Spark
+    re-expression of the flights view's ±10 min band intent
+    (create_schema.sql:124) via F.session_window. The oracle reproduces
+    the islands with gaps-and-islands SQL (lag + cumulative sum)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (events.props) + aggregation: get_json_object
+    stays JVM-side; grouping on the extracted int."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (beyond the reference's surface; free on both
+    engines): subtotals per returnflag and grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
 # --- north-star extensions (training-data pipeline ops) --------------------
 
 
@@ -208,10 +284,13 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (operators.text.doc_fingerprint): min-md5
     over word trigram shingles — portable 1-permutation MinHash."""
-    from dump1090_db_stream_spark.operators.text import doc_fingerprint
+    from dump1090_db_stream_spark.operators.text import (
+        doc_fingerprint,
+        with_tokens,
+    )
 
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", doc_fingerprint(F.col("text"), 3).alias("fingerprint"))
+    return with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", doc_fingerprint(F.col("_toks"), 3).alias("fingerprint"))
 
 
 def q_exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_token_stats": q_doc_token_stats,
+        "sbs1_parse": q_sbs1_parse,
+        "top_revenue_orders": q_top_revenue_orders,
+        "session_windows": q_session_windows,
+        "json_extract": q_json_extract,
+        "sales_rollup": q_sales_rollup,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
         "doc_fingerprints": q_doc_fingerprints,
@@ -313,8 +397,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sbs1_oracle() -> str:
+    """DuckDB re-implementation of the SBS-1 parser semantics over the
+    golden wire lines. Int casts are regex-guarded because DuckDB's
+    try_cast rounds decimal strings to int where Spark's yields NULL."""
+    from tests.fixtures import SAMPLE_LINES
+
+    values = ",\n                ".join(
+        "('" + line.replace("'", "''") + "')" for line in SAMPLE_LINES)
+    txt = "nullif(f[{i}], '')"
+    num = ("CASE WHEN regexp_matches(nullif(f[{i}], ''), '^-?\\d+$') "
+           "THEN nullif(f[{i}], '')::INTEGER ELSE NULL END")
+    flt = "try_cast(nullif(f[{i}], '') AS FLOAT)"
+    dt = "CAST(try_strptime(nullif(f[{i}], ''), '%Y/%m/%d') AS DATE)"
+    cols = [
+        ("message_type", txt), ("transmission_type", num),
+        ("session_id", txt), ("aircraft_id", txt), ("hex_ident", txt),
+        ("flight_id", txt), ("generated_date", dt), ("generated_time", txt),
+        ("logged_date", dt), ("logged_time", txt), ("callsign", txt),
+        ("altitude", num), ("ground_speed", num), ("track", num),
+        ("lat", flt), ("lon", flt), ("vertical_rate", flt), ("squawk", txt),
+        ("alert", num), ("emergency", num), ("spi", num),
+        ("is_on_ground", num),
+    ]
+    select = ",\n                   ".join(
+        tmpl.format(i=i + 1) + f" AS {name}"
+        for i, (name, tmpl) in enumerate(cols))
+    return f"""
+            WITH raw(value) AS (VALUES
+                {values}
+            ), fields AS (
+                SELECT str_split(regexp_replace(value, '\\r$', ''), ',') AS f
+                FROM raw
+            )
+            SELECT {select},
+                   TIMESTAMP '2020-01-01 00:00:00' AS parsed_time
+            FROM fields
+            WHERE len(f) = 22
+              AND {num.format(i=2)} IS NOT NULL
+              AND {txt.format(i=5)} IS NOT NULL
+              AND {dt.format(i=7)} IS NOT NULL
+              AND {txt.format(i=8)} IS NOT NULL
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sbs1_parse": _sbs1_oracle(),
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 < INTERVAL 10 MINUTE
+                            THEN 0 ELSE 1 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 10 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum((props->>'k')::INT) AS sum_k,
+                   min((props->>'k')::INT) AS min_k,
+                   max((props->>'k')::INT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "sales_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "callsign_sessions": """
             SELECT user_id, event_type, CAST(ts AS DATE) AS date_seen,
                    max(ts) AS last_seen, min(ts) AS first_seen

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dump1090_db_stream_spark.operators.text import content_hash, shingles
+from dump1090_db_stream_spark.operators.text import (
+    content_hash,
+    shingles,
+    with_tokens,
+)
 
 
 def _hash64(c: Column, seed: int) -> Column:
@@ -92,10 +96,16 @@ def ngram_jaccard_pairs(
       excludes capped shingles; set sizes don't). Default None = exact.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"))
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"))
         .select("id", _hash64(F.col("s"), 0).alias("sh"))
     )
+    # The inverted index feeds three consumers (sizes, both join sides);
+    # persist it so tokenize+md5 runs once, not three times. At cluster
+    # scale the same principle holds — materialize the index (cache or a
+    # temp table), it is ~2 longs per (doc, shingle).
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -153,9 +163,9 @@ def minhash_signatures(
     tokenize+shingle+md5 k times — Catalyst does not CSE through
     higher-order-function lambdas.
     """
-    base = df.select(
+    base = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+        F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"),
     ).select("id", F.pmod(_hash64(F.col("s"), 0), F.lit(_MH_P)).alias("h"))
     aggs = []
     for i in range(num_hashes):
@@ -214,9 +224,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.array_distinct(shingles(F.col(text_col), n)).alias("shs"))
+    # candidates feed two consumers (the involved-doc semi-join and the
+    # verification join); persist so the signature+banding pipeline runs
+    # once. Candidate sets are tiny (near-dup pairs, not the corpus).
+    candidates = candidates.persist()
+    # exact verification on candidates only: semi-join the corpus down to
+    # docs that appear in some candidate pair BEFORE recomputing shingles —
+    # the expensive tokenize+shingle projection runs over |candidate docs|,
+    # not the whole corpus (Catalyst won't reorder a join below a
+    # projection on its own).
+    involved = (candidates.select(F.col("id_a").alias("id"))
+                .union(candidates.select(F.col("id_b").alias("id")))
+                .distinct())
+    slim = df.join(F.broadcast(involved),
+                   df[id_col] == involved["id"], "left_semi")
+    sh = with_tokens(slim, text_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col("_toks"), n)).alias("shs"))
     va = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     vb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     return (
@@ -243,9 +267,9 @@ def simhash_table(
     Same scale shape as minhash_signatures: explode shingles, ONE md5 per
     shingle, the 60 bit-votes as plain conditional-sum aggregates with
     map-side partial aggregation. Returns (id, sim)."""
-    base = df.select(
+    base = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("s"),
+        F.explode(shingles(F.col("_toks"), n)).alias("s"),
     ).select("id", _hash64(F.col("s"), 0).alias("h"))
     votes = base.groupBy("id").agg(*[
         F.sum(

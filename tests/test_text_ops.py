@@ -12,6 +12,7 @@ from dump1090_db_stream_spark.operators.text import (
     quality_features,
     shingles,
     token_count,
+    with_tokens,
 )
 
 
@@ -62,21 +63,21 @@ def test_quality_features(spark):
 
 
 def test_shingles_and_fingerprint(spark):
-    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
-    rows = df.select(shingles("text", 3).alias("s"),
-                     doc_fingerprint("text", 3).alias("fp")).collect()
+    df = with_tokens(spark.createDataFrame([("a b c d",), ("a b",)], ["text"]))
+    rows = df.select(shingles("_toks", 3).alias("s"),
+                     doc_fingerprint("_toks", 3).alias("fp")).collect()
     assert rows[0].s == ["a b c", "b c d"]
     assert rows[1].s == ["a b"]  # shorter than n -> whole text
     assert len(rows[0].fp) == 32  # md5 hex
 
 
 def test_fingerprint_deterministic_and_order_sensitive(spark):
-    df = spark.createDataFrame(
+    df = with_tokens(spark.createDataFrame(
         [(1, "one two three four"), (2, "one two three four"),
          (3, "four three two one")],
-        ["doc_id", "text"])
+        ["doc_id", "text"]))
     rows = {r.doc_id: r.fp for r in
-            df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+            df.select("doc_id", doc_fingerprint("_toks").alias("fp")).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
 
