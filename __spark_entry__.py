@@ -256,6 +256,32 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7 — absent in the reference, native in Spark):
+    user segments via EXCEPT / INTERSECT over distinct user sets."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clickers.exceptAll(buyers).select(
+        F.lit("click_only").alias("segment"), "user_id")
+    both = clickers.intersect(buyers).select(
+        F.lit("both").alias("segment"), "user_id")
+    return click_only.union(both)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH (operators.similarity.
+    lsh_topk): deterministic seeded hyperplanes, bucket-collision
+    candidates only. Rows-only check (the recall set is probabilistic by
+    design; the exact baseline is embedding_topk)."""
+    from dump1090_db_stream_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=6)
+
+
 # --- north-star extensions (training-data pipeline ops) --------------------
 
 
@@ -385,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
+        "set_ops_segments": q_set_ops_segments,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
         "doc_fingerprints": q_doc_fingerprints,
@@ -483,6 +511,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops_segments": """
+            WITH clickers AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            ), buyers AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT 'click_only' AS segment, user_id
+            FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+            UNION ALL
+            SELECT 'both' AS segment, user_id
+            FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
         """,
         "callsign_sessions": """
             SELECT user_id, event_type, CAST(ts AS DATE) AS date_seen,

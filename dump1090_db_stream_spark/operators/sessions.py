@@ -60,6 +60,7 @@ def band_join(
     last_col: str = "last_seen",
     session_cols: list[str] | None = None,
     distinct: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Associate each timestamped row with every session active (± band)
     at that time — the reference's flights join (create_schema.sql:116-124,
@@ -67,22 +68,38 @@ def band_join(
 
     ``session_cols`` are the session-side columns carried into the output
     (default: all non-key, non-bound columns, i.e. the label columns).
+
+    ``salt_buckets``: skew mitigation for hot keys (one aircraft/user
+    dominating the feed). The big (fixes) side gets a random-ish salt
+    derived from xxhash64(ts); the session side is replicated
+    salt_buckets ways; the join key becomes (key, salt). Row concentration
+    per shuffle partition drops by the bucket factor at the cost of
+    replicating the (small, aggregated) session side. Results are
+    identical — the salt is a join-key refinement, not a semantic change.
+    AQE's skewJoin handles moderate skew without this; salting is for the
+    pathological key that exceeds a single executor's memory.
     """
     if isinstance(band, str):
         band = F.expr(band)
+    if salt_buckets:
+        fixes = fixes.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)))
+        sessions = sessions.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
     l, s = fixes.alias("l"), sessions.alias("s")
-    joined = l.join(
-        s,
+    cond = (
         (F.col(f"l.{key}") == F.col(f"s.{key}"))
         & (F.col(f"l.{ts}") <= F.col(f"s.{last_col}") + band)
-        & (F.col(f"l.{ts}") >= F.col(f"s.{first_col}") - band),
-        "inner",
+        & (F.col(f"l.{ts}") >= F.col(f"s.{first_col}") - band)
     )
+    if salt_buckets:
+        cond = cond & (F.col("l._salt") == F.col("s._salt"))
+    joined = l.join(s, cond, "inner")
     if session_cols is None:
-        bound = {key, first_col, last_col}
+        bound = {key, first_col, last_col, "_salt"}
         session_cols = [c for c in sessions.columns if c not in bound]
     out = joined.select(
-        *[F.col(f"l.{c}").alias(c) for c in fixes.columns],
+        *[F.col(f"l.{c}").alias(c) for c in fixes.columns if c != "_salt"],
         *[F.col(f"s.{c}").alias(c) for c in session_cols],
     )
     return out.distinct() if distinct else out
