@@ -269,6 +269,32 @@ def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_only.union(both)
 
 
+def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (operators.similarity.
+    exact_cosine_pairs) — the oracle-checked correctness baseline for the
+    LSH scale path (embedding_neardup_pairs). Threshold 0.35 chosen so the
+    random testdata yields a non-trivial pair set."""
+    from dump1090_db_stream_spark.operators.similarity import exact_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_cosine_pairs(emb, threshold=0.35)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators.similarity.ivf_topk): deterministic k-means
+    coarse quantizer, probe the 4 of 8 clusters nearest each query. Rows-
+    only check — the iterative quantizer is not SQL-expressible; exactness
+    is anchored by test_ivf_topk_full_probe_equals_brute_force and the
+    embedding_topk oracle."""
+    from dump1090_db_stream_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, dim=64, k=10,
+                    n_centroids=8, n_probes=4, n_iters=2)
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH (operators.similarity.
     lsh_topk): deterministic seeded hyperplanes, bucket-collision
@@ -412,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "set_ops_segments": q_set_ops_segments,
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
@@ -725,6 +753,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.03
+        """,
+        "cosine_neardup_pairs": """
+            WITH n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(
+                             range(1, length(a.embedding) + 1),
+                             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE cosine >= 0.35
         """,
         "embedding_topk": """
             WITH q AS (

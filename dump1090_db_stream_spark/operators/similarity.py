@@ -152,6 +152,174 @@ def lsh_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold. O(n^2) by definition — this is
+    the CORRECTNESS BASELINE / validator for embedding_neardup_pairs (the
+    LSH scale path), exactly as brute_force_topk anchors lsh_topk. Run it
+    on samples or per-bucket slices at scale, never the full corpus.
+
+    Norms are computed once per row before the join (narrow), so the
+    pairwise stage is a single multiply-accumulate per pair."""
+    n = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(dot(F.col("a.vec"), F.col("b.vec"))
+                    / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --- IVF (inverted-file) ANN: k-means coarse quantizer + cluster probing ---
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means (cosine assignment, mean update) for the
+    IVF coarse quantizer. Returns centroids as a plain driver-side list —
+    they are metadata-scale (k x dim doubles, KBs), the same contract as
+    Spark MLlib's KMeans which also collects cluster sums per iteration.
+
+    Scale shape per iteration (designed for 100 TB):
+    - init: md5-ranked sample via orderBy(hash).limit(k) — Spark plans
+      TakeOrderedAndProject (per-partition top-k), never a global sort;
+    - assignment is a NARROW map: the k dot products are inlined as native
+      column expressions over literal centroid arrays — no cross join, no
+      shuffle, no Python;
+    - update: groupBy(cluster).agg(count, per-dimension sums) — map-side
+      partial aggregation collapses each partition to <= k rows before a
+      shuffle of O(k x dim) doubles. Driver receives k rows per iteration.
+    """
+    init = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    vec = F.col(vec_col)
+    for _ in range(n_iters):
+        cluster = _nearest_centroid(vec, centroids)
+        sums = (
+            df.select(cluster.alias("cluster"), vec.alias("v"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}")
+                   for i in range(dim)])
+            .collect()
+        )
+        for row in sums:
+            centroids[row["cluster"]] = [row[f"s{i}"] / row["n"]
+                                         for i in range(dim)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid as a narrow native expression:
+    array of (sim, -idx) structs -> array_max (struct ordering) -> idx.
+    Negated index makes ties break toward the LOWER cluster id."""
+    scored = F.array(*[
+        F.struct(
+            (dot(vec, F.array(*[F.lit(x) for x in c]))
+             / F.lit(sum(x * x for x in c) ** 0.5 or 1.0)).alias("sim"),
+            F.lit(-i).alias("neg_idx"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return (-F.array_max(scored)["neg_idx"]).cast("int")
+
+
+def _probe_clusters(vec: Column, centroids: list[list[float]],
+                    n_probes: int) -> Column:
+    """Array of the n_probes nearest cluster ids, best first."""
+    scored = F.array(*[
+        F.struct(
+            (-dot(vec, F.array(*[F.lit(x) for x in c]))
+             / F.lit(sum(x * x for x in c) ** 0.5 or 1.0)).alias("neg_sim"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, n_probes)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus by a k-means
+    coarse quantizer, probe only the n_probes clusters nearest each query.
+
+    The FAISS-IVF shape re-expressed in DataFrame ops:
+    - train: kmeans_centroids (above; pass ``centroids`` to reuse an index
+      across query batches — the IVF analog of a persisted index);
+    - corpus assignment: narrow expression (no shuffle) — at scale,
+      write-once as a `cluster`-partitioned table so probing becomes
+      partition pruning;
+    - search: explode each query to its probe list, EQUI-join corpus on
+      cluster (broadcast the small query side), exact cosine only within
+      probed clusters, window top-k per query.
+    Compared against brute force: touches n_probes/n_centroids of the
+    corpus per query; recall depends on quantizer quality (tested in
+    tests/test_similarity.py against brute_force_topk).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, dim, n_centroids, n_iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _probe_clusters(F.col(vec_col), centroids, n_probes)
+        ).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,

@@ -75,3 +75,51 @@ def test_embedding_neardup_pairs(spark, corpus):
     pairs = {(r.id_a, r.id_b): r.cosine for r in out}
     assert (0, 59) in pairs
     assert pairs[(0, 59)] > 0.99
+
+
+def test_exact_cosine_pairs(spark, corpus):
+    from dump1090_db_stream_spark.operators.similarity import exact_cosine_pairs
+
+    out = exact_cosine_pairs(corpus, threshold=0.95).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert (0, 59) in pairs and pairs[(0, 59)] > 0.99
+    # threshold is inclusive and ids ordered a < b
+    assert all(a < b for a, b in pairs)
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, corpus):
+    from dump1090_db_stream_spark.operators.similarity import kmeans_centroids
+
+    c1 = kmeans_centroids(corpus, dim=DIM, n_centroids=4, n_iters=2)
+    c2 = kmeans_centroids(corpus, dim=DIM, n_centroids=4, n_iters=2)
+    assert c1 == c2  # fully deterministic (md5-ranked init, fixed iters)
+    assert len(c1) == 4 and all(len(c) == DIM for c in c1)
+
+
+def test_ivf_topk_finds_planted_neardup_and_recall(spark, corpus):
+    from dump1090_db_stream_spark.operators.similarity import ivf_topk
+
+    queries = corpus.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    exact = {r.neighbor_id for r in brute_force_topk(corpus, queries, k=5).collect()}
+    out = ivf_topk(corpus, queries, dim=DIM, k=5,
+                   n_centroids=4, n_probes=2, n_iters=2).collect()
+    approx = {r.neighbor_id for r in out}
+    # near-identical vectors always land in the same cluster
+    assert 59 in approx
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
+        range(1, len(out) + 1))
+    # probing half the clusters should recover most of the exact top-5
+    assert len(exact & approx) >= 3
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark, corpus):
+    from dump1090_db_stream_spark.operators.similarity import ivf_topk
+
+    queries = corpus.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    exact = [(r.neighbor_id, r.cosine)
+             for r in brute_force_topk(corpus, queries, k=5).collect()]
+    full = [(r.neighbor_id, r.cosine)
+            for r in ivf_topk(corpus, queries, dim=DIM, k=5, n_centroids=4,
+                              n_probes=4, n_iters=1).collect()]
+    assert exact == full  # probing every cluster == exact search
