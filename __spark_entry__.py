@@ -308,6 +308,54 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=6)
 
 
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED STATEFUL STREAMING: streaming.stateful.
+    session_flights (applyInPandasWithState, event-time timeouts) over the
+    events table replayed as a 3-file stream (maxFilesPerTrigger=1, so the
+    watermark advances batch-by-batch). Output = gap-closed (2 h) sessions
+    per user; the operator is micro-batch-boundary independent, so it
+    matches the batch islands-and-gaps SQL with a final-watermark cutoff.
+
+    The driver-side toPandas/split here is TEST PLUMBING to author a
+    deterministic replay — the operator itself holds O(1) state per key
+    and never collects (see streaming/stateful.py docstring for the
+    100 TB design)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.streaming.stateful import session_flights
+
+    pdf = (load_table(spark, sf_dir, "events")
+           .select("user_id", "ts").orderBy("ts").toPandas())
+    d = tempfile.mkdtemp(prefix="stateful_replay_")
+    n, t0 = len(pdf), _time.time()
+    cut = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(d, f"b{i}.parquet")
+        tbl = pa.Table.from_pandas(
+            pdf.iloc[cut[i]:cut[i + 1]], preserve_index=False)
+        tbl = tbl.cast(pa.schema([("user_id", pa.int64()),
+                                  ("ts", pa.timestamp("us"))]))
+        pq.write_table(tbl, path)
+        os.utime(path, (t0 + i, t0 + i))
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    sessions = session_flights(stream, key_col="user_id", ts_col="ts",
+                               gap_seconds=7200)
+    name = "stateful_sessions_sink"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- north-star extensions (training-data pipeline ops) --------------------
 
 
@@ -435,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbs1_parse": q_sbs1_parse,
         "top_revenue_orders": q_top_revenue_orders,
         "session_windows": q_session_windows,
+        "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "set_ops_segments": q_set_ops_segments,
@@ -753,6 +802,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.03
+        """,
+        "stateful_sessions": """
+            WITH mx AS (SELECT max(ts) AS wm FROM events),
+            flags AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 + INTERVAL '2 hours'
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags
+            ), agg AS (
+                SELECT user_id, sid, min(ts) AS first_seen,
+                       max(ts) AS last_seen, count(*) AS n_messages
+                FROM sess GROUP BY user_id, sid
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY sid DESC) AS rn
+                FROM agg
+            )
+            SELECT user_id, first_seen, last_seen, n_messages
+            FROM ranked, mx
+            WHERE NOT (rn = 1 AND last_seen + INTERVAL '2 hours' > wm)
         """,
         "cosine_neardup_pairs": """
             WITH n AS (
