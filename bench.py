@@ -35,6 +35,7 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "embedding_topk",
+    "embedding_ivf_topk",
 ]
 
 

@@ -203,6 +203,12 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # The banded relation feeds BOTH sides of the candidate self-join;
+    # without materialization each side would recompute the whole
+    # tokenize->shingle->md5->32-way-min pipeline (Spark does not CSE
+    # across self-join branches). One row per doc (k longs) — cheap to
+    # cache locally; at cluster scale, a checkpoint/temp table plays the
+    # same role.
     banded = sig.select(
         "id",
         F.explode(F.array(*[
@@ -216,6 +222,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = banded.persist()
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))

@@ -191,74 +191,83 @@ def kmeans_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int = 16384,
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means (cosine assignment, mean update) for the
-    IVF coarse quantizer. Returns centroids as a plain driver-side list —
-    they are metadata-scale (k x dim doubles, KBs), the same contract as
-    Spark MLlib's KMeans which also collects cluster sums per iteration.
+    """Deterministic Lloyd k-means (cosine assignment, mean update) for
+    the IVF coarse quantizer, trained on a bounded sample — the FAISS
+    contract: quantizer training never touches the full corpus.
 
-    Scale shape per iteration (designed for 100 TB):
-    - init: md5-ranked sample via orderBy(hash).limit(k) — Spark plans
+    Scale shape:
+    - ONE Spark job: md5-ranked deterministic sample via
+      orderBy(hash).limit(train_sample) — planned as
       TakeOrderedAndProject (per-partition top-k), never a global sort;
-    - assignment is a NARROW map: the k dot products are inlined as native
-      column expressions over literal centroid arrays — no cross join, no
-      shuffle, no Python;
-    - update: groupBy(cluster).agg(count, per-dimension sums) — map-side
-      partial aggregation collapses each partition to <= k rows before a
-      shuffle of O(k x dim) doubles. Driver receives k rows per iteration.
+      the collected sample is <= train_sample x dim doubles (MBs).
+    - Lloyd iterations run in numpy on the driver: O(sample x k x dim)
+      flops per iteration, milliseconds at quantizer scale, zero extra
+      cluster jobs, fully deterministic (no RNG).
+    Centroids are metadata (k x dim doubles); the corpus-side assignment
+    stays a narrow JVM expression (see _nearest_centroid).
     """
-    init = (
+    import numpy as np
+
+    rows = (
         df.orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
+        .limit(train_sample)
         .select(F.col(vec_col).alias("v"))
         .collect()
     )
-    centroids = [[float(x) for x in r["v"]] for r in init]
-    vec = F.col(vec_col)
+    sample = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    centroids = sample[:n_centroids].copy()
+    sample_norm = np.linalg.norm(sample, axis=1)
+    sample_norm[sample_norm == 0] = 1.0
     for _ in range(n_iters):
-        cluster = _nearest_centroid(vec, centroids)
-        sums = (
-            df.select(cluster.alias("cluster"), vec.alias("v"))
-            .groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}")
-                   for i in range(dim)])
-            .collect()
-        )
-        for row in sums:
-            centroids[row["cluster"]] = [row[f"s{i}"] / row["n"]
-                                         for i in range(dim)]
-    return centroids
+        c_norm = np.linalg.norm(centroids, axis=1)
+        c_norm[c_norm == 0] = 1.0
+        cos = (sample @ centroids.T) / sample_norm[:, None] / c_norm[None, :]
+        assign = np.argmax(cos, axis=1)  # ties -> lower index, like Spark side
+        for k in range(n_centroids):
+            members = sample[assign == k]
+            if len(members):
+                centroids[k] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centroids]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (sim, idx) structs, one per centroid, as ONE narrow
+    expression: a single transform over a 2-D centroid literal (one
+    expression tree to compile, not k) with 1/|c| prefolded."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
+    inv = F.array(*[F.lit(1.0 / (sum(x * x for x in c) ** 0.5 or 1.0))
+                    for c in centroids])
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (dot(vec, c) * F.get(inv, i)).alias("sim"),
+            i.alias("idx")))
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-cosine centroid as a narrow native expression:
-    array of (sim, -idx) structs -> array_max (struct ordering) -> idx.
-    Negated index makes ties break toward the LOWER cluster id."""
-    scored = F.array(*[
-        F.struct(
-            (dot(vec, F.array(*[F.lit(x) for x in c]))
-             / F.lit(sum(x * x for x in c) ** 0.5 or 1.0)).alias("sim"),
-            F.lit(-i).alias("neg_idx"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    """Index of the max-cosine centroid as a narrow native expression.
+    Struct ordering compares sim first, then idx — negating idx makes
+    ties break toward the LOWER cluster id (matching numpy argmax)."""
+    scored = F.transform(
+        _centroid_scores(vec, centroids),
+        lambda s: F.struct(s["sim"].alias("sim"),
+                           (-s["idx"]).alias("neg_idx")))
     return (-F.array_max(scored)["neg_idx"]).cast("int")
 
 
 def _probe_clusters(vec: Column, centroids: list[list[float]],
                     n_probes: int) -> Column:
     """Array of the n_probes nearest cluster ids, best first."""
-    scored = F.array(*[
-        F.struct(
-            (-dot(vec, F.array(*[F.lit(x) for x in c]))
-             / F.lit(sum(x * x for x in c) ** 0.5 or 1.0)).alias("neg_sim"),
-            F.lit(i).alias("idx"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    scored = F.transform(
+        _centroid_scores(vec, centroids),
+        lambda s: F.struct((-s["sim"]).alias("neg_sim"),
+                           s["idx"].alias("idx")))
     return F.slice(
-        F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, n_probes)
+        F.transform(F.array_sort(scored), lambda s: s["idx"].cast("int")),
+        1, n_probes)
 
 
 def ivf_topk(

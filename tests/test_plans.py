@@ -95,3 +95,39 @@ def test_minhash_partial_aggregates(spark, sf):
     plan = plan_of(entrymod.q_minhash_lsh_dups(spark, sf))
     # signature build must partial-aggregate before its shuffle
     assert "partial_min" in plan
+
+
+def test_ivf_probe_join_is_equi_keyed_broadcast(spark, sf):
+    """IVF search: the corpus↔query join must be an equi-join on the
+    cluster key with the small query side broadcast — never a nested
+    loop over the corpus — and fully JVM-side (no Python eval)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import ivf_topk
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    fixed = [[0.1] * 64, [-0.1] * 64, [0.1, -0.1] * 32, [-0.1, 0.1] * 32]
+    df = ivf_topk(emb, queries, dim=64, k=5, n_probes=2, centroids=fixed)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "cluster" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_cosine_pairs_precomputes_norms_once(spark, sf):
+    """The norm must be projected BELOW the pair join (computed n times,
+    not n^2): the optimized plan joins two projections that already
+    carry the norm column."""
+    from dump1090_db_stream_spark.operators.similarity import exact_cosine_pairs
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    opt = optimized_of(exact_cosine_pairs(emb, threshold=0.35))
+    join_pos = opt.index("Join")
+    # both join children contain a SQRT projection (the precomputed norm)
+    below = opt[join_pos:]
+    assert below.count("SQRT") >= 2
