@@ -785,9 +785,10 @@ def oracle_sql() -> dict[str, str]:
                                (regexp_split_to_array(trim(text), '\\s+'))[i:i+2], ' ')))) AS s
                 FROM documents
             ), sh AS (
-                -- same 60-bit md5-derived join key as the Spark side
-                SELECT id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS s
-                FROM shs
+                -- Spark joins on xxhash64(shingle); hashes never reach
+                -- the output, so joining on the raw shingle here yields
+                -- identical pairs/counts (collision-free assumption)
+                SELECT id, s FROM shs
             ), sizes AS (
                 SELECT id, count(*) AS n_sh FROM sh GROUP BY id
             ), common AS (

@@ -17,10 +17,14 @@ Five dedup families, each designed for 100 TB scale:
                         (random hyperplane signs) or brute force for
                         small dims (see operators.similarity).
 
-Portability rule: every hash is derived from md5 (available in Spark,
-DuckDB, PostgreSQL, Trino) so oracle parity is possible; xxhash64 would be
-faster but engine-specific. For the 100 TB run, swap _hash64 to
-F.xxhash64 — one line, semantics unchanged.
+Hashing rule: internal join/bucket keys use JVM-native ``xxhash64``
+(whole-stage codegen, no hex-string round-trip). This does NOT break
+oracle parity: no operator here exposes a hash value in its output —
+Jaccard counts, hamming distances, and candidate pairs are identical
+under any collision-free hash, so the DuckDB oracles join on the raw
+shingle strings instead of mirroring the hash. Only
+``text.doc_fingerprint`` exposes a digest, and it stays md5 for
+cross-engine reproducibility.
 """
 
 from __future__ import annotations
@@ -36,10 +40,9 @@ from dump1090_db_stream_spark.operators.text import (
 
 
 def _hash64(c: Column, seed: int) -> Column:
-    """Portable 60-bit hash: first 15 hex chars of md5(seed || value) as a
-    bigint. conv() is Spark-side; DuckDB equivalent is
-    from_hex/epoch-style parsing of the same md5 prefix."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), c)), 1, 15), 16, 10).cast("bigint")
+    """64-bit seeded hash on the JVM fast path. The seed is mixed in as a
+    literal column so different uses draw independent hash families."""
+    return F.xxhash64(F.lit(seed), c)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -82,13 +85,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
-    explode(distinct shingles) -> self-join on a 60-bit shingle hash ->
+    explode(distinct shingles) -> self-join on a 64-bit shingle hash ->
     count common shingles per pair -> Jaccard = common / (|A|+|B|-common).
 
     Scale design:
-    - the join key is the md5-derived 60-bit hash, not the shingle string:
-      the shuffle carries 8-byte keys instead of n-gram text (collision
-      odds ~m^2/2^61 — negligible, and reproducible in the SQL oracle);
+    - the join key is a 64-bit xxhash of the shingle, not the shingle
+      string: the shuffle carries 8-byte keys instead of n-gram text
+      (collision odds ~m^2/2^64 — negligible; the output carries no hash,
+      so the SQL oracle joins on raw shingles and matches exactly);
     - only documents sharing a shingle ever meet — no cross join;
     - ``max_df`` drops shingles present in more than max_df documents
       (stop-phrase skew, the known hazard of inverted-index self-joins).
@@ -102,7 +106,7 @@ def ngram_jaccard_pairs(
         .select("id", _hash64(F.col("s"), 0).alias("sh"))
     )
     # The inverted index feeds three consumers (sizes, both join sides);
-    # persist it so tokenize+md5 runs once, not three times. At cluster
+    # persist it so tokenize+hash runs once, not three times. At cluster
     # scale the same principle holds — materialize the index (cache or a
     # temp table), it is ~2 longs per (doc, shingle).
     sh = sh.persist()
@@ -155,12 +159,12 @@ def minhash_signatures(
     """MinHash signatures as one row per doc with columns mh0..mh{k-1}.
 
     Shape chosen for scale: explode distinct shingles to rows, compute
-    ONE md5 per shingle, then k permutations as plain (a*h+b) mod P
+    ONE base hash per shingle, then k permutations as plain (a*h+b) mod P
     min-aggregates. Partial (map-side) aggregation collapses each
     partition to one row per doc before the shuffle, so shuffle volume is
     O(docs x k x 8B) regardless of shingle count. The naive alternative
     (k lambda-transforms over the shingle array) recomputes
-    tokenize+shingle+md5 k times — Catalyst does not CSE through
+    tokenize+shingle+hash k times — Catalyst does not CSE through
     higher-order-function lambdas.
     """
     base = with_tokens(df, text_col).select(
@@ -271,8 +275,8 @@ def simhash_table(
     position, sum +1/-1 votes from each shingle-hash bit; the sign of the
     sum is the output bit.
 
-    Same scale shape as minhash_signatures: explode shingles, ONE md5 per
-    shingle, the 60 bit-votes as plain conditional-sum aggregates with
+    Same scale shape as minhash_signatures: explode shingles, ONE hash
+    per shingle, the 60 bit-votes as plain conditional-sum aggregates with
     map-side partial aggregation. Returns (id, sim)."""
     base = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
