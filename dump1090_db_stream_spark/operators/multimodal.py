@@ -149,3 +149,93 @@ def sample_frames(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         kernel, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize: binary -> binary at a target (width, height) — the
+    normalize-before-training step. 1:1 cardinality but still mapInPandas
+    (not a scalar UDF): payloads stream through Arrow in bounded batches
+    instead of one row at a time.
+
+    Stub "resize" emits a deterministic byte string scaled to the target
+    pixel count so output sizes are testable; a real PIL/opencv
+    ``Image.resize`` plugs into the marked seam.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL/opencv — plug in here")
+            rows = []
+            target = max(1, (width * height) // 64)  # stub: bytes ∝ pixels
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                out = (data * (target // max(1, len(data)) + 1))[:target]
+                rows.append({"media_id": int(mid), "width": width,
+                             "height": height, "payload": out})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_mfcc: int = 13,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio decode + features (duration, RMS energy, MFCC-shaped vector)
+    as Arrow-batched mapInPandas — same plumbing contract as the image
+    kernel; librosa/soundfile plug into the marked seam."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/soundfile — "
+                    "plug in here")
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append({
+                    "media_id": int(mid),
+                    "n_bytes": len(data),
+                    # stub: 16-bit mono 16 kHz -> 2 bytes per sample
+                    "duration_ms": len(data) * 1000 // 32000,
+                    "rms": (sum(b * b for b in data[:512])
+                            / max(1, len(data[:512]))) ** 0.5 / 255.0,
+                    "mfcc": _stub_features(data, n_mfcc),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA)

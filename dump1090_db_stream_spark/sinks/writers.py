@@ -78,3 +78,30 @@ def write_jdbc(
     if properties:
         props.update(properties)
     messages.write.mode("append").options(**props).jdbc(url, table)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write so every later
+    join/aggregation on ``bucket_col`` is co-located and shuffle-FREE.
+
+    The 100 TB pattern for a fact table joined repeatedly on one key
+    (hex_ident here, user_id in the events model): two tables bucketed by
+    the same key into the same bucket count sort-merge join with ZERO
+    Exchange on either side (asserted in tests/test_plans.py). Amortizes
+    the shuffle across every downstream query; the write itself costs one
+    repartition. ``sort_col`` additionally orders within buckets so
+    merge-join skips its sort.
+    """
+    writer = (df.repartition(n_buckets, F.col(bucket_col))
+              .write.mode(mode).format("parquet")
+              .bucketBy(n_buckets, bucket_col))
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -58,3 +58,31 @@ def test_sample_frames_cardinality(media):
 def test_decode_stub_seam(media):
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         extract_image_features(media, decode_stub=False).collect()
+
+
+def test_resize_images_normalizes_payload_size(media):
+    from dump1090_db_stream_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=64, height=64).collect()
+    assert len(out) == 4
+    target = (64 * 64) // 64
+    assert all(len(r.payload) == target for r in out)
+    assert all((r.width, r.height) == (64, 64) for r in out)
+    # deterministic: same input -> same resized bytes
+    again = resize_images(media, width=64, height=64).collect()
+    assert sorted(bytes(r.payload) for r in out) == \
+        sorted(bytes(r.payload) for r in again)
+
+
+def test_extract_audio_features(media):
+    from dump1090_db_stream_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert len(out) == 4
+    # stub duration: 256*(i+1) bytes at 32 B/ms
+    assert out[0].duration_ms == 256 * 1000 // 32000
+    assert out[3].n_bytes == 1024
+    assert all(len(r.mfcc) == 13 for r in out.values())
+    assert all(0.0 <= r.rms <= 1.0 for r in out.values())

@@ -131,3 +131,57 @@ def test_exact_cosine_pairs_precomputes_norms_once(spark, sf):
     # both join children contain a SQRT projection (the precomputed norm)
     below = opt[join_pos:]
     assert below.count("SQRT") >= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf, tmp_path_factory):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange — the write-once-shuffle-never pattern for the fact table
+    (SCALE.md §1). AQE broadcast could hide the property, so it is
+    disabled for the assertion."""
+    from dump1090_db_stream_spark.sinks.writers import write_bucketed_table
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    write_bucketed_table(ev.select("user_id", "ts", "event_type"),
+                         "ev_bucketed", "user_id", n_buckets=4)
+    write_bucketed_table(
+        ev.groupBy("user_id").count(), "users_bucketed", "user_id",
+        n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = spark.table("ev_bucketed").join(
+            spark.table("users_bucketed"), "user_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets already co-located
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS users_bucketed")
+
+
+def test_date_partitioned_store_prunes_partitions(spark, tmp_path_factory):
+    """The BRIN-index replacement, end to end: write the fact store
+    date-partitioned, query a date range, and verify the scan carries
+    PartitionFilters (directories outside the range are never opened)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.sinks.writers import write_parquet_store
+
+    d = str(tmp_path_factory.mktemp("store"))
+    rows = [("MSG", 3, f"HEX{i % 3}",
+             f"2024-01-{(i % 5) + 1:02d} 12:{i:02d}:00")
+            for i in range(50)]
+    df = (spark.createDataFrame(
+        rows, ["message_type", "transmission_type", "hex_ident", "t"])
+        .withColumn("parsed_time", F.to_timestamp("t")).drop("t"))
+    write_parquet_store(df, d, mode="overwrite")
+
+    back = spark.read.parquet(d).filter(
+        F.col("parsed_date") == "2024-01-02")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "parsed_date" in plan
+    assert back.count() == 10
