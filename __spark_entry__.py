@@ -308,6 +308,23 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=6)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.sessions.asof_join): each event picks up the
+    user's latest purchase value at-or-before its timestamp — the
+    point-in-time lookup, via the union+window single-shuffle plan.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from dump1090_db_stream_spark.operators.sessions import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value")))
+    left = ev.select("user_id", "ts", "event_type")
+    return asof_join(left, purchases, key="user_id",
+                     left_ts="ts", right_ts="p_ts",
+                     right_cols=["p_value"])
+
+
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED STATEFUL STREAMING: streaming.stateful.
     session_flights (applyInPandasWithState, event-time timeouts) over the
@@ -483,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbs1_parse": q_sbs1_parse,
         "top_revenue_orders": q_top_revenue_orders,
         "session_windows": q_session_windows,
+        "asof_join": q_asof_join,
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
@@ -803,6 +821,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.03
+        """,
+        "asof_join": """
+            SELECT l.user_id, l.ts, l.event_type, r.value AS p_value_asof
+            FROM events l
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "stateful_sessions": """
             WITH mx AS (SELECT max(ts) AS wm FROM events),

@@ -130,3 +130,61 @@ def dedup_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the LATEST right
+    row with the same key whose timestamp is <= the left timestamp
+    (inclusive) — the time-series point-in-time lookup Spark lacks as a
+    builtin.
+
+    Scale design — union + tagged window, NOT a range join:
+    a naive implementation joins on key with ``r.ts <= l.ts`` and takes
+    max per left row, exploding to |left| x |right-per-key| intermediate
+    rows before aggregation. Here both sides are UNIONED (right rows
+    tagged sort-first at ties), and one window pass per key ordered by
+    (ts, tag) carries the last non-null right payload forward:
+
+        shuffle volume = |left| + |right|  (one Exchange, the window's)
+        memory         = O(1) per row (running frame, no buffering)
+
+    Right columns are struct-packed before the window so the carried
+    payload is ROW-ATOMIC — per-column last() would mix columns from
+    different right rows when nulls interleave.
+
+    Output: all left columns + each right payload column as
+    ``<name><suffix>`` (NULL when no right row precedes the left row).
+    """
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(left_ts),
+        payload.alias("_r"),
+        F.lit(0).alias("_tag"),  # sorts BEFORE left rows at equal ts
+    )
+    l = left.select(
+        *left.columns,
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.lit(1).alias("_tag"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(key).orderBy(left_ts, "_tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    return (carried.filter(F.col("_tag") == 1)
+            .select(*left.columns,
+                    *[F.col("_m")[c].alias(f"{c}{suffix}")
+                      for c in right_cols]))

@@ -44,3 +44,41 @@ def test_dedup_by_key_deterministic_survivor(spark):
 def test_dedup_by_key_arbitrary_without_tiebreak(spark):
     df = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
     assert dedup_by_key(df, keys=["k"]).count() == 1
+
+
+def test_asof_join_matches_naive(spark):
+    from dump1090_db_stream_spark.operators.sessions import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 25, "t2"), ("B", 5, "t3"), ("B", 6, "t4")],
+        ["sym", "t", "trade"])
+    quotes = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 10, 2.0), ("A", 20, 3.0),
+         ("B", 7, 9.0), ("C", 1, 5.0)],
+        ["sym", "t", "px"])
+    from pyspark.sql import functions as F
+
+    q = (quotes.withColumnRenamed("t", "t_q")
+         .withColumn("t_r", F.col("t_q")))
+    out = {(r.sym, r.t): (r.px_asof, r.t_r_asof) for r in asof_join(
+        trades, q, key="sym", left_ts="t", right_ts="t_q",
+        right_cols=["px", "t_r"]).collect()}
+    assert out[("A", 10)] == (2.0, 10)   # inclusive at equal ts
+    assert out[("A", 25)] == (3.0, 20)   # latest preceding
+    assert out[("B", 5)] == (None, None)  # nothing precedes
+    assert out[("B", 6)] == (None, None)
+    assert len(out) == 4                  # left rows preserved 1:1
+
+
+def test_asof_join_single_shuffle(spark):
+    from dump1090_db_stream_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame([("A", 10)], ["k", "t"])
+    right = spark.createDataFrame([("A", 5, 1.0)], ["k", "t", "v"])
+    plan = (asof_join(left, right, key="k", left_ts="t")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert shuffles == 1  # the window's — never a range-join explosion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
