@@ -308,6 +308,37 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=6)
 
 
+def q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact statistics per event type: row count, distinct
+    users, mean/median/stddev of value. Exercises COUNT(DISTINCT)
+    (expand-based two-phase agg), exact percentile, and sample stddev —
+    all JVM-native, partial-aggregated where the function allows."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.stddev("value"), 6).alias("stddev_value"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one column per event type with that
+    type's event count. Spark plans pivot as a single conditional
+    aggregation (no per-column scans); the oracle is the equivalent
+    FILTER aggregation."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup"]
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    # pivot leaves NULL for absent combos; normalize to 0 for the oracle
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.sessions.asof_join): each event picks up the
     user's latest purchase value at-or-before its timestamp — the
@@ -500,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbs1_parse": q_sbs1_parse,
         "top_revenue_orders": q_top_revenue_orders,
         "session_windows": q_session_windows,
+        "event_stats": q_event_stats,
+        "event_type_pivot": q_event_type_pivot,
         "asof_join": q_asof_join,
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
@@ -821,6 +854,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.03
+        """,
+        "event_stats": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   round(avg(value), 6) AS avg_value,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(stddev_samp(value), 6) AS stddev_value
+            FROM events GROUP BY event_type
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup
+            FROM events GROUP BY user_id
         """,
         "asof_join": """
             SELECT l.user_id, l.ts, l.event_type, r.value AS p_value_asof

@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_lsh_dups",
     "embedding_topk",
     "embedding_ivf_topk",
+    "asof_join",
 ]
 
 
