@@ -92,12 +92,18 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 def rh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
     """Random-hyperplane signature: n_planes sign bits packed in a bigint."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed * 1000 + p)])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(bit.cast("bigint"))
-    return sig
+    # One 2-D array literal (a single Catalyst Literal node) instead of
+    # n_planes x dim individual lit nodes — keeps plan build/analyze cost
+    # O(1) in dim. Bit p set iff dot(vec, plane_p) >= 0.
+    planes = F.lit([_hyperplane(dim, seed * 1000 + p) for p in range(n_planes)])
+    weights = F.lit([1 << p for p in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            planes, weights,
+            lambda plane, w: F.when(dot(vec, plane) >= 0, w).otherwise(F.lit(0))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v.cast("bigint")),
+    )
 
 
 def lsh_topk(
@@ -236,10 +242,9 @@ def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of (sim, idx) structs, one per centroid, as ONE narrow
     expression: a single transform over a 2-D centroid literal (one
     expression tree to compile, not k) with 1/|c| prefolded."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in centroids])
-    inv = F.array(*[F.lit(1.0 / (sum(x * x for x in c) ** 0.5 or 1.0))
-                    for c in centroids])
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    inv = F.lit([1.0 / (sum(x * x for x in c) ** 0.5 or 1.0)
+                 for c in centroids])
     return F.transform(
         cents,
         lambda c, i: F.struct(
