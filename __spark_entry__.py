@@ -256,6 +256,86 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id (beyond the reference): all four
+    grouping-set combinations of (status, priority) in ONE pass — Spark
+    plans Expand + a single hash aggregate, not four scans. Sums run in
+    decimal so subtotal/grand-total rows are bit-identical across
+    partition orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                     .cast("double"), 4).alias("total_price"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def q_window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window family beyond the reference's
+    row_number/lead (SURVEY.md §2.5 'absent' list): lag, rank, dense_rank,
+    ntile, and running sum/count over an explicit ROWS UNBOUNDED PRECEDING
+    frame. One window spec -> ONE shuffle; the running sum accumulates in
+    decimal so the result is order-of-accumulation independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")).over(wrun)
+                .cast("double"), 6).alias("running_sum"),
+        F.count(F.lit(1)).over(wrun).alias("running_n"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (absent in the reference, native here): customers
+    with no orders since 2001, rolled up per nation. The anti join runs
+    on the c_custkey equi key (broadcast or shuffled-hash under AQE) with
+    the date filter pushed below it; nation is broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum(F.col("c_acctbal").cast("decimal(28,4)"))
+                     .cast("double"), 4).alias("total_acctbal"))
+    )
+
+
+def q_segment_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers that placed at least one order, counted
+    per market segment. Semi joins never duplicate the probe side, so the
+    count is per-customer regardless of order fan-out."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregation: per-customer order counts INCLUDING
+    zero-order customers (count of the nullable key, ANSI semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
 def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7 — absent in the reference, native in Spark):
     user segments via EXCEPT / INTERSECT over distinct user sets."""
@@ -404,6 +484,55 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED STREAMING WINDOWS (T-8/T-9): watermarked 1-hour
+    tumbling-window counts + decimal sums per event_type
+    (streaming.pipeline.tumbling_counts) over the events table replayed
+    as a 3-file stream. Append mode emits a window exactly once, when the
+    watermark passes its end — so the finalized output equals the batch
+    GROUP BY date_trunc('hour') restricted to windows whose end <=
+    final watermark (max ts - 30 min); the oracle applies that cutoff.
+
+    The toPandas/split below is TEST PLUMBING to author a deterministic
+    replay; the operator itself is a plain streaming aggregation with
+    state bounded by the watermark horizon."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.streaming.pipeline import tumbling_counts
+
+    pdf = (load_table(spark, sf_dir, "events")
+           .select("ts", "event_type", "value").orderBy("ts").toPandas())
+    d = tempfile.mkdtemp(prefix="window_replay_")
+    n, t0 = len(pdf), _time.time()
+    cut = [0, n // 3, 2 * n // 3, n]
+    sch = pa.schema([("ts", pa.timestamp("us")), ("event_type", pa.string()),
+                     ("value", pa.float64())])
+    for i in range(3):
+        path = os.path.join(d, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cut[i]:cut[i + 1]],
+                                 preserve_index=False).cast(sch), path)
+        os.utime(path, (t0 + i, t0 + i))
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("value", T.DoubleType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = tumbling_counts(stream, "ts", "event_type", window="1 hour",
+                          watermark="30 minutes", value_col="value")
+    name = "streaming_window_counts_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- north-star extensions (training-data pipeline ops) --------------------
 
 
@@ -537,6 +666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
+        "cube_order_stats": q_cube_order_stats,
+        "window_running_stats": q_window_running_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "segment_order_activity": q_segment_order_activity,
+        "customer_order_counts": q_customer_order_counts,
+        "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -639,6 +774,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                              AS DOUBLE), 4) AS total_price,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS gid
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "window_running_stats": """
+            SELECT user_id, event_id, ts,
+                   lag(value) OVER w AS prev_value,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,8))) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+                       AS running_sum,
+                   count(*) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS running_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "customers_without_orders": """
+            SELECT n_name, count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4)))
+                              AS DOUBLE), 4) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY n_name
+        """,
+        "segment_order_activity": """
+            SELECT c_mktsegment, count(*) AS n_active_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "streaming_window_counts": """
+            WITH wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w
+                        FROM events),
+            g AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n_events,
+                       round(CAST(sum(CAST(value AS DECIMAL(28,8)))
+                                  AS DOUBLE), 6) AS value_sum
+                FROM events GROUP BY 1, 2
+            )
+            SELECT window_start,
+                   window_start + INTERVAL '1 hour' AS window_end,
+                   event_type, n_events, value_sum
+            FROM g, wm
+            WHERE window_start + INTERVAL '1 hour' <= wm.w
         """,
         "set_ops_segments": """
             WITH clickers AS (

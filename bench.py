@@ -37,6 +37,8 @@ HEADLINE = [
     "embedding_topk",
     "embedding_ivf_topk",
     "asof_join",
+    "cube_order_stats",
+    "window_running_stats",
 ]
 
 

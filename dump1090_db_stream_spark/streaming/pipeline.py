@@ -109,6 +109,49 @@ def start_foreach_batch(
     return writer.start()
 
 
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (T-8/T-9) — the streaming
+    re-expression of the callsigns view's daily bucketing (A-2,
+    create_schema.sql:88,:93) generalized to any window width.
+
+    Event-time windows + watermark: state per open window only; in append
+    mode a window row is emitted exactly once, when the watermark passes
+    its end — so output is finalized, replay-safe, and independent of
+    micro-batch boundaries. At 100 TB ingest rates state size is
+    O(open windows x keys in them), bounded by the watermark horizon,
+    never by history.
+
+    Sums run in decimal so results are bit-identical regardless of
+    per-partition accumulation order (floats would make the answer depend
+    on the physical plan)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,8)")).cast("double"),
+                6,
+            ).alias("value_sum"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            *(["value_sum"] if value_col is not None else []),
+        )
+    )
+
+
 def run_with_bounded_retries(
     start_query: Callable[[], StreamingQuery],
     attempt_limit: int = 10,

@@ -86,3 +86,59 @@ def test_bounded_retries_gives_up(spark):
         run_with_bounded_retries(failing_start, attempt_limit=3,
                                  attempt_delay=0.01)
     assert len(calls) == 3
+
+
+def test_tumbling_window_counts_append_semantics(spark, tmp_path):
+    """tumbling_counts (T-8/T-9): append mode emits exactly the windows
+    the final watermark closed, each exactly once, with exact decimal
+    sums — replayed over two ordered micro-batch files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.streaming.pipeline import tumbling_counts
+
+    base = 1_700_000_000_000_000  # us epoch, on an hour? not needed
+    rows = [
+        # hour bucket 0: two keys
+        (base, "a", 1.5), (base + 60_000_000, "a", 2.5),
+        (base + 120_000_000, "b", 10.0),
+        # hour bucket +1h
+        (base + 3_600_000_000, "a", 4.0),
+        # far ahead: advances the watermark past the first two buckets
+        (base + 4 * 3_600_000_000, "a", 8.0),
+    ]
+    d = tmp_path / "replay"
+    d.mkdir()
+    sch = pa.schema([("ts", pa.timestamp("us")), ("event_type", pa.string()),
+                     ("value", pa.float64())])
+    import os
+    import time as _time
+    t0 = _time.time()
+    for i, chunk in enumerate([rows[:3], rows[3:]]):
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(pa.table(
+            {"ts": [r[0] for r in chunk], "event_type": [r[1] for r in chunk],
+             "value": [r[2] for r in chunk]}, schema=sch), p)
+        os.utime(p, (t0 + i, t0 + i))
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("value", T.DoubleType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = tumbling_counts(stream, "ts", "event_type", window="1 hour",
+                          watermark="30 minutes", value_col="value")
+    q = (out.writeStream.format("memory").queryName("tumbling_test_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["event_type"], r["window_start"].isoformat()):
+           (r["n_events"], r["value_sum"])
+           for r in spark.table("tumbling_test_sink").collect()}
+    # watermark ends at base+4h-30min: buckets 0 and +1h are closed and
+    # emitted; the +4h bucket is still open -> withheld
+    assert len(got) == 3
+    assert sorted(v[0] for v in got.values()) == [1, 1, 2]
+    sums = {(k[0], v[0]): v[1] for k, v in got.items()}
+    assert sums[("a", 2)] == 4.0 and sums[("b", 1)] == 10.0
+    assert sums[("a", 1)] == 4.0
