@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dump1090_db_stream_spark.operators import sampling as _sampling
 from dump1090_db_stream_spark.operators.sessions import (
     band_join,
     daily_sessions,
@@ -638,6 +639,78 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"))
 
 
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators.sampling.hash_split):
+    per-(split, lang) document counts + char totals. The split is a
+    narrow, shuffle-free projection from an engine-portable id hash, so
+    the DuckDB oracle reproduces the exact assignment (rand()-based
+    splits could never be oracle-checked or survive a repartition)."""
+    from dump1090_db_stream_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators.sampling
+    .stratified_cap): at most 3 docs per (lang, source) stratum, selected
+    by portable-hash rank. One shuffle on the strata keys; output bounded
+    at strata x cap regardless of input size."""
+    from dump1090_db_stream_spark.operators.sampling import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_cap(
+        docs, strata=["lang", "source"], n_per_stratum=3,
+        id_col="doc_id", keep_rank=True,
+    ).select("lang", "source", "doc_id", "rk")
+
+
+def q_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (operators.rollup
+    .time_rollup): minute/hour/day count+sum+min/max per event_type, the
+    coarser levels re-aggregated from the minute level so raw data is
+    scanned once for the whole hierarchy. Decimal sums make the derived
+    levels bit-identical to direct aggregation — which is exactly what
+    the oracle (three direct GROUP BYs) verifies."""
+    from dump1090_db_stream_spark.operators.rollup import time_rollup
+
+    return time_rollup(
+        _events(spark, sf_dir), ts="ts", keys=["event_type"], value="value",
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery re-expressed Spark-first (TPC-H Q17
+    shape, beyond the reference): revenue from lineitems whose quantity
+    is below 20% of the per-part average, grouped by brand. The
+    correlated ``avg`` becomes a pre-aggregation joined back on
+    l_partkey — one pass over lineitem for the agg, one for the probe,
+    no per-row subquery execution. The threshold compare
+    (qty < 0.2 * avg) is cross-multiplied to qty * 5 * cnt < sum_qty over
+    exact BIGINT (quantities are integral), so both engines agree
+    bit-for-bit with no decimal-width or float-order concerns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("_sumq"))
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("_cnt")
+                < F.col("_sumq"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+                     .cast("double"), 4).alias("low_qty_revenue"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -685,6 +758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "multimodal_features": q_multimodal_features,
+        "hash_split_stats": q_hash_split_stats,
+        "stratified_sample": q_stratified_sample,
+        "time_rollup_multires": q_time_rollup_multires,
+        "small_quantity_revenue": q_small_quantity_revenue,
     }
 
 
@@ -1141,5 +1218,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "hash_split_stats": f"""
+            SELECT {_sampling.hash_split_case_sql("doc_id")} AS split,
+                   lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents
+            GROUP BY 1, 2
+        """,
+        "stratified_sample": f"""
+            SELECT lang, source, doc_id, rk FROM (
+                SELECT lang, source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY {_sampling.portable_hash_sql("doc_id")},
+                                    doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 3
+        """,
+        "time_rollup_multires": """
+            SELECT 'minute' AS resolution,
+                   CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+                   event_type, count(*) AS n_rows,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6)
+                       AS value_sum,
+                   min(value) AS value_min, max(value) AS value_max
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'hour',
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                   event_type, count(*),
+                   round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6),
+                   min(value), max(value)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day',
+                   CAST(date_trunc('day', ts) AS TIMESTAMP),
+                   event_type, count(*),
+                   round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6),
+                   min(value), max(value)
+            FROM events GROUP BY 2, 3
+        """,
+        "small_quantity_revenue": """
+            SELECT p_brand, count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)))
+                              AS DOUBLE), 4) AS low_qty_revenue
+            FROM lineitem li JOIN part ON l_partkey = p_partkey
+            WHERE CAST(l_quantity AS BIGINT) * 5
+                  * (SELECT count(*) FROM lineitem l2
+                     WHERE l2.l_partkey = li.l_partkey)
+                  < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+                     WHERE l2.l_partkey = li.l_partkey)
+            GROUP BY p_brand
         """,
     }

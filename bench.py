@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_join",
     "cube_order_stats",
     "window_running_stats",
+    "time_rollup_multires",
+    "small_quantity_revenue",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (north-star extension; the reference has no sampling surface —
+SURVEY.md §2.7/§7 stage 5).
+
+Everything here is HASH-driven, never RNG-driven: at 100 TB a sample must
+be (a) reproducible across reruns and cluster layouts, (b) computable
+row-locally with no shuffle, and (c) auditable from the row alone.
+``rand(seed)`` gives none of that — its output depends on partition
+layout, so a repartition silently changes the sample. A hash of a stable
+row id is invariant to layout, join order, and engine.
+
+The hash is a multiplicative-congruential mix over BIGINT arithmetic
+(``portable_hash``) chosen to be *engine-portable*: every intermediate
+stays far below 2^63, so Spark, DuckDB, and any ANSI engine compute the
+identical value — which is what lets the driver's DuckDB oracle verify
+the sample membership bit-for-bit (xxhash64/md5-to-int round-trips are
+not portable SQL).
+
+Scale notes:
+- ``hash_bucket`` / ``hash_split`` are NARROW projections: no shuffle, no
+  state; they vectorize inside WholeStageCodegen.
+- ``stratified_cap`` is one hash-shuffle on the strata keys; the
+  row_number window reuses that single Exchange. Cap state per group is
+  O(1) (running count), never a buffer of the group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (2654435761 = 2^32 * phi) over a large
+# prime modulus. All intermediates <= 1000002 * 2654435761 + 40503
+# < 2.7e15 << 2^63: no overflow in any BIGINT engine.
+_M1 = 1_000_003          # pre-mod keeps the product bounded
+_A = 2_654_435_761       # Knuth multiplicative hash constant
+_C = 40_503              # odd offset so 0 doesn't fix-point
+_P = 1_000_000_007       # large prime modulus
+
+#: Total weight denominator for ``hash_split`` fractions.
+SPLIT_BUCKETS = 10_000
+
+
+def portable_hash(col: Column | str) -> Column:
+    """Engine-portable deterministic hash of a BIGINT column into
+    [0, 1_000_000_007). Same closed form as :func:`portable_hash_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("long")
+    return (F.pmod(c, F.lit(_M1)) * F.lit(_A) + F.lit(_C)) % F.lit(_P)
+
+
+def portable_hash_sql(expr: str) -> str:
+    """The ANSI-SQL twin of :func:`portable_hash` — embed in oracle SQL so
+    DuckDB reproduces the exact bucket assignment."""
+    return (f"(((({expr}) % {_M1} + {_M1}) % {_M1}) * {_A} + {_C}) % {_P}"
+            )
+
+
+def hash_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Stable bucket id in [0, n_buckets) from a BIGINT id column."""
+    return portable_hash(col) % F.lit(n_buckets)
+
+
+def hash_bucket_sql(expr: str, n_buckets: int) -> str:
+    return f"({portable_hash_sql(expr)}) % {n_buckets}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split by hashed id.
+
+    ``splits`` maps label -> fraction (must sum to <= 1; any remainder
+    falls into the LAST label). Assignment is per-row from the id hash
+    alone: disjoint, exhaustive, stable under repartition/rerun, and a
+    row's split never changes when the dataset grows (the property that
+    keeps eval sets uncontaminated across dataset versions).
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(id_col, SPLIT_BUCKETS)
+    labels = list(splits.items())
+    expr: Column | None = None
+    cum = 0
+    for name, frac in labels[:-1]:
+        cum += int(round(frac * SPLIT_BUCKETS))
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(labels[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def hash_split_case_sql(
+    id_expr: str,
+    splits: dict[str, float] | None = None,
+) -> str:
+    """Oracle-side CASE expression matching :func:`hash_split`."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket_sql(id_expr, SPLIT_BUCKETS)
+    labels = list(splits.items())
+    parts, cum = [], 0
+    for name, frac in labels[:-1]:
+        cum += int(round(frac * SPLIT_BUCKETS))
+        parts.append(f"WHEN ({b}) < {cum} THEN '{name}'")
+    return ("CASE " + " ".join(parts)
+            + f" ELSE '{labels[-1][0]}' END")
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    keep_rank: bool = False,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per strata group, chosen
+    deterministically: rows are ranked by (portable_hash(id), id) inside
+    each stratum and the first N kept. The hash makes the selection
+    pseudo-random w.r.t. any natural ordering; the id tiebreak makes it
+    total, so the kept set is unique and oracle-checkable.
+
+    One shuffle (on the strata keys); the per-group running row_number
+    never buffers the group. For heavily skewed strata this is the
+    sampling analog of a skew join: the cap bounds OUTPUT per group, and
+    input-side concentration is AQE's problem, not a correctness one.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*strata)
+         .orderBy(portable_hash(id_col).asc(), F.col(id_col).asc()))
+    out = (df.withColumn(rank_col, F.row_number().over(w))
+           .filter(F.col(rank_col) <= n_per_stratum))
+    return out if keep_rank else out.drop(rank_col)

@@ -1,0 +1,136 @@
+"""Deterministic sampling / split / rollup operators (north-star
+training-data pipeline surface)."""
+
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.rollup import time_rollup
+from dump1090_db_stream_spark.operators.sampling import (
+    hash_split,
+    portable_hash,
+    stratified_cap,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _events(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    docs = _docs(spark)
+    out = hash_split(docs, "doc_id")
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive (every row gets exactly one label) and roughly 80/10/10
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable under physical layout: repartitioned input -> identical sets
+    again = hash_split(docs.repartition(7, "lang"), "doc_id")
+    diff = (out.select("doc_id", "split")
+            .exceptAll(again.select("doc_id", "split"))).count()
+    assert diff == 0
+
+
+def test_hash_split_membership_survives_growth(spark):
+    """A row's split depends only on its id: the assignment computed on a
+    subset equals the assignment computed on the full table (no
+    renormalization — the property that keeps eval sets clean as the
+    dataset grows)."""
+    docs = _docs(spark)
+    full = {r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id").collect()}
+    subset = {r["doc_id"]: r["split"]
+              for r in hash_split(docs.filter(F.col("doc_id") % 3 == 0),
+                                  "doc_id").collect()}
+    assert subset == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_stratified_cap_bounds_and_determinism(spark):
+    docs = _docs(spark)
+    out = stratified_cap(docs, ["lang", "source"], 3, "doc_id",
+                         keep_rank=True)
+    per = out.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    assert per.agg(F.max("n")).first()[0] <= 3
+    # selection is hash-ranked: independent of input ordering
+    shuffled = stratified_cap(
+        docs.orderBy(F.col("n_chars").desc()), ["lang", "source"], 3,
+        "doc_id", keep_rank=True)
+    assert (out.select("doc_id", "rk").exceptAll(
+        shuffled.select("doc_id", "rk")).count() == 0)
+    # hash rank actually scrambles: kept ids are not simply the lowest ids
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    lowest = sorted(r["doc_id"] for r in docs.select("doc_id")
+                    .orderBy("doc_id").limit(len(kept)).collect())
+    assert kept != lowest
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The split hash is engine-portable: DuckDB computes the identical
+    value from the documented closed form."""
+    import duckdb
+
+    from dump1090_db_stream_spark.operators.sampling import portable_hash_sql
+
+    ids = [0, 1, 2, 41, 999_983, 7_654_321, 2**40 + 17]
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["h"] for r in
+           sdf.select("id", portable_hash("id").alias("h")).collect()}
+    duck = duckdb.sql(
+        "SELECT id, " + portable_hash_sql("id") + " AS h FROM (SELECT "
+        "unnest(" + str(ids) + "::BIGINT[]) AS id)").fetchall()
+    assert got == {i: h for i, h in duck}
+
+
+def test_time_rollup_levels_consistent(spark):
+    ev = _events(spark)
+    out = time_rollup(ev, ts="ts", keys=["event_type"], value="value")
+    rows = out.collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["resolution"], []).append(r)
+    # every level accounts for every input row
+    n = ev.count()
+    for res in ("minute", "hour", "day"):
+        assert sum(r["n_rows"] for r in by_res[res]) == n
+    # derived hour level == direct hour aggregation over raw data
+    direct = {
+        (r["b"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("b"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(28,8)"))
+                     .cast("double"), 6).alias("s")).collect()
+    }
+    derived = {(r["bucket_start"], r["event_type"]):
+               (r["n_rows"], r["value_sum"]) for r in by_res["hour"]}
+    assert derived == direct
+
+
+def test_time_rollup_scans_raw_once(spark):
+    """materialize=True: every branch of the union except the finest
+    reads a cached level (InMemoryTableScan), so the raw table is
+    scanned once at execution. (The plan STRING still prints each cached
+    relation's recipe incl. its FileScan — the probe is the cache nodes,
+    not scan-string counts.) Without materialization there is no cache
+    node anywhere: three full-lineage replays."""
+    spark.catalog.clearCache()  # cached subtrees auto-substitute by plan
+    ev = _events(spark)
+    naive = time_rollup(ev, ts="ts", keys=["event_type"], value="value",
+                        materialize=False)
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in nplan
+    assert nplan.count("FileScan parquet") == 3
+    out = time_rollup(ev, ts="ts", keys=["event_type"], value="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    branches = plan.split("+- Union")[1].split(":- ")
+    cached = sum("InMemoryTableScan" in b for b in branches)
+    assert cached >= 2  # hour + day read caches; only minute hits parquet
