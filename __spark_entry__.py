@@ -711,6 +711,40 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch approximations (operators.sketches.approx_group_stats):
+    HLL++ distinct users + approximate median per event type — constant
+    state per group vs the O(distinct) exact path. Deterministic for a
+    given input but sketch-implementation-specific, so rows-only check;
+    accuracy vs exact is asserted in tests/test_sketches.py."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        approx_group_stats,
+    )
+
+    return approx_group_stats(
+        _events(spark, sf_dir), keys=["event_type"],
+        distinct_col="user_id", value_col="value",
+    ).select("event_type", "n", "approx_distinct",
+             F.round("approx_median", 6).alias("approx_median"))
+
+
+def q_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators.sketches): per-day DataSketches
+    HLL sketches of user_id, then a union per event_type — distinct
+    counts over arbitrary spans from stored sketch bytes, never a raw
+    rescan (the continuous-aggregate pattern for a non-decomposable
+    aggregate). Rows-only check; merge-losslessness is asserted in
+    tests/test_sketches.py."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_sketches,
+        union_estimate,
+    )
+
+    sk = daily_sketches(_events(spark, sf_dir), ts="ts",
+                        keys=["event_type"], distinct_col="user_id")
+    return union_estimate(sk, keys=["event_type"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -762,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "time_rollup_multires": q_time_rollup_multires,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "event_approx_stats": q_event_approx_stats,
+        "daily_distinct_rollup": q_daily_distinct_rollup,
     }
 
 

@@ -28,6 +28,12 @@ _DEFAULTS = {
     # Spark has no nanos timestamp — read as long, sources.tables converts
     # to micros (floor), matching DuckDB's truncation on fetch.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # INT96 (the legacy default) carries NO parquet min/max statistics,
+    # which silently disables row-group/file pruning on every timestamp
+    # range predicate over data WE wrote — the whole point of the
+    # time-sorted store (sinks/writers.py). TIMESTAMP_MICROS is the
+    # modern annotated type: full stats, readable by every engine.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }

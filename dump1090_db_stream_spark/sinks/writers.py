@@ -60,6 +60,38 @@ def read_parquet_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(DATE_PARTITION_COL)
 
 
+def write_time_sorted(
+    messages: DataFrame,
+    path: str,
+    ts_col: str = "parsed_time",
+    mode: str = "append",
+    n_files: int = 8,
+) -> None:
+    """Date-partitioned AND within-file time-sorted parquet — the strict
+    upgrade over the reference's BRIN index (create_schema.sql:141).
+
+    ``repartitionByRange(n_files, date, ts)`` range-partitions the batch
+    into ``n_files`` contiguous (day, time) slices (size n_files to
+    ~target-file-size × batch volume); ``sortWithinPartitions`` orders
+    rows inside each file. Result: parquet row-group min/max stats on
+    ``ts_col`` are TIGHT (non-overlapping ranges), so a time-range
+    predicate prunes (a) whole day directories via partition pruning,
+    (b) whole files via footer stats, (c) row groups within a file —
+    three nested levels where BRIN has one. Range partitioning also
+    spreads a hot day over multiple tasks instead of one writer hotspot
+    (the failure mode of repartition-by-date-only at 100 TB ingest
+    rates), while keeping each file inside a single day so directory
+    partitioning stays clean.
+    """
+    df = with_date_partition(messages, ts_col)
+    (df.repartitionByRange(n_files, F.col(DATE_PARTITION_COL),
+                           F.col(ts_col))
+       .sortWithinPartitions(DATE_PARTITION_COL, ts_col)
+       .write.mode(mode)
+       .partitionBy(DATE_PARTITION_COL)
+       .parquet(path))
+
+
 def write_jdbc(
     messages: DataFrame,
     url: str,

@@ -185,3 +185,48 @@ def test_date_partitioned_store_prunes_partitions(spark, tmp_path_factory):
     plan = plan_of(back)
     assert "PartitionFilters" in plan and "parsed_date" in plan
     assert back.count() == 10
+
+
+def test_time_sorted_store_has_tight_file_stats(spark, tmp_path_factory):
+    """write_time_sorted: files are single-day, their parquet footer
+    ts min/max ranges are non-overlapping within a day, and rows inside
+    each file are time-ordered — the three-level pruning layout (BRIN
+    upgrade). Verified from the actual parquet metadata, not the plan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.sinks.writers import write_time_sorted
+
+    d = str(tmp_path_factory.mktemp("sorted_store"))
+    rows = [("MSG", 3, f"HEX{i % 7}",
+             f"2024-02-{(i % 2) + 1:02d} {i % 24:02d}:{(i * 7) % 60:02d}:00")
+            for i in range(500)]
+    df = (spark.createDataFrame(
+        rows, ["message_type", "transmission_type", "hex_ident", "t"])
+        .withColumn("parsed_time", F.to_timestamp("t")).drop("t"))
+    write_time_sorted(df, d, mode="overwrite", n_files=6)
+
+    per_day: dict[str, list[tuple]] = {}
+    for f in glob.glob(os.path.join(d, "parsed_date=*", "*.parquet")):
+        day = f.split("parsed_date=")[1].split(os.sep)[0]
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(len(md.schema))}["parsed_time"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        per_day.setdefault(day, []).append((min(mins), max(maxs)))
+    assert set(per_day) == {"2024-02-01", "2024-02-02"}
+    for day, ranges in per_day.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges in {day}"
+
+    # and the data still round-trips
+    back = spark.read.parquet(d)
+    assert back.count() == 500
