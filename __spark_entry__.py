@@ -745,6 +745,32 @@ def q_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_estimate(sk, keys=["event_type"])
 
 
+_GEO_CENTERS = [(1, 22.2, 102.5), (2, 45.3, -125.4), (3, -29.7, 9.6),
+                (4, -69.07, -96.07)]
+
+
+def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join (operators.geo.radius_join) — the
+    PostGIS within-distance query (README.md:255-263's geo surface)
+    re-expressed as a cell equi-join + haversine residual, never a cross
+    product. Points are a deterministic arithmetic scatter derived from
+    event_id (identical double ops on both engines); the oracle is the
+    brute-force cross join, proving the cell cover loses no pairs."""
+    from dump1090_db_stream_spark.operators.geo import radius_join
+
+    pts = _events(spark, sf_dir).select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 14000) / 100.0 - 70.0).alias("lat"),
+        (((F.col("event_id") * 104729) % 34000) / 100.0 - 170.0).alias("lon"),
+    )
+    centers = spark.createDataFrame(_GEO_CENTERS,
+                                    ["center_id", "clat", "clon"])
+    return radius_join(
+        pts, centers, 200.0, center_lat="clat", center_lon="clon",
+    ).select("event_id", "center_id",
+             F.round("distance_km", 2).alias("distance_km"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -798,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "event_approx_stats": q_event_approx_stats,
         "daily_distinct_rollup": q_daily_distinct_rollup,
+        "points_in_radius": q_points_in_radius,
     }
 
 
@@ -1305,5 +1332,29 @@ def oracle_sql() -> dict[str, str]:
                   < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                      WHERE l2.l_partkey = li.l_partkey)
             GROUP BY p_brand
+        """,
+        "points_in_radius": """
+            WITH p AS (
+                SELECT event_id,
+                       ((event_id * 7919) % 14000) / 100.0 - 70.0 AS lat,
+                       ((event_id * 104729) % 34000) / 100.0 - 170.0 AS lon
+                FROM events
+            ), c(center_id, clat, clon) AS (VALUES
+                """ + ",\n                ".join(
+                    f"({i}, {la!r}, {lo!r})" for i, la, lo in _GEO_CENTERS
+                ) + """
+            ), d AS (
+                SELECT event_id, center_id,
+                       2 * 6371.0088 * asin(sqrt(
+                           sin(radians(clat - lat) / 2)
+                             * sin(radians(clat - lat) / 2)
+                           + cos(radians(lat)) * cos(radians(clat))
+                             * sin(radians(clon - lon) / 2)
+                             * sin(radians(clon - lon) / 2)
+                       )) AS dist
+                FROM p, c
+            )
+            SELECT event_id, center_id, round(dist, 2) AS distance_km
+            FROM d WHERE dist <= 200.0
         """,
     }

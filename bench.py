@@ -41,6 +41,7 @@ HEADLINE = [
     "window_running_stats",
     "time_rollup_multires",
     "small_quantity_revenue",
+    "points_in_radius",
 ]
 
 

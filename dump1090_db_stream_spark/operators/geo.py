@@ -1,0 +1,157 @@
+"""Geospatial operators — native-expression re-expression of the
+reference's optional PostGIS surface (README.md:255-273: ST_MakePoint /
+ST_SetSRID / ST_MakeLine / ST_AsGeoJSON) plus the radius query a real
+ADS-B deployment runs constantly ("aircraft within R km of the
+airport"), which the reference delegates entirely to PostGIS.
+
+No Sedona dependency: everything here is pure Column trigonometry and an
+equi-join, so it runs on stock Spark and stays inside WholeStageCodegen.
+
+Scale design — ``radius_join``:
+a naive within-radius join is a cross product (|points| x |centers|
+haversine evaluations — 10^14 at 100 TB). Here the plane is bucketed
+into a fixed-degree grid; each point lands in ONE cell (narrow
+projection), each center explodes to the small neighborhood of cells
+its radius can touch (lon span widened by 1/cos(lat) so the cover stays
+correct at high latitude), and the join is EQUI on the cell id with the
+exact haversine as a residual predicate. Shuffle volume is
+O(points + centers x cells_per_center); the cross product never exists.
+Catalyst plans a plain hash join — broadcast when the exploded center
+side is small (the common case: thousands of airports x ~9-25 cells).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+#: km per degree of latitude (and of longitude at the equator)
+KM_PER_DEG = 111.195
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+) -> Column:
+    """Great-circle distance in km (haversine; double math, JVM-native)."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Single packed BIGINT cell id for a point on a fixed-degree grid.
+
+    Lat index occupies the low 16 bits' worth of range (max 180/cell_deg
+    rows); packing keeps the join key one 8-byte column instead of two.
+    """
+    la = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    lo = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    return lo * F.lit(100_000) + la
+
+
+def _center_cells(
+    lat: Column, lon: Column, radius_km: float, cell_deg: float,
+) -> Column:
+    """All grid cells a ``radius_km`` disk around (lat, lon) can touch —
+    an array built with sequence/transform (no Python, no UDF). The lon
+    reach is widened by 1/cos(lat) (clamped near the poles) so coverage
+    holds at any latitude."""
+    reach_deg = radius_km / KM_PER_DEG
+    # lat cells the disk spans (same everywhere on the globe)
+    d_lat = F.lit(int(math.ceil(reach_deg / cell_deg)))
+    # lon cells: reach grows with latitude; clamp cos to avoid pole blowup
+    coslat = F.greatest(F.cos(F.radians(lat)), F.lit(0.01))
+    d_lon = F.ceil(F.lit(reach_deg / cell_deg) / coslat).cast("int")
+    la0 = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    lo0 = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(-d_lon, d_lon),
+            lambda i: F.transform(
+                F.sequence(-d_lat, d_lat),
+                lambda j: (lo0 + i) * F.lit(100_000) + (la0 + j),
+            ),
+        )
+    )
+
+
+def radius_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius_km: float,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    center_lat: str = "lat",
+    center_lon: str = "lon",
+    cell_deg: float | None = None,
+    distance_col: str = "distance_km",
+) -> DataFrame:
+    """All (point, center) pairs within ``radius_km``, via grid-cell
+    equi-join + exact haversine residual. Output: all point columns, all
+    center columns, plus ``distance_col``.
+
+    ``cell_deg`` defaults to the radius' latitude span — each center
+    then touches ~9 cells at mid latitudes. Column names shared between
+    the two inputs must be disambiguated by the caller (alias first).
+
+    Limitation: the grid does not wrap the antimeridian — a disk
+    straddling lon ±180 needs a second pass on a 180°-shifted grid
+    (union the results). Deliberate: the wrap costs every query a
+    doubled cell list to serve a sliver of the Pacific.
+    """
+    if cell_deg is None:
+        cell_deg = max(radius_km / KM_PER_DEG, 1e-6)
+    p = points.withColumn(
+        "_cell", grid_cell(F.col(point_lat), F.col(point_lon), cell_deg))
+    c = centers.withColumn(
+        "_cell",
+        F.explode(_center_cells(
+            F.col(center_lat), F.col(center_lon), radius_km, cell_deg)),
+    )
+    dist = haversine_km(
+        F.col(f"p.{point_lat}"), F.col(f"p.{point_lon}"),
+        F.col(f"c.{center_lat}"), F.col(f"c.{center_lon}"))
+    return (
+        p.alias("p").join(c.alias("c"), F.col("p._cell") == F.col("c._cell"))
+        .withColumn(distance_col, dist)
+        .filter(F.col(distance_col) <= F.lit(radius_km))
+        .drop("_cell")
+    )
+
+
+def make_point(lon: Column, lat: Column, srid: int = 4326) -> Column:
+    """Struct stand-in for ST_SetSRID(ST_MakePoint(lon, lat), srid)
+    (README.md:261) — Sedona-compatible field order."""
+    return F.struct(lon.alias("x"), lat.alias("y"),
+                    F.lit(srid).alias("srid"))
+
+
+def track_segments(
+    df: DataFrame, key: str, ts: str, lat: str, lon: str,
+) -> DataFrame:
+    """Consecutive-fix segments per key with segment length — the
+    ST_MakeLine track query (README.md:266-273) plus the distance PostGIS
+    users derive from it. One window shuffle; lead() is frame-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts)
+    out = df.select(
+        key, ts, lat, lon,
+        F.lead(lat).over(w).alias("_lat2"),
+        F.lead(lon).over(w).alias("_lon2"),
+    ).filter(F.col("_lat2").isNotNull())
+    return out.select(
+        key, ts, lat, lon,
+        F.col("_lat2").alias("lat2"), F.col("_lon2").alias("lon2"),
+        F.round(haversine_km(F.col(lat), F.col(lon),
+                             F.col("_lat2"), F.col("_lon2")), 6)
+        .alias("segment_km"),
+    )

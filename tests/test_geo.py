@@ -1,0 +1,73 @@
+"""Geo operators: grid-bucketed radius join (equivalence + plan shape)
+and track segments."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.geo import (
+    KM_PER_DEG,
+    haversine_km,
+    radius_join,
+    track_segments,
+)
+
+
+def _points(spark, n=400):
+    """Deterministic scatter incl. high latitudes (65°+) where naive
+    fixed-lon-width grids under-cover."""
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 14000) / 100.0 - 70.0).alias("lat"),
+        (((F.col("id") * 104729) % 34000) / 100.0 - 170.0).alias("lon"),
+    )
+
+
+def _centers(spark):
+    """Centers sit ON (offset from) generated points — incl. the
+    high-latitude ones — so every radius has matches to verify."""
+    rows = []
+    for cid, pid in enumerate([3, 57, 111, 222, 333], start=1):
+        lat = ((pid * 7919) % 14000) / 100.0 - 70.0
+        lon = ((pid * 104729) % 34000) / 100.0 - 170.0
+        rows.append((cid, lat + 0.3, lon - 0.4))
+    rows.append((99, 69.5, 18.9))  # arctic center far from everything
+    return spark.createDataFrame(rows, ["center_id", "clat", "clon"])
+
+
+@pytest.mark.parametrize("radius", [150.0, 500.0])
+def test_radius_join_equals_brute_force(spark, radius):
+    pts, ctr = _points(spark), _centers(spark)
+    fast = {(r["point_id"], r["center_id"]) for r in radius_join(
+        pts, ctr, radius, center_lat="clat", center_lon="clon").collect()}
+    brute = {(r["point_id"], r["center_id"]) for r in (
+        pts.crossJoin(ctr)
+        .withColumn("d", haversine_km(F.col("lat"), F.col("lon"),
+                                      F.col("clat"), F.col("clon")))
+        .filter(F.col("d") <= radius)).collect()}
+    assert fast == brute
+    assert len(fast) > 0
+
+
+def test_radius_join_plans_equi_hash_join(spark):
+    pts, ctr = _points(spark), _centers(spark)
+    plan = (radius_join(pts, ctr, 200.0, center_lat="clat",
+                        center_lon="clon")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cell" in plan  # equi key is the packed grid cell
+
+
+def test_track_segments_known_distance(spark):
+    rows = [("A", 1, 0.0, 0.0), ("A", 2, 1.0, 0.0), ("A", 3, 1.0, 1.0),
+            ("B", 1, 10.0, 10.0)]
+    df = spark.createDataFrame(rows, ["hex_ident", "ts", "lat", "lon"])
+    segs = {(r["hex_ident"], r["ts"]): r["segment_km"]
+            for r in track_segments(df, "hex_ident", "ts",
+                                    "lat", "lon").collect()}
+    assert set(segs) == {("A", 1), ("A", 2)}  # last fix per key dropped
+    # 1 degree of latitude
+    assert abs(segs[("A", 1)] - KM_PER_DEG) < 0.2
+    # 1 degree of longitude at lat 1° is slightly shorter
+    assert segs[("A", 2)] < segs[("A", 1)]
+    assert abs(segs[("A", 2)] - KM_PER_DEG) < 0.5
