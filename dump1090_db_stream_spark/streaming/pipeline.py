@@ -116,6 +116,7 @@ def tumbling_counts(
     window: str = "1 hour",
     watermark: str = "30 minutes",
     value_col: str | None = None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (T-8/T-9) — the streaming
     re-expression of the callsigns view's daily bucketing (A-2,
@@ -130,14 +131,18 @@ def tumbling_counts(
 
     Sums run in decimal so results are bit-identical regardless of
     per-partition accumulation order (floats would make the answer depend
-    on the physical plan)."""
+    on the physical plan). ``exact_sums=True`` keeps the decimal type in
+    the output instead of rounding to double — use it when the emitted
+    windows feed a STORED finest level that coarser rollups re-aggregate
+    (the continuous-aggregate refresh): decimal addition is associative,
+    so hour/day derived from the stored minute rows are bit-identical to
+    direct aggregation (see operators/rollup.py)."""
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
+        dec = F.sum(F.col(value_col).cast("decimal(28,8)"))
         aggs.append(
-            F.round(
-                F.sum(F.col(value_col).cast("decimal(28,8)")).cast("double"),
-                6,
-            ).alias("value_sum"))
+            dec.alias("value_sum") if exact_sums
+            else F.round(dec.cast("double"), 6).alias("value_sum"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
