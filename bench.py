@@ -56,10 +56,13 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # JVM/codegen warmup on the smallest SF so measured times are steady-state
+    # JVM/codegen warmup: run EVERY headline query once at the smallest SF
+    # so sf-target timings measure the data path, not first-run Catalyst
+    # planning + whole-stage-codegen compilation (which amortize to zero
+    # at real scale but dominate sub-second queries when cold).
     warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm):
-        for n in names[:2]:
+        for n in names:
             run_one(qs[n](spark, warm))
 
     timings: dict[str, float] = {}
