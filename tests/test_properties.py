@@ -84,3 +84,46 @@ def test_asof_join_equals_naive_oracle(spark, left_rows, right_rows):
                      if rk == k and rt <= t]
         want = max(preceding)[1] if preceding else None
         assert got[(k, t)] == {want}, (k, t)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-84.0, max_value=84.0,
+                      allow_nan=False, allow_infinity=False),
+            st.floats(min_value=-170.0, max_value=170.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.floats(min_value=10.0, max_value=800.0,
+              allow_nan=False, allow_infinity=False),
+)
+def test_radius_join_cell_cover_is_lossless(spark, coords, radius):
+    """For ANY scatter of points (centers = the same scatter, so every
+    point matches at least itself) and ANY radius, the grid-bucketed
+    radius join returns exactly the brute-force within-radius set —
+    the cell cover never drops a pair, at any latitude."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(coords)],
+        ["point_id", "lat", "lon"])
+    ctr = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(coords)],
+        ["center_id", "clat", "clon"])
+    fast = {(r["point_id"], r["center_id"]) for r in radius_join(
+        pts, ctr, radius, center_lat="clat", center_lon="clon").collect()}
+    brute = {(r["point_id"], r["center_id"]) for r in (
+        pts.crossJoin(ctr)
+        .withColumn("d", haversine_km(F.col("lat"), F.col("lon"),
+                                      F.col("clat"), F.col("clon")))
+        .filter(F.col("d") <= radius)).collect()}
+    assert fast == brute
+    assert len(fast) >= len(coords)  # self-pairs always inside
