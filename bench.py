@@ -49,6 +49,29 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
+    """Parse-pipeline throughput: n synthetic SBS-1 wire lines (the
+    golden fixture lines cycled) through the full parser
+    (split/width-filter/null-normalize/try_cast/timestamp) into a noop
+    sink. The reference's ingest path commits one row per INSERT
+    (dump1090-postgres.py:116) against an O(10-100) msg/s radio feed;
+    this measures our single-node ceiling for the same transformation."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.functions.parser import parse_sbs1
+    from tests.fixtures import SAMPLE_LINES
+
+    lines = F.array(*[F.lit(ln) for ln in SAMPLE_LINES])
+    df = spark.range(n_msgs).select(
+        F.element_at(lines, (F.col("id") % len(SAMPLE_LINES) + 1)
+                     .cast("int")).alias("value"))
+    t0 = time.perf_counter()
+    run_one(parse_sbs1(df))
+    sec = time.perf_counter() - t0
+    return {"msgs": n_msgs, "sec": round(sec, 3),
+            "msgs_per_sec": round(n_msgs / sec)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -71,11 +94,14 @@ def main() -> None:
         run_one(qs[n](spark, sf_dir))
         timings[n] = round(time.perf_counter() - t0, 3)
 
+    ingest = bench_ingest(spark)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "ingest": ingest,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
