@@ -71,3 +71,47 @@ def test_track_segments_known_distance(spark):
     # 1 degree of longitude at lat 1° is slightly shorter
     assert segs[("A", 2)] < segs[("A", 1)]
     assert abs(segs[("A", 2)] - KM_PER_DEG) < 0.5
+
+
+def test_zordered_files_have_tight_bounding_boxes(spark, tmp_path):
+    """write_zordered: each file's (lat, lon) footer stats form a tight
+    spatial tile — total bounding-box area is far below that of an
+    insertion-ordered write of the same rows, so bbox predicates can
+    skip most files from metadata alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dump1090_db_stream_spark.operators.geo import write_zordered
+
+    pts = _points(spark, 4000)
+
+    def bbox_area_sum(path):
+        total = 0.0
+        files = glob.glob(f"{path}/*.parquet")
+        assert len(files) >= 4
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(len(md.schema))}
+            lo = [None, None]
+            hi = [None, None]
+            for rg in range(md.num_row_groups):
+                for d, col in enumerate(("lat", "lon")):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    lo[d] = st.min if lo[d] is None else min(lo[d], st.min)
+                    hi[d] = st.max if hi[d] is None else max(hi[d], st.max)
+            total += (hi[0] - lo[0]) * (hi[1] - lo[1])
+        return total
+
+    zpath = str(tmp_path / "zordered")
+    npath = str(tmp_path / "naive")
+    write_zordered(pts, zpath, n_files=8)
+    pts.repartition(8).write.mode("overwrite").parquet(npath)
+
+    z_area = bbox_area_sum(zpath)
+    n_area = bbox_area_sum(npath)
+    assert z_area < 0.5 * n_area
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4000
+    assert set(back.columns) == {"point_id", "lat", "lon"}
