@@ -27,7 +27,27 @@ TABLES = [
 _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+# The driver contract hands us an ARBITRARY SparkSession (not our
+# session.get_spark), so the two confs correctness depends on are set
+# defensively at load time — both are runtime SQL confs:
+# - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS); without it the
+#   scan throws PARQUET_TYPE_ILLEGAL (Spark has no nanos timestamp).
+# - UTC session timezone: oracle (DuckDB) timestamp comparisons are
+#   timezone-pinned; a local-TZ session would shift every timestamp.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
