@@ -361,6 +361,33 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_pairs(emb, threshold=0.35)
 
 
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection via the LSH SCALE PATH
+    (operators.similarity.embedding_neardup_pairs) — hyperplane-signature
+    bucketing, never an all-pairs join. Fixture: embeddings unioned with a
+    deterministically perturbed copy (+0.05 on element 0, cosine ~0.9987),
+    so the oracle is the brute-force pair set at the same threshold and a
+    green row proves the bucketing loses no qualifying pair. The O(n^2)
+    exact_cosine_pairs is thereby demoted to validator status."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, (x.cast("double") + 0.05)
+                                .cast("float")).otherwise(x),
+        ).alias("embedding"))
+    # 6 planes x 8 tables: collision prob for a cosine-0.9987 pair is
+    # 1-(1-p^6)^8 with p = 1-acos(c)/pi ~ 0.984 -> miss prob ~5e-9; the
+    # default 10x6 deterministically missed 1 of the 500 fixture pairs.
+    return embedding_neardup_pairs(emb.union(pert), dim=64, threshold=0.99,
+                                   n_planes=6, n_tables=8)
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (operators.similarity.ivf_topk): deterministic k-means
     coarse quantizer, probe the 4 of 8 clusters nearest each query. Rows-
@@ -807,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "doc_quality": q_doc_quality,
@@ -905,7 +933,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum((props->>'k')::INT) AS sum_k,
+                   CAST(sum((props->>'k')::INT) AS BIGINT) AS sum_k,
                    min((props->>'k')::INT) AS min_k,
                    max((props->>'k')::INT) AS max_k
             FROM events GROUP BY event_type
@@ -1244,6 +1272,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked, mx
             WHERE NOT (rn = 1 AND last_seen + INTERVAL '2 hours' > wm)
         """,
+        "embedding_neardup_pairs": """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(range(1, length(embedding) + 1),
+                           i -> CASE WHEN i = 1
+                                     THEN CAST(embedding[i]::DOUBLE + 0.05
+                                               AS FLOAT)
+                                     ELSE embedding[i] END) AS embedding
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM corpus
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(
+                             range(1, length(a.embedding) + 1),
+                             i -> a.embedding[i]::DOUBLE
+                                  * b.embedding[i]::DOUBLE))
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE cosine >= 0.99
+        """,
         "cosine_neardup_pairs": """
             WITH n AS (
                 SELECT vec_id, embedding,
@@ -1284,7 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split_stats": f"""
             SELECT {_sampling.hash_split_case_sql("doc_id")} AS split,
-                   lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+                   lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY 1, 2
         """,

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from dump1090_db_stream_spark import get_spark  # noqa: E402
+from dump1090_db_stream_spark import get_spark, release_tracked  # noqa: E402
 
 # Headline set: the reference's hardest query (band join), the scan-heavy
 # agg, the multi-join, the window query, dedup, and the text/similarity
@@ -88,11 +88,16 @@ def main() -> None:
         for n in names:
             run_one(qs[n](spark, warm))
 
+    release_tracked()  # warmup caches must not serve the timed runs
+
     timings: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
         run_one(qs[n](spark, sf_dir))
         timings[n] = round(time.perf_counter() - t0, 3)
+        # operators own persist(), callers own release: free operator
+        # intermediates so query N+1 is not timed against N's storage
+        release_tracked()
 
     ingest = bench_ingest(spark)
 

@@ -21,7 +21,8 @@ This package re-expresses that surface Spark-first:
 - ``operators.multimodal``  binary-column decode/feature plumbing
 """
 
+from dump1090_db_stream_spark.cache import release_tracked
 from dump1090_db_stream_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_tracked"]
 __version__ = "0.1.0"

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dump1090_db_stream_spark.cache import track
 from dump1090_db_stream_spark.operators.text import (
     content_hash,
     shingles,
@@ -109,7 +110,7 @@ def ngram_jaccard_pairs(
     # persist it so tokenize+hash runs once, not three times. At cluster
     # scale the same principle holds — materialize the index (cache or a
     # temp table), it is ~2 longs per (doc, shingle).
-    sh = sh.persist()
+    sh = track(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -226,7 +227,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = banded.persist()
+    banded = track(banded)
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -238,7 +239,7 @@ def minhash_lsh_pairs(
     # candidates feed two consumers (the involved-doc semi-join and the
     # verification join); persist so the signature+banding pipeline runs
     # once. Candidate sets are tiny (near-dup pairs, not the corpus).
-    candidates = candidates.persist()
+    candidates = track(candidates)
     # exact verification on candidates only: semi-join the corpus down to
     # docs that appear in some candidate pair BEFORE recomputing shingles —
     # the expensive tokenize+shingle projection runs over |candidate docs|,

@@ -46,15 +46,24 @@ def haversine_km(
     return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _pack_cell(lo: Column, la: Column) -> Column:
+    """Pack (lon_idx, lat_idx) into one BIGINT: lon in the high 32 bits,
+    lat in the low 32. Both indices are non-negative (offset by 180/90
+    before flooring) and bounded by 360/cell_deg < 2^31 for any
+    cell_deg > ~1.7e-7 deg (~2 cm), so the packed id cannot collide —
+    unlike a decimal-shift pack, which aliased lon/lat for radii under
+    ~200 m and inflated the equi-join with spurious candidate pairs."""
+    return F.shiftleft(lo, 32) + la
+
+
 def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
     """Single packed BIGINT cell id for a point on a fixed-degree grid.
 
-    Lat index occupies the low 16 bits' worth of range (max 180/cell_deg
-    rows); packing keeps the join key one 8-byte column instead of two.
+    Packing keeps the join key one 8-byte column instead of two.
     """
     la = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lo = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
-    return lo * F.lit(100_000) + la
+    return _pack_cell(lo, la)
 
 
 def _center_cells(
@@ -77,7 +86,7 @@ def _center_cells(
             F.sequence(-d_lon, d_lon),
             lambda i: F.transform(
                 F.sequence(-d_lat, d_lat),
-                lambda j: (lo0 + i) * F.lit(100_000) + (la0 + j),
+                lambda j: _pack_cell(lo0 + i, la0 + j),
             ),
         )
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame
+
+from dump1090_db_stream_spark.cache import track
 from pyspark.sql import functions as F
 
 #: resolution name -> date_trunc unit (ordered finest -> coarsest)
@@ -74,7 +76,7 @@ def time_rollup(
         )
     )
     if materialize and len(resolutions) > 1:
-        level = level.cache()
+        level = track(level)
     levels = [level.withColumn(resolution_col, F.lit(finest))]
     for i, res in enumerate(resolutions[1:], start=1):
         level = (
@@ -90,7 +92,7 @@ def time_rollup(
             )
         )
         if materialize and i < len(resolutions) - 1:
-            level = level.cache()
+            level = track(level)
         levels.append(level.withColumn(resolution_col, F.lit(res)))
     out = reduce(lambda a, b: a.unionByName(b), levels)
     return out.select(

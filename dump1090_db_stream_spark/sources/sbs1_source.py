@@ -123,6 +123,11 @@ class SBS1SocketStreamReader(SimpleDataSourceStreamReader):
             if not chunk:  # peer closed -> reconnect next batch
                 self._sock.close()
                 self._sock = None
+                # drop the stale partial line: splicing it onto the first
+                # line of the NEW connection would fabricate one corrupted
+                # record (usually dropped by the 22-field filter, but it
+                # could silently parse as a wrong row)
+                self._residual = b""
                 break
             buf = self._residual + chunk
             *complete, self._residual = buf.split(b"\n")

@@ -39,6 +39,45 @@ def norm(v):
     return repr(v)
 
 
+def _norm_spark_type(t: str) -> str:
+    """Collapse a Spark simpleString type to a comparable logical family."""
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"  # driver hash tolerates integer width up to 64-bit
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return t  # keep precision/scale: driver hash is sensitive to it
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("string", "varchar"):
+        return "string"
+    return t
+
+
+def _norm_duck_type(t: str) -> str:
+    """Collapse a DuckDB type id (cursor description) to the same families."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER"):
+        return "int"
+    if t == "HUGEINT":
+        return "int128"  # never matches a Spark type -> flags the bug
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in ("VARCHAR", "STRING"):
+        return "string"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "boolean"
+    return t.lower()
+
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
@@ -85,6 +124,20 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
             ok = False
+        # Type-aware check: the driver hashes values WITH their types, so a
+        # DuckDB HUGEINT (sum of INTEGER) vs a Spark BIGINT is a hash
+        # mismatch even when the numbers are equal.  repr() erases that, so
+        # compare normalized logical types per column name explicitly.
+        if ok:
+            stypes = {f.name: _norm_spark_type(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
+            dty = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            dtypes = {r[0]: _norm_duck_type(str(r[1])) for r in dty}
+            bad = {c: (stypes[c], dtypes[c]) for c in stypes
+                   if c in dtypes and stypes[c] != dtypes[c]}
+            if bad:
+                print(f"FAIL {name}: type mismatch (spark, duckdb): {bad}")
+                ok = False
         if ok:
             _, sc = canon(scols, srows)
             _, dc = canon(dcols, drows)

@@ -115,3 +115,18 @@ def test_zordered_files_have_tight_bounding_boxes(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == 4000
     assert set(back.columns) == {"point_id", "lat", "lon"}
+
+
+def test_grid_cell_pack_no_collision_at_small_cells(spark):
+    # Regression: the old decimal pack (lo*100_000 + la) aliased distinct
+    # (lon_idx, lat_idx) cells once 180/cell_deg exceeded 100_000 (radius
+    # under ~200 m). These two far-apart points collided under it.
+    from dump1090_db_stream_spark.operators.geo import grid_cell
+
+    cell = 0.0009
+    rows = [(1, 45.0, -179.991),     # (lo=10,  la=150000) old id 1_150_000
+            (2, -45.0, -179.9901)]   # (lo=11,  la=50000)  old id 1_150_000
+    df = spark.createDataFrame(rows, ["id", "lat", "lon"]).select(
+        "id", grid_cell(F.col("lat"), F.col("lon"), cell).alias("c"))
+    cells = {r["id"]: r["c"] for r in df.collect()}
+    assert cells[1] != cells[2]

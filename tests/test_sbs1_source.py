@@ -105,3 +105,33 @@ def test_socket_bounded_retry_gives_up(sbs1):
     with pytest.raises(Exception):
         q.awaitTermination(30)
         raise RuntimeError("stream should have failed")  # pragma: no cover
+
+
+class _FakeSocket:
+    """recv() feeds scripted chunks, then signals peer close (b"")."""
+
+    def __init__(self, chunks):
+        self._chunks = list(chunks)
+
+    def recv(self, _n):
+        return self._chunks.pop(0) if self._chunks else b""
+
+    def close(self):
+        pass
+
+
+def test_residual_cleared_on_peer_close():
+    # A partial line left in the buffer when the peer closes must NOT be
+    # spliced onto the first line of the next connection: that would
+    # fabricate one corrupted record per reconnect.
+    from dump1090_db_stream_spark.sources.sbs1_source import (
+        SBS1SocketStreamReader,
+    )
+
+    r = SBS1SocketStreamReader({})
+    r._sock = _FakeSocket([b"MSG,3,full line\nMSG,3,partial-no-newline"])
+    lines, off = r.read({"n": 0})
+    assert [ln for (ln,) in lines] == ["MSG,3,full line"]
+    assert off == {"n": 1}
+    assert r._sock is None          # reconnect scheduled
+    assert r._residual == b""       # stale partial dropped, not carried
