@@ -389,18 +389,22 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (operators.similarity.ivf_topk): deterministic k-means
-    coarse quantizer, probe the 4 of 8 clusters nearest each query. Rows-
-    only check — the iterative quantizer is not SQL-expressible; exactness
-    is anchored by test_ivf_topk_full_probe_equals_brute_force and the
-    embedding_topk oracle."""
+    """IVF-flat ANN (operators.similarity.ivf_topk) with a FIXED coarse
+    quantizer: the 8 centroids are the embeddings of vec_id 10..17 (a
+    deterministic pre-built index, the persisted-index reuse path), so
+    assignment + probe + rank is closed-form and the DuckDB oracle
+    replays it exactly — a full hash-checked row. The k-means training
+    path stays covered by test_ivf_topk_full_probe_equals_brute_force."""
     from dump1090_db_stream_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
+                 .orderBy("vec_id").select("embedding").collect())
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, dim=64, k=10,
-                    n_centroids=8, n_probes=4, n_iters=2)
+    return ivf_topk(emb, queries, dim=64, k=10, n_probes=4,
+                    centroids=centroids)
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,28 +636,40 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (operators.dedup.minhash_lsh_pairs),
-    exact-Jaccard verified. Deterministic (seeded md5-derived hashes) but
-    not practically SQL-expressible -> rows-only check."""
+    exact-Jaccard verified. The contract variant runs with
+    ``portable_base_hash=True`` (md5-derived 60-bit shingle hash), which
+    makes the ENTIRE pipeline — signatures, band buckets, candidate
+    pairs, verification — reproducible in DuckDB, so the oracle replays
+    it end-to-end and the row is hash-checked. Production default stays
+    on xxhash64 (covered by tests/test_dedup.py)."""
     from dump1090_db_stream_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
-        num_hashes=16, bands=8, threshold=0.03)
+        num_hashes=16, bands=8, threshold=0.03, portable_base_hash=True)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (operators.dedup.simhash_neardup_pairs);
-    rows-only check (bit-vote semantics not practical in ANSI SQL)."""
+    """SimHash near-dup pairs (operators.dedup.simhash_neardup_pairs)
+    with ``portable_base_hash=True``: bit votes over the md5-derived
+    60-bit shingle hash are plain conditional sums, so DuckDB replays
+    votes -> simhash -> pigeonhole chunks -> hamming verify exactly and
+    the row is hash-checked. Production default stays on xxhash64."""
     from dump1090_db_stream_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=12, n=2)
+        load_table(spark, sf_dir, "documents"), max_hamming=12, n=2,
+        portable_base_hash=True)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (operators.multimodal): documents' text bytes
     stand in for media payloads; Arrow-batched mapInPandas extracts
-    deterministic stub features. Rows-only check (Pandas UDF path)."""
+    deterministic stub features. Oracle-checked: the stub features are
+    closed-form byte arithmetic (len, len-mod dims, mean of first 256
+    byte values), and the corpus is ASCII, so DuckDB reproduces them
+    exactly with length()/ascii() — proving the Arrow round-trip through
+    Python preserves ids, batch boundaries, and per-row arithmetic."""
     from dump1090_db_stream_spark.operators.multimodal import (
         extract_image_features,
     )
@@ -900,8 +916,119 @@ def _sbs1_oracle() -> str:
         """
 
 
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 8,
+                        n: int = 3, threshold: float = 0.03) -> str:
+    """DuckDB replay of minhash_lsh_pairs(portable_base_hash=True):
+    tokenize -> distinct word n-gram shingles -> md5-derived 60-bit base
+    hash mod P -> (a*h+b) mod P min-aggregates -> banded md5 buckets ->
+    candidate pairs -> exact-Jaccard verification. Permutation constants
+    come from the same _mh_params LCG as the Spark side."""
+    from dump1090_db_stream_spark.operators.dedup import _MH_P, _mh_params
+
+    rows = num_hashes // bands
+    aggs = ",\n                       ".join(
+        f"min(({_mh_params(i)[0]} * hv + {_mh_params(i)[1]}) % {_MH_P}) "
+        f"AS mh{i}" for i in range(num_hashes))
+    band_selects = "\n                UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b, cat=" || ',' || ".join(
+                f"mh{b * rows + r}::VARCHAR" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT id, list_distinct(
+                    CASE WHEN len(t) - {n - 1} <= 0
+                         THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - {n - 1} + 1),
+                              i -> array_to_string(
+                                  list_slice(t, i, i + {n - 1}), ' '))
+                    END) AS shs
+                FROM toks
+            ), h AS (
+                SELECT id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P} AS hv
+                FROM (SELECT id, unnest(shs) AS s FROM sh)
+            ), sig AS (
+                SELECT id,
+                       {aggs}
+                FROM h GROUP BY id
+            ), banded AS (
+                {band_selects}
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(sa.shs, sb.shs))
+                         / len(list_distinct(sa.shs || sb.shs)), 6) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.id = c.id_a
+            JOIN sh sb ON sb.id = c.id_b
+            WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle(n: int = 2, n_bits: int = 60, n_chunks: int = 4,
+                    max_hamming: int = 12) -> str:
+    """DuckDB replay of simhash_neardup_pairs(portable_base_hash=True):
+    per-shingle 60-bit hash -> per-bit +1/-1 vote sums -> sign bits ->
+    pigeonhole chunk join -> hamming verify via bit_count(xor)."""
+    chunk_bits = n_bits // n_chunks
+    votes = ",\n                       ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits))
+    sim_terms = "\n                         + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits))
+    chunk_rows = ", ".join(f"({i})" for i in range(n_chunks))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT id,
+                    CASE WHEN len(t) - {n - 1} <= 0
+                         THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - {n - 1} + 1),
+                              i -> array_to_string(
+                                  list_slice(t, i, i + {n - 1}), ' '))
+                    END AS shs
+                FROM toks
+            ), h AS (
+                SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv
+                FROM (SELECT id, unnest(shs) AS s FROM sh)
+            ), votes AS (
+                SELECT id,
+                       {votes}
+                FROM h GROUP BY id
+            ), simt AS (
+                SELECT id,
+                       CAST({sim_terms} AS BIGINT) AS sim
+                FROM votes
+            ), chunks AS (
+                SELECT id, sim, ci,
+                       (sim >> (ci * {chunk_bits}))
+                           & {(1 << chunk_bits) - 1} AS cv
+                FROM simt CROSS JOIN (VALUES {chunk_rows}) AS c(ci)
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sim, b.sim)) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+            WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_lsh_dups": _minhash_lsh_oracle(),
+        "simhash_dups": _simhash_oracle(),
         "sbs1_parse": _sbs1_oracle(),
         "top_revenue_orders": """
             SELECT o_orderkey, o_orderdate,
@@ -1335,6 +1462,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "embedding_ivf_topk": """
+            WITH cents AS (
+                SELECT vec_id - 10 AS cid, embedding AS cvec,
+                       1.0 / sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS inv_c
+                FROM embeddings WHERE vec_id >= 10 AND vec_id < 18
+            ), corpus AS (
+                SELECT vec_id AS neighbor_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings
+            ), assign AS (
+                SELECT neighbor_id, embedding, nrm, cid,
+                       row_number() OVER (PARTITION BY neighbor_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM (
+                    SELECT c.neighbor_id, c.embedding, c.nrm, t.cid,
+                           list_sum(list_transform(
+                               range(1, length(c.embedding) + 1),
+                               i -> c.embedding[i]::DOUBLE * t.cvec[i]::DOUBLE))
+                           * t.inv_c AS sim
+                    FROM corpus c CROSS JOIN cents t)
+            ), clustered AS (
+                SELECT neighbor_id, embedding, nrm, cid FROM assign
+                WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS qnrm
+                FROM embeddings WHERE vec_id < 5
+            ), probes AS (
+                SELECT query_id, qv, qnrm, cid FROM (
+                    SELECT q.query_id, q.qv, q.qnrm, t.cid,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, length(q.qv) + 1),
+                                   i -> q.qv[i]::DOUBLE * t.cvec[i]::DOUBLE))
+                                   * t.inv_c DESC, t.cid) AS pr
+                    FROM q CROSS JOIN cents t)
+                WHERE pr <= 4
+            ), scored AS (
+                SELECT p.query_id, c.neighbor_id,
+                       list_sum(list_transform(
+                           range(1, length(c.embedding) + 1),
+                           i -> p.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (p.qnrm * c.nrm) AS cos
+                FROM probes p JOIN clustered c ON p.cid = c.cid
+                WHERE c.neighbor_id <> p.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   length(text) AS n_bytes,
+                   length(text) % 640 + 1 AS width,
+                   length(text) % 480 + 1 AS height,
+                   round(coalesce(list_sum(list_transform(
+                             range(1, least(length(text), 256) + 1),
+                             i -> ascii(text[i]))), 0)::DOUBLE
+                         / greatest(1, least(length(text), 256))
+                         / 255.0, 6) AS mean_luma
+            FROM documents
         """,
         "hash_split_stats": f"""
             SELECT {_sampling.hash_split_case_sql("doc_id")} AS split,

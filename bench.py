@@ -72,6 +72,78 @@ def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
             "msgs_per_sec": round(n_msgs / sec)}
 
 
+def bench_skew(spark, n_rows: int = 2_000_000, n_keys: int = 10_000,
+               hot_sessions: int = 512, salt_buckets: int = 8) -> dict:
+    """Skew stress for the band join (operators.sessions.band_join).
+
+    Workload: one hot key owns 10% of all fixes AND has ``hot_sessions``
+    candidate sessions (the pathological aircraft/user), so the unsalted
+    sort-merge join funnels hot_rows x hot_sessions comparisons into ONE
+    task. Three timed configs on identical data, identical results:
+      unsalted      — AQE on (its skew-join split is the first defense)
+      unsalted_noaqe— raw skew cost when no runtime re-plan exists
+      salted        — explicit (key, salt) refinement, salt_buckets ways
+    Broadcast is disabled for the measurement: at bench scale the session
+    side fits a broadcast (which sidesteps the shuffle entirely and is
+    exactly what band_join picks by default); the skew path matters at
+    the 100 TB shape where the session side exceeds broadcast."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sessions import band_join
+
+    base = 1_700_000_000
+    fixes = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 == 0, F.lit(0))
+         .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)) + 1)
+         .alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") % 86_400).alias("ts"),
+    )
+    cold = spark.range(1, n_keys + 1).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.lit(base)).alias("first_seen"),
+        F.timestamp_seconds(F.lit(base + 86_400)).alias("last_seen"),
+        F.concat(F.lit("s"), F.col("id")).alias("label"),
+    )
+    hot = spark.range(hot_sessions).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 1200).alias("first_seen"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 1200 + 1200).alias("last_seen"),
+        F.concat(F.lit("h"), F.col("id")).alias("label"),
+    )
+    sessions = cold.union(hot)
+    # materialize inputs so the timings measure the JOIN, not the
+    # synthetic-data generation re-running per config
+    fixes = fixes.persist()
+    sessions = sessions.persist()
+    fixes.count(), sessions.count()
+
+    def timed(salt: int | None, aqe: bool) -> float:
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        t0 = time.perf_counter()
+        run_one(band_join(fixes, sessions, key="user_id", ts="ts",
+                          band="INTERVAL 5 MINUTES", distinct=False,
+                          salt_buckets=salt))
+        return round(time.perf_counter() - t0, 3)
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timed(None, aqe=True)  # codegen/shuffle warmup, untimed
+        out = {
+            "rows": n_rows,
+            "unsalted_sec": timed(None, aqe=True),
+            "unsalted_noaqe_sec": timed(None, aqe=False),
+            "salted_sec": timed(salt_buckets, aqe=True),
+            "salt_buckets": salt_buckets,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        fixes.unpersist(blocking=False)
+        sessions.unpersist(blocking=False)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -100,6 +172,7 @@ def main() -> None:
         release_tracked()
 
     ingest = bench_ingest(spark)
+    skew = bench_skew(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -107,6 +180,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ingest": ingest,
+        "skew": skew,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -46,6 +46,16 @@ def _hash64(c: Column, seed: int) -> Column:
     return F.xxhash64(F.lit(seed), c)
 
 
+def _portable_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex chars of md5,
+    parsed as an integer. Any ANSI engine reproduces it (DuckDB:
+    ``('0x' || substr(md5(s),1,15))::BIGINT``), which makes the MinHash /
+    SimHash pipelines oracle-checkable end-to-end. ~2x the cost of
+    xxhash64, so it is the *contract-variant* base hash; production
+    defaults stay on the JVM fast path."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest-id document per identical text.
@@ -156,8 +166,14 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    portable_base_hash: bool = False,
 ) -> DataFrame:
     """MinHash signatures as one row per doc with columns mh0..mh{k-1}.
+
+    ``portable_base_hash=True`` swaps the xxhash64 shingle hash for the
+    md5-derived :func:`_portable_hash60` so the whole signature is
+    reproducible in any ANSI engine (used by the oracle-checked contract
+    variant; same asymptotics, ~2x base-hash cost).
 
     Shape chosen for scale: explode distinct shingles to rows, compute
     ONE base hash per shingle, then k permutations as plain (a*h+b) mod P
@@ -171,7 +187,9 @@ def minhash_signatures(
     base = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"),
-    ).select("id", F.pmod(_hash64(F.col("s"), 0), F.lit(_MH_P)).alias("h"))
+    ).select("id", F.pmod(
+        _portable_hash60(F.col("s")) if portable_base_hash
+        else _hash64(F.col("s"), 0), F.lit(_MH_P)).alias("h"))
     aggs = []
     for i in range(num_hashes):
         a, b = _mh_params(i)
@@ -189,6 +207,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    portable_base_hash: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs, verified by exact
     Jaccard on the candidates only.
@@ -207,7 +226,8 @@ def minhash_lsh_pairs(
     a bucket-size cap is the guard to add for adversarial corpora.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             portable_base_hash)
     # The banded relation feeds BOTH sides of the candidate self-join;
     # without materialization each side would recompute the whole
     # tokenize->shingle->md5->32-way-min pipeline (Spark does not CSE
@@ -271,6 +291,7 @@ def simhash_table(
     text_col: str = "text",
     n: int = 2,
     n_bits: int = 60,
+    portable_base_hash: bool = False,
 ) -> DataFrame:
     """Per-doc 60-bit SimHash over word n-gram shingles: for each bit
     position, sum +1/-1 votes from each shingle-hash bit; the sign of the
@@ -282,7 +303,8 @@ def simhash_table(
     base = with_tokens(df, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col("_toks"), n)).alias("s"),
-    ).select("id", _hash64(F.col("s"), 0).alias("h"))
+    ).select("id", (_portable_hash60(F.col("s")) if portable_base_hash
+                    else _hash64(F.col("s"), 0)).alias("h"))
     votes = base.groupBy("id").agg(*[
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1)
@@ -304,6 +326,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n: int = 2,
     n_chunks: int = 4,
+    portable_base_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius.
 
@@ -313,7 +336,8 @@ def simhash_neardup_pairs(
     bit_count(xor). Shuffle volume O(docs x n_chunks).
     """
     chunk_bits = 60 // n_chunks
-    sim = simhash_table(df, id_col, text_col, n)
+    sim = simhash_table(df, id_col, text_col, n,
+                        portable_base_hash=portable_base_hash)
     chunks = sim.select(
         "id", "sim",
         F.explode(F.array(*[

@@ -6,12 +6,14 @@ metadata stays queryable without touching payloads, and Catalyst prunes
 the binary column away for any query not decoding it.
 
 The decode/feature kernels are Arrow-batched ``mapInPandas`` functions.
-The actual codec calls are STUBS (PIL/librosa/ffmpeg are not in this
-container): ``decode_stub=True`` (default) produces deterministic fake
-features derived from the payload bytes so the Spark-side plumbing —
-schema, batch shape, partitioning — is real and testable;
-``decode_stub=False`` raises NotImplementedError at the exact seam where
-a real codec plugs in.
+``decode_stub=True`` (default) produces deterministic fake features
+derived from the payload bytes so the Spark-side plumbing — schema,
+batch shape, partitioning — is testable without any imaging library.
+``decode_stub=False`` runs a REAL decode for PNG images via the
+pure-Python stdlib codec in ``functions.png`` (width/height from IHDR,
+Rec.601 mean luma and luma histogram from actual pixels); other formats
+(JPEG, WAV, MP4 — PIL/librosa/ffmpeg absent from this container) still
+raise at the same seam where a full codec would plug in.
 """
 
 from __future__ import annotations
@@ -90,22 +92,39 @@ def extract_image_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not in this "
-                    "container; plug the codec in here")
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                rows.append({
-                    "media_id": int(mid),
-                    "n_bytes": len(data),
-                    # stub "decode": fake dimensions from the byte length
-                    "width": (len(data) % 640) + 1,
-                    "height": (len(data) % 480) + 1,
-                    "mean_luma": (sum(data[:256]) / max(1, len(data[:256]))) / 255.0,
-                    "feature": _stub_features(data, feature_dim),
-                })
+                if decode_stub:
+                    rows.append({
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        # stub "decode": fake dimensions from byte length
+                        "width": (len(data) % 640) + 1,
+                        "height": (len(data) % 480) + 1,
+                        "mean_luma": (sum(data[:256])
+                                      / max(1, len(data[:256]))) / 255.0,
+                        "feature": _stub_features(data, feature_dim),
+                    })
+                else:
+                    # REAL decode path: pure-Python PNG codec (stdlib
+                    # zlib). Non-PNG payloads (JPEG etc.) still raise —
+                    # that part of the seam awaits a real imaging lib.
+                    from dump1090_db_stream_spark.functions.png import (
+                        decode_png,
+                        luma_stats,
+                    )
+
+                    w, h, ch, px = decode_png(data)
+                    luma, feat = luma_stats(w, h, ch, px, feature_dim)
+                    rows.append({
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        "width": w,
+                        "height": h,
+                        "mean_luma": luma,
+                        "feature": [float(x) for x in feat],
+                    })
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
     pruned = df.select(F.col(id_col), F.col(payload_col))

@@ -56,7 +56,8 @@ def test_sample_frames_cardinality(media):
 
 
 def test_decode_stub_seam(media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    # non-PNG payloads still raise at the codec seam on the real path
+    with pytest.raises(Exception, match="not a PNG"):
         extract_image_features(media, decode_stub=False).collect()
 
 
