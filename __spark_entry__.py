@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dump1090_db_stream_spark.operators import packing as _packing
 from dump1090_db_stream_spark.operators import sampling as _sampling
 from dump1090_db_stream_spark.operators.sessions import (
     band_join,
@@ -410,8 +411,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH (operators.similarity.
     lsh_topk): deterministic seeded hyperplanes, bucket-collision
-    candidates only. Rows-only check (the recall set is probabilistic by
-    design; the exact baseline is embedding_topk)."""
+    candidates only. Oracle-checked: the hyperplanes are closed-form
+    doubles, so the DuckDB oracle embeds them as literals and replays
+    signatures -> collisions -> cosine re-rank exactly (the exact-recall
+    baseline remains embedding_topk)."""
     from dump1090_db_stream_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -682,6 +685,119 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"))
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile (operators.cleaning.
+    repetition_stats): per-doc 2-gram totals, distinct count, top-gram
+    share, duplicate mass. Two map-side-combined aggregations, the same
+    O(tokens) shuffle shape as MinHash signatures."""
+    from dump1090_db_stream_spark.operators.cleaning import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"), n=2)
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling (operators.sampling.
+    mixture_sample): four sources at distinct target rates, the rest at
+    a 10% floor. Hash-based keep decision -> exact, rerun-stable,
+    shuffle-free; the oracle reproduces the identical kept set."""
+    from dump1090_db_stream_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, MIXTURE_WEIGHTS, default_weight=0.1, seed=1,
+    ).select("doc_id", "source")
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.cleaning.scrub_pii / count_*): the corpus
+    carries no PII, so each doc gets a deterministic synthetic email+URL
+    appended, then the operator must count and redact exactly. Stateless
+    projection — no shuffle."""
+    from dump1090_db_stream_spark.operators.cleaning import (
+        count_emails,
+        count_urls,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or http://ex.com/p/"), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        count_emails(payload).alias("n_emails"),
+        count_urls(payload).alias("n_urls"),
+        scrub_pii(payload).alias("scrubbed"),
+    )
+
+
+def q_doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (operators.cleaning.normalize_text) over a
+    deliberately messy fixture (upper-cased, padded, tab-ridden copy of
+    each doc) — the canonicalization step before exact dedup."""
+    from dump1090_db_stream_spark.operators.cleaning import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("\t x\t "))
+    return docs.select("doc_id", normalize_text(messy).alias("normalized"))
+
+
+#: Mixture rates for q_mixture_sample_docs — module-level so the oracle
+#: SQL builder and the Spark query share one definition.
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring index (operators.relevance.tfidf_terms), reduced
+    to each doc's top-3 terms by (tfidf, term) for a bounded contract
+    result. Two map-side-combined aggregations; df/N broadcast back."""
+    from dump1090_db_stream_spark.operators.relevance import tfidf_terms
+
+    t = tfidf_terms(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (t.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tf", "df", "idf", "tfidf", "rk"))
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores (operators.relevance.bm25_scores) for a
+    fixed 4-term query over the corpus — inverted-index semi-join, never
+    a corpus cross join."""
+    from dump1090_db_stream_spark.operators.relevance import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"),
+                       query_terms=BM25_QUERY)
+
+
+#: Fixed query bag for q_bm25_scores (shared with the oracle SQL).
+BM25_QUERY = ["spark", "query", "shuffle", "window"]
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators.packing.chunk_documents):
+    32-token windows, 8-token overlap, one row per chunk. Pure Column
+    expressions (sequence -> posexplode -> slice), no Python, no
+    shuffle."""
+    from dump1090_db_stream_spark.operators.packing import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.packing.pack_sequences): documents
+    fill ~2048-char training bins via bucketed greedy running-sum
+    packing (hash-ordered, deterministic under any cluster layout; one
+    window shuffle). Weight column: n_chars."""
+    from dump1090_db_stream_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          token_budget=2048, n_buckets=16,
+                          n_tokens_col="n_chars")
+
+
 def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators.sampling.hash_split):
     per-(split, lang) document counts + char totals. The split is a
@@ -862,6 +978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "multimodal_features": q_multimodal_features,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_normalized": q_doc_normalized,
         "hash_split_stats": q_hash_split_stats,
         "stratified_sample": q_stratified_sample,
         "time_rollup_multires": q_time_rollup_multires,
@@ -914,6 +1038,64 @@ def _sbs1_oracle() -> str:
               AND {dt.format(i=7)} IS NOT NULL
               AND {txt.format(i=8)} IS NOT NULL
         """
+
+
+def _lsh_topk_oracle(dim: int = 64, k: int = 10, n_planes: int = 8,
+                     n_tables: int = 6) -> str:
+    """DuckDB replay of lsh_topk: the hyperplanes are deterministic
+    Python doubles (similarity._hyperplane LCG), embedded here as
+    literals, so signature computation, bucket collision, and the
+    cosine re-rank are all closed-form SQL. Must mirror lsh_topk's
+    seeds (7 + table index) and bit packing exactly."""
+    from dump1090_db_stream_spark.operators.similarity import _hyperplane
+
+    plane_rows = ",\n                    ".join(
+        f"({t}, {1 << p}, {_hyperplane(dim, (7 + t) * 1000 + p)}::DOUBLE[])"
+        for t in range(n_tables) for p in range(n_planes))
+    return f"""
+            WITH planes(tbl, w, pv) AS (
+                VALUES {plane_rows}
+            ), q_ids AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+            ), sig_c AS (
+                SELECT e.vec_id, t.tbl,
+                       CAST(sum(CASE WHEN list_sum(list_transform(
+                                range(1, length(e.embedding) + 1),
+                                i -> e.embedding[i]::DOUBLE * t.pv[i])) >= 0
+                            THEN t.w ELSE 0 END) AS BIGINT) AS sig
+                FROM embeddings e CROSS JOIN planes t
+                GROUP BY e.vec_id, t.tbl
+            ), sig_q AS (
+                SELECT s.vec_id AS query_id, s.tbl, s.sig
+                FROM sig_c s JOIN q_ids q ON s.vec_id = q.vec_id
+            ), cand AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                FROM sig_c c JOIN sig_q q
+                  ON c.tbl = q.tbl AND c.sig = q.sig
+                     AND c.vec_id <> q.query_id
+            ), scored AS (
+                SELECT cd.query_id, cd.neighbor_id,
+                       list_sum(list_transform(
+                           range(1, length(ce.embedding) + 1),
+                           i -> qe.embedding[i]::DOUBLE
+                                * ce.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qe.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(ce.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))) AS cos
+                FROM cand cd
+                JOIN embeddings qe ON qe.vec_id = cd.query_id
+                JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= {k}
+    """
 
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 8,
@@ -1029,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_lsh_dups": _minhash_lsh_oracle(),
         "simhash_dups": _simhash_oracle(),
+        "embedding_lsh_topk": _lsh_topk_oracle(),
         "sbs1_parse": _sbs1_oracle(),
         "top_revenue_orders": """
             SELECT o_orderkey, o_orderdate,
@@ -1521,6 +1704,136 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), terms AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tfreq AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfreq GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT f.doc_id, f.term, f.tf, d.df,
+                       round(ln(n.n / d.df), 6) AS idf,
+                       round(f.tf * ln(n.n / d.df), 6) AS tfidf
+                FROM tfreq f JOIN dfreq d USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rk
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, idf, tfidf, rk
+            FROM ranked WHERE rk <= 3
+        """,
+        "bm25_scores": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), terms AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tfreq AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ), doclen AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tfreq GROUP BY doc_id
+            ), stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen
+            ), q(term) AS (
+                VALUES {", ".join(f"('{t}')" for t in
+                                  sorted(set(BM25_QUERY)))}
+            ), matched AS (
+                SELECT f.* FROM tfreq f JOIN q USING (term)
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM matched GROUP BY term
+            ), contrib AS (
+                SELECT m.doc_id,
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * m.tf * 2.2
+                       / (m.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * l.dl / s.avgdl)) AS c
+                FROM matched m
+                JOIN dfreq d USING (term)
+                JOIN doclen l USING (doc_id)
+                CROSS JOIN stats s
+            )
+            SELECT doc_id, count(*) AS n_matched,
+                   round(sum(c), 6) AS score
+            FROM contrib GROUP BY doc_id
+        """,
+        "doc_chunks": _packing.chunk_documents_sql(
+            chunk_tokens=32, overlap=8),
+        "pack_sequences": _packing.pack_sequences_sql(
+            token_budget=2048, n_buckets=16, n_tokens_expr="n_chars"),
+        "doc_repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT id,
+                    CASE WHEN len(t) - 1 <= 0
+                         THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t)),
+                              i -> array_to_string(
+                                  list_slice(t, i, i + 1), ' '))
+                    END AS shs
+                FROM toks
+            ), g AS (
+                SELECT id, unnest(shs) AS g FROM sh
+            ), per_gram AS (
+                SELECT id, g, count(*) AS c FROM g GROUP BY id, g
+            )
+            SELECT id AS doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   count(*) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
+                   round(1.0 - CAST(count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+            FROM per_gram GROUP BY id
+        """,
+        "mixture_sample_docs": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_sampling.mixture_sample_where_sql(
+                MIXTURE_WEIGHTS, default_weight=0.1, seed=1)}
+        """,
+        "pii_scrub_stats": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com or http://ex.com/p/' || doc_id
+                           AS payload
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(payload,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(payload, 'https?://[^\\s]+'))
+                       AS n_urls,
+                   regexp_replace(
+                       regexp_replace(payload,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g') AS scrubbed
+            FROM p
+        """,
+        "doc_normalized": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       '  ' || upper(text) || chr(9) || ' x' || chr(9) || ' ',
+                       '\\s+', ' ', 'g'))) AS normalized
+            FROM documents
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -1,0 +1,123 @@
+"""Text cleaning / filtering operators for training-data pipelines.
+
+The pre-training corpus hygiene set (the Gopher/C4-style rules), each
+expressed as native Column expressions or narrow aggregations so the
+whole module stays JVM-side at 100 TB:
+
+- normalize_text     canonical form: lowercase, trimmed, whitespace
+                     collapsed — the projection every dedup/fingerprint
+                     stage should run on first.
+- scrub_pii          redact emails/URLs with fixed placeholder tokens;
+                     count_emails/count_urls for audit columns.
+- repetition_stats   per-document n-gram repetition profile (total /
+                     distinct / top-gram share) — the Gopher repetition
+                     filters ("fraction of characters in most common
+                     n-gram") reduce to thresholds over this output.
+- repetition_filter  keep documents under a top-share threshold.
+
+Scale notes: normalize/scrub are stateless projections (pipelined into
+the scan, zero shuffle). repetition_stats explodes n-grams and
+aggregates twice — the same O(tokens) shuffle shape as
+minhash_signatures, with map-side partial aggregation collapsing each
+partition before either shuffle; nothing is ever quadratic in document
+count or length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.text import shingles, with_tokens
+
+#: Redaction patterns — deliberately RE2-compatible so the exact same
+#: pattern strings run in DuckDB/Trino/BigQuery oracles.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+EMAIL_TOKEN = "<EMAIL>"
+URL_TOKEN = "<URL>"
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text form: collapse runs of whitespace to one space,
+    trim, lowercase. Idempotent. (Collapse BEFORE trim: trim() strips
+    only spaces, so a trailing tab must become a space first.)"""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def count_emails(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(EMAIL_RE))
+
+
+def count_urls(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(URL_RE))
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace every email / URL with a placeholder token. Email first:
+    a URL can contain an @ but an <EMAIL> token cannot contain a URL."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, EMAIL_TOKEN), URL_RE, URL_TOKEN)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document word n-gram repetition profile.
+
+    Output: (id, n_grams, n_distinct, top_count, top_frac, dup_frac)
+    where top_frac = share of the single most frequent n-gram and
+    dup_frac = 1 - distinct/total (the mass sitting in repeats).
+
+    Shape: explode n-grams -> count per (doc, gram) [shuffle 1, partial
+    agg map-side] -> per-doc totals [shuffle 2, rows already one per
+    (doc, gram)]. Ties for the top gram don't matter: only the count is
+    used, never the gram itself."""
+    grams = (
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(shingles(F.col("_toks"), n)).alias("g"))
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams", "n_distinct", "top_count",
+            F.round(F.col("top_count") / F.col("n_grams"), 6)
+                .alias("top_frac"),
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
+                .alias("dup_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_top_frac: float = 0.2,
+    max_dup_frac: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Drop documents dominated by repeated n-grams (boilerplate, SEO
+    spam, scraper loops). Keeps df's full schema via a broadcast-able
+    semi-join on the (small) per-doc stats relation."""
+    stats = repetition_stats(df, id_col, text_col, n)
+    keep = stats.filter(
+        (F.col("top_frac") <= max_top_frac)
+        & (F.col("dup_frac") <= max_dup_frac)
+    ).select(F.col(id_col))
+    return df.join(F.broadcast(keep), id_col, "left_semi")

@@ -1,0 +1,182 @@
+"""Sequence packing & context-window chunking for pretraining pipelines.
+
+Two shapes every LLM data pipeline needs between "clean corpus" and
+"training batches":
+
+- chunk_documents  long document -> overlapping fixed-token windows
+                   (the context-window split for embedding/pretraining).
+                   Pure Column expressions: sequence -> slice -> join;
+                   one explode, zero Python, zero shuffle.
+- pack_sequences   short documents -> ~token_budget bins ("sequence
+                   packing" — filling each training sequence instead of
+                   padding). Exact greedy packing is inherently
+                   sequential, so the scalable form used here is
+                   bucketed greedy: documents are hash-assigned to
+                   n_buckets independent streams, each stream packs
+                   sequentially by running token sum (one window
+                   cumsum = one shuffle), and a bin is
+                   (bucket, floor(prev_cumsum / budget)). Bins can
+                   overflow by at most one document — the standard
+                   streaming-packing trade. Deterministic: hash order,
+                   never rand()/scan order, so the same corpus packs
+                   identically on any cluster layout (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.sampling import portable_hash
+from dump1090_db_stream_spark.operators.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between neighbors.
+
+    Output: (id, chunk_index, n_chunk_tokens, chunk_text), one row per
+    chunk; a doc shorter than one window yields exactly one chunk.
+    Chunk starts step by ``chunk_tokens - overlap``; the last window is
+    the (possibly short) remainder, and a start is emitted only if it
+    begins new content (start < n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    # chunk starts: 0, step, 2*step, ... while start < n (>=1 chunk/doc)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((F.col("_n") - 1), F.lit(0)),
+        F.lit(step))
+    out = toked.select(
+        "id", "_toks", "_n",
+        F.posexplode(starts).alias("chunk_index", "_start"),
+    ).select(
+        F.col("id").alias(id_col),
+        "chunk_index",
+        F.least(F.col("_n") - F.col("_start"), F.lit(chunk_tokens))
+            .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("_start") + 1,
+                         F.lit(chunk_tokens))).alias("chunk_text"),
+    )
+    return out
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """ANSI/DuckDB twin of :func:`chunk_documents` (oracle builder)."""
+    step = chunk_tokens - overlap
+    return f"""
+        WITH toked AS (
+            SELECT {id_expr} AS id,
+                   regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+            FROM {table}
+        ), starts AS (
+            SELECT id, t, len(t) AS n,
+                   unnest(range(0, greatest(len(t), 1), {step})) AS start
+            FROM toked
+        )
+        SELECT id AS {id_expr},
+               CAST(start // {step} AS INT) AS chunk_index,
+               CAST(least(n - start, {chunk_tokens}) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, start + 1,
+                                          start + {chunk_tokens}), ' ')
+                   AS chunk_text
+        FROM starts
+    """
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to training-sequence bins of ~``token_budget``
+    tokens (bucketed greedy running-sum packing).
+
+    Output: (id, n_tokens, bucket, bin, offset) where ``offset`` is the
+    document's token start inside its (bucket, bin) sequence stream.
+    A document whose prev-cumsum lands in bin k starts at
+    ``offset = prev_cumsum - k * token_budget`` and may overflow into
+    k+1 (streaming packing's one-doc overflow trade); callers that need
+    hard caps split the overflow doc with :func:`chunk_documents` first.
+
+    One shuffle (the per-bucket window). n_buckets bounds per-task state:
+    each bucket's cumsum is a sequential scan of ~corpus/n_buckets docs;
+    at cluster scale set n_buckets ~ O(cores) so streams stay parallel
+    while bins stay dense.
+    """
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+            portable_hash(id_col).alias("_h"),
+        )
+        .withColumn("bucket",
+                    F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col, "n_tokens", "bucket",
+            F.floor((F.col("_cum") - F.col("n_tokens"))
+                    / F.lit(token_budget)).cast("long").alias("bin"),
+            F.pmod(F.col("_cum") - F.col("n_tokens"),
+                   F.lit(token_budget)).alias("offset"),
+        )
+    )
+    return out
+
+
+def pack_sequences_sql(
+    token_budget: int = 2048,
+    n_buckets: int = 64,
+    id_expr: str = "doc_id",
+    n_tokens_expr: str = "n_tokens",
+    table: str = "documents",
+) -> str:
+    """ANSI/DuckDB twin of :func:`pack_sequences` (oracle builder)."""
+    from dump1090_db_stream_spark.operators.sampling import portable_hash_sql
+
+    h = portable_hash_sql(id_expr)
+    return f"""
+        WITH based AS (
+            SELECT {id_expr} AS id,
+                   CAST({n_tokens_expr} AS BIGINT) AS n_tokens,
+                   ({h}) AS h
+            FROM {table}
+        ), cum AS (
+            SELECT id, n_tokens, CAST(h % {n_buckets} AS INT) AS bucket,
+                   sum(n_tokens) OVER (
+                       PARTITION BY h % {n_buckets}
+                       ORDER BY h, id
+                       ROWS UNBOUNDED PRECEDING) AS c
+            FROM based
+        )
+        SELECT id AS {id_expr}, n_tokens, bucket,
+               CAST(floor((c - n_tokens) / {token_budget}) AS BIGINT)
+                   AS bin,
+               CAST((c - n_tokens) % {token_budget} AS BIGINT) AS offset
+        FROM cum
+    """

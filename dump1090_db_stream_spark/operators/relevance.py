@@ -1,0 +1,115 @@
+"""TF-IDF / BM25 relevance scoring over the document corpus.
+
+The retrieval-side text pipeline (quality-weighted sampling, query-based
+corpus slicing, nearest-text search without embeddings) reduces to
+sparse lexical scoring. Two operators:
+
+- tfidf_terms   corpus -> (doc, term, tf, df, idf, tfidf): the inverted
+                scoring index, computed with two hash aggregations.
+- bm25_scores   score every document against a (small) query term list
+                with BM25 (k1, b) — a semi-join on the query terms,
+                never a corpus-wide cross join.
+
+Scale shape: explode tokens -> groupBy (doc, term) [shuffle 1, map-side
+combined] -> term document frequencies [shuffle 2, carries one row per
+distinct (term) after partial aggregation] -> broadcast the tiny
+df/query relations back. Nothing is quadratic; the only wide relation
+ever shuffled is O(total tokens) with 8-byte-ish rows, the same shape
+as the MinHash signature stage.
+
+IDF variant: the BM25-standard ``ln((N - df + 0.5)/(df + 0.5) + 1)``
+(Robertson/Sparck-Jones, the Lucene form — always positive); TF-IDF
+uses the plain ``ln(N / df)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.text import with_tokens
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — whitespace terms, term frequency per doc."""
+    return (
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.col("_toks")).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf, df, idf = ln(N/df), tfidf = tf * idf.
+
+    N (corpus size) and the per-term document frequencies are tiny
+    aggregates broadcast back onto the (doc, term) relation — the big
+    side is shuffled exactly once, on (id, term).
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))  # 1-row relation
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df",
+            F.round(F.log(F.col("n") / F.col("df")), 6).alias("idf"),
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+                .alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score of every matching document for a bag of query terms.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d / avg_len))
+
+    The query-term list is a literal broadcast; only documents containing
+    at least one query term survive the join (inverted-index semi-join
+    shape). Output: (id, n_matched, score) sorted nowhere — callers rank.
+    """
+    terms = _doc_terms(df, id_col, text_col)
+    doclen = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.select(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    q = df.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], ["term"])
+    matched = terms.join(F.broadcast(q), "term")
+    dfreq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (idf * F.col("tf") * (k1 + 1)
+             / (F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched"),
+             F.round(F.sum("c"), 6).alias("score"))
+        .select(F.col("id").alias(id_col), "n_matched", "score")
+    )

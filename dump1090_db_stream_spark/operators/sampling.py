@@ -56,6 +56,25 @@ def portable_hash_sql(expr: str) -> str:
             )
 
 
+def portable_hash_seeded(col: Column | str, seed: int) -> Column:
+    """Seeded variant of :func:`portable_hash`: the multiplier (not the
+    input) carries the seed, so two seeds differ by ``(id mod M1) * 2k
+    mod P`` — a value that VARIES per row. Adding the seed to the input
+    instead would shift every hash by the constant ``A * delta``, making
+    "independent" draws mere rotations of each other. seed=0 is exactly
+    portable_hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("long")
+    a = _A + 2 * seed  # stays odd -> full-period multiplier
+    return (F.pmod(c, F.lit(_M1)) * F.lit(a) + F.lit(_C + seed)) % F.lit(_P)
+
+
+def portable_hash_seeded_sql(expr: str, seed: int) -> str:
+    """ANSI-SQL twin of :func:`portable_hash_seeded`."""
+    a, c = _A + 2 * seed, _C + seed
+    return f"(((({expr}) % {_M1} + {_M1}) % {_M1}) * {a} + {c}) % {_P}"
+
+
 def hash_bucket(col: Column | str, n_buckets: int) -> Column:
     """Stable bucket id in [0, n_buckets) from a BIGINT id column."""
     return portable_hash(col) % F.lit(n_buckets)
@@ -136,3 +155,52 @@ def stratified_cap(
     out = (df.withColumn(rank_col, F.row_number().over(w))
            .filter(F.col(rank_col) <= n_per_stratum))
     return out if keep_rank else out.drop(rank_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep each row with the
+    probability assigned to its source (the Pile/Dolma recipe step that
+    turns raw domain counts into a target training mixture).
+
+    The keep decision is ``portable_hash(id + seed) bucket < weight``,
+    NOT rand(): assignment is exact under rerun/repartition, the kept
+    set is reproducible (oracle-checkable), and a document keeps or
+    loses its slot independently of scan order. Different ``seed``
+    values draw independent mixtures (e.g. epoch re-rolls) without
+    correlating with hash_split's train/val/test assignment.
+
+    Stateless narrow projection + filter: no shuffle, pipelined into
+    the scan at any scale. Sources absent from ``weights`` fall back to
+    ``default_weight`` (0.0 = drop)."""
+    bucket = portable_hash_seeded(id_col, seed) % F.lit(SPLIT_BUCKETS)
+    expr: Column | None = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == F.lit(src)
+        thr = F.lit(int(round(w * SPLIT_BUCKETS)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_default = F.lit(int(round(default_weight * SPLIT_BUCKETS)))
+    thr_expr = thr_default if expr is None else expr.otherwise(thr_default)
+    return df.filter(bucket < thr_expr)
+
+
+def mixture_sample_where_sql(
+    weights: dict[str, float],
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: int = 0,
+) -> str:
+    """Oracle-side WHERE predicate matching :func:`mixture_sample`."""
+    b = f"({portable_hash_seeded_sql(id_expr, seed)}) % {SPLIT_BUCKETS}"
+    whens = " ".join(
+        f"WHEN ({source_expr}) = '{src}' THEN {int(round(w * SPLIT_BUCKETS))}"
+        for src, w in weights.items())
+    default = int(round(default_weight * SPLIT_BUCKETS))
+    return f"({b}) < (CASE {whens} ELSE {default} END)"

@@ -1,0 +1,115 @@
+"""Cleaning / corpus-hygiene operators (operators.cleaning) and the
+mixture sampler (operators.sampling.mixture_sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.cleaning import (
+    count_emails,
+    count_urls,
+    normalize_text,
+    repetition_filter,
+    repetition_stats,
+    scrub_pii,
+)
+from dump1090_db_stream_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    mixture_sample,
+    portable_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),
+        (3, "one two three one two three one two", "b"),
+        (4, "unique words only here today friends", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWORLD  x \t")], ["id", "t"])
+    got = df.select(normalize_text("t").alias("n")).first()["n"]
+    assert got == "hello world x"
+    # idempotent
+    df2 = spark.createDataFrame([(1, got)], ["id", "t"])
+    assert df2.select(normalize_text("t").alias("n")).first()["n"] == got
+
+
+def test_scrub_and_count_pii(spark):
+    t = "mail a.b+c@site.co.uk or see https://x.io/p?q=1 and bob@ex.org"
+    df = spark.createDataFrame([(1, t)], ["id", "t"])
+    row = df.select(
+        count_emails("t").alias("e"), count_urls("t").alias("u"),
+        scrub_pii("t").alias("s")).first()
+    assert row["e"] == 2 and row["u"] == 1
+    assert row["s"] == "mail <EMAIL> or see <URL> and <EMAIL>"
+
+
+def test_repetition_stats_known_doc(docs):
+    stats = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    # doc 1: five identical 2-grams "spam spam"
+    assert stats[1]["n_grams"] == 5
+    assert stats[1]["n_distinct"] == 1
+    assert stats[1]["top_frac"] == 1.0
+    assert stats[1]["dup_frac"] == pytest.approx(0.8)
+    # doc 2: 8 distinct 2-grams, no repeats
+    assert stats[2]["n_distinct"] == stats[2]["n_grams"] == 8
+    assert stats[2]["dup_frac"] == 0.0
+
+
+def test_repetition_filter_drops_spam(docs):
+    kept = {r["doc_id"] for r in
+            repetition_filter(docs, max_top_frac=0.5).collect()}
+    assert 1 not in kept          # all-one-gram spam gone
+    assert {2, 4} <= kept         # clean docs stay
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"))
+    out = mixture_sample(df, {"a": 0.5}, default_weight=0.0, seed=3)
+    got = [tuple(r) for r in out.collect()]
+    # deterministic under rerun and repartition
+    got2 = [tuple(r) for r in
+            mixture_sample(df.repartition(7), {"a": 0.5},
+                           default_weight=0.0, seed=3).collect()]
+    assert sorted(got) == sorted(got2)
+    # only source a survives; rate within a loose band of 50%
+    assert all(s == "a" for _, s in got)
+    assert 0.4 < len(got) / (n / 2) < 0.6
+    # matches the closed-form predicate row-for-row (seeded multiplier)
+    expected = {
+        i for i in range(0, n, 2)
+        if (i % 1_000_003 * (2_654_435_761 + 2 * 3) + 40_503 + 3)
+        % 1_000_000_007 % SPLIT_BUCKETS < 5_000
+    }
+    assert {d for d, _ in got} == expected
+
+
+def test_mixture_sample_seed_independence(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source"))
+    k1 = {r["doc_id"] for r in
+          mixture_sample(df, {"a": 0.5}, seed=1).collect()}
+    k2 = {r["doc_id"] for r in
+          mixture_sample(df, {"a": 0.5}, seed=2).collect()}
+    assert k1 != k2               # different draws
+    overlap = len(k1 & k2) / max(1, len(k1))
+    assert 0.3 < overlap < 0.7    # ~independent, not disjoint/identical
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source"))
+    plan = (mixture_sample(df, {"a": 0.5})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

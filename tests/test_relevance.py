@@ -1,0 +1,72 @@
+"""TF-IDF / BM25 scoring (operators.relevance) against hand-computed
+values on a three-document corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dump1090_db_stream_spark.operators.relevance import (
+    bm25_scores,
+    tfidf_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry")],
+        ["doc_id", "text"])
+
+
+def test_tfidf_known_values(corpus):
+    rows = {(r["doc_id"], r["term"]): r
+            for r in tfidf_terms(corpus).collect()}
+    assert rows[(1, "apple")]["tf"] == 2
+    assert rows[(1, "apple")]["df"] == 1
+    assert rows[(1, "apple")]["idf"] == pytest.approx(math.log(3), abs=1e-6)
+    assert rows[(1, "apple")]["tfidf"] == pytest.approx(
+        2 * math.log(3), abs=1e-6)
+    # term in 2 of 3 docs
+    assert rows[(2, "banana")]["idf"] == pytest.approx(
+        math.log(1.5), abs=1e-6)
+    # cherry tf=3 in doc 3
+    assert rows[(3, "cherry")]["tfidf"] == pytest.approx(
+        3 * math.log(1.5), abs=1e-6)
+
+
+def test_bm25_known_values(corpus):
+    k1, b = 1.2, 0.75
+    got = {r["doc_id"]: r for r in
+           bm25_scores(corpus, ["apple", "cherry"], k1=k1, b=b).collect()}
+    # doc 2 matches cherry only; doc 1 apple only; doc 3 cherry only
+    assert got[1]["n_matched"] == 1
+    assert got[2]["n_matched"] == 1
+    assert got[3]["n_matched"] == 1
+    n, avgdl = 3, 8 / 3
+    dl = {1: 3, 2: 2, 3: 3}
+
+    def bm25(tf, df, d):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl[d] / avgdl))
+
+    assert got[1]["score"] == pytest.approx(bm25(2, 1, 1), abs=1e-6)
+    assert got[2]["score"] == pytest.approx(bm25(1, 2, 2), abs=1e-6)
+    assert got[3]["score"] == pytest.approx(bm25(3, 2, 3), abs=1e-6)
+
+
+def test_bm25_only_matching_docs_returned(corpus):
+    out = bm25_scores(corpus, ["durian"]).collect()
+    assert out == []
+
+
+def test_tfidf_single_shuffle_on_big_side(corpus):
+    plan = (tfidf_terms(corpus)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the (doc, term) relation shuffles once; df/N come back via
+    # BroadcastExchange, not extra hash exchanges of the big side
+    assert plan.count("BroadcastExchange") >= 2
