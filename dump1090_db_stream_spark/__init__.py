@@ -18,7 +18,12 @@ This package re-expresses that surface Spark-first:
 - ``operators.dedup``   exact / MinHash-LSH / SimHash / n-gram near-dup
 - ``operators.similarity``  cosine top-k ANN (brute force + LSH-bucketed)
 - ``operators.text``    language-ID, quality scoring, tokenization, fingerprints
+- ``operators.cleaning``    normalization, PII scrub, repetition filters
+- ``operators.sampling``    hash split, stratified cap, mixture sampling
+- ``operators.packing``     context-window chunking, sequence packing
+- ``operators.relevance``   TF-IDF / BM25 lexical scoring
 - ``operators.multimodal``  binary-column decode/feature plumbing
+  (real PNG decode via ``functions.png``)
 """
 
 from dump1090_db_stream_spark.cache import release_tracked

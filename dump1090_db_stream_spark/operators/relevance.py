@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dump1090_db_stream_spark.cache import track
 from dump1090_db_stream_spark.operators.text import with_tokens
 
 
@@ -51,8 +52,14 @@ def tfidf_terms(
     N (corpus size) and the per-term document frequencies are tiny
     aggregates broadcast back onto the (doc, term) relation — the big
     side is shuffled exactly once, on (id, term).
+
+    The (doc, term) relation feeds BOTH the tf side and the df side of
+    the join; Spark does not CSE across join branches, so without
+    materialization the tokenize -> explode -> groupBy pipeline (two
+    full corpus scans at 100 TB) would run twice. track() persists it;
+    callers release via cache.release_tracked().
     """
-    terms = _doc_terms(df, id_col, text_col)
+    terms = track(_doc_terms(df, id_col, text_col))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))  # 1-row relation
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -84,7 +91,10 @@ def bm25_scores(
     at least one query term survive the join (inverted-index semi-join
     shape). Output: (id, n_matched, score) sorted nowhere — callers rank.
     """
-    terms = _doc_terms(df, id_col, text_col)
+    # terms feeds doclen, matched, and (via matched) dfreq — persist so
+    # the tokenize pipeline runs once, not three times (no cross-branch
+    # CSE; see tfidf_terms).
+    terms = track(_doc_terms(df, id_col, text_col))
     doclen = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
     stats = doclen.select(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
