@@ -382,11 +382,14 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: F.when(i == 0, (x.cast("double") + 0.05)
                                 .cast("float")).otherwise(x),
         ).alias("embedding"))
-    # 6 planes x 8 tables: collision prob for a cosine-0.9987 pair is
-    # 1-(1-p^6)^8 with p = 1-acos(c)/pi ~ 0.984 -> miss prob ~5e-9; the
-    # default 10x6 deterministically missed 1 of the 500 fixture pairs.
+    # 10 planes x 8 tables: for a cosine-0.9987 pair p = 1-acos(c)/pi
+    # ~ 0.984, miss prob = (1-p^10)^8 ~ 2.6e-7 per pair (verified: all
+    # 500 fixture pairs found). 10 planes = 1024 buckets/table keeps
+    # candidate volume near the true-pair count as the corpus grows;
+    # the 10x6 default missed 1 fixture pair, 6x8 found all but
+    # collided 16x more candidates at sf0.1.
     return embedding_neardup_pairs(emb.union(pert), dim=64, threshold=0.99,
-                                   n_planes=6, n_tables=8)
+                                   n_planes=10, n_tables=8)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,23 @@ HEADLINE = [
 ]
 
 
+# Round-2 additions, timed separately so `value` (headline total) stays
+# comparable to the r01 baseline: new entries extend coverage, they do
+# not redefine the metric.
+EXTENDED = [
+    "embedding_neardup_pairs",
+    "doc_repetition_stats",
+    "mixture_sample_docs",
+    "pii_scrub_stats",
+    "doc_normalized",
+    "doc_chunks",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "multimodal_features",
+]
+
+
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -171,6 +188,17 @@ def main() -> None:
         # intermediates so query N+1 is not timed against N's storage
         release_tracked()
 
+    ext_names = [n for n in EXTENDED if n in qs]
+    for n in ext_names:  # same warmup discipline as the headline set
+        run_one(qs[n](spark, warm)) if os.path.isdir(warm) else None
+    release_tracked()
+    extended: dict[str, float] = {}
+    for n in ext_names:
+        t0 = time.perf_counter()
+        run_one(qs[n](spark, sf_dir))
+        extended[n] = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
     ingest = bench_ingest(spark)
     skew = bench_skew(spark)
 
@@ -179,6 +207,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
         "ingest": ingest,
         "skew": skew,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

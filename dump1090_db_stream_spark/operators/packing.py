@@ -43,9 +43,11 @@ def chunk_documents(
 
     Output: (id, chunk_index, n_chunk_tokens, chunk_text), one row per
     chunk; a doc shorter than one window yields exactly one chunk.
-    Chunk starts step by ``chunk_tokens - overlap``; the last window is
-    the (possibly short) remainder, and a start is emitted only if it
-    begins new content (start < n_tokens).
+    Chunk starts step by ``chunk_tokens - overlap``; a start is emitted
+    only while the PREVIOUS window did not already reach the document's
+    end (start + overlap < n_tokens), so no chunk consists purely of
+    tokens its predecessor covered; every chunk except the last is
+    exactly ``chunk_tokens`` long (property-tested).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -54,10 +56,11 @@ def chunk_documents(
         F.col(id_col).alias("id"),
         tokens(text_col).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
-    # chunk starts: 0, step, 2*step, ... while start < n (>=1 chunk/doc)
+    # starts 0, step, 2*step, ... while start + overlap < n
+    # (>=1 chunk per doc; no all-overlap trailing chunk)
     starts = F.sequence(
         F.lit(0),
-        F.greatest((F.col("_n") - 1), F.lit(0)),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
         F.lit(step))
     out = toked.select(
         "id", "_toks", "_n",
@@ -90,7 +93,8 @@ def chunk_documents_sql(
             FROM {table}
         ), starts AS (
             SELECT id, t, len(t) AS n,
-                   unnest(range(0, greatest(len(t), 1), {step})) AS start
+                   unnest(range(0, greatest(len(t) - {overlap}, 1),
+                                {step})) AS start
             FROM toked
         )
         SELECT id AS {id_expr},

@@ -346,24 +346,43 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (cosine >= threshold) via the
     same hyperplane bucketing: high-cosine pairs agree on most sign bits,
     so multi-table exact-signature collision catches them with high
-    probability while keeping the self-join keyed (never a cross join)."""
+    probability while keeping the self-join keyed (never a cross join).
+
+    Shuffle discipline: the candidate self-join and its pair-dedup carry
+    ONLY (id_a, id_b) — 16 bytes/pair. Vectors are equi-joined back
+    AFTER the distinct (an earlier draft deduped (ids, vec_a, vec_b)
+    rows and was ~20x slower at sf0.1: a multi-GB wide-row shuffle for
+    the same answer). Bucket width is 2^n_planes per table — raise
+    n_planes as the corpus grows so candidate volume stays near the
+    true-pair count, and raise n_tables to restore recall."""
     sigs = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      rh_signature(F.col(vec_col), dim, n_planes, seed=101 + t).alias("sig"))
             for t in range(n_tables)
         ])).alias("s"),
-    ).select("id", "vec", "s.tbl", "s.sig")
+    ).select("id", "s.tbl", "s.sig")
+    # sigs feeds BOTH sides of the self-join; without materialization the
+    # n_tables x n_planes dot-product pipeline runs twice (no CSE across
+    # self-join branches — same discipline as dedup.minhash_lsh_pairs).
+    from dump1090_db_stream_spark.cache import track
+
+    sigs = track(sigs)
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.sig") == F.col("b.sig"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

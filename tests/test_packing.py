@@ -17,11 +17,12 @@ def test_chunk_documents_known_layout(spark):
     rows = sorted(
         chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
         key=lambda r: r["chunk_index"])
-    # starts 0,3,6,9 -> 4 chunks; last is the 1-token remainder
-    assert [r["chunk_index"] for r in rows] == [0, 1, 2, 3]
+    # starts 0,3,6 -> 3 chunks; start 9 is suppressed (its only token,
+    # t9, is already covered by the window starting at 6)
+    assert [r["chunk_index"] for r in rows] == [0, 1, 2]
     assert [r["chunk_text"] for r in rows] == [
-        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
-    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4]
 
 
 def test_chunk_documents_short_doc_single_chunk(spark):

@@ -127,3 +127,83 @@ def test_radius_join_cell_cover_is_lossless(spark, coords, radius):
         .filter(F.col("d") <= radius)).collect()}
     assert fast == brute
     assert len(fast) >= len(coords)  # self-pairs always inside
+
+
+# --- PNG codec: decode(encode(x)) == x for arbitrary pixel buffers ---
+
+@st.composite
+def image(draw):
+    w = draw(st.integers(min_value=1, max_value=24))
+    h = draw(st.integers(min_value=1, max_value=24))
+    ch = draw(st.sampled_from([1, 3, 4]))
+    px = draw(st.binary(min_size=w * h * ch, max_size=w * h * ch))
+    return w, h, ch, px
+
+
+@settings(max_examples=50, deadline=None)
+@given(image())
+def test_png_roundtrip_property(img):
+    from dump1090_db_stream_spark.functions.png import decode_png, encode_png
+
+    w, h, ch, px = img
+    assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, bytearray(px))
+
+
+# --- seeded portable hash: Spark expression == SQL twin (DuckDB) ---
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                min_size=1, max_size=50, unique=True),
+       st.integers(min_value=0, max_value=10_000))
+def test_portable_hash_seeded_matches_duckdb(spark, ids, seed):
+    import duckdb
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        portable_hash_seeded,
+        portable_hash_seeded_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {r["id"]: r["h"] for r in df.select(
+        "id", portable_hash_seeded("id", seed).alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    sql = f"SELECT id, {portable_hash_seeded_sql('id', seed)} AS h FROM t"
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+# --- chunking: stitching chunks reproduces the token stream ---
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=120),
+                min_size=1, max_size=40),
+       st.integers(min_value=2, max_value=16),
+       st.integers(min_value=0, max_value=8))
+def test_chunking_covers_every_token(spark, doc_lens, chunk, overlap):
+    from hypothesis import assume
+
+    from dump1090_db_stream_spark.operators.packing import chunk_documents
+
+    assume(overlap < chunk)
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(n)))
+            for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    step = chunk - overlap
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_index"]] = (
+            r["chunk_text"].split(" "))
+    for (i, text) in docs:
+        toks = text.split(" ")
+        chunks = by_doc[i]
+        # stitch: chunk 0 whole, then drop each chunk's first `overlap`
+        stitched = list(chunks[0])
+        for ci in range(1, len(chunks)):
+            stitched.extend(chunks[ci][overlap:])
+        assert stitched == toks
+        # every chunk except the last is exactly `chunk` tokens
+        for ci in range(len(chunks) - 1):
+            assert len(chunks[ci]) == chunk
