@@ -123,3 +123,46 @@ def test_ivf_topk_full_probe_equals_brute_force(spark, corpus):
             for r in ivf_topk(corpus, queries, dim=DIM, k=5, n_centroids=4,
                               n_probes=4, n_iters=1).collect()]
     assert exact == full  # probing every cluster == exact search
+
+
+def test_brute_force_topk_arrow_equals_jvm(corpus):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = corpus
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    jvm = sorted(map(tuple, brute_force_topk(emb, queries, k=5).collect()))
+    arrow = sorted(map(tuple,
+                       brute_force_topk_arrow(emb, queries, k=5).collect()))
+    assert jvm == arrow
+
+
+def test_embedding_neardup_arrow_score_same_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, (x.cast("double") + 0.05)
+                                        .cast("float")).otherwise(x))
+        .alias("embedding"))
+    corpus = emb.union(pert)
+    jvm = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        corpus, dim=64, threshold=0.99, n_planes=10, n_tables=8).collect()}
+    fast = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        corpus, dim=64, threshold=0.99, n_planes=10, n_tables=8,
+        arrow_score=True).collect()}
+    assert jvm == fast and len(jvm) > 0
