@@ -778,6 +778,22 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERY = ["spark", "query", "shuffle", "window"]
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering (operators.graph): n-gram-Jaccard near-dup
+    PAIRS -> connected components (min-label propagation, the
+    MapReduce-style iterative DataFrame algorithm) -> per-doc canonical
+    id over the whole corpus. Oracle: DuckDB recursive CTE computing
+    min reachable id over the identical pair graph — so the iterative
+    Spark algorithm is value-checked against a closed-form transitive
+    closure."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    return canonical_map(docs, pairs)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators.packing.chunk_documents):
     32-token windows, 8-token overlap, one row per chunk. Pure Column
@@ -981,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "multimodal_features": q_multimodal_features,
+        "neardup_clusters": q_neardup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_scores": q_bm25_scores,
         "doc_chunks": q_doc_chunks,
@@ -1707,6 +1724,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "neardup_clusters": """
+            WITH shs AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               (regexp_split_to_array(trim(text), '\\s+'))[i:i+2], ' ')))) AS s
+                FROM documents
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM shs GROUP BY id
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shs a JOIN shs b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                      >= 0.03
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+                -- transitive closure by recursive CTE: every node
+                -- reaches itself and every neighbor of a reached node
+                WITH RECURSIVE r(id, v) AS (
+                    SELECT a AS id, a AS v FROM edges
+                    UNION
+                    SELECT r.id, e.b AS v
+                    FROM r JOIN edges e ON r.v = e.a
+                )
+                SELECT id, min(v) AS comp FROM r GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(reach.comp, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -1,0 +1,45 @@
+"""Connected components / dedup clustering (operators.graph)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.graph import (
+    canonical_map,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+
+def test_components_basic(spark):
+    comp = {r["id"]: r["comp"] for r in connected_components(
+        _edges(spark, [(1, 2), (2, 3), (5, 6)])).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_components_long_chain_converges(spark):
+    # a 40-node path: worst case for min-propagation (diameter rounds)
+    comp = {r["id"]: r["comp"] for r in connected_components(
+        _edges(spark, [(i, i + 1) for i in range(40)]),
+        max_iterations=50).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
+
+
+def test_components_direction_independent(spark):
+    a = connected_components(_edges(spark, [(9, 1), (1, 4)])).collect()
+    b = connected_components(_edges(spark, [(1, 9), (4, 1)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_canonical_map_covers_singletons(spark):
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = _edges(spark, [(0, 3), (3, 7)])
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in canonical_map(docs, pairs).collect()}
+    assert got == {0: 0, 3: 0, 7: 0, 1: 1, 2: 2, 4: 4, 5: 5, 6: 6}
+    # dedup rule: keep iff id == canonical -> exactly 6 survivors
+    assert sum(1 for k, v in got.items() if k == v) == 6
