@@ -778,6 +778,23 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERY = ["spark", "query", "shuffle", "window"]
 
 
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.cross_ngram_overlap):
+    the "benchmark set" is the first 12 tokens of three fixed documents,
+    so contamination is planted and the operator must flag exactly the
+    (train doc, benchmark) pairs sharing >= 2 trigrams. The ref side is
+    broadcast; the corpus is never shuffled."""
+    from dump1090_db_stream_spark.operators.dedup import cross_ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    refs = (docs.filter(F.col("doc_id").isin(3, 47, 90))
+            .select(F.col("doc_id").alias("ref_id"),
+                    F.concat_ws(" ", F.slice(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        1, 12)).alias("text")))
+    return cross_ngram_overlap(docs, refs, n=2, min_common=3)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (operators.graph): n-gram-Jaccard near-dup
     PAIRS -> connected components (min-label propagation, the
@@ -997,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "multimodal_features": q_multimodal_features,
+        "benchmark_decontamination": q_benchmark_decontamination,
         "neardup_clusters": q_neardup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_scores": q_bm25_scores,
@@ -1724,6 +1742,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "benchmark_decontamination": """
+            WITH refs AS (
+                SELECT doc_id AS rid,
+                       array_to_string(list_slice(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           1, 12), ' ') AS rtext
+                FROM documents WHERE doc_id IN (3, 47, 90)
+            ), dsh AS (
+                SELECT doc_id AS did,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 1, 1) + 1),
+                           i -> array_to_string(
+                               (regexp_split_to_array(trim(text), '\\s+'))[i:i+1], ' ')))) AS s
+                FROM documents
+            ), rsh AS (
+                SELECT rid,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(regexp_split_to_array(rtext, '\\s+')) - 1, 1) + 1),
+                           i -> array_to_string(
+                               (regexp_split_to_array(rtext, '\\s+'))[i:i+1], ' ')))) AS s
+                FROM refs
+            ), sizes AS (
+                SELECT rid, count(*) AS n_ref FROM rsh GROUP BY rid
+            ), common AS (
+                SELECT d.did, r.rid, count(*) AS n_common
+                FROM dsh d JOIN rsh r ON d.s = r.s
+                GROUP BY d.did, r.rid
+                HAVING count(*) >= 3
+            )
+            SELECT did AS doc_id, rid AS ref_id, n_common, s.n_ref,
+                   round(n_common / s.n_ref, 6) AS overlap_frac
+            FROM common JOIN sizes s USING (rid)
         """,
         "neardup_clusters": """
             WITH shs AS (

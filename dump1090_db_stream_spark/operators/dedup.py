@@ -358,3 +358,65 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_ngram_overlap(
+    docs: DataFrame,
+    refs: DataFrame,
+    n: int = 3,
+    min_common: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "ref_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (doc, ref) pairs sharing >= min_common
+    distinct word n-grams — the standard pretraining hygiene step that
+    drops training documents overlapping an eval/benchmark set.
+
+    Output: (doc_id, ref_id, n_common, n_ref, overlap_frac) where
+    overlap_frac = n_common / n_ref (share of the BENCHMARK's n-grams
+    found in the doc — refs are short, docs are long, so normalizing by
+    the ref side is the decision-relevant ratio).
+
+    Scale shape: identical to ngram_jaccard_pairs but CROSS-relation:
+    both sides explode to (id, shingle-hash) rows and meet in an
+    equi-join on the 8-byte hash — only (doc, ref) pairs sharing at
+    least one shingle are ever materialized, never |docs| x |refs|.
+    The ref side is the small one by contract; its exploded relation is
+    broadcast, so the corpus scan itself is shuffle-free — only the
+    MATCHED (doc, ref) rows (a sliver of the corpus when benchmarks are
+    small) enter the counting aggregation's shuffle, map-side combined.
+    """
+    d = (
+        with_tokens(docs, text_col)
+        .select(F.col(id_col).alias("did"),
+                F.explode(F.array_distinct(
+                    shingles(F.col("_toks"), n))).alias("s"))
+        .select("did", _hash64(F.col("s"), 0).alias("sh"))
+    )
+    r = (
+        with_tokens(refs, ref_text_col)
+        .select(F.col(ref_id_col).alias("rid"),
+                F.explode(F.array_distinct(
+                    shingles(F.col("_toks"), n))).alias("s"))
+        .select("rid", _hash64(F.col("s"), 0).alias("sh"))
+    )
+    r = track(r)  # two consumers: sizes + the join
+    ref_sizes = r.groupBy("rid").agg(F.count(F.lit(1)).alias("n_ref"))
+    common = (
+        d.join(F.broadcast(r), "sh")
+        .groupBy("did", "rid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(F.broadcast(ref_sizes), "rid")
+        .select(
+            F.col("did").alias(id_col),
+            F.col("rid").alias(ref_id_col),
+            "n_common", "n_ref",
+            F.round(F.col("n_common") / F.col("n_ref"), 6)
+                .alias("overlap_frac"),
+        )
+    )

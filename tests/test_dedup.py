@@ -67,3 +67,34 @@ def test_simhash_neardups(docs):
     if (1, 3) in pairs:  # near-dup should be close in hamming space
         assert pairs[(1, 3)] <= 10
     assert (1, 4) not in pairs or pairs[(1, 4)] > 10
+
+
+def test_cross_ngram_overlap_decontamination(spark):
+    from dump1090_db_stream_spark.operators.dedup import cross_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated content about engines and physics"),
+         (3, "quick brown fox jumps over everything else entirely")],
+        ["doc_id", "text"])
+    refs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["ref_id", "text"])
+    out = {(r["doc_id"], r["ref_id"]): r for r in cross_ngram_overlap(
+        docs, refs, n=2, min_common=2).collect()}
+    # ref has 4 bigrams; doc 1 contains all 4, doc 3 contains 3
+    assert out[(1, 100)]["n_common"] == 4
+    assert out[(1, 100)]["overlap_frac"] == 1.0
+    assert out[(3, 100)]["n_common"] == 3
+    assert (2, 100) not in out
+
+
+def test_cross_ngram_overlap_broadcasts_refs(spark):
+    from dump1090_db_stream_spark.operators.dedup import cross_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(50)],
+        ["doc_id", "text"])
+    refs = spark.createDataFrame([(1, "alpha beta")], ["ref_id", "text"])
+    plan = (cross_ngram_overlap(docs, refs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
