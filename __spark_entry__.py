@@ -851,6 +851,17 @@ def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global N-sample (operators.sampling.uniform_sample):
+    rank by (seeded hash, id), keep 100. Plans as TakeOrderedAndProject
+    (per-partition top-N merge), never a global sort."""
+    from dump1090_db_stream_spark.operators.sampling import uniform_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return uniform_sample(docs, 100, "doc_id", seed=5).select(
+        "doc_id", "lang", "source")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators.sampling
     .stratified_cap): at most 3 docs per (lang, source) stratum, selected
@@ -1020,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
         "mixture_sample_docs": q_mixture_sample_docs,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -1883,6 +1895,12 @@ def oracle_sql() -> dict[str, str]:
             chunk_tokens=32, overlap=8),
         "pack_sequences": _packing.pack_sequences_sql(
             token_budget=2048, n_buckets=16, n_tokens_expr="n_chars"),
+        "uniform_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            ORDER BY {_sampling.portable_hash_seeded_sql("doc_id", 5)},
+                     doc_id
+            LIMIT 100
+        """,
         "doc_repetition_stats": """
             WITH toks AS (
                 SELECT doc_id AS id,

@@ -57,22 +57,33 @@ def portable_hash_sql(expr: str) -> str:
 
 
 def portable_hash_seeded(col: Column | str, seed: int) -> Column:
-    """Seeded variant of :func:`portable_hash`: the multiplier (not the
-    input) carries the seed, so two seeds differ by ``(id mod M1) * 2k
-    mod P`` — a value that VARIES per row. Adding the seed to the input
-    instead would shift every hash by the constant ``A * delta``, making
-    "independent" draws mere rotations of each other. seed=0 is exactly
-    portable_hash."""
+    """Seeded variant of :func:`portable_hash`, built as TWO
+    multiplicative rounds:
+
+        h1 = (id mod M1) * (A + 2*seed) + C + seed   (mod P)
+        h2 = (h1 mod M1) * A + C                     (mod P)
+
+    Round 1 puts the seed in the MULTIPLIER so two seeds differ by a
+    per-row-varying amount (an additive seed would shift every hash by
+    the same constant — "independent" draws as mere rotations). Round 2
+    re-multiplies, turning round 1's small per-row deltas (2*ds*id,
+    tiny for small ids) into order-of-P jumps — without it, two nearby
+    seeds produce almost the same hash ORDERING over small id ranges,
+    so rank-based samples (uniform_sample) barely change between
+    "independent" draws. Both rounds stay within BIGINT in any engine.
+    """
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("long")
     a = _A + 2 * seed  # stays odd -> full-period multiplier
-    return (F.pmod(c, F.lit(_M1)) * F.lit(a) + F.lit(_C + seed)) % F.lit(_P)
+    h1 = (F.pmod(c, F.lit(_M1)) * F.lit(a) + F.lit(_C + seed)) % F.lit(_P)
+    return (F.pmod(h1, F.lit(_M1)) * F.lit(_A) + F.lit(_C)) % F.lit(_P)
 
 
 def portable_hash_seeded_sql(expr: str, seed: int) -> str:
     """ANSI-SQL twin of :func:`portable_hash_seeded`."""
     a, c = _A + 2 * seed, _C + seed
-    return f"(((({expr}) % {_M1} + {_M1}) % {_M1}) * {a} + {c}) % {_P}"
+    h1 = f"(((({expr}) % {_M1} + {_M1}) % {_M1}) * {a} + {c}) % {_P}"
+    return f"((({h1}) % {_M1}) * {_A} + {_C}) % {_P}"
 
 
 def hash_bucket(col: Column | str, n_buckets: int) -> Column:
@@ -204,3 +215,25 @@ def mixture_sample_where_sql(
         for src, w in weights.items())
     default = int(round(default_weight * SPLIT_BUCKETS))
     return f"({b}) < (CASE {whens} ELSE {default} END)"
+
+
+def uniform_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global sample of exactly ``n`` rows (or all rows if
+    the input is smaller): rows ranked by (seeded portable hash, id) and
+    the first n kept.
+
+    The hash order makes the sample pseudo-random w.r.t. any natural
+    ordering yet layout/rerun-stable; the id tiebreak makes the kept
+    set unique, so it is oracle-checkable. Plans as
+    TakeOrderedAndProject: per-partition top-n then a single merge of
+    n-row heaps on the driver side of the exchange — never a global
+    sort of the corpus.
+    """
+    return (df.orderBy(portable_hash_seeded(id_col, seed).asc(),
+                       F.col(id_col).asc())
+            .limit(n))

@@ -86,12 +86,15 @@ def test_mixture_sample_rates_and_determinism(spark):
     # only source a survives; rate within a loose band of 50%
     assert all(s == "a" for _, s in got)
     assert 0.4 < len(got) / (n / 2) < 0.6
-    # matches the closed-form predicate row-for-row (seeded multiplier)
-    expected = {
-        i for i in range(0, n, 2)
-        if (i % 1_000_003 * (2_654_435_761 + 2 * 3) + 40_503 + 3)
-        % 1_000_000_007 % SPLIT_BUCKETS < 5_000
-    }
+    # matches the closed-form predicate row-for-row (two-round seeded
+    # multiplicative hash)
+    def h(i, s):
+        h1 = (i % 1_000_003 * (2_654_435_761 + 2 * s)
+              + 40_503 + s) % 1_000_000_007
+        return (h1 % 1_000_003 * 2_654_435_761 + 40_503) % 1_000_000_007
+
+    expected = {i for i in range(0, n, 2)
+                if h(i, 3) % SPLIT_BUCKETS < 5_000}
     assert {d for d, _ in got} == expected
 
 

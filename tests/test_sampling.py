@@ -134,3 +134,35 @@ def test_time_rollup_scans_raw_once(spark):
     branches = plan.split("+- Union")[1].split(":- ")
     cached = sum("InMemoryTableScan" in b for b in branches)
     assert cached >= 2  # hour + day read caches; only minute hits parquet
+
+
+def test_uniform_sample_exact_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import uniform_sample
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = sorted(r["doc_id"] for r in
+               uniform_sample(df, 50, "doc_id", seed=2).collect())
+    b = sorted(r["doc_id"] for r in uniform_sample(
+        df.repartition(9), 50, "doc_id", seed=2).collect())
+    assert a == b and len(a) == 50
+    # different seed -> different sample
+    c = sorted(r["doc_id"] for r in
+               uniform_sample(df, 50, "doc_id", seed=3).collect())
+    assert a != c
+    # smaller input -> whole input
+    small = spark.range(7).select(F.col("id").alias("doc_id"))
+    assert uniform_sample(small, 50, "doc_id").count() == 7
+
+
+def test_uniform_sample_plans_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import uniform_sample
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = (uniform_sample(df, 10, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort
