@@ -851,6 +851,19 @@ def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted keep (operators.sampling.weighted_sample): keep
+    probability derived per-document (here (n_chars mod 100)/100 as a
+    stand-in quality score). Deterministic hash decision, shuffle-free;
+    the oracle applies the identical predicate."""
+    from dump1090_db_stream_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "keep_p", (F.col("n_chars") % 100) / F.lit(100.0))
+    return weighted_sample(docs, "keep_p", "doc_id", seed=9).select(
+        "doc_id", "source", "keep_p")
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global N-sample (operators.sampling.uniform_sample):
     rank by (seeded hash, id), keep 100. Plans as TakeOrderedAndProject
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "weighted_sample": q_weighted_sample,
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
         "mixture_sample_docs": q_mixture_sample_docs,
@@ -1895,6 +1909,13 @@ def oracle_sql() -> dict[str, str]:
             chunk_tokens=32, overlap=8),
         "pack_sequences": _packing.pack_sequences_sql(
             token_budget=2048, n_buckets=16, n_tokens_expr="n_chars"),
+        "weighted_sample": f"""
+            SELECT doc_id, source,
+                   (n_chars % 100) / 100.0 AS keep_p
+            FROM documents
+            WHERE {_sampling.weighted_sample_where_sql(
+                "(n_chars % 100) / 100.0", "doc_id", seed=9)}
+        """,
         "uniform_sample": f"""
             SELECT doc_id, lang, source FROM documents
             ORDER BY {_sampling.portable_hash_seeded_sql("doc_id", 5)},

@@ -237,3 +237,38 @@ def uniform_sample(
     return (df.orderBy(portable_hash_seeded(id_col, seed).asc(),
                        F.col(id_col).asc())
             .limit(n))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row weighted downsampling: keep each row with probability
+    equal to its ``weight_col`` value in [0, 1] — the quality-weighted
+    keep step (e.g. keep probability from a quality score) that
+    generalizes :func:`mixture_sample` from per-source rates to per-row
+    rates.
+
+    Same hash discipline: the keep decision compares the row's seeded
+    hash bucket against ``weight * SPLIT_BUCKETS``, so the kept set is
+    deterministic, layout-invariant, and oracle-checkable; weights
+    outside [0, 1] clamp. Stateless narrow filter — no shuffle."""
+    bucket = portable_hash_seeded(id_col, seed) % F.lit(SPLIT_BUCKETS)
+    thr = F.round(
+        F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0)) * SPLIT_BUCKETS, 0)
+    return df.filter(bucket < thr)
+
+
+def weighted_sample_where_sql(
+    weight_expr: str,
+    id_expr: str,
+    seed: int = 0,
+) -> str:
+    """Oracle-side WHERE predicate matching :func:`weighted_sample`."""
+    b = f"({portable_hash_seeded_sql(id_expr, seed)}) % {SPLIT_BUCKETS}"
+    thr = (f"round(least(greatest(CAST({weight_expr} AS DOUBLE), 0.0),"
+           f" 1.0) * {SPLIT_BUCKETS}, 0)")
+    return f"({b}) < ({thr})"

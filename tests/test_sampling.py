@@ -166,3 +166,29 @@ def test_uniform_sample_plans_take_ordered(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort
+
+
+def test_weighted_sample_rates_and_clamping(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import weighted_sample
+
+    n = 6000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, 0.0)      # never kept
+         .when(F.col("id") % 3 == 1, 1.0)      # always kept
+         .otherwise(0.25).alias("w"))
+    out = weighted_sample(df, "w", "doc_id", seed=7).collect()
+    kept = {r["doc_id"] for r in out}
+    assert not any(i in kept for i in range(0, n, 3))      # w=0 -> none
+    assert all(i in kept for i in range(1, n, 3))          # w=1 -> all
+    frac = sum(1 for i in range(2, n, 3) if i in kept) / (n / 3)
+    assert 0.18 < frac < 0.32                              # ~25%
+    # clamping: weights outside [0,1] behave as 0/1
+    df2 = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, -0.5).otherwise(2.0).alias("w"))
+    got = {r["doc_id"] for r in
+           weighted_sample(df2, "w", "doc_id").collect()}
+    assert got == set(range(50, 100))

@@ -217,3 +217,59 @@ def test_streaming_minute_store_rolls_up_exactly(spark, tmp_path):
     want = {(r["h"], r["event_type"]): (r["n"], float(r["s"]))
             for r in direct.collect()}
     assert got == want and len(got) >= 4
+
+
+def test_hygiene_ops_run_in_structured_streaming(spark, tmp_path):
+    """The corpus-hygiene projections (normalize, scrub, counts,
+    weighted keep) are stateless Column expressions, so the SAME
+    operator functions must run unmodified inside a streaming query —
+    batch/stream parity with zero per-mode code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.cleaning import (
+        count_emails,
+        normalize_text,
+        scrub_pii,
+    )
+    from dump1090_db_stream_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"  DOC {i}\twith mail u{i}@x.io here", 0.5)
+            for i in range(40)]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    sch = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                     ("keep_p", pa.float64())])
+    pq.write_table(pa.table(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "keep_p": [r[2] for r in rows]}, schema=sch),
+        str(d / "b0.parquet"))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("keep_p", T.DoubleType())])
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    cleaned = weighted_sample(
+        stream.select(
+            "doc_id", "keep_p",
+            scrub_pii(normalize_text(F.col("text"))).alias("text"),
+            count_emails(F.col("text")).alias("n_emails")),
+        "keep_p", "doc_id", seed=4)
+    q = (cleaned.writeStream.format("memory").queryName("hygiene_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("hygiene_sink").collect()
+    assert 0 < len(got) < 40                      # weighted keep applied
+    for r in got:
+        assert r["n_emails"] == 1                 # counted pre-scrub
+        assert "@" not in r["text"]               # scrubbed
+        assert r["text"].startswith("doc ")       # normalized
+    # batch/stream parity: identical rows from the same input as a batch
+    batch = weighted_sample(
+        spark.read.schema(schema).parquet(str(d)).select(
+            "doc_id", "keep_p",
+            scrub_pii(normalize_text(F.col("text"))).alias("text"),
+            count_emails(F.col("text")).alias("n_emails")),
+        "keep_p", "doc_id", seed=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
