@@ -338,6 +338,27 @@ def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the §2.3 join-type family): negative-
+    balance customers vs their open ('O') orders — each side has rows
+    the other lacks, so both null-extension directions are exercised.
+    COALESCE picks the surviving key; counts use ANSI null-skipping."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") < 0)
+         .select("c_custkey", "c_acctbal"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "O")
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return (
+        j.groupBy(F.coalesce(F.col("c_custkey"), F.col("o_custkey"))
+                  .alias("custkey"))
+        .agg(F.max("c_acctbal").alias("acctbal"),
+             F.count("o_orderkey").alias("n_open_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("open_total"))
+    )
+
+
 def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7 — absent in the reference, native in Spark):
     user segments via EXCEPT / INTERSECT over distinct user sets."""
@@ -1023,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "segment_order_activity": q_segment_order_activity,
         "customer_order_counts": q_customer_order_counts,
+        "full_outer_balance": q_full_outer_balance,
         "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
@@ -1909,6 +1931,21 @@ def oracle_sql() -> dict[str, str]:
             chunk_tokens=32, overlap=8),
         "pack_sequences": _packing.pack_sequences_sql(
             token_budget=2048, n_buckets=16, n_tokens_expr="n_chars"),
+        "full_outer_balance": """
+            WITH c AS (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_acctbal < 0
+            ), o AS (
+                SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                WHERE o_orderstatus = 'O'
+            )
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   max(c.c_acctbal) AS acctbal,
+                   count(o.o_orderkey) AS n_open_orders,
+                   round(sum(o.o_totalprice), 2) AS open_total
+            FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+            GROUP BY coalesce(c.c_custkey, o.o_custkey)
+        """,
         "weighted_sample": f"""
             SELECT doc_id, source,
                    (n_chars % 100) / 100.0 AS keep_p
