@@ -274,6 +274,22 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (completing the rollup/cube family): revenue by
+    (linestatus), by (returnflag), and grand total — arbitrary set lists
+    that neither ROLLUP nor CUBE express, in ONE Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_linestatus, l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_stat,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_ret
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_linestatus), (l_returnflag), ())
+    """)
+
+
 def q_window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic-window family beyond the reference's
     row_number/lead (SURVEY.md §2.5 'absent' list): lag, rank, dense_rank,
@@ -1045,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_activity": q_segment_order_activity,
         "customer_order_counts": q_customer_order_counts,
         "full_outer_balance": q_full_outer_balance,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
@@ -1931,6 +1948,15 @@ def oracle_sql() -> dict[str, str]:
             chunk_tokens=32, overlap=8),
         "pack_sequences": _packing.pack_sequences_sql(
             token_budget=2048, n_buckets=16, n_tokens_expr="n_chars"),
+        "grouping_sets_revenue": """
+            SELECT l_linestatus, l_returnflag, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_stat,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_ret
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_linestatus), (l_returnflag), ())
+        """,
         "full_outer_balance": """
             WITH c AS (
                 SELECT c_custkey, c_acctbal FROM customer
