@@ -815,6 +815,26 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERY = ["spark", "query", "shuffle", "window"]
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators.versioning.corpus_diff): the
+    "new" snapshot deterministically removes doc_id%10==7, appends
+    ' v2' to doc_id%10==3, and adds fresh ids — the operator must
+    classify every id exactly. Digest-only full-outer join: bodies
+    never shuffle."""
+    from dump1090_db_stream_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 10 != 7)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 10 == 3,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .union(docs.filter(F.col("doc_id") < 20)
+                  .select((F.col("doc_id") + 500000).alias("doc_id"),
+                          "text")))
+    return corpus_diff(docs, new)
+
+
 def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.dedup.cross_ngram_overlap):
     the "benchmark set" is the first 12 tokens of three fixed documents,
@@ -1078,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "multimodal_features": q_multimodal_features,
         "benchmark_decontamination": q_benchmark_decontamination,
+        "corpus_diff": q_corpus_diff,
         "neardup_clusters": q_neardup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_scores": q_bm25_scores,
@@ -1807,6 +1828,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
+        """,
+        "corpus_diff": """
+            WITH new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text
+                FROM documents WHERE doc_id < 20
+            ), o AS (
+                SELECT doc_id AS id, md5(text) AS old_md5 FROM documents
+            ), n AS (
+                SELECT doc_id AS id, md5(text) AS new_md5 FROM new
+            )
+            SELECT coalesce(o.id, n.id) AS doc_id,
+                   CASE WHEN o.old_md5 IS NULL THEN 'added'
+                        WHEN n.new_md5 IS NULL THEN 'removed'
+                        WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_md5, n.new_md5
+            FROM o FULL OUTER JOIN n ON o.id = n.id
         """,
         "benchmark_decontamination": """
             WITH refs AS (

@@ -137,3 +137,45 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each, optionally range-sorted so footer stats
+    prune after the rewrite.
+
+    The small-files problem is THE operational failure mode of
+    streaming ingest at scale (a micro-batch per minute = 1440 files a
+    day per partition; scan planning and footer reads dominate). File
+    count is sized from the actual input bytes, then the data is
+    range-repartitioned (on ``sort_cols``, keeping each file a tight
+    range) or coalesced. Returns the file count written.
+
+    Runs as one Spark job; use it per date-partition, not across the
+    whole store, so compaction parallelism and atomicity stay bounded.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.read.parquet(src_path)
+    total_bytes = sum(
+        int(f.getLen()) for f in
+        spark._jvm.org.apache.hadoop.fs.Path(src_path)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .globStatus(spark._jvm.org.apache.hadoop.fs.Path(
+            src_path + "/*.parquet")))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb << 20)))
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols) \
+               .sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_files

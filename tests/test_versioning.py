@@ -1,0 +1,64 @@
+"""Dataset-version diff (operators.versioning) and small-files
+compaction (sinks.writers.compact_parquet)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.versioning import (
+    corpus_diff,
+    diff_summary,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_corpus_diff_classifies_all_states(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    new = _snap(spark, [(2, "b"), (3, "c2"), (4, "d"), (9, "z")])
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 9: "added"}
+    summary = {r["status"]: r["n"]
+               for r in diff_summary(old, new).collect()}
+    assert summary == {"removed": 1, "unchanged": 2, "changed": 1,
+                       "added": 1}
+
+
+def test_corpus_diff_shuffles_digests_not_bodies(spark):
+    old = _snap(spark, [(i, "x" * 1000) for i in range(50)])
+    new = _snap(spark, [(i, "x" * 1000) for i in range(50)])
+    plan = (corpus_diff(old, new)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the projection to (id, md5) happens BELOW the join exchange:
+    # no 'text' column crosses the shuffle
+    post_join = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan \
+        else plan.split("BroadcastHashJoin")[0]
+    assert "old_md5" in plan and "new_md5" in plan
+    assert "text" not in post_join.split("Exchange")[0]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from dump1090_db_stream_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "many")
+    (spark.range(20000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"))
+     .repartition(40).write.parquet(src))
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_mb=512,
+                        sort_cols=["id"])
+    files = glob.glob(dst + "/*.parquet")
+    assert n == 1 and len(files) == 1           # tiny data -> one file
+    assert spark.read.parquet(dst).count() == 20000
+    # sorted rewrite -> tight id range per file (prunable footers)
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(files[0]).metadata
+    col0 = md.row_group(0).column(0)
+    assert col0.statistics.has_min_max
