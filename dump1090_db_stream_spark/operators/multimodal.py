@@ -9,11 +9,12 @@ The decode/feature kernels are Arrow-batched ``mapInPandas`` functions.
 ``decode_stub=True`` (default) produces deterministic fake features
 derived from the payload bytes so the Spark-side plumbing — schema,
 batch shape, partitioning — is testable without any imaging library.
-``decode_stub=False`` runs a REAL decode for PNG images via the
-pure-Python stdlib codec in ``functions.png`` (width/height from IHDR,
-Rec.601 mean luma and luma histogram from actual pixels); other formats
-(JPEG, WAV, MP4 — PIL/librosa/ffmpeg absent from this container) still
-raise at the same seam where a full codec would plug in.
+``decode_stub=False`` runs REAL decodes for PNG images
+(``functions.png``: width/height from IHDR, Rec.601 luma from actual
+pixels) and PCM WAV audio (``functions.wav``: RIFF parse, float
+samples, duration/RMS/band energies); remaining formats (JPEG, MP3,
+MP4 — PIL/librosa/ffmpeg absent from this container) still raise at
+the same seam where a full codec would plug in.
 """
 
 from __future__ import annotations
@@ -237,22 +238,38 @@ def extract_audio_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real audio decode requires librosa/soundfile — "
-                    "plug in here")
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                rows.append({
-                    "media_id": int(mid),
-                    "n_bytes": len(data),
-                    # stub: 16-bit mono 16 kHz -> 2 bytes per sample
-                    "duration_ms": len(data) * 1000 // 32000,
-                    "rms": (sum(b * b for b in data[:512])
-                            / max(1, len(data[:512]))) ** 0.5 / 255.0,
-                    "mfcc": _stub_features(data, n_mfcc),
-                })
+                if decode_stub:
+                    rows.append({
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        # stub: 16-bit mono 16 kHz -> 2 B per sample
+                        "duration_ms": len(data) * 1000 // 32000,
+                        "rms": (sum(b * b for b in data[:512])
+                                / max(1, len(data[:512]))) ** 0.5 / 255.0,
+                        "mfcc": _stub_features(data, n_mfcc),
+                    })
+                else:
+                    # REAL decode path: pure-Python RIFF/PCM parser
+                    # (functions.wav). Non-WAV payloads (mp3, ogg…)
+                    # still raise — that seam awaits a real audio lib.
+                    from dump1090_db_stream_spark.functions.wav import (
+                        audio_stats,
+                        decode_wav,
+                    )
+
+                    rate, ch, _bits, samples = decode_wav(data)
+                    dur, rms, bands = audio_stats(rate, ch, samples,
+                                                  n_mfcc)
+                    rows.append({
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        "duration_ms": dur,
+                        "rms": rms,
+                        "mfcc": [float(x) for x in bands],
+                    })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
