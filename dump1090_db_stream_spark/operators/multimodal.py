@@ -145,26 +145,63 @@ def sample_frames(
     mapInPandas (not a scalar UDF) precisely because the cardinality
     changes; the iterator contract streams batches without materializing
     a whole partition.
+
+    ``decode_stub=False`` extracts REAL frames from an MJPEG-style
+    concatenated-PNG container (frames are whole PNG images appended
+    back-to-back — splittable on the PNG signature with no codec
+    dependency, each emitted frame independently decodable by
+    ``functions.png``). Every ``every_ms``-th frame is kept, assuming
+    one frame per millisecond of container time per position, up to
+    ``max_frames``. True MP4/H.264 still needs ffmpeg at this seam.
     """
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg — plug in here")
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                # stub: pretend duration scales with size; slice bytes as frames
-                n = min(max_frames, max(1, len(data) // 64))
-                for i in range(n):
-                    rows.append({
-                        "media_id": int(mid),
-                        "frame_index": i,
-                        "frame_ts_ms": i * every_ms,
-                        "frame_bytes": data[i * 64:(i + 1) * 64],
-                    })
+                if decode_stub:
+                    # stub: duration scales with size; byte-slice frames
+                    n = min(max_frames, max(1, len(data) // 64))
+                    for i in range(n):
+                        rows.append({
+                            "media_id": int(mid),
+                            "frame_index": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame_bytes": data[i * 64:(i + 1) * 64],
+                        })
+                else:
+                    from dump1090_db_stream_spark.functions.png import (
+                        _SIGNATURE,
+                    )
+
+                    if not data.startswith(_SIGNATURE):
+                        raise ValueError(
+                            "not a concatenated-PNG container")
+                    # split on PNG signatures: each part is one frame
+                    starts = []
+                    off = 0
+                    while True:
+                        idx = data.find(_SIGNATURE, off)
+                        if idx < 0:
+                            break
+                        starts.append(idx)
+                        off = idx + len(_SIGNATURE)
+                    starts.append(len(data))
+                    frames = [data[starts[i]:starts[i + 1]]
+                              for i in range(len(starts) - 1)]
+                    for i, fi in enumerate(
+                            range(0, len(frames), max(1, every_ms))):
+                        if i >= max_frames:
+                            break
+                        rows.append({
+                            "media_id": int(mid),
+                            "frame_index": i,
+                            # container time: one frame per ms
+                            "frame_ts_ms": fi,
+                            "frame_bytes": frames[fi],
+                        })
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(

@@ -116,3 +116,35 @@ def test_real_decode_through_spark(spark):
         assert out[i]["n_bytes"] == len(png)
         assert out[i]["mean_luma"] == pytest.approx(luma)
         assert out[i]["feature"] == pytest.approx(feat)
+
+
+def test_real_frame_sampling_from_concatenated_pngs(spark):
+    from dump1090_db_stream_spark.functions.png import decode_png
+    from dump1090_db_stream_spark.operators.multimodal import sample_frames
+
+    # a 10-frame "video": ten 4x3 PNGs appended back to back, each
+    # frame's pixels derived from its index
+    frames = [encode_png(4, 3, 3, bytes([(f * 40 + i) % 256
+                                         for i in range(36)]))
+              for f in range(10)]
+    df = spark.createDataFrame([(7, b"".join(frames))],
+                               ["media_id", "payload"])
+    out = sorted(sample_frames(df, every_ms=3, max_frames=3,
+                               decode_stub=False).collect(),
+                 key=lambda r: r["frame_index"])
+    # frames 0, 3, 6 sampled; each is a complete, decodable PNG
+    assert [r["frame_ts_ms"] for r in out] == [0, 3, 6]
+    for r, fi in zip(out, [0, 3, 6]):
+        assert bytes(r["frame_bytes"]) == frames[fi]
+        w, h, ch, px = decode_png(bytes(r["frame_bytes"]))
+        assert (w, h, ch) == (4, 3, 3)
+        assert px[0] == (fi * 40) % 256
+
+
+def test_frame_sampling_rejects_non_container(spark):
+    from dump1090_db_stream_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"mp4 data here")],
+                               ["media_id", "payload"])
+    with pytest.raises(Exception, match="concatenated-PNG"):
+        sample_frames(df, decode_stub=False).collect()
