@@ -1021,6 +1021,49 @@ def q_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_estimate(sk, keys=["event_type"])
 
 
+def q_event_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED approximate distinct (operators.sketches.
+    threshold_distinct): hash-threshold sampling over the portable
+    BIGINT hash — keep distinct hashes below MODULUS/rate, scale by
+    rate. The closed-form arithmetic makes the ESTIMATE itself (not
+    just row counts) bit-reproducible in DuckDB, so this is the
+    oracle-checked face of the approx-distinct capability; the HLL
+    tiers (event_approx_stats / daily_distinct_rollup) stay as the
+    engine-default rows-only variants. Shuffle carries ~distinct/rate
+    sampled hashes per group, never the full key set."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        threshold_distinct,
+    )
+
+    return threshold_distinct(
+        _events(spark, sf_dir), keys=["event_type"],
+        distinct_col="user_id", rate=4, est_col="est_distinct_users",
+    )
+
+
+def q_daily_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED mergeable-sketch rollup (operators.sketches.
+    daily_hash_samples + span_estimate): per-day sorted arrays of
+    sampled user-id hashes (the SQL-readable analogue of stored HLL
+    bytes), filtered to a 15-day span and merged per event_type by
+    set-union. The oracle computes the estimate DIRECTLY from the raw
+    rows of the same span — equality proves the store-then-merge path
+    is lossless, i.e. arbitrary span estimates never need a raw
+    rescan."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_hash_samples,
+        span_estimate,
+    )
+
+    sk = daily_hash_samples(_events(spark, sf_dir), ts="ts",
+                            keys=["event_type"], distinct_col="user_id",
+                            rate=4)
+    sk = sk.where((F.col("day") >= F.lit("2024-01-05").cast("date"))
+                  & (F.col("day") < F.lit("2024-01-20").cast("date")))
+    return span_estimate(sk, keys=["event_type"], rate=4,
+                         est_col="est_distinct_users")
+
+
 _GEO_CENTERS = [(1, 22.2, 102.5), (2, 45.3, -125.4), (3, -29.7, 9.6),
                 (4, -69.07, -96.07)]
 
@@ -1116,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "event_approx_stats": q_event_approx_stats,
         "daily_distinct_rollup": q_daily_distinct_rollup,
+        "event_portable_distinct": q_event_portable_distinct,
+        "daily_portable_rollup": q_daily_portable_rollup,
         "points_in_radius": q_points_in_radius,
     }
 
@@ -1332,6 +1377,11 @@ def _simhash_oracle(n: int = 2, n_bits: int = 60, n_chunks: int = 4,
 
 
 def oracle_sql() -> dict[str, str]:
+    from dump1090_db_stream_spark.operators.sketches import (
+        threshold_distinct_sql_exprs,
+    )
+
+    _th_case, _th_est = threshold_distinct_sql_exprs("user_id", rate=4)
     return {
         "minhash_lsh_dups": _minhash_lsh_oracle(),
         "simhash_dups": _simhash_oracle(),
@@ -2140,6 +2190,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6),
                    min(value), max(value)
             FROM events GROUP BY 2, 3
+        """,
+        # Threshold-sketch twins: the SAME closed-form hash arithmetic as
+        # operators.sketches.threshold_distinct, so the approximate
+        # ESTIMATE matches bit-for-bit across engines.
+        "event_portable_distinct": f"""
+            SELECT event_type, count(*) AS n,
+                   {_th_est} AS est_distinct_users
+            FROM events
+            GROUP BY event_type
+        """,
+        # Direct raw-scan estimate over the same 15-day span the Spark
+        # side answers from stored daily samples — equality proves the
+        # store-then-merge rollup is lossless. HAVING drops span-empty
+        # sample groups, matching explode-of-empty on the Spark side.
+        "daily_portable_rollup": f"""
+            SELECT event_type, {_th_est} AS est_distinct_users
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+              AND CAST(ts AS DATE) < DATE '2024-01-20'
+            GROUP BY event_type
+            HAVING count(DISTINCT {_th_case}) > 0
         """,
         "small_quantity_revenue": """
             SELECT p_brand, count(*) AS n_items,

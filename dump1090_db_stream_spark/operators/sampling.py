@@ -40,6 +40,11 @@ _P = 1_000_000_007       # large prime modulus
 #: Total weight denominator for ``hash_split`` fractions.
 SPLIT_BUCKETS = 10_000
 
+#: Public alias of the hash modulus — the exclusive upper bound of
+#: :func:`portable_hash` output. Consumers (e.g. threshold sketches in
+#: ``operators.sketches``) derive sampling thresholds from it.
+HASH_MODULUS = _P
+
 
 def portable_hash(col: Column | str) -> Column:
     """Engine-portable deterministic hash of a BIGINT column into

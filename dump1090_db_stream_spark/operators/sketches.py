@@ -25,12 +25,36 @@ not SQL-portable — DuckDB's approx_count_distinct uses a different
 sketch — so driver-contract checks are rows-only; accuracy is asserted
 against exact values in tests (HLL++ rsd and DataSketches lgK bound the
 error; defaults here give ~1-2%).
+
+3. PORTABLE threshold sketches (``threshold_distinct`` /
+   ``daily_hash_samples`` / ``span_estimate``): distinct counting via
+   hash-threshold sampling (Wegman's adaptive-sampling idea — keep only
+   values whose deterministic hash lands below ``MODULUS/rate``, count
+   the surviving distinct hashes, scale by ``rate``). Unlike HLL the
+   whole computation is closed-form BIGINT arithmetic over
+   ``sampling.portable_hash``, so a SQL oracle reproduces the estimate
+   BIT-FOR-BIT — this tier is the oracle-checked face of the
+   approximate-distinct capability, while the HLL tiers remain the
+   engine-default (tighter error per byte, but implementation-specific).
+
+   Scale shape: the threshold filter runs BEFORE the shuffle, so the
+   exchange carries only ~distinct/rate (key, hash) pairs after
+   map-side partial dedup — at 100 TB with rate=1024 that is ~0.1% of
+   the exact COUNT(DISTINCT) shuffle. The stored form
+   (``daily_hash_samples``) keeps the sampled hash SET per (day, group)
+   as a sorted array column: mergeable by set-union exactly like the
+   HLL sketch bytes, but SQL-readable — any span estimate equals the
+   direct raw-scan estimate (proven by the ``daily_portable_rollup``
+   contract oracle), with per-group state bounded at distinct/rate
+   elements in expectation.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .sampling import HASH_MODULUS, portable_hash, portable_hash_sql
 
 
 def approx_group_stats(
@@ -90,3 +114,96 @@ def union_estimate(
         *keys,
         F.hll_sketch_estimate("_u").alias(estimate_col),
     )
+
+
+# --- Tier 3: portable threshold sketches (oracle-checkable) -----------------
+
+
+def sample_threshold(rate: int) -> int:
+    """Hash threshold for a ~1/``rate`` sample: keep values whose
+    portable hash is below ``HASH_MODULUS // rate``."""
+    if rate < 1:
+        raise ValueError(f"rate must be >= 1, got {rate}")
+    return HASH_MODULUS // rate
+
+
+def threshold_distinct(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    rate: int = 64,
+    n_col: str = "n",
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group distinct estimate by hash-threshold sampling: count the
+    distinct hashes below ``HASH_MODULUS/rate`` and scale by ``rate``.
+
+    One aggregate pass; the distinct-agg state carries only sampled
+    hashes (the ``when`` yields NULL above the threshold and
+    count_distinct ignores NULLs), so the shuffle is ~distinct/rate
+    hash values per group instead of every distinct key. Exactly
+    reproducible in ANSI SQL — see :func:`threshold_distinct_sql_exprs`.
+    """
+    t = sample_threshold(rate)
+    h = portable_hash(distinct_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(n_col),
+        (F.count_distinct(F.when(h < t, h)) * F.lit(rate)).alias(est_col),
+    )
+
+
+def threshold_distinct_sql_exprs(distinct_expr: str,
+                                 rate: int = 64) -> tuple[str, str]:
+    """(sampled-hash CASE expression, estimate expression) — the ANSI-SQL
+    twins of :func:`threshold_distinct`'s aggregate inputs, for oracle
+    embedding."""
+    t = sample_threshold(rate)
+    h = portable_hash_sql(distinct_expr)
+    case = f"CASE WHEN ({h}) < {t} THEN ({h}) END"
+    return case, f"count(DISTINCT {case}) * {rate}"
+
+
+def daily_hash_samples(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    distinct_col: str,
+    rate: int = 64,
+    day_col: str = "day",
+    sample_col: str = "hash_sample",
+) -> DataFrame:
+    """Stored mergeable form: per-(day, keys) SORTED ARRAY of the sampled
+    distinct hashes of ``distinct_col`` — the SQL-readable analogue of a
+    stored HLL sketch column. Expected size distinct/rate elements per
+    group; the threshold filter precedes the shuffle, so the exchange
+    never carries unsampled values."""
+    t = sample_threshold(rate)
+    return (
+        df.select(F.to_date(F.col(ts)).alias(day_col),
+                  *[F.col(k) for k in keys],
+                  portable_hash(distinct_col).alias("_h"))
+        .where(F.col("_h") < t)
+        .groupBy(day_col, *keys)
+        .agg(F.sort_array(F.collect_set("_h")).alias(sample_col))
+    )
+
+
+def span_estimate(
+    samples: DataFrame,
+    keys: list[str],
+    rate: int = 64,
+    sample_col: str = "hash_sample",
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Merge stored hash samples down to ``keys`` (set-union via explode
+    + distinct) and estimate distincts for the span. Because the sample
+    is a deterministic subset keyed by value hash, the merged estimate
+    EQUALS the direct raw-scan estimate over the same rows — the
+    losslessness the ``daily_portable_rollup`` oracle proves. Shuffle
+    carries sampled hashes only."""
+    ex = samples.select(*[F.col(k) for k in keys],
+                        F.explode(F.col(sample_col)).alias("_h"))
+    est = (F.count_distinct("_h") * F.lit(rate)).alias(est_col)
+    if keys:
+        return ex.groupBy(*keys).agg(est)
+    return ex.agg(est)

@@ -5,7 +5,11 @@ from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.operators.sketches import (
     approx_group_stats,
+    daily_hash_samples,
     daily_sketches,
+    span_estimate,
+    threshold_distinct,
+    threshold_distinct_sql_exprs,
     union_estimate,
 )
 
@@ -66,3 +70,60 @@ def test_global_union_from_stored_sketches(spark):
     est = union_estimate(per_day, keys=[]).first()["distinct_estimate"]
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) <= max(0.06 * exact, 2)
+
+
+def test_threshold_distinct_accuracy_and_duckdb_portability(spark):
+    """Tier-3 portable sketch: the estimate lands within sampling error
+    of the exact distinct AND is reproduced bit-for-bit by DuckDB
+    running the SQL twin — the property the HLL tiers cannot offer.
+    Uses event_id (unique per row) for a high-cardinality target."""
+    import duckdb
+
+    ev = _events(spark)
+    got = {r["event_type"]: (r["n"], r["est_distinct"])
+           for r in threshold_distinct(
+               ev, ["event_type"], "event_id", rate=8).collect()}
+    exact = {r["event_type"]: r["d"] for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("event_id").alias("d")).collect()}
+    for et, (_, est) in got.items():
+        # stderr ~ sqrt((1-p)/(p*D)) ~ 6% at D=2000, p=1/8; allow 5 sigma
+        assert abs(est - exact[et]) <= 0.30 * exact[et]
+    _, est_sql = threshold_distinct_sql_exprs("event_id", rate=8)
+    oracle = {et: (n, e) for et, n, e in duckdb.connect().execute(
+        f"""SELECT event_type, count(*), {est_sql}
+            FROM '{SF_DIR}/events.parquet' GROUP BY event_type"""
+    ).fetchall()}
+    assert got == oracle
+
+
+def test_hash_sample_rollup_is_lossless(spark):
+    """Merging stored per-day hash samples yields the IDENTICAL estimate
+    as a direct raw scan (deterministic subset keyed by value hash ->
+    set-union loses nothing), for every group and for the global span."""
+    ev = _events(spark)
+    per_day = daily_hash_samples(ev, ts="ts", keys=["event_type"],
+                                 distinct_col="user_id", rate=4)
+    merged = {r["event_type"]: r["est_distinct"]
+              for r in span_estimate(per_day, ["event_type"],
+                                     rate=4).collect()}
+    direct = {r["event_type"]: r["est_distinct"]
+              for r in threshold_distinct(ev, ["event_type"], "user_id",
+                                          rate=4)
+              .select("event_type", "est_distinct").collect()}
+    assert merged == direct
+    glob = span_estimate(per_day, keys=[], rate=4).first()["est_distinct"]
+    assert glob == threshold_distinct(
+        ev.withColumn("g", F.lit(1)), ["g"], "user_id",
+        rate=4).first()["est_distinct"]
+
+
+def test_threshold_distinct_invariant_to_layout(spark):
+    """Repartitioning must not change the estimate (hash-driven, not
+    RNG-driven) — the reproducibility contract of sampling.py holds for
+    the sketch tier too."""
+    ev = _events(spark)
+    a = sorted(threshold_distinct(ev, ["event_type"], "user_id",
+                                  rate=4).collect())
+    b = sorted(threshold_distinct(ev.repartition(7), ["event_type"],
+                                  "user_id", rate=4).collect())
+    assert a == b
