@@ -93,7 +93,7 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     out, state = [], (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
     for _ in range(dim):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        out.append(((state >> 33) / float(1 << 30)) - 1.0)  # [-1, 1)
+        out.append(((state >> 33) / float(1 << 29)) - 1.0)  # [-1, 1)
     return out
 
 
