@@ -82,11 +82,19 @@ def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
     df = spark.range(n_msgs).select(
         F.element_at(lines, (F.col("id") % len(SAMPLE_LINES) + 1)
                      .cast("int")).alias("value"))
-    t0 = time.perf_counter()
-    run_one(parse_sbs1(df))
-    sec = time.perf_counter() - t0
-    return {"msgs": n_msgs, "sec": round(sec, 3),
-            "msgs_per_sec": round(n_msgs / sec)}
+    # Warm-up + min-of-2, same discipline as the query timings (cc00682):
+    # without it this number inherits whatever JVM/GC state the preceding
+    # benches leave behind (r2 recorded a phantom 2.4x "regression" on a
+    # byte-identical parser purely from cold-measurement drift).
+    run_one(parse_sbs1(df.limit(100_000)))  # codegen/JIT warmup, untimed
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_one(parse_sbs1(df))
+        best = min(best, time.perf_counter() - t0)
+    return {"msgs": n_msgs, "sec": round(best, 3),
+            "msgs_per_sec": round(n_msgs / best),
+            "timing": "min_of_2_runs_after_warmup"}
 
 
 def bench_skew(spark, n_rows: int = 2_000_000, n_keys: int = 10_000,

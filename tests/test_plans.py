@@ -35,7 +35,9 @@ def test_locations_projection_pushdown(spark, sf):
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
-    read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    # type-aware name extraction: a naive split(",") would break on
+    # parenthesized types like decimal(10,2)
+    read_cols = re.findall(r"(\w+):", m.group(1))
     assert read_cols == ["event_id", "ts", "user_id", "value"], m.group(1)
 
 
