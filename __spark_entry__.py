@@ -425,8 +425,13 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate volume near the true-pair count as the corpus grows;
     # the 10x6 default missed 1 fixture pair, 6x8 found all but
     # collided 16x more candidates at sf0.1.
+    # arrow_sig: signature stage runs the numpy matmul kernel — identical
+    # buckets (equality-tested in tests/test_similarity.py), ~10x cheaper
+    # than interpreted HOF dots. Safe for the CONTRACT because the oracle
+    # is the brute-force pair set (not a signature replay) and candidate
+    # SCORING stays on the HOF path for bit-exact 6dp rounding parity.
     return embedding_neardup_pairs(emb.union(pert), dim=64, threshold=0.99,
-                                   n_planes=10, n_tables=8)
+                                   n_planes=10, n_tables=8, arrow_sig=True)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

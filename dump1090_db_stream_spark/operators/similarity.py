@@ -113,6 +113,65 @@ def rh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Co
     )
 
 
+def rh_signatures_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 1,
+    seed_base: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, sig) signature relation via ONE numpy matmul per Arrow
+    batch — the VOLUME variant of :func:`rh_signature`.
+
+    The HOF signature is n_tables x n_planes interpreted zip_with/
+    aggregate dot products per row (CodegenFallback, ~100-300 ns per
+    element) — the dominant cost of embedding_neardup_pairs and
+    lsh_topk. Here all planes of all tables stack into one
+    (n_tables*n_planes, dim) matrix so each Arrow batch costs a single
+    BLAS `X @ P.T` plus a bit-pack; same planes (``_hyperplane`` with
+    seed ``(seed_base + t) * 1000 + p``), same packing (bit p set iff
+    dot >= 0), same output domain (bigint per table).
+
+    Sign bits are summation-order-robust unless a dot product sits
+    within float ULPs of 0 — signature EQUALITY vs the HOF path is
+    asserted in tests/test_similarity.py on the full testdata corpus.
+    Contract queries whose DuckDB oracle replays signatures keep the
+    HOF path; pipelines whose oracle checks the final pair/top-k set
+    (embedding_neardup_pairs) use this by default.
+    """
+    import numpy as np
+
+    planes = np.asarray(
+        [[_hyperplane(dim, (seed_base + t) * 1000 + p)
+          for p in range(n_planes)] for t in range(n_tables)],
+        dtype=np.float64)
+    pmat = planes.reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    tbls = np.arange(n_tables, dtype=np.int32)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            bits = (x @ pmat.T) >= 0.0
+            sigs = (bits.reshape(len(ids), n_tables, n_planes)
+                    * weights).sum(axis=2, dtype=np.int64)
+            yield pd.DataFrame({
+                "id": np.repeat(ids, n_tables),
+                "tbl": np.tile(tbls, len(ids)),
+                "sig": sigs.ravel(),
+            })
+
+    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        kernel, "id long, tbl int, sig long")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,6 +182,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 12,
     n_tables: int = 4,
+    arrow_sig: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors whose random-hyperplane
     signature matches the query's in at least one of n_tables tables.
@@ -132,27 +192,59 @@ def lsh_topk(
     — and exact cosine runs only on bucket collisions. Recall grows with
     n_tables, cost with n_planes^-1; the (12, 4) default targets ~0.9
     recall at ~1% of brute-force comparisons for random 64-dim data.
-    """
-    def with_sigs(df: DataFrame, id_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_alias).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_vec"),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    rh_signature(F.col(vec_col), dim, n_planes, seed=7 + t).alias("sig"),
-                ) for t in range(n_tables)
-            ])).alias("s"),
-        ).select(id_alias, f"{id_alias}_vec", "s.tbl", "s.sig")
 
-    c = with_sigs(corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-    q = with_sigs(queries.withColumnRenamed(query_id_col, "query_id"), "query_id")
-    cand = (
-        c.join(F.broadcast(q), (c.tbl == q.tbl) & (c.sig == q.sig)
-               & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
-        .distinct()
-    )
+    ``arrow_sig=True`` computes the signature stage with the numpy
+    matmul kernel (:func:`rh_signatures_arrow`) instead of interpreted
+    HOF dots — same buckets (equality-tested), ~an order of magnitude
+    cheaper per row; candidates then equi-join vectors back by id.
+    Contract queries whose oracle replays the signature literals keep
+    the HOF path.
+    """
+    if arrow_sig:
+        csig = rh_signatures_arrow(
+            corpus, dim, n_planes, n_tables, seed_base=7,
+            id_col=id_col, vec_col=vec_col,
+        ).withColumnRenamed("id", "neighbor_id")
+        qsig = rh_signatures_arrow(
+            queries, dim, n_planes, n_tables, seed_base=7,
+            id_col=query_id_col, vec_col=vec_col,
+        ).withColumnRenamed("id", "query_id")
+        cand_ids = (
+            csig.join(F.broadcast(qsig), ["tbl", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        cand = (
+            cand_ids
+            .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("neighbor_id_vec")),
+                  "neighbor_id")
+            .join(F.broadcast(queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("query_id_vec"))), "query_id")
+        )
+    else:
+        def with_sigs(df: DataFrame, id_alias: str) -> DataFrame:
+            return df.select(
+                F.col(id_alias).alias(id_alias),
+                F.col(vec_col).alias(f"{id_alias}_vec"),
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rh_signature(F.col(vec_col), dim, n_planes, seed=7 + t).alias("sig"),
+                    ) for t in range(n_tables)
+                ])).alias("s"),
+            ).select(id_alias, f"{id_alias}_vec", "s.tbl", "s.sig")
+
+        c = with_sigs(corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        q = with_sigs(queries.withColumnRenamed(query_id_col, "query_id"), "query_id")
+        cand = (
+            c.join(F.broadcast(q), (c.tbl == q.tbl) & (c.sig == q.sig)
+                   & (F.col("neighbor_id") != F.col("query_id")))
+            .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+            .distinct()
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -424,6 +516,7 @@ def embedding_neardup_pairs(
     n_planes: int = 10,
     n_tables: int = 6,
     arrow_score: bool = False,
+    arrow_sig: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold) via the
     same hyperplane bucketing: high-cosine pairs agree on most sign bits,
@@ -436,15 +529,26 @@ def embedding_neardup_pairs(
     rows and was ~20x slower at sf0.1: a multi-GB wide-row shuffle for
     the same answer). Bucket width is 2^n_planes per table — raise
     n_planes as the corpus grows so candidate volume stays near the
-    true-pair count, and raise n_tables to restore recall."""
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     rh_signature(F.col(vec_col), dim, n_planes, seed=101 + t).alias("sig"))
-            for t in range(n_tables)
-        ])).alias("s"),
-    ).select("id", "s.tbl", "s.sig")
+    true-pair count, and raise n_tables to restore recall.
+
+    ``arrow_sig=True`` swaps the signature stage for the numpy matmul
+    kernel (:func:`rh_signatures_arrow`) — identical buckets
+    (equality-tested), ~10x cheaper; safe even for the contract query
+    because its oracle is the brute-force PAIR SET, not a signature
+    replay, and exact scoring below is unchanged."""
+    if arrow_sig:
+        sigs = rh_signatures_arrow(
+            df, dim, n_planes, n_tables, seed_base=101,
+            id_col=id_col, vec_col=vec_col)
+    else:
+        sigs = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         rh_signature(F.col(vec_col), dim, n_planes, seed=101 + t).alias("sig"))
+                for t in range(n_tables)
+            ])).alias("s"),
+        ).select("id", "s.tbl", "s.sig")
     # sigs feeds BOTH sides of the self-join; without materialization the
     # n_tables x n_planes dot-product pipeline runs twice (no CSE across
     # self-join branches — same discipline as dedup.minhash_lsh_pairs).

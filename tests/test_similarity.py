@@ -166,3 +166,75 @@ def test_embedding_neardup_arrow_score_same_pairs(spark):
         corpus, dim=64, threshold=0.99, n_planes=10, n_tables=8,
         arrow_score=True).collect()}
     assert jvm == fast and len(jvm) > 0
+
+
+def test_rh_signatures_arrow_equals_hof(spark):
+    """The numpy matmul signature kernel must produce EXACTLY the HOF
+    signatures (same planes, same bit packing) — table by table, bit by
+    bit — on the real testdata embeddings. Sign flips would need a dot
+    product within float ULPs of 0; this asserts none occur here."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        rh_signature,
+        rh_signatures_arrow,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    n_planes, n_tables, seed_base = 10, 8, 101
+    hof = emb.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                rh_signature(F.col("embedding"), 64, n_planes,
+                             seed=seed_base + t).alias("sig"))
+            for t in range(n_tables)])).alias("s"),
+    ).select("id", "s.tbl", "s.sig")
+    arrow = rh_signatures_arrow(
+        emb, 64, n_planes, n_tables, seed_base=seed_base)
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0
+    assert arrow.count() == emb.count() * n_tables
+
+
+def test_embedding_neardup_arrow_sig_same_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, (x.cast("double") + 0.05)
+                                        .cast("float")).otherwise(x))
+        .alias("embedding"))
+    corpus = emb.union(pert)
+    hof = sorted(map(tuple, embedding_neardup_pairs(
+        corpus, dim=64, threshold=0.99, n_planes=10, n_tables=8).collect()))
+    fast = sorted(map(tuple, embedding_neardup_pairs(
+        corpus, dim=64, threshold=0.99, n_planes=10, n_tables=8,
+        arrow_sig=True).collect()))
+    assert hof == fast and len(hof) > 0
+
+
+def test_lsh_topk_arrow_sig_same_results(spark, corpus):
+    from pyspark.sql import functions as F
+
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    hof = sorted(map(tuple, lsh_topk(
+        corpus, queries, DIM, k=5, n_planes=8, n_tables=6).collect()))
+    fast = sorted(map(tuple, lsh_topk(
+        corpus, queries, DIM, k=5, n_planes=8, n_tables=6,
+        arrow_sig=True).collect()))
+    assert hof == fast and len(hof) > 0
