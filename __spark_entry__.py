@@ -1095,6 +1095,38 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("distance_km", 2).alias("distance_km"))
 
 
+def q_track_lines_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-1/G-2 WKT interop: per-user track as ST_AsText(ST_MakeLine(...))
+    text plus the start point as ST_AsText(point) — the PostGIS track
+    query's WIRE FORMAT (README.md:266-273), so output round-trips into
+    PostGIS/GEOS/shapely tooling without Sedona. Coordinates derive from
+    event_id by the same arithmetic scatter as points_in_radius; fixes
+    sort by (ts, event_id) inside ONE collect_list agg (single shuffle),
+    string building is pure Column ops (operators.geo.st_astext_line)."""
+    from dump1090_db_stream_spark.operators.geo import (
+        st_astext_line, st_astext_point,
+    )
+
+    pts = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 104729) % 34000) / 100.0 - 170.0).alias("lon"),
+        (((F.col("event_id") * 7919) % 14000) / 100.0 - 70.0).alias("lat"),
+    )
+    agg = pts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "lon", "lat"))
+        ).alias("pts"),
+    )
+    line_pts = F.transform(
+        "pts", lambda p: F.struct(p["lon"].alias("x"), p["lat"].alias("y")))
+    return agg.select(
+        "user_id",
+        F.size("pts").cast("long").alias("n_points"),
+        st_astext_point(line_pts[0]).alias("start_wkt"),
+        st_astext_line(line_pts).alias("track_wkt"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -1131,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_portable_rollup": q_daily_portable_rollup,
         "points_in_radius": q_points_in_radius,
         # -- tier 2: new in round 3
+        "track_lines_wkt": q_track_lines_wkt,
         # -- tier 3: green in r2 only (one driver confirmation)
         "full_outer_balance": q_full_outer_balance,
         "grouping_sets_revenue": q_grouping_sets_revenue,
@@ -2244,6 +2277,31 @@ def oracle_sql() -> dict[str, str]:
                   < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                      WHERE l2.l_partkey = li.l_partkey)
             GROUP BY p_brand
+        """,
+        "track_lines_wkt": """
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       ((event_id * 104729) % 34000) / 100.0 - 170.0 AS lon,
+                       ((event_id * 7919) % 14000) / 100.0 - 70.0 AS lat
+                FROM events
+            ), fmt AS (
+                SELECT user_id, ts, event_id,
+                       regexp_replace(regexp_replace(
+                           printf('%.6f', lon), '0+$', ''), '\\.$', '') AS xs,
+                       regexp_replace(regexp_replace(
+                           printf('%.6f', lat), '0+$', ''), '\\.$', '') AS ys
+                FROM pts
+            )
+            SELECT user_id,
+                   count(*) AS n_points,
+                   'POINT(' || first(xs ORDER BY ts, event_id) || ' '
+                            || first(ys ORDER BY ts, event_id) || ')'
+                       AS start_wkt,
+                   'LINESTRING(' || string_agg(xs || ' ' || ys, ','
+                                               ORDER BY ts, event_id) || ')'
+                       AS track_wkt
+            FROM fmt
+            GROUP BY user_id
         """,
         "points_in_radius": """
             WITH p AS (

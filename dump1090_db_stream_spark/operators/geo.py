@@ -192,6 +192,47 @@ def make_point(lon: Column, lat: Column, srid: int = 4326) -> Column:
                     F.lit(srid).alias("srid"))
 
 
+def wkt_coord(v: Column, decimals: int = 6) -> Column:
+    """One WKT coordinate as text: fixed-point ``%.{decimals}f`` then
+    trailing-zero / trailing-dot trim — ``102.500000`` → ``102.5``,
+    ``-170.000000`` → ``-170``.
+
+    Why not the engine's double-to-string? Shortest-repr formatting
+    differs between JVM (pre-Ryu Double.toString on Java 17) and other
+    engines; fixed-point-then-trim is the same string everywhere, so a
+    DuckDB oracle can replay it closed-form. Caveat: exact decimal
+    TIES at position ``decimals``+1 (only dyadic rationals can hit one)
+    round HALF_UP on the JVM and half-even in C-printf engines; 6 dp
+    (~0.1 m) keeps real coordinate data away from ties."""
+    s = F.format_string(f"%.{decimals}f", v.cast("double"))
+    return F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", "")
+
+
+def st_astext_point(point: Column, decimals: int = 6) -> Column:
+    """ST_AsText for the :func:`make_point` struct (or any struct with
+    ``x``/``y`` fields): ``POINT(x y)``, PostGIS text form
+    (README.md:255-263's geo surface, WKT interop without Sedona)."""
+    return F.concat(
+        F.lit("POINT("), wkt_coord(point["x"], decimals), F.lit(" "),
+        wkt_coord(point["y"], decimals), F.lit(")"))
+
+
+def st_astext_line(points: Column, decimals: int = 6) -> Column:
+    """ST_AsText(ST_MakeLine(...)): ``LINESTRING(x1 y1,x2 y2,...)`` from
+    an array of ``x``/``y`` structs in drawing order (comma-separated,
+    no space after commas — the PostGIS text form, README.md:266-273).
+    Pure Column string building: transform + array_join, zero Python."""
+    return F.concat(
+        F.lit("LINESTRING("),
+        F.array_join(
+            F.transform(
+                points,
+                lambda p: F.concat(wkt_coord(p["x"], decimals), F.lit(" "),
+                                   wkt_coord(p["y"], decimals))),
+            ","),
+        F.lit(")"))
+
+
 def track_segments(
     df: DataFrame, key: str, ts: str, lat: str, lon: str,
 ) -> DataFrame:

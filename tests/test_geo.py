@@ -130,3 +130,35 @@ def test_grid_cell_pack_no_collision_at_small_cells(spark):
         "id", grid_cell(F.col("lat"), F.col("lon"), cell).alias("c"))
     cells = {r["id"]: r["c"] for r in df.collect()}
     assert cells[1] != cells[2]
+
+
+def test_wkt_formatting(spark):
+    """WKT text forms: PostGIS-style POINT/LINESTRING with fixed-point
+    trimmed coordinates — trailing zeros gone, integers lose the dot,
+    negatives and sub-degree precision survive."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.geo import (
+        make_point,
+        st_astext_line,
+        st_astext_point,
+        wkt_coord,
+    )
+
+    df = spark.createDataFrame(
+        [(102.5, 22.2), (-170.0, 0.0), (12.3456789, -0.000001)],
+        ["lon", "lat"])
+    rows = df.select(
+        wkt_coord(F.col("lon")).alias("c"),
+        st_astext_point(make_point(F.col("lon"), F.col("lat"))).alias("p"),
+    ).collect()
+    assert [r["c"] for r in rows] == ["102.5", "-170", "12.345679"]
+    assert [r["p"] for r in rows] == [
+        "POINT(102.5 22.2)", "POINT(-170 0)",
+        "POINT(12.345679 -0.000001)"]
+
+    line = spark.range(1).select(st_astext_line(F.array(
+        F.struct(F.lit(0.0).alias("x"), F.lit(0.5).alias("y")),
+        F.struct(F.lit(1.25).alias("x"), F.lit(-2.0).alias("y")),
+    )).alias("l")).collect()[0]["l"]
+    assert line == "LINESTRING(0 0.5,1.25 -2)"
