@@ -104,7 +104,9 @@ def write_jdbc(
     option implement the documented intent of --batch-size (S-7).
 
     Requires a JDBC driver jar on the classpath; raises the underlying
-    error otherwise (no driver is bundled in this repo's container).
+    error otherwise. No PostgreSQL driver ships in this container, but
+    the path is executed live end-to-end against embedded Apache Derby
+    (Spark's bundled metastore jar) in tests/test_jdbc_sink.py.
     """
     props = {"batchsize": str(batchsize)}
     if properties:
