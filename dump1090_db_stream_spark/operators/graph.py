@@ -77,17 +77,104 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
+    """(id, component) via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — the two-phase algorithm) — same output contract
+    as :func:`connected_components`, O(log n) rounds instead of
+    O(diameter).
+
+    Why it exists: min-label propagation moves a label ONE hop per
+    round, so a chain-shaped cluster of length d costs d shuffle
+    rounds — fine for dense near-dup clusters (diameter ~1-3), fatal if
+    a 100 TB corpus yields stringy clusters (transitive near-dup
+    chains). Star contraction rewires every node toward its
+    neighborhood minimum each round, halving component height, so
+    convergence is logarithmic in the largest component size
+    (round-count asserted in tests/test_graph.py on a chain graph).
+
+    Per round, each phase is one groupBy(min) + one equi-join on node
+    id — map-side combinable, no new anti-patterns; edges stay in
+    canonical (larger, smaller) orientation between rounds. Convergence
+    = edge-set fixpoint (the paper's criterion), checked with a
+    count + one-row exceptAll probe. ``rounds_out``, when given, gets
+    the executed round count appended (test/observability hook)."""
+    down = (edges.select(
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.least(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    nodes = (down.select(F.col("a").alias("id"))
+             .union(down.select(F.col("b").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # LARGE-STAR on the symmetrized neighborhood: every neighbor u>v
+        # links to m = min(N(v) + {v}); strictly-larger targets keep the
+        # edge count bounded (paper Lemma 1) and m <= b < a below.
+        sym = down.union(down.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+        mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                .select("a", F.least("a", "mn").alias("m")))
+        large = (sym.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .distinct())
+        # SMALL-STAR on downward edges: all smaller neighbors of v (and
+        # v itself) link to m = min of those neighbors.
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        new_down = (large.join(smins, "a")
+                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                    .union(smins.select("a", F.col("m").alias("b")))
+                    .filter(F.col("a") != F.col("b"))
+                    .distinct()
+                    .localCheckpoint(eager=True))
+        converged = (new_down.count() == down.count()
+                     and new_down.exceptAll(down).limit(1).count() == 0)
+        down = new_down
+        if converged:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # Fixpoint is a disjoint union of min-centered stars: each non-root
+    # points at its component minimum; roots map to themselves.
+    per_node = (down.groupBy("a").agg(F.min("b").alias("comp"))
+                .withColumnRenamed("a", "id"))
+    return (nodes.join(per_node, "id", "left")
+            .select("id", F.coalesce(F.col("comp"), F.col("id"))
+                    .alias("comp")))
+
+
 def canonical_map(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(id, canonical_id) over the WHOLE corpus: cluster members map to
     their component's minimum id, singletons map to themselves. The
-    dedup decision is then ``keep iff id == canonical_id``."""
-    comp = connected_components(pairs, src_col, dst_col)
+    dedup decision is then ``keep iff id == canonical_id``.
+
+    ``algorithm``: "propagation" (min-label, O(diameter) rounds — the
+    default; near-dup clusters are dense and shallow) or "star"
+    (large-star/small-star contraction, O(log n) rounds — pick it when
+    clusters may be chain-shaped)."""
+    if algorithm == "star":
+        comp = connected_components_star(pairs, src_col, dst_col)
+    else:
+        comp = connected_components(pairs, src_col, dst_col)
     return (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")

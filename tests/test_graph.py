@@ -43,3 +43,50 @@ def test_canonical_map_covers_singletons(spark):
     assert got == {0: 0, 3: 0, 7: 0, 1: 1, 2: 2, 4: 4, 5: 5, 6: 6}
     # dedup rule: keep iff id == canonical -> exactly 6 survivors
     assert sum(1 for k, v in got.items() if k == v) == 6
+
+
+def test_star_equals_propagation_on_random_graphs(spark):
+    """Property check: large-star/small-star contraction produces the
+    SAME (id, component) labeling as min-label propagation on seeded
+    random graphs of varying density (including multi-component and
+    duplicate/reversed edges)."""
+    import random
+
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for seed, n, m in [(1, 30, 15), (2, 30, 45), (3, 50, 25), (4, 12, 66)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        base = sorted(map(tuple, connected_components(
+            _edges(spark, pairs), max_iterations=60).collect()))
+        star = sorted(map(tuple, connected_components_star(
+            _edges(spark, pairs)).collect()))
+        assert star == base, f"seed={seed}"
+
+
+def test_star_chain_converges_logarithmically(spark):
+    """The reason the star variant exists: a 64-node path has diameter
+    63 (63 propagation rounds) but star contraction must close it in
+    O(log n) — assert single digits."""
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rounds: list[int] = []
+    comp = {r["id"]: r["comp"] for r in connected_components_star(
+        _edges(spark, [(i, i + 1) for i in range(63)]),
+        rounds_out=rounds).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 64
+    assert rounds[0] <= 8, rounds
+
+
+def test_canonical_map_star_algorithm(spark):
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = _edges(spark, [(0, 3), (3, 7)])
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in canonical_map(docs, pairs, algorithm="star").collect()}
+    assert got == {0: 0, 3: 0, 7: 0, 1: 1, 2: 2, 4: 4, 5: 5, 6: 6}
