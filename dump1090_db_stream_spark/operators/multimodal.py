@@ -146,13 +146,22 @@ def sample_frames(
     changes; the iterator contract streams batches without materializing
     a whole partition.
 
-    ``decode_stub=False`` extracts REAL frames from an MJPEG-style
-    concatenated-PNG container (frames are whole PNG images appended
-    back-to-back — splittable on the PNG signature with no codec
-    dependency, each emitted frame independently decodable by
-    ``functions.png``). Every ``every_ms``-th frame is kept, assuming
-    one frame per millisecond of container time per position, up to
-    ``max_frames``. True MP4/H.264 still needs ffmpeg at this seam.
+    ``decode_stub=False`` extracts REAL frames from two container
+    kinds, sniffed per payload:
+
+    - MP4 (ISO BMFF): ``functions.mp4`` parses the box tree to the
+      video track's sample tables (stsz/stsc/stco/stts/stss) and emits
+      the exact byte range of one sync sample (keyframe) per
+      ``every_ms`` of track time — frame EXTRACTION is real; H.264
+      DECODE of the emitted access units still needs ffmpeg and stays
+      behind the seam.
+    - MJPEG-style concatenated-PNG (frames are whole PNG images
+      appended back-to-back — splittable on the PNG signature, each
+      emitted frame independently decodable by ``functions.png``);
+      every ``every_ms``-th frame is kept, one frame per ms of
+      container time by position.
+
+    Other formats raise at the same seam.
     """
     import pandas as pd
 
@@ -172,13 +181,31 @@ def sample_frames(
                             "frame_bytes": data[i * 64:(i + 1) * 64],
                         })
                 else:
+                    from dump1090_db_stream_spark.functions.mp4 import (
+                        is_mp4,
+                        sync_frame_plan,
+                        video_sample_index,
+                    )
                     from dump1090_db_stream_spark.functions.png import (
                         _SIGNATURE,
                     )
 
+                    if is_mp4(data):
+                        plan = sync_frame_plan(
+                            video_sample_index(data), every_ms, max_frames)
+                        for i, s in enumerate(plan):
+                            rows.append({
+                                "media_id": int(mid),
+                                "frame_index": i,
+                                "frame_ts_ms": s.ts_ms,
+                                "frame_bytes":
+                                    data[s.offset:s.offset + s.size],
+                            })
+                        continue
                     if not data.startswith(_SIGNATURE):
                         raise ValueError(
-                            "not a concatenated-PNG container")
+                            "unsupported video container (not MP4, not "
+                            "concatenated-PNG) — codec seam")
                     # split on PNG signatures: each part is one frame
                     starts = []
                     off = 0
