@@ -873,6 +873,21 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_map(docs, pairs)
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as neardup_clusters, computed by the
+    O(log n)-round large-star/small-star contraction
+    (operators.graph.connected_components_star) instead of min-label
+    propagation — the chain-safe variant for 100 TB corpora. Identical
+    oracle (closed-form transitive closure), so the driver hash-checks
+    that BOTH algorithms produce the same canonical map."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    return canonical_map(docs, pairs, algorithm="star")
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators.packing.chunk_documents):
     32-token windows, 8-token overlap, one row per chunk. Pure Column
@@ -1164,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_in_radius": q_points_in_radius,
         # -- tier 2: new in round 3
         "track_lines_wkt": q_track_lines_wkt,
+        "neardup_clusters_star": q_neardup_clusters_star,
         # -- tier 3: green in r2 only (one driver confirmation)
         "full_outer_balance": q_full_outer_balance,
         "grouping_sets_revenue": q_grouping_sets_revenue,
@@ -1436,7 +1452,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _th_case, _th_est = threshold_distinct_sql_exprs("user_id", rate=4)
-    return {
+    return _alias_oracles({
         "minhash_lsh_dups": _minhash_lsh_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
@@ -2327,4 +2343,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, center_id, round(dist, 2) AS distance_km
             FROM d WHERE dist <= 200.0
         """,
-    }
+    })
+
+
+def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
+    """Queries that re-compute another contract by a different physical
+    algorithm share its oracle verbatim (same answer is the point)."""
+    oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    return oracles

@@ -50,6 +50,7 @@ HEADLINE = [
 # not redefine the metric.
 EXTENDED = [
     "embedding_neardup_pairs",
+    "track_lines_wkt",
     "doc_repetition_stats",
     "mixture_sample_docs",
     "pii_scrub_stats",
