@@ -238,3 +238,12 @@ def test_time_sorted_store_has_tight_file_stats(spark, tmp_path_factory):
     # and the data still round-trips
     back = spark.read.parquet(d)
     assert back.count() == 500
+
+
+def test_track_lines_wkt_single_shuffle(spark, sf):
+    """WKT track building: ONE exchange (the per-user groupBy); sorting
+    happens inside array_sort and string folding is pure Column ops, so
+    no second shuffle and no Python stage exist."""
+    plan = plan_of(entrymod.q_track_lines_wkt(spark, sf))
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
