@@ -143,6 +143,9 @@ class SBS1SocketStreamReader(SimpleDataSourceStreamReader):
         return iter(())
 
     def commit(self, end: dict) -> None:
+        # deliberate no-op, not a stub: a live socket has no replayable
+        # offset store to acknowledge — progress is tracked by Spark's
+        # checkpoint, and the wire protocol has no consumer acks
         pass
 
 
