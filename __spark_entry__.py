@@ -1110,6 +1110,28 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("distance_km", 2).alias("distance_km"))
 
 
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mining (operators.dedup.
+    boilerplate_shingles): word 3-grams appearing in >= 4 distinct
+    documents with their document frequency — template/nav-text
+    detection for corpus hygiene. One map-side-combined shuffle."""
+    from dump1090_db_stream_spark.operators.dedup import boilerplate_shingles
+
+    return boilerplate_shingles(
+        load_table(spark, sf_dir, "documents"), n=3, min_df=4)
+
+
+def q_doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate score (operators.dedup.
+    doc_boilerplate_share): share of each doc's distinct 3-gram shingles
+    that are corpus-level boilerplate (df >= 4). The shingle relation is
+    materialized once; the (small) boilerplate set broadcasts back."""
+    from dump1090_db_stream_spark.operators.dedup import doc_boilerplate_share
+
+    return doc_boilerplate_share(
+        load_table(spark, sf_dir, "documents"), n=3, min_df=4)
+
+
 def q_track_lines_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-1/G-2 WKT interop: per-user track as ST_AsText(ST_MakeLine(...))
     text plus the start point as ST_AsText(point) — the PostGIS track
@@ -1180,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: new in round 3
         "track_lines_wkt": q_track_lines_wkt,
         "neardup_clusters_star": q_neardup_clusters_star,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
         "full_outer_balance": q_full_outer_balance,
         "grouping_sets_revenue": q_grouping_sets_revenue,
@@ -2293,6 +2317,42 @@ def oracle_sql() -> dict[str, str]:
                   < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                      WHERE l2.l_partkey = li.l_partkey)
             GROUP BY p_brand
+        """,
+        "boilerplate_shingles": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), shs AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(length(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                FROM toks
+            )
+            SELECT shingle, count(*) AS doc_freq
+            FROM shs GROUP BY shingle
+            HAVING count(*) >= 4
+        """,
+        "doc_boilerplate_share": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), shs AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(length(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM toks
+            ), freq AS (
+                SELECT s, count(*) AS df FROM shs GROUP BY s
+            )
+            SELECT shs.doc_id,
+                   count(*) AS n_shingles,
+                   count(*) FILTER (freq.df >= 4) AS n_boiler,
+                   round(count(*) FILTER (freq.df >= 4) / count(*), 6)
+                       AS boiler_share
+            FROM shs JOIN freq ON freq.s = shs.s
+            GROUP BY shs.doc_id
         """,
         "track_lines_wkt": """
             WITH pts AS (

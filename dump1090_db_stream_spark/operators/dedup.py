@@ -420,3 +420,90 @@ def cross_ngram_overlap(
                 .alias("overlap_frac"),
         )
     )
+
+
+def shingle_doc_freq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(shingle, doc_freq): distinct-document frequency of every word
+    n-gram — the corpus-wide statistic behind boilerplate mining and
+    the ``max_df`` stop-phrase caps the near-dup joins use.
+
+    One shuffle, map-side combined. The group key is the shingle TEXT
+    (unlike the join paths, which key on xxhash64): document frequency
+    is only useful next to the shingle it counts, so the text must
+    reach the output anyway — hashing first would just force a second
+    join to recover it."""
+    return (
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(
+                    shingles(F.col("_toks"), n))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Cross-document boilerplate mining: shingles appearing in at least
+    ``min_df`` DISTINCT documents, with their document frequency — the
+    template/header/footer/nav-text detector for web-corpus hygiene
+    (the cross-doc complement of cleaning.repetition_stats, which is
+    intra-doc). Feed the result to :func:`doc_boilerplate_share` for a
+    per-document filter signal, or use it to choose ``max_df`` for
+    ngram_jaccard_pairs on a real corpus."""
+    return (shingle_doc_freq(df, id_col, text_col, n)
+            .filter(F.col("doc_freq") >= min_df))
+
+
+def doc_boilerplate_share(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate score: the share of a document's
+    distinct shingles that are corpus-level boilerplate
+    (doc_freq >= ``min_df``) — a quality-filter column next to
+    text.quality_features.
+
+    Scale shape: the per-doc shingle relation is materialized ONCE and
+    feeds both the corpus doc-freq aggregate and the per-doc count; the
+    boilerplate set (frequent shingles only — small by construction) is
+    joined back BROADCAST on the 8-byte shingle hash, so the second
+    pass adds no corpus-wide shuffle. Output carries no hash, so the
+    DuckDB oracle joins on raw shingle text and matches exactly."""
+    sh = (
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(
+                    shingles(F.col("_toks"), n))).alias("s"))
+        .select("id", _hash64(F.col("s"), 0).alias("sh"))
+    )
+    sh = track(sh)
+    boiler = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") >= min_df)
+              .select("sh"))
+    n_boiler = (sh.join(F.broadcast(boiler), "sh")
+                .groupBy("id").agg(F.count(F.lit(1)).alias("n_boiler")))
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(n_boiler, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(F.coalesce(F.col("n_boiler"), F.lit(0))
+                    / F.col("n_shingles"), 6).alias("boiler_share"),
+        )
+    )

@@ -98,3 +98,37 @@ def test_cross_ngram_overlap_broadcasts_refs(spark):
     plan = (cross_ngram_overlap(docs, refs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_mining_finds_planted_template(spark):
+    """Docs sharing a planted header: its shingles must mine out at
+    min_df, per-doc shares must reflect exactly the header fraction,
+    and a unique doc must score zero."""
+    from dump1090_db_stream_spark.operators.dedup import (
+        boilerplate_shingles,
+        doc_boilerplate_share,
+    )
+
+    header = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"{header} alpha beta gamma"),
+         (2, f"{header} delta epsilon zeta"),
+         (3, f"{header} eta theta iota"),
+         (4, "completely unique text with no template at all")],
+        ["doc_id", "text"])
+
+    mined = {r["shingle"]: r["doc_freq"]
+             for r in boilerplate_shingles(docs, n=3, min_df=3).collect()}
+    # the 3 shingles fully inside the 5-word header appear in all 3 docs
+    assert mined == {
+        "subscribe to our": 3, "to our newsletter": 3,
+        "our newsletter today": 3}
+
+    share = {r["doc_id"]: r for r in doc_boilerplate_share(
+        docs, n=3, min_df=3).collect()}
+    # each templated doc: 6 distinct shingles (8 tokens), 3 boilerplate
+    for d in (1, 2, 3):
+        assert share[d]["n_shingles"] == 6
+        assert share[d]["n_boiler"] == 3
+        assert share[d]["boiler_share"] == 0.5
+    assert share[4]["n_boiler"] == 0 and share[4]["boiler_share"] == 0.0
