@@ -1110,6 +1110,22 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("distance_km", 2).alias("distance_km"))
 
 
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup pass a pipeline actually runs
+    (operators.graph.dedup_survivors): n-gram-Jaccard pairs -> star
+    connected components -> keep one canonical doc per cluster plus all
+    singletons, surviving rows with all columns. The corpus-side filter
+    is a LEFT SEMI join on ids (no corpus columns shuffle). Oracle:
+    transitive closure + keep-iff-min in closed form."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+    from dump1090_db_stream_spark.operators.graph import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    return dedup_survivors(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mining (operators.dedup.
     boilerplate_shingles): word 3-grams appearing in >= 4 distinct
@@ -1202,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: new in round 3
         "track_lines_wkt": q_track_lines_wkt,
         "neardup_clusters_star": q_neardup_clusters_star,
+        "neardup_survivors": q_neardup_survivors,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -2410,4 +2427,12 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    # survivors = same transitive closure, keep-iff-min final filter
+    closure = oracles["neardup_clusters"]
+    tail = closure.rindex("SELECT d.doc_id")
+    oracles["neardup_survivors"] = closure[:tail] + """SELECT d.doc_id,
+                   d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+            WHERE coalesce(reach.comp, d.doc_id) = d.doc_id
+        """
     return oracles

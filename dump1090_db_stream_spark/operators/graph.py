@@ -175,6 +175,11 @@ def canonical_map(
         comp = connected_components_star(pairs, src_col, dst_col)
     else:
         comp = connected_components(pairs, src_col, dst_col)
+    return _apply_canonical(df, comp, id_col)
+
+
+def _apply_canonical(df: DataFrame, comp: DataFrame,
+                     id_col: str) -> DataFrame:
     return (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
@@ -183,3 +188,32 @@ def canonical_map(
             F.coalesce(F.col("comp"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    algorithm: str = "star",
+) -> DataFrame:
+    """The end-to-end dedup decision: keep exactly ONE document per
+    near-dup cluster (the minimum id — deterministic) and every
+    singleton, returning surviving rows with ALL their columns.
+
+    This is the composition a pipeline actually runs: near-dup pairs
+    (any family: n-gram Jaccard, MinHash-LSH, SimHash, embedding LSH)
+    -> connected components -> ``keep iff id == canonical_id``.
+    Defaults to the star algorithm (O(log n) rounds, chain-safe).
+
+    Scale shape: components run over the pair graph only (tiny next to
+    the corpus); the final filter is a LEFT SEMI join of the corpus
+    against surviving ids — no corpus columns shuffle, and Catalyst
+    broadcasts the id set when small."""
+    survivors = (
+        canonical_map(df, pairs, id_col, src_col, dst_col, algorithm)
+        .filter(F.col(id_col) == F.col("canonical_id"))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")

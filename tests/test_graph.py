@@ -90,3 +90,17 @@ def test_canonical_map_star_algorithm(spark):
     got = {r["doc_id"]: r["canonical_id"]
            for r in canonical_map(docs, pairs, algorithm="star").collect()}
     assert got == {0: 0, 3: 0, 7: 0, 1: 1, 2: 2, 4: 4, 5: 5, 6: 6}
+
+
+def test_dedup_survivors_keeps_one_per_cluster(spark):
+    from dump1090_db_stream_spark.operators.graph import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"])
+    pairs = _edges(spark, [(0, 3), (3, 7), (5, 6)])
+    kept = sorted(r["doc_id"] for r in
+                  dedup_survivors(docs, pairs).collect())
+    # cluster {0,3,7} -> 0; cluster {5,6} -> 5; singletons 1,2,4 stay
+    assert kept == [0, 1, 2, 4, 5]
+    # all columns survive
+    assert dedup_survivors(docs, pairs).columns == ["doc_id", "text"]
