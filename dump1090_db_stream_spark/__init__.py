@@ -22,8 +22,16 @@ This package re-expresses that surface Spark-first:
 - ``operators.sampling``    hash split, stratified cap, mixture sampling
 - ``operators.packing``     context-window chunking, sequence packing
 - ``operators.relevance``   TF-IDF / BM25 lexical scoring
+- ``operators.graph``       dedup clustering: connected components
+  (min-label + O(log n) star contraction), survivor selection
+- ``operators.sketches``    HLL++ / mergeable / portable distinct sketches
+- ``operators.rollup``      multi-resolution continuous-aggregate rollup
+- ``operators.sessions``    band join, as-of join, key dedup, sessions
+- ``operators.versioning``  digest-only corpus diff
+- ``operators.geo``         radius join, Z-order layout, WKT emission
 - ``operators.multimodal``  binary-column decode/feature plumbing
-  (real PNG decode via ``functions.png``)
+  (real PNG/WAV decode via ``functions.png``/``functions.wav``; MP4
+  keyframe extraction via ``functions.mp4``)
 """
 
 from dump1090_db_stream_spark.cache import release_tracked
