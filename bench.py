@@ -188,11 +188,13 @@ def main() -> None:
 
     release_tracked()  # warmup caches must not serve the timed runs
 
-    def timed_min(fn, runs: int = 2) -> float:
+    def timed_min(fn, runs: int = 3) -> float:
         """Min over ``runs`` executions: the machine-noise-robust
         estimator of a query's true cost (co-tenant load only ever ADDS
-        time). Caches are released between runs so each run does the
-        full work."""
+        time). 3 runs since r3 — identical code measured 15.9 s and
+        17.4 s headline back-to-back at min-of-2 under co-tenant load;
+        the extra run costs ~30 s and tightens the estimator. Caches
+        are released between runs so each run does the full work."""
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -224,7 +226,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "timing": "min_of_2_runs",
+        "timing": "min_of_3_runs",
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "ingest": ingest,
