@@ -604,3 +604,73 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- persisted IVF index: cluster-partitioned storage + pruned search ---
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index as a ``cluster``-partitioned parquet
+    table — the 100 TB form of :func:`ivf_topk`'s corpus side.
+
+    Assignment is the same narrow expression ivf_topk uses inline; the
+    write repartitions BY CLUSTER so each partition directory holds one
+    posting list. Search then becomes partition PRUNING: a probe of
+    n_probes clusters opens n_probes directories and never touches the
+    rest of the corpus (plan-asserted in tests/test_plans.py). The
+    assignment cost is paid once at write instead of per query batch —
+    the FAISS add()/search() split re-expressed as storage layout."""
+    (corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"))
+     .repartition("cluster")
+     .write.mode(mode).partitionBy("cluster").parquet(path))
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search against a :func:`write_ivf_index` table. Identical
+    output contract to :func:`ivf_topk` (equality-tested); the
+    difference is physical: probed clusters arrive via partition
+    pruning on the ``cluster`` directory column, so scan volume is
+    n_probes/n_centroids of the index regardless of corpus size."""
+    from pyspark.sql import Window
+
+    corpus = spark.read.parquet(index_path)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _probe_clusters(F.col(vec_col), centroids, n_probes)
+        ).alias("cluster"),
+    )
+    scored = (
+        corpus.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )

@@ -238,3 +238,40 @@ def test_lsh_topk_arrow_sig_same_results(spark, corpus):
         corpus, queries, DIM, k=5, n_planes=8, n_tables=6,
         arrow_sig=True).collect()))
     assert hof == fast and len(hof) > 0
+
+
+def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
+    """The persisted IVF index: (a) search results are identical to the
+    inline ivf_topk on the same fixed quantizer; (b) the index scan's
+    PartitionFilters carry a dynamic-pruning subquery on ``cluster``,
+    so probing opens n_probes partition directories, not the corpus —
+    the FAISS add()/search() split as storage layout."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    fixed = [[float(x) for x in r["embedding"]] for r in emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 18)).collect()]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, fixed)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    inline = ivf_topk(emb, q, dim=64, k=10, n_probes=2, centroids=fixed)
+    from_idx = ivf_topk_from_index(spark, path, q, fixed, k=10, n_probes=2)
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, from_idx.collect()))
+
+    plan = from_idx._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    # the index directory layout is one subdir per posting list
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("cluster="))
