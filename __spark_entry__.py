@@ -1110,6 +1110,17 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("distance_km", 2).alias("distance_km"))
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (operators.text.char_entropy):
+    per-doc Shannon entropy in bits over characters — low = templated/
+    repetitive, high = noise. Two map-side-combined shuffles; the
+    join-free identity H = log2(n) - sum(c*log2 c)/n replays exactly in
+    the DuckDB oracle."""
+    from dump1090_db_stream_spark.operators.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END dedup pass a pipeline actually runs
     (operators.graph.dedup_survivors): n-gram-Jaccard pairs -> star
@@ -1219,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_lines_wkt": q_track_lines_wkt,
         "neardup_clusters_star": q_neardup_clusters_star,
         "neardup_survivors": q_neardup_survivors,
+        "doc_entropy": q_doc_entropy,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -2334,6 +2346,25 @@ def oracle_sql() -> dict[str, str]:
                   < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                      WHERE l2.l_partkey = li.l_partkey)
             GROUP BY p_brand
+        """,
+        "doc_entropy": """
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text), 1) + 1)) AS i
+                FROM documents
+            ), ch AS (
+                SELECT doc_id, substr(text, i, 1) AS ch FROM idx
+            ), counts AS (
+                SELECT doc_id, ch, count(*) AS c
+                FROM ch GROUP BY doc_id, ch
+            )
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_chars,
+                   count(*) AS distinct_chars,
+                   round(log2(sum(c))
+                         - sum(c * log2(c)) / sum(c), 6) AS entropy
+            FROM counts
+            GROUP BY doc_id
         """,
         "boilerplate_shingles": """
             WITH toks AS (

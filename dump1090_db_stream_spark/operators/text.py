@@ -157,3 +157,36 @@ def content_hash(text: Column | str) -> Column:
     """Exact-dedup key: md5 of the raw text (portable across engines)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c)
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/boilerplate quality signal (low entropy = repetitive or
+    templated text, high = random noise; natural language sits in a
+    band). Output: (id, n_chars, distinct_chars, entropy-bits).
+
+    Pure Column expressions, two map-side-combined shuffles (by
+    (id, char), then by id). The per-char relation comes from an
+    explicit substr-by-index transform (not split-on-empty-regex) so
+    any ANSI engine reproduces the row set exactly. Entropy uses the
+    join-free identity H = log2(n) - sum(c*log2(c))/n, so the second
+    aggregation needs no total-count join back."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)))
+    ch = df.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx, lambda i: F.col(text_col).substr(i, F.lit(1)))).alias("ch"),
+    )
+    counts = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6,
+        ).alias("entropy"),
+    )

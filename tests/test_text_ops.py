@@ -95,3 +95,20 @@ def test_text_ops_stay_jvm_side(spark):
     out = lang_id(quality_features(_docs(spark)))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-computable entropies: uniform 4-char text = 2 bits,
+    single repeated char = 0 bits, empty text = one ''-char row with
+    entropy 0."""
+    from dump1090_db_stream_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "aabb"), (4, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["entropy"] == 2.0 and got[1]["distinct_chars"] == 4
+    assert got[2]["entropy"] == 0.0 and got[2]["n_chars"] == 4
+    assert got[3]["entropy"] == 1.0
+    assert got[4]["n_chars"] == 1 and got[4]["entropy"] == 0.0
+
