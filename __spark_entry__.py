@@ -1110,6 +1110,40 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("distance_km", 2).alias("distance_km"))
 
 
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sampled quantiles (operators.sketches.
+    threshold_quantiles): per-event-type p50/p95 of value from a
+    deterministic 1/4 row sample — the filter precedes the shuffle, the
+    discrete quantile is an actual data value, and the oracle replays
+    the whole computation closed-form."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        threshold_quantiles,
+    )
+
+    return threshold_quantiles(
+        _events(spark, sf_dir), keys=["event_type"], value_col="value",
+        id_col="event_id", qs=(0.5, 0.95), rate=4)
+
+
+def q_daily_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (operators.sketches.daily_value_samples
+    + span_quantiles): per-day sorted value-sample arrays, 15-day span
+    merged per event_type. The oracle computes the same quantiles
+    DIRECTLY from the span's raw rows — equality proves store-then-merge
+    loses nothing, i.e. p95-over-any-span needs no raw rescan."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_value_samples,
+        span_quantiles,
+    )
+
+    sk = daily_value_samples(
+        _events(spark, sf_dir), ts="ts", keys=["event_type"],
+        value_col="value", id_col="event_id", rate=4)
+    sk = sk.where((F.col("day") >= F.lit("2024-01-05").cast("date"))
+                  & (F.col("day") < F.lit("2024-01-20").cast("date")))
+    return span_quantiles(sk, keys=["event_type"], qs=(0.5, 0.95))
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (operators.text.char_entropy):
     per-doc Shannon entropy in bits over characters — low = templated/
@@ -1231,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_star": q_neardup_clusters_star,
         "neardup_survivors": q_neardup_survivors,
         "doc_entropy": q_doc_entropy,
+        "event_value_quantiles": q_event_value_quantiles,
+        "daily_quantile_rollup": q_daily_quantile_rollup,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -1504,7 +1540,13 @@ def oracle_sql() -> dict[str, str]:
         threshold_distinct_sql_exprs,
     )
 
+    from dump1090_db_stream_spark.operators.sampling import portable_hash_sql
+    from dump1090_db_stream_spark.operators.sketches import sample_threshold
+
     _th_case, _th_est = threshold_distinct_sql_exprs("user_id", rate=4)
+    _qh = f"({portable_hash_sql('event_id')}) < {sample_threshold(4)}"
+    _qsel = """a[CAST(floor(0.5 * (len(a) - 1)) AS INT) + 1] AS p50,
+                   a[CAST(floor(0.95 * (len(a) - 1)) AS INT) + 1] AS p95"""
     return _alias_oracles({
         "minhash_lsh_dups": _minhash_lsh_oracle(),
         "simhash_dups": _simhash_oracle(),
@@ -2346,6 +2388,33 @@ def oracle_sql() -> dict[str, str]:
                   < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                      WHERE l2.l_partkey = li.l_partkey)
             GROUP BY p_brand
+        """,
+        "event_value_quantiles": f"""
+            WITH sampled AS (
+                SELECT event_type, value FROM events WHERE {_qh}
+            ), arr AS (
+                SELECT event_type, list_sort(list(value)) AS a,
+                       count(*) AS n_sampled
+                FROM sampled GROUP BY event_type
+            )
+            SELECT event_type, n_sampled,
+                   {_qsel}
+            FROM arr
+        """,
+        "daily_quantile_rollup": f"""
+            WITH sampled AS (
+                SELECT event_type, value FROM events
+                WHERE {_qh}
+                  AND CAST(ts AS DATE) >= DATE '2024-01-05'
+                  AND CAST(ts AS DATE) < DATE '2024-01-20'
+            ), arr AS (
+                SELECT event_type, list_sort(list(value)) AS a,
+                       count(*) AS n_sampled
+                FROM sampled GROUP BY event_type
+            )
+            SELECT event_type, n_sampled,
+                   {_qsel}
+            FROM arr
         """,
         "doc_entropy": """
             WITH idx AS (

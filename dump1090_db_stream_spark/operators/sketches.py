@@ -207,3 +207,99 @@ def span_estimate(
     if keys:
         return ex.groupBy(*keys).agg(est)
     return ex.agg(est)
+
+
+# --- portable mergeable QUANTILE samples (value distribution analog of
+#     the hash-sample distinct tier) ---
+
+
+def _disc_quantile(arr, q: float):
+    """Discrete (nearest-lower-rank) quantile of a SORTED array column:
+    element at index floor(q * (n-1)) + 1 (1-based). No interpolation —
+    the result is an actual data value, so cross-engine comparison is
+    exact (no float-arithmetic drift)."""
+    idx = F.floor(F.lit(q) * (F.size(arr) - 1)).cast("int") + 1
+    return F.element_at(arr, idx)
+
+
+def _q_name(q: float) -> str:
+    return f"p{round(q * 100)}"
+
+
+def threshold_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    rate: int = 64,
+    n_col: str = "n_sampled",
+) -> DataFrame:
+    """Per-group approximate quantiles from a deterministic ~1/``rate``
+    ROW sample: keep rows whose ``portable_hash(id_col)`` lands under
+    the threshold, sort the sampled values, take discrete quantiles.
+
+    The filter runs BEFORE the shuffle, so the exchange carries
+    ~rows/rate values per group — the quantile analog of
+    :func:`threshold_distinct`, and like it fully closed-form: a SQL
+    oracle reproduces every sampled row, hence every estimate, exactly.
+    (Engine-default alternative: ``percentile_approx`` in
+    :func:`approx_group_stats` — tighter error per byte, but its
+    sketch is implementation-specific.) ``value_col`` must be non-null
+    (NULL handling differs between collect_list and SQL list()-style
+    aggregates across engines)."""
+    t = sample_threshold(rate)
+    sampled = (df.where(portable_hash(id_col) < t)
+               .select(*[F.col(k) for k in keys], F.col(value_col)))
+    arr = F.sort_array(F.collect_list(value_col))
+    aggs = [F.count(F.lit(1)).alias(n_col)] + [
+        _disc_quantile(arr, q).alias(_q_name(q)) for q in qs]
+    return sampled.groupBy(*keys).agg(*aggs)
+
+
+def daily_value_samples(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    rate: int = 64,
+    day_col: str = "day",
+    sample_col: str = "value_sample",
+) -> DataFrame:
+    """Stored mergeable form: per-(day, keys) SORTED ARRAY of the
+    ~1/``rate`` deterministically sampled values — the quantile analog
+    of :func:`daily_hash_samples`. Because membership is decided by the
+    row's own id hash, the union of any span's stored samples IS the
+    sample of the span's raw rows: quantile rollups over arbitrary
+    date ranges never rescan raw data and lose nothing vs computing
+    directly (the ``daily_quantile_rollup`` oracle proves equality)."""
+    t = sample_threshold(rate)
+    return (
+        df.where(portable_hash(id_col) < t)
+        .select(F.to_date(F.col(ts)).alias(day_col),
+                *[F.col(k) for k in keys], F.col(value_col).alias("_v"))
+        .groupBy(day_col, *keys)
+        .agg(F.sort_array(F.collect_list("_v")).alias(sample_col))
+    )
+
+
+def span_quantiles(
+    samples: DataFrame,
+    keys: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95),
+    sample_col: str = "value_sample",
+    n_col: str = "n_sampled",
+) -> DataFrame:
+    """Merge stored value samples down to ``keys`` (concatenate via
+    explode — a deterministic row sample is closed under union) and
+    take discrete quantiles for the span. Shuffle carries sampled
+    values only."""
+    ex = samples.select(*[F.col(k) for k in keys],
+                        F.explode(F.col(sample_col)).alias("_v"))
+    arr = F.sort_array(F.collect_list("_v"))
+    aggs = [F.count(F.lit(1)).alias(n_col)] + [
+        _disc_quantile(arr, q).alias(_q_name(q)) for q in qs]
+    if keys:
+        return ex.groupBy(*keys).agg(*aggs)
+    return ex.agg(*aggs)

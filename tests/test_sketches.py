@@ -127,3 +127,47 @@ def test_threshold_distinct_invariant_to_layout(spark):
     b = sorted(threshold_distinct(ev.repartition(7), ["event_type"],
                                   "user_id", rate=4).collect())
     assert a == b
+
+
+def test_threshold_quantiles_accuracy_and_merge_losslessness(spark, sf_dir):
+    """(a) sampled p50/p95 land near exact percentiles; (b) merging
+    stored daily samples over a span gives EXACTLY the direct
+    computation on the span's raw rows (deterministic row sample is
+    closed under union)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_value_samples,
+        span_quantiles,
+        threshold_quantiles,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    est = {r["event_type"]: r for r in threshold_quantiles(
+        ev, ["event_type"], "value", "event_id", qs=(0.5, 0.95), rate=4,
+    ).collect()}
+    # rank-based tolerance (value-based breaks on heavy tails): the
+    # sampled p50 must land within the exact [p35, p65] band, p95
+    # within [p85, p99.5]
+    exact = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.35)").alias("lo50"),
+        F.expr("percentile(value, 0.65)").alias("hi50"),
+        F.expr("percentile(value, 0.85)").alias("lo95"),
+        F.expr("percentile(value, 0.995)").alias("hi95")).collect()}
+    for et, e in exact.items():
+        assert e["lo50"] <= est[et]["p50"] <= e["hi50"], et
+        assert e["lo95"] <= est[et]["p95"] <= e["hi95"], et
+
+    lo, hi = F.lit("2024-01-05").cast("date"), F.lit("2024-01-20").cast("date")
+    stored = daily_value_samples(
+        ev, "ts", ["event_type"], "value", "event_id", rate=4)
+    merged = span_quantiles(
+        stored.where((F.col("day") >= lo) & (F.col("day") < hi)),
+        ["event_type"], qs=(0.5, 0.95))
+    direct = threshold_quantiles(
+        ev.where((F.to_date("ts") >= lo) & (F.to_date("ts") < hi)),
+        ["event_type"], "value", "event_id", qs=(0.5, 0.95), rate=4)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
