@@ -60,6 +60,11 @@ EXTENDED = [
     "tfidf_top_terms",
     "bm25_scores",
     "multimodal_features",
+    # round-3 additions
+    "doc_entropy",
+    "doc_boilerplate_share",
+    "event_value_quantiles",
+    "daily_quantile_rollup",
 ]
 
 
