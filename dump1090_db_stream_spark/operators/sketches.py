@@ -303,3 +303,26 @@ def span_quantiles(
     if keys:
         return ex.groupBy(*keys).agg(*aggs)
     return ex.agg(*aggs)
+
+
+def merge_hash_samples(
+    samples: DataFrame,
+    keys: list[str],
+    day_col: str = "day",
+    sample_col: str = "hash_sample",
+) -> DataFrame:
+    """Compact a stored sample relation to one row per (day, keys) by
+    set-union of the arrays. Because the sample is a deterministic
+    subset keyed by value hash, union is IDEMPOTENT — which means the
+    store can be maintained APPEND-ONLY from a stream (each micro-batch
+    appends its own day-partial samples; estimates read through
+    duplicates unchanged, since :func:`span_estimate` explodes and
+    de-duplicates) and compacted opportunistically with this function,
+    instead of needing transactional read-modify-write upserts.
+    Verified end-to-end from a Structured Streaming source in
+    tests/test_sketches.py."""
+    return (
+        samples.groupBy(day_col, *keys)
+        .agg(F.sort_array(F.array_distinct(F.flatten(
+            F.collect_list(sample_col)))).alias(sample_col))
+    )

@@ -171,3 +171,78 @@ def test_threshold_quantiles_accuracy_and_merge_losslessness(spark, sf_dir):
         ["event_type"], "value", "event_id", qs=(0.5, 0.95), rate=4)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_streaming_appended_sketch_store_matches_batch(spark, tmp_path):
+    """The mergeable tier maintained FROM A STREAM, append-only: each
+    micro-batch appends its own day-partial hash samples to the store
+    (no upsert — sample union is idempotent); span estimates over the
+    store equal the one-shot batch computation over all raw rows, both
+    before and after compaction with merge_hash_samples."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_hash_samples,
+        merge_hash_samples,
+        span_estimate,
+        threshold_distinct,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = [(base + (i % 40) * 3_600_000_000 * 24 // 10, "t%d" % (i % 3),
+             i % 211) for i in range(2000)]
+    d = tmp_path / "replay"
+    d.mkdir()
+    sch = pa.schema([("ts", pa.timestamp("us")), ("event_type", pa.string()),
+                     ("user_id", pa.int64())])
+    t0 = _time.time()
+    for i, chunk in enumerate([rows[:700], rows[700:1400], rows[1400:]]):
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(pa.table(
+            {"ts": [r[0] for r in chunk],
+             "event_type": [r[1] for r in chunk],
+             "user_id": [r[2] for r in chunk]}, schema=sch), p)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("user_id", T.LongType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    store = str(tmp_path / "sketch_store")
+
+    def sink(batch_df, _bid):
+        (daily_hash_samples(batch_df, "ts", ["event_type"], "user_id",
+                            rate=4)
+         .write.mode("append").parquet(store))
+
+    (stream.writeStream.foreachBatch(sink)
+     .option("checkpointDir", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    stored = spark.read.parquet(store)
+    # 3 batches appended day-partials: duplicates per (day, type) exist
+    assert stored.count() > stored.select("day", "event_type").distinct().count()
+
+    batch_direct = spark.createDataFrame(
+        [(__import__("datetime").datetime.utcfromtimestamp(r[0] / 1e6),
+          r[1], r[2]) for r in rows], schema)
+    want = sorted(map(tuple, threshold_distinct(
+        batch_direct, ["event_type"], "user_id", rate=4,
+        est_col="est").drop("n").collect()))
+    got_raw = sorted(map(tuple, span_estimate(
+        stored, ["event_type"], rate=4, est_col="est").collect()))
+    assert got_raw == want
+
+    compact = merge_hash_samples(stored, ["event_type"])
+    assert compact.count() == \
+        stored.select("day", "event_type").distinct().count()
+    got_compact = sorted(map(tuple, span_estimate(
+        compact, ["event_type"], rate=4, est_col="est").collect()))
+    assert got_compact == want
