@@ -138,3 +138,59 @@ def parse_sbs1(lines: DataFrame, **kwargs) -> DataFrame:
     """parse + NOT NULL enforcement: the full ingest transform
     (reference lifecycle dump1090-postgres.py:204-239, minus the sink)."""
     return enforce_not_null(parse_sbs1_lines(lines, **kwargs)).select(*ALL_COLUMNS)
+
+
+#: reject_reason values emitted by :func:`parse_sbs1_tagged`, in
+#: precedence order.
+REJECT_WIDTH = "malformed_width"
+REJECT_STRICT_INT = "strict_integer"
+REJECT_NOT_NULL = "not_null"
+
+
+def parse_sbs1_tagged(
+    lines: DataFrame,
+    value_col: str = "value",
+    parsed_time: Column | None = None,
+    strict_integer_rows: bool = False,
+) -> DataFrame:
+    """Dead-letter-channel variant: parse EVERY input line in one pass,
+    tagging instead of dropping. Output = all message columns plus
+    ``raw_value`` (the original wire line, for replay/inspection) and
+    ``reject_reason`` (NULL for accepted rows; ``malformed_width`` /
+    ``strict_integer`` / ``not_null`` otherwise, first failure wins).
+
+    The reference silently drops bad lines (dump1090-postgres.py:102,
+    :118-123); production ingest wants them quarantined, not gone. One
+    narrow projection — callers route rows to the message sink and the
+    dead-letter sink by filtering the SAME relation (in streaming, one
+    foreachBatch writing two filtered outputs), so the source is
+    scanned once and accepted rows match :func:`parse_sbs1` on the
+    same input exactly (asserted in tests/test_parser.py)."""
+    if parsed_time is None:
+        parsed_time = F.current_timestamp()
+    raw = F.regexp_replace(F.col(value_col), "\r$", "")
+    fields = F.split(raw, ",", -1)
+    df = lines.select(raw.alias("raw_value"), fields.alias("_f"))
+
+    cols = [
+        _coerce(name, F.get(F.col("_f"), i)).alias(name)
+        for i, name in enumerate(WIRE_COLUMNS)
+    ]
+    cols.append(parsed_time.cast("timestamp").alias(PARSED_TIME))
+    out = df.select("raw_value", "_f", *cols)
+
+    width_bad = F.size(F.col("_f")) != N_WIRE_FIELDS
+    strict_bad = F.lit(False)
+    if strict_integer_rows:
+        for fld in ("ground_speed", "track", "altitude"):
+            r = _null_if_empty(F.get(F.col("_f"), WIRE_COLUMNS.index(fld)))
+            strict_bad = strict_bad | (
+                r.isNotNull() & r.try_cast("int").isNull())
+    null_bad = F.lit(False)
+    for c in NOT_NULL_COLUMNS:
+        null_bad = null_bad | F.col(c).isNull()
+    reason = (F.when(width_bad, F.lit(REJECT_WIDTH))
+              .when(strict_bad, F.lit(REJECT_STRICT_INT))
+              .when(null_bad, F.lit(REJECT_NOT_NULL)))
+    return (out.withColumn("reject_reason", reason)
+            .select("raw_value", *ALL_COLUMNS, "reject_reason"))

@@ -119,3 +119,47 @@ def test_no_python_udf_in_plan(spark):
     out = parse_sbs1(_lines_df(spark), parsed_time=fixed_ts())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_tagged_parse_routes_rejects_and_matches_parse_sbs1(spark):
+    """Dead-letter channel: every input line comes back exactly once
+    with the right reject_reason; the accepted slice equals parse_sbs1
+    on the same input column-for-column."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.functions.parser import (
+        REJECT_NOT_NULL,
+        REJECT_STRICT_INT,
+        REJECT_WIDTH,
+        parse_sbs1,
+        parse_sbs1_tagged,
+    )
+    from tests.fixtures import SAMPLE_LINES
+
+    msg = next(ln for ln in SAMPLE_LINES if len(ln.split(",")) == 22)
+    decimal_gs = msg.split(",")
+    decimal_gs[12] = "76.4"  # ground_speed as decimal -> strict reject
+    bad_lines = ["SEL,,496,2286,4CA4E5,27215,2010/02/19",  # short
+                 ",".join(decimal_gs)]
+    lines = spark.createDataFrame(
+        [(ln,) for ln in list(SAMPLE_LINES) + bad_lines], ["value"])
+
+    tagged = parse_sbs1_tagged(lines, strict_integer_rows=True)
+    assert tagged.count() == len(SAMPLE_LINES) + 2  # nothing dropped
+    reasons = {r["raw_value"]: r["reject_reason"] for r in tagged.collect()}
+    assert reasons[bad_lines[0]] == REJECT_WIDTH
+    assert reasons[bad_lines[1]] == REJECT_STRICT_INT
+    # non-MSG golden lines reject on width; MSG lines are accepted
+    # except the golden decimal-ground_speed line (MSG,4 — the
+    # reference's documented 22P02 case), which strict mode tags
+    msg_reasons = [reasons[ln] for ln in SAMPLE_LINES
+                   if len(ln.split(",")) == 22]
+    assert msg_reasons.count(None) == len(msg_reasons) - 1
+    assert msg_reasons.count(REJECT_STRICT_INT) == 1
+
+    accepted = (tagged.filter(F.col("reject_reason").isNull())
+                .drop("raw_value", "reject_reason"))
+    direct = parse_sbs1(lines, strict_integer_rows=True)
+    a = sorted(map(tuple, accepted.drop("parsed_time").collect()))
+    b = sorted(map(tuple, direct.drop("parsed_time").collect()))
+    assert a == b and len(a) > 0
