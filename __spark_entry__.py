@@ -1193,6 +1193,36 @@ def q_doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, min_df=4)
 
 
+def _reject_fixture_lines() -> list[str]:
+    """Golden wire lines plus crafted rejects: a garbage line (width),
+    and an MSG line with a blanked hex_ident (not_null). The golden set
+    already contains the width-rejected short forms and the
+    decimal-ground_speed strict case (MSG,4)."""
+    from tests.fixtures import SAMPLE_LINES
+
+    msg = next(ln for ln in SAMPLE_LINES if len(ln.split(",")) == 22)
+    no_hex = msg.split(",")
+    no_hex[4] = ""
+    return list(SAMPLE_LINES) + ["garbage,line", ",".join(no_hex)]
+
+
+def q_sbs1_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter channel contract (functions.parser.parse_sbs1_tagged,
+    strict mode): every wire line returns exactly once with its
+    reject_reason — malformed_width / strict_integer / not_null / NULL
+    (accepted). The oracle replays the width, regex-guarded int, and
+    NOT-NULL checks in SQL over the same VALUES list."""
+    from dump1090_db_stream_spark.functions.parser import parse_sbs1_tagged
+
+    lines = spark.createDataFrame(
+        [(line,) for line in _reject_fixture_lines()], ["value"])
+    return parse_sbs1_tagged(
+        lines, parsed_time=F.lit("2020-01-01 00:00:00").cast("timestamp"),
+        strict_integer_rows=True,
+    ).select("raw_value", "message_type", "transmission_type",
+             "reject_reason")
+
+
 def q_track_lines_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-1/G-2 WKT interop: per-user track as ST_AsText(ST_MakeLine(...))
     text plus the start point as ST_AsText(point) — the PostGIS track
@@ -1267,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "event_value_quantiles": q_event_value_quantiles,
         "daily_quantile_rollup": q_daily_quantile_rollup,
+        "sbs1_rejects": q_sbs1_rejects,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -1322,6 +1353,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "embedding_topk": q_embedding_topk,
     }
+
+
+def _sbs1_rejects_oracle() -> str:
+    """SQL replay of parse_sbs1_tagged's routing over the same VALUES
+    list: width check, regex-guarded int casts (DuckDB try_cast rounds
+    decimal strings where Spark yields NULL), strptime date check, and
+    the NOT-NULL columns, in the parser's precedence order."""
+    values = ",\n                ".join(
+        "('" + line.replace("'", "''") + "')"
+        for line in _reject_fixture_lines())
+    def num(i: int) -> str:
+        return (f"CASE WHEN regexp_matches(nullif(f[{i}], ''), "
+                f"'^-?\\d+$') THEN nullif(f[{i}], '')::INTEGER END")
+    def bad_int(i: int) -> str:
+        return (f"(nullif(f[{i}], '') IS NOT NULL AND NOT "
+                f"regexp_matches(nullif(f[{i}], ''), '^-?\\d+$'))")
+    return f"""
+            WITH raw(value) AS (VALUES
+                {values}
+            ), fields AS (
+                SELECT value,
+                       str_split(regexp_replace(value, '\\r$', ''), ',') AS f
+                FROM raw
+            )
+            SELECT value AS raw_value,
+                   nullif(f[1], '') AS message_type,
+                   {num(2)} AS transmission_type,
+                   CASE
+                     WHEN length(f) <> 22 THEN 'malformed_width'
+                     WHEN {bad_int(13)} OR {bad_int(14)} OR {bad_int(12)}
+                       THEN 'strict_integer'
+                     WHEN ({num(2)}) IS NULL
+                       OR nullif(f[5], '') IS NULL
+                       OR try_strptime(nullif(f[7], ''), '%Y/%m/%d') IS NULL
+                       OR nullif(f[8], '') IS NULL
+                       THEN 'not_null'
+                   END AS reject_reason
+            FROM fields
+        """
 
 
 def _sbs1_oracle() -> str:
@@ -1552,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "sbs1_parse": _sbs1_oracle(),
+        "sbs1_rejects": _sbs1_rejects_oracle(),
         "top_revenue_orders": """
             SELECT o_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
