@@ -109,3 +109,25 @@ def test_sample_frames_mp4_end_to_end(spark):
         (0, 0), (1, 300), (2, 600), (3, 900)]
     assert [bytes(r["frame_bytes"]) for r in out] == [
         SAMPLES[0], SAMPLES[3], SAMPLES[6], SAMPLES[9]]
+
+
+def test_malformed_inputs_raise_at_the_seam():
+    import pytest
+
+    # fragmented MP4: moof instead of moov
+    frag = _box(b"ftyp", b"isomAAAA") + _box(b"moof", b"")
+    with pytest.raises(ValueError, match="fragmented"):
+        video_sample_index(frag)
+    # no moov at all
+    with pytest.raises(ValueError, match="no moov"):
+        video_sample_index(_box(b"ftyp", b"isomAAAA") + _box(b"mdat", b"x"))
+    # truncated box size beyond EOF must stop parsing, not loop/crash
+    bad = _box(b"ftyp", b"isomAAAA") + struct.pack(">I4s", 1 << 30, b"mdat")
+    with pytest.raises(ValueError, match="no moov"):
+        video_sample_index(bad)
+    # audio-only file: moov/trak with soun handler
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"soun"
+                 + b"\x00" * 12 + b"\x00")
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", hdlr)))
+    with pytest.raises(ValueError, match="no video"):
+        video_sample_index(_box(b"ftyp", b"isomAAAA") + moov)

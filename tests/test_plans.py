@@ -247,3 +247,15 @@ def test_track_lines_wkt_single_shuffle(spark, sf):
     plan = plan_of(entrymod.q_track_lines_wkt(spark, sf))
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_threshold_quantiles_filters_before_shuffle(spark, sf):
+    """The 1/rate sample predicate must run below the (single) group
+    exchange — the whole point of the portable sketch tier: the shuffle
+    carries sampled rows only."""
+    plan = plan_of(entrymod.q_event_value_quantiles(spark, sf))
+    assert plan.count("Exchange") == 1
+    ex = plan.index("Exchange")
+    below = plan[ex:]
+    assert "Filter" in below  # sample predicate below the exchange
+    assert "EvalPython" not in plan and "InPandas" not in plan
