@@ -199,6 +199,24 @@ def minhash_signatures(
     return base.groupBy("id").agg(*aggs)
 
 
+def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) LSH band relation from a signature table:
+    bucket = md5 of the band's row concatenation."""
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -234,20 +252,7 @@ def minhash_lsh_pairs(
     # across self-join branches). One row per doc (k longs) — cheap to
     # cache locally; at cluster scale, a checkpoint/temp table plays the
     # same role.
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[
-                    F.col(f"mh{b * rows + r}").cast("string")
-                    for r in range(rows)
-                ])).alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    banded = track(banded)
+    banded = track(_banded(sig, bands, rows))
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -506,4 +511,96 @@ def doc_boilerplate_share(
             F.round(F.coalesce(F.col("n_boiler"), F.lit(0))
                     / F.col("n_shingles"), 6).alias("boiler_share"),
         )
+    )
+
+
+# --- persisted MinHash band index: incremental batch-vs-corpus dedup ---
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    portable_base_hash: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's banded MinHash relation (id, band, bucket)
+    as parquet, with the LSH parameters in a JSON sidecar — the index
+    an INCREMENTAL dedup workflow probes daily instead of re-shingling
+    100 TB per batch. Signature assignment is paid once at write; the
+    index is ~bands x 40 B per document regardless of text size."""
+    import json
+    import os
+
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             portable_base_hash)
+    _banded(sig, bands, rows).write.mode(mode).parquet(path)
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands,
+                   "portable_base_hash": portable_base_hash}, f)
+
+
+def neardup_vs_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dups of a NEW batch against a :func:`write_minhash_index`
+    corpus index: (corpus_id, new_id, jaccard >= threshold).
+
+    The incremental shape: the new batch's band relation (small) is
+    BROADCAST against the index equi-join — the index streams through
+    the join without a shuffle, and corpus text is touched only for
+    the candidate docs (LEFT SEMI down-filter before re-shingling for
+    exact verification). LSH parameters come from the index sidecar,
+    so probe signatures always match the stored ones. ``corpus`` must
+    be the same relation the index was built from (needed only for
+    verification texts)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    rows = meta["num_hashes"] // meta["bands"]
+    idx = spark.read.parquet(index_path).withColumnRenamed("id", "corpus_id")
+    new_sig = minhash_signatures(
+        new_docs, id_col, text_col, meta["n"], meta["num_hashes"],
+        meta["portable_base_hash"])
+    new_banded = (_banded(new_sig, meta["bands"], rows)
+                  .withColumnRenamed("id", "new_id"))
+    candidates = (
+        idx.join(F.broadcast(new_banded), ["band", "bucket"])
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    candidates = track(candidates)
+    involved = candidates.select(F.col("corpus_id").alias("id")).distinct()
+    slim = corpus.join(F.broadcast(involved),
+                       corpus[id_col] == involved["id"], "left_semi")
+
+    def sh(docs: DataFrame, out_id: str, out_shs: str) -> DataFrame:
+        return with_tokens(docs, text_col).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(shingles(F.col("_toks"), meta["n"]))
+            .alias(out_shs))
+
+    return (
+        candidates
+        .join(sh(slim, "corpus_id", "shs_a"), "corpus_id")
+        .join(sh(new_docs, "new_id", "shs_b"), "new_id")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("n_union", F.size(F.array_union("shs_a", "shs_b")))
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "new_id", "jaccard")
     )

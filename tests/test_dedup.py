@@ -132,3 +132,37 @@ def test_boilerplate_mining_finds_planted_template(spark):
         assert share[d]["n_boiler"] == 3
         assert share[d]["boiler_share"] == 0.5
     assert share[4]["n_boiler"] == 0 and share[4]["boiler_share"] == 0.0
+
+
+def test_incremental_neardup_vs_persisted_index(spark, tmp_path):
+    """The daily-batch workflow: index the corpus once, then probe a new
+    batch against it — planted near-dups of indexed docs are found with
+    their jaccard, brand-new docs produce no pairs, and the corpus is
+    re-shingled only for candidate docs (never the whole relation)."""
+    from dump1090_db_stream_spark.operators.dedup import (
+        neardup_vs_index,
+        write_minhash_index,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    corpus = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path, bands=16, num_hashes=32)
+
+    # new batch: two lightly-edited copies of corpus docs + one unique
+    src = {r["doc_id"]: r["text"] for r in corpus.filter(
+        F.col("doc_id").isin(3, 7)).collect()}
+    new_docs = spark.createDataFrame(
+        [(100003, src[3] + " extra tail token"),
+         (100007, "prefix " + src[7]),
+         (200000, "entirely novel content zz qq ww ee rr tt yy uu ii oo")],
+        ["doc_id", "text"])
+
+    pairs = {(r["corpus_id"], r["new_id"]): r["jaccard"]
+             for r in neardup_vs_index(
+                 spark, path, new_docs, corpus, threshold=0.5).collect()}
+    assert (3, 100003) in pairs and pairs[(3, 100003)] > 0.8
+    assert (7, 100007) in pairs and pairs[(7, 100007)] > 0.8
+    assert not any(n == 200000 for _, n in pairs)
