@@ -181,3 +181,34 @@ def compact_parquet(
         df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_by: str,
+    n_shards: int = 8,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-export sink: newline-delimited JSON shards — the
+    interchange format LLM data pipelines feed to tokenizer/training
+    jobs.
+
+    Rows are range-partitioned on the portable hash of ``shard_by`` and
+    sorted by it within shards, so shard MEMBERSHIP and ORDER are
+    deterministic functions of the data (re-running the export on the
+    same rows reproduces byte-identical shard contents — required for
+    resumable downstream training), never of cluster layout.
+    ``max_records_per_file`` additionally caps rows per file (Spark
+    splits a shard into numbered parts), bounding downstream memory."""
+    from dump1090_db_stream_spark.operators.sampling import portable_hash
+
+    keyed = df.withColumn("_shard_key", portable_hash(shard_by))
+    writer = (keyed.repartitionByRange(n_shards, F.col("_shard_key"))
+              .sortWithinPartitions("_shard_key")
+              .drop("_shard_key")
+              .write.mode(mode))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(path)
