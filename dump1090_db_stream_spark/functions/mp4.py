@@ -114,8 +114,13 @@ def video_sample_index(data: bytes) -> list[Mp4Sample]:
             continue
         # stsz: fixed sample_size or per-sample list
         fixed_size, n_samples = struct.unpack_from(">II", data, stsz[0] + 4)
-        sizes = ([fixed_size] * n_samples if fixed_size
-                 else _u32s(data, stsz[0] + 12, n_samples))
+        try:
+            sizes = ([fixed_size] * n_samples if fixed_size
+                     else _u32s(data, stsz[0] + 12, n_samples))
+        except struct.error as e:
+            raise ValueError(
+                f"stsz table shorter than its declared sample_count "
+                f"({n_samples}) — truncated MP4") from e
         # chunk offsets: stco (32-bit) or co64
         stco = table(b"stco")
         if stco:
@@ -145,6 +150,13 @@ def video_sample_index(data: bytes) -> list[Mp4Sample]:
             for _ in range(count):
                 ts.append(t)
                 t += delta
+        if len(ts) < n_samples:
+            # common truncated/re-muxed inconsistency: keep the error at
+            # the documented ValueError seam, not a raw IndexError deep
+            # inside a Spark task
+            raise ValueError(
+                f"stts covers {len(ts)} samples but stsz declares "
+                f"{n_samples} — inconsistent MP4 sample tables")
         # stss -> sync sample set (absent means all-sync)
         stss = table(b"stss")
         if stss:

@@ -108,20 +108,26 @@ def parse_sbs1_lines(
     out = df.select(*cols)
 
     if strict_integer_rows:
-        # Reference 22P02 semantics: a decimal in an integer column kills
-        # the row, not just the field. A value is "bad" when the raw string
-        # was non-empty but the int cast returned NULL.
-        raw_gs = _null_if_empty(F.get(F.col("_f"), WIRE_COLUMNS.index("ground_speed")))
-        raw_tr = _null_if_empty(F.get(F.col("_f"), WIRE_COLUMNS.index("track")))
-        raw_alt = _null_if_empty(F.get(F.col("_f"), WIRE_COLUMNS.index("altitude")))
-        bad = (
-            (raw_gs.isNotNull() & raw_gs.try_cast("int").isNull())
-            | (raw_tr.isNotNull() & raw_tr.try_cast("int").isNull())
-            | (raw_alt.isNotNull() & raw_alt.try_cast("int").isNull())
-        )
-        out = df.filter(~bad).select(*cols)
+        out = df.filter(~_strict_integer_bad(F.col("_f"))).select(*cols)
 
     return out
+
+
+#: integer wire columns whose decimal values kill the ROW under the
+#: reference's PG coercion (22P02) — shared by the filtering and
+#: dead-letter paths so the two cannot drift.
+_STRICT_INT_FIELDS = ("ground_speed", "track", "altitude")
+
+
+def _strict_integer_bad(fields: Column) -> Column:
+    """Reference 22P02 semantics: a decimal in an integer column kills
+    the row, not just the field. A value is "bad" when the raw string
+    was non-empty but the int cast returned NULL."""
+    bad = F.lit(False)
+    for fld in _STRICT_INT_FIELDS:
+        r = _null_if_empty(F.get(fields, WIRE_COLUMNS.index(fld)))
+        bad = bad | (r.isNotNull() & r.try_cast("int").isNull())
+    return bad
 
 
 def enforce_not_null(messages: DataFrame) -> DataFrame:
@@ -180,12 +186,8 @@ def parse_sbs1_tagged(
     out = df.select("raw_value", "_f", *cols)
 
     width_bad = F.size(F.col("_f")) != N_WIRE_FIELDS
-    strict_bad = F.lit(False)
-    if strict_integer_rows:
-        for fld in ("ground_speed", "track", "altitude"):
-            r = _null_if_empty(F.get(F.col("_f"), WIRE_COLUMNS.index(fld)))
-            strict_bad = strict_bad | (
-                r.isNotNull() & r.try_cast("int").isNull())
+    strict_bad = (_strict_integer_bad(F.col("_f"))
+                  if strict_integer_rows else F.lit(False))
     null_bad = F.lit(False)
     for c in NOT_NULL_COLUMNS:
         null_bad = null_bad | F.col(c).isNull()

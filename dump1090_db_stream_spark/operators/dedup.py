@@ -532,17 +532,22 @@ def write_minhash_index(
     as parquet, with the LSH parameters in a JSON sidecar — the index
     an INCREMENTAL dedup workflow probes daily instead of re-shingling
     100 TB per batch. Signature assignment is paid once at write; the
-    index is ~bands x 40 B per document regardless of text size."""
-    import json
-    import os
+    index is ~bands x 40 B per document regardless of text size.
 
+    The sidecar is written as a one-row Spark JSON dataset under
+    ``<path>/_lsh_meta`` (underscore-prefixed, so parquet discovery
+    ignores it) — through the same Hadoop filesystem layer as the
+    parquet, so hdfs:// and s3a:// index paths work, not just local
+    disk."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              portable_base_hash)
     _banded(sig, bands, rows).write.mode(mode).parquet(path)
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
-        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands,
-                   "portable_base_hash": portable_base_hash}, f)
+    spark = df.sparkSession
+    (spark.createDataFrame(
+        [(n, num_hashes, bands, bool(portable_base_hash))],
+        "n int, num_hashes int, bands int, portable_base_hash boolean")
+     .coalesce(1).write.mode("overwrite").json(path + "/_lsh_meta"))
 
 
 def neardup_vs_index(
@@ -565,11 +570,9 @@ def neardup_vs_index(
     so probe signatures always match the stored ones. ``corpus`` must
     be the same relation the index was built from (needed only for
     verification texts)."""
-    import json
-    import os
-
-    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
-        meta = json.load(f)
+    meta = spark.read.json(index_path + "/_lsh_meta").first().asDict()
+    meta = {k: (int(v) if k != "portable_base_hash" else bool(v))
+            for k, v in meta.items()}
     rows = meta["num_hashes"] // meta["bands"]
     idx = spark.read.parquet(index_path).withColumnRenamed("id", "corpus_id")
     new_sig = minhash_signatures(

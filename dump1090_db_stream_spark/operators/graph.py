@@ -74,6 +74,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Same contract as the star variant: an early stop would return
+        # silently WRONG labels (propagation needs diameter rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds (graph diameter exceeds it); raise max_iterations "
+            f"or use connected_components_star")
     return labels
 
 
@@ -81,7 +88,7 @@ def connected_components_star(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 30,
     rounds_out: list[int] | None = None,
 ) -> DataFrame:
     """(id, component) via alternating LARGE-STAR / SMALL-STAR
@@ -116,7 +123,7 @@ def connected_components_star(
              .distinct()
              .localCheckpoint(eager=True))
 
-    rounds = 0
+    rounds, converged = 0, False
     for _ in range(max_iterations):
         rounds += 1
         # LARGE-STAR on the symmetrized neighborhood: every neighbor u>v
@@ -146,6 +153,15 @@ def connected_components_star(
             break
     if rounds_out is not None:
         rounds_out.append(rounds)
+    if not converged:
+        # An unconverged edge set is not a star forest — labeling from
+        # it would be silently WRONG (dedup_survivors would keep/drop
+        # the wrong documents). Refuse instead: rounds needed ~
+        # log2(largest component), so the default cap of 30 covers
+        # components up to ~2^28 nodes.
+        raise RuntimeError(
+            f"connected_components_star did not reach its edge-set "
+            f"fixpoint in {max_iterations} rounds; raise max_iterations")
     # Fixpoint is a disjoint union of min-centered stars: each non-root
     # points at its component minimum; roots map to themselves.
     per_node = (down.groupBy("a").agg(F.min("b").alias("comp"))

@@ -157,19 +157,22 @@ def rh_signatures_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # ids pass through UNTOUCHED (no int64 coercion) so any id
+            # type the HOF path accepts — strings included — works here
+            n = len(pdf)
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             bits = (x @ pmat.T) >= 0.0
-            sigs = (bits.reshape(len(ids), n_tables, n_planes)
+            sigs = (bits.reshape(n, n_tables, n_planes)
                     * weights).sum(axis=2, dtype=np.int64)
             yield pd.DataFrame({
-                "id": np.repeat(ids, n_tables),
-                "tbl": np.tile(tbls, len(ids)),
+                "id": pdf[id_col].to_numpy().repeat(n_tables),
+                "tbl": np.tile(tbls, n),
                 "sig": sigs.ravel(),
             })
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        kernel, "id long, tbl int, sig long")
+        kernel, f"id {id_type}, tbl int, sig long")
 
 
 def lsh_topk(

@@ -195,20 +195,28 @@ def write_jsonl_shards(
     interchange format LLM data pipelines feed to tokenizer/training
     jobs.
 
-    Rows are range-partitioned on the portable hash of ``shard_by`` and
-    sorted by it within shards, so shard MEMBERSHIP and ORDER are
-    deterministic functions of the data (re-running the export on the
-    same rows reproduces byte-identical shard contents — required for
-    resumable downstream training), never of cluster layout.
-    ``max_records_per_file`` additionally caps rows per file (Spark
-    splits a shard into numbered parts), bounding downstream memory."""
+    Determinism contract: shard MEMBERSHIP and within-shard ORDER are
+    functions of the data alone, never of cluster layout — re-running
+    the export on the same rows reproduces byte-identical shards
+    (required for resumable downstream training). Achieved by
+    serializing each row to its JSON line FIRST, then (a) sharding on
+    pmod(portable_hash(shard_by), n_shards) — a pure value function,
+    unlike repartitionByRange whose boundaries come from a random
+    reservoir sample of the input layout — and (b) sorting shards by
+    (hash, line text): a TOTAL order, so duplicate keys cannot
+    reorder between runs (identical rows produce identical lines —
+    interchangeable bytes). ``max_records_per_file`` additionally caps
+    rows per file, bounding downstream memory."""
     from dump1090_db_stream_spark.operators.sampling import portable_hash
 
-    keyed = df.withColumn("_shard_key", portable_hash(shard_by))
-    writer = (keyed.repartitionByRange(n_shards, F.col("_shard_key"))
-              .sortWithinPartitions("_shard_key")
-              .drop("_shard_key")
+    lines = df.select(
+        F.pmod(portable_hash(shard_by), F.lit(n_shards)).alias("_s"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    writer = (lines.repartition(n_shards, F.col("_s"))
+              .sortWithinPartitions("_s", "value")
+              .select("value")
               .write.mode(mode))
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.json(path)
+    writer.text(path)

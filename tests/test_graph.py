@@ -104,3 +104,19 @@ def test_dedup_survivors_keeps_one_per_cluster(spark):
     assert kept == [0, 1, 2, 4, 5]
     # all columns survive
     assert dedup_survivors(docs, pairs).columns == ["doc_id", "text"]
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    """An exhausted iteration cap must raise, not return a silently
+    wrong labeling (dedup_survivors would act on it)."""
+    import pytest
+
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = _edges(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(chain, max_iterations=2).collect()
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=3).collect()

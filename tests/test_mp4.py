@@ -131,3 +131,18 @@ def test_malformed_inputs_raise_at_the_seam():
     moov = _box(b"moov", _box(b"trak", _box(b"mdia", hdlr)))
     with pytest.raises(ValueError, match="no video"):
         video_sample_index(_box(b"ftyp", b"isomAAAA") + moov)
+
+
+def test_inconsistent_sample_tables_raise_valueerror():
+    """stts shorter than stsz (truncated/re-muxed file) must surface as
+    the documented ValueError seam, not an IndexError inside a task."""
+    import pytest
+
+    data = build_fixture_mp4()
+    # rewrite stts to cover only 9 of the 10 declared samples
+    stts_at = data.find(b"stts") + 4
+    patched = (data[:stts_at + 4]
+               + struct.pack(">III", 1, 9, 100)
+               + data[stts_at + 16:])
+    with pytest.raises(ValueError, match="stts covers 9"):
+        video_sample_index(patched)

@@ -275,3 +275,30 @@ def test_ivf_index_search_equals_inline_and_prunes(spark, tmp_path):
     # the index directory layout is one subdir per posting list
     import os
     assert sorted(d for d in os.listdir(path) if d.startswith("cluster="))
+
+
+def test_arrow_sig_supports_string_ids(spark):
+    """The arrow signature kernel must not narrow the id contract: a
+    string-keyed corpus produces the same pairs as the HOF path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    vecs = _vecs(20)
+    vecs[19] = [v + 0.001 for v in vecs[2]]
+    schema = T.StructType([
+        T.StructField("vec_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", [float(x) for x in v])
+         for i, v in enumerate(vecs)], schema)
+    kw = dict(dim=DIM, threshold=0.99, n_planes=6, n_tables=4,
+              id_col="vec_id")
+    hof = sorted(map(tuple, embedding_neardup_pairs(df, **kw).collect()))
+    fast = sorted(map(tuple, embedding_neardup_pairs(
+        df, arrow_sig=True, **kw).collect()))
+    assert hof == fast and len(hof) > 0

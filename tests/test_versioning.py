@@ -81,12 +81,12 @@ def test_jsonl_shards_roundtrip_and_bounds(spark, tmp_path):
     back = spark.read.json(p1)
     assert sorted(map(tuple, back.select("doc_id", "text", "lang").collect())) == \
         sorted(map(tuple, docs.collect()))
-    for f in glob.glob(f"{p1}/part-*.json"):
+    for f in glob.glob(f"{p1}/part-*"):
         assert sum(1 for _ in open(f)) <= 40
 
     # determinism: re-export produces byte-identical shard contents
     write_jsonl_shards(docs, p2, shard_by="doc_id", n_shards=4,
                        max_records_per_file=40)
-    c1 = sorted(open(f).read() for f in glob.glob(f"{p1}/part-*.json"))
-    c2 = sorted(open(f).read() for f in glob.glob(f"{p2}/part-*.json"))
+    c1 = sorted(open(f).read() for f in glob.glob(f"{p1}/part-*"))
+    c2 = sorted(open(f).read() for f in glob.glob(f"{p2}/part-*"))
     assert c1 == c2 and len(c1) > 0
