@@ -434,6 +434,32 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    n_planes=10, n_tables=8, arrow_sig=True)
 
 
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators.similarity.
+    embedding_cross_neardup): corpus x benchmark cosine near-dups via
+    cross-relation hyperplane bucketing — the semantic complement of the
+    lexical benchmark_decontamination query (paraphrases share no
+    n-grams but sit at cosine ~0.99). Fixture benchmark: every 10th
+    embedding perturbed (+0.03 on element 0), so the brute-force-cross-
+    join oracle proves the bucketing loses no qualifying pair. The
+    benchmark side is broadcast; the corpus never shuffles."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_cross_neardup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, (x.cast("double") + 0.03)
+                                .cast("float")).otherwise(x),
+        ).alias("embedding"))
+    return embedding_cross_neardup(
+        emb, bench, dim=64, threshold=0.99, n_planes=10, n_tables=8,
+        arrow_sig=True)
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (operators.similarity.ivf_topk) with a FIXED coarse
     quantizer: the 8 centroids are the embeddings of vec_id 10..17 (a
@@ -1298,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "daily_quantile_rollup": q_daily_quantile_rollup,
         "sbs1_rejects": q_sbs1_rejects,
+        "embedding_decontamination": q_embedding_decontamination,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -2016,6 +2043,35 @@ def oracle_sql() -> dict[str, str]:
                                   * b.embedding[i]::DOUBLE))
                          / (a.nrm * b.nrm), 6) AS cosine
             FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE cosine >= 0.99
+        """,
+        "embedding_decontamination": """
+            WITH bench AS (
+                SELECT vec_id + 500000 AS other_id,
+                       list_transform(range(1, length(embedding) + 1),
+                           i -> CASE WHEN i = 1
+                                     THEN CAST(embedding[i]::DOUBLE + 0.03
+                                               AS FLOAT)
+                                     ELSE embedding[i] END) AS embedding
+                FROM embeddings WHERE vec_id % 10 = 0
+            ), nc AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings
+            ), nb AS (
+                SELECT other_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM bench
+            )
+            SELECT c.vec_id AS corpus_id, b.other_id,
+                   round(list_sum(list_transform(
+                             range(1, length(c.embedding) + 1),
+                             i -> c.embedding[i]::DOUBLE
+                                  * b.embedding[i]::DOUBLE))
+                         / (c.nrm * b.nrm), 6) AS cosine
+            FROM nc c CROSS JOIN nb b
             WHERE cosine >= 0.99
         """,
         "cosine_neardup_pairs": """

@@ -677,3 +677,62 @@ def ivf_topk_from_index(
         .select("query_id", "neighbor_id", "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_cross_neardup(
+    corpus: DataFrame,
+    other: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    other_id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    arrow_sig: bool = False,
+) -> DataFrame:
+    """Cross-relation embedding near-dups: (corpus_id, other_id,
+    cosine >= threshold) — the EMBEDDING-space benchmark-decontamination
+    path, complementing dedup.cross_ngram_overlap's lexical one (a
+    paraphrased eval item shares no n-grams but sits at cosine ~0.98).
+
+    Same hyperplane bucketing as :func:`embedding_neardup_pairs`, but
+    across two relations: the (small) ``other`` side — eval benchmarks,
+    a heldout set — has its signature relation BROADCAST against the
+    corpus signatures, so the corpus streams through an equi-join with
+    no shuffle of its own. Candidates carry ids only; vectors join back
+    for exact scoring (corpus side by equi-join, other side broadcast).
+    """
+    def sigs(df: DataFrame, idc: str, out: str) -> DataFrame:
+        if arrow_sig:
+            return rh_signatures_arrow(
+                df, dim, n_planes, n_tables, seed_base=211,
+                id_col=idc, vec_col=vec_col).withColumnRenamed("id", out)
+        return df.select(
+            F.col(idc).alias(out),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).cast("int").alias("tbl"),
+                         rh_signature(F.col(vec_col), dim, n_planes,
+                                      seed=211 + t).alias("sig"))
+                for t in range(n_tables)
+            ])).alias("s"),
+        ).select(out, "s.tbl", "s.sig")
+
+    cand = (
+        sigs(corpus, id_col, "corpus_id")
+        .join(F.broadcast(sigs(other, other_id_col, "other_id")),
+              ["tbl", "sig"])
+        .select("corpus_id", "other_id")
+        .distinct()
+    )
+    vc = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).alias("vec_c"))
+    vo = other.select(F.col(other_id_col).alias("other_id"),
+                      F.col(vec_col).alias("vec_o"))
+    return (
+        cand.join(vc, "corpus_id").join(F.broadcast(vo), "other_id")
+        .withColumn("cosine",
+                    F.round(cosine(F.col("vec_c"), F.col("vec_o")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("corpus_id", "other_id", "cosine")
+    )

@@ -302,3 +302,29 @@ def test_arrow_sig_supports_string_ids(spark):
     fast = sorted(map(tuple, embedding_neardup_pairs(
         df, arrow_sig=True, **kw).collect()))
     assert hof == fast and len(hof) > 0
+
+
+def test_embedding_cross_neardup_finds_planted_contamination(spark, corpus):
+    """Cross-relation decontamination: benchmark items that are light
+    perturbations of corpus vectors are all found; unrelated benchmark
+    items produce no pairs; HOF and arrow signature paths agree."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        embedding_cross_neardup,
+    )
+
+    bench = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, (x.cast("double") + 0.001)
+                                        .cast("float")).otherwise(x))
+        .alias("embedding"))
+    kw = dict(dim=DIM, threshold=0.99, n_planes=8, n_tables=8)
+    hof = sorted(map(tuple, embedding_cross_neardup(
+        corpus, bench, **kw).collect()))
+    fast = sorted(map(tuple, embedding_cross_neardup(
+        corpus, bench, arrow_sig=True, **kw).collect()))
+    assert hof == fast
+    found = {(c, o) for c, o, _ in hof}
+    assert {(i, i + 1000) for i in range(5)} <= found
