@@ -259,3 +259,24 @@ def test_threshold_quantiles_filters_before_shuffle(spark, sf):
     below = plan[ex:]
     assert "Filter" in below  # sample predicate below the exchange
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_no_query_plans_an_undocumented_cross_product(spark, sf):
+    """Blanket scale guard over EVERY contract query: a CartesianProduct
+    or BroadcastNestedLoopJoin anywhere in a plan is a 100 TB
+    scale-killer unless the operator is explicitly a documented
+    brute-force validator/baseline. Catches future regressions (e.g. a
+    join key accidentally dropped) across the whole registry at once."""
+    # documented brute-force / non-equi paths (each one's docstring
+    # declares the O(n^2) or broadcast-nested-loop contract):
+    allowed_bnlj = {
+        "cosine_neardup_pairs",   # exact all-pairs validator (a.id < b.id)
+        "embedding_topk",         # broadcast query side, non-equi self-guard
+        "tfidf_top_terms",        # one-row corpus-size N scalar attach
+        "bm25_scores",            # same one-row corpus-stats attach
+    }
+    for name, fn in entrymod.queries().items():
+        plan = plan_of(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
