@@ -246,3 +246,24 @@ def test_streaming_appended_sketch_store_matches_batch(spark, tmp_path):
     got_compact = sorted(map(tuple, span_estimate(
         compact, ["event_type"], rate=4, est_col="est").collect()))
     assert got_compact == want
+
+
+def test_global_span_quantiles(spark, sf_dir):
+    """keys=[] merges every stored sample into one global estimate —
+    equal to the direct global computation over all raw rows."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_value_samples,
+        span_quantiles,
+        threshold_quantiles,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stored = daily_value_samples(
+        ev, "ts", ["event_type"], "value", "event_id", rate=4)
+    glob = span_quantiles(stored, keys=[], qs=(0.5, 0.95)).first()
+    direct = threshold_quantiles(
+        ev.withColumn("g", F.lit(1)), ["g"], "value", "event_id",
+        qs=(0.5, 0.95), rate=4).first()
+    assert (glob["n_sampled"], glob["p50"], glob["p95"]) == \
+        (direct["n_sampled"], direct["p50"], direct["p95"])
