@@ -1219,6 +1219,71 @@ def q_doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, min_df=4)
 
 
+#: dump1090 /data/aircraft.json snapshot fixture: two valid snapshots
+#: (full rows, sparse rows, lowercase hex, padded callsign, a stale
+#: aircraft, an entry with no hex) plus one malformed document.
+_AIRCRAFT_SNAPSHOTS = [
+    '{"now": 1700000000.5, "messages": 1042, "aircraft": ['
+    '{"hex": "4ca4e5", "flight": "RJA1118 ", "lat": 31.2, "lon": 35.1,'
+    ' "altitude": 37000, "vert_rate": -64, "track": 112, "speed": 480,'
+    ' "seen": 0.1, "rssi": -21.5, "squawk": "2236"},'
+    '{"hex": "405637", "seen": 95.0},'
+    '{"flight": "GHOST", "seen": 1.0}]}',
+    '{"now": 1700000030.0, "messages": 1100, "aircraft": ['
+    '{"hex": "ab12cd", "flight": "BAW123", "lat": 51.47, "lon": -0.45,'
+    ' "altitude": 1200, "vert_rate": 832, "track": 270, "speed": 160,'
+    ' "seen": 0.4, "rssi": -18.0, "squawk": "7700"},'
+    '{"hex": "4CA2D6", "seen": 2.0, "speed": 320}]}',
+    'this is not json at all',
+]
+
+
+def q_aircraft_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dump1090 ecosystem's OTHER wire format: /data/aircraft.json
+    HTTP snapshots (sources.aircraft_json.parse_aircraft_json) — one
+    from_json with an explicit schema, explode of the aircraft array,
+    typed projection, staleness filter (seen <= 60 s). Malformed
+    documents and hex-less entries drop, mirroring the SBS-1 width
+    filter. The oracle replays it with DuckDB's JSON functions over the
+    same document strings."""
+    from dump1090_db_stream_spark.sources.aircraft_json import (
+        parse_aircraft_json,
+    )
+
+    raw = spark.createDataFrame(
+        [(doc,) for doc in _AIRCRAFT_SNAPSHOTS], ["value"])
+    return parse_aircraft_json(raw, max_seen_s=60.0)
+
+
+def _aircraft_json_oracle() -> str:
+    values = ",\n                ".join(
+        "('" + doc.replace("'", "''") + "')" for doc in _AIRCRAFT_SNAPSHOTS)
+    return f"""
+            WITH raw(value) AS (VALUES
+                {values}
+            ), ac AS (
+                SELECT json_extract(value, '$.now')::DOUBLE AS now_,
+                       unnest(json_extract(value, '$.aircraft')::JSON[]) AS a
+                FROM raw WHERE json_valid(value)
+            )
+            SELECT CAST(to_timestamp(now_) AS TIMESTAMP) AS snapshot_time,
+                   upper(json_extract_string(a, '$.hex')) AS hex_ident,
+                   trim(json_extract_string(a, '$.flight')) AS callsign,
+                   json_extract(a, '$.altitude')::INTEGER AS altitude,
+                   json_extract(a, '$.speed')::INTEGER AS ground_speed,
+                   json_extract(a, '$.track')::INTEGER AS track,
+                   json_extract(a, '$.lat')::FLOAT AS lat,
+                   json_extract(a, '$.lon')::FLOAT AS lon,
+                   json_extract(a, '$.vert_rate')::FLOAT AS vertical_rate,
+                   json_extract_string(a, '$.squawk') AS squawk,
+                   json_extract(a, '$.seen')::DOUBLE AS seen,
+                   json_extract(a, '$.rssi')::DOUBLE AS rssi
+            FROM ac
+            WHERE json_extract_string(a, '$.hex') IS NOT NULL
+              AND json_extract(a, '$.seen')::DOUBLE <= 60.0
+        """
+
+
 def _reject_fixture_lines() -> list[str]:
     """Golden wire lines plus crafted rejects: a garbage line (width),
     and an MSG line with a blanked hex_ident (not_null). The golden set
@@ -1325,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_quantile_rollup": q_daily_quantile_rollup,
         "sbs1_rejects": q_sbs1_rejects,
         "embedding_decontamination": q_embedding_decontamination,
+        "aircraft_json_parse": q_aircraft_json_parse,
         "boilerplate_shingles": q_boilerplate_shingles,
         "doc_boilerplate_share": q_doc_boilerplate_share,
         # -- tier 3: green in r2 only (one driver confirmation)
@@ -1650,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "sbs1_parse": _sbs1_oracle(),
         "sbs1_rejects": _sbs1_rejects_oracle(),
+        "aircraft_json_parse": _aircraft_json_oracle(),
         "top_revenue_orders": """
             SELECT o_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
