@@ -18,3 +18,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+#: collector for hypothesis-generated WKT coordinate cases — evaluated
+#: in ONE Spark job by test_properties.test_wkt_coord_formatting_spark_batch
+_WKT_RESULTS: list[tuple[float, str]] = []

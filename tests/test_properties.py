@@ -207,3 +207,120 @@ def test_chunking_covers_every_token(spark, doc_lens, chunk, overlap):
         # every chunk except the last is exactly `chunk` tokens
         for ci in range(len(chunks) - 1):
             assert len(chunks[ci]) == chunk
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=-1e7, max_value=1e7,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40),
+       st.sampled_from([0.0, 0.25, 0.5, 0.9, 0.95, 1.0]))
+def test_disc_quantile_matches_numpy_lower(values, q):
+    """The discrete quantile (element at floor(q*(n-1))) must equal
+    numpy's 'lower' interpolation for every value list and q — the
+    definition both the Spark side and the DuckDB oracle implement."""
+    import math
+
+    import numpy as np
+
+    arr = sorted(values)
+    want = float(np.percentile(np.asarray(arr), q * 100,
+                               method="lower"))
+    got = arr[math.floor(q * (len(arr) - 1))]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(min_value=-180.0, max_value=180.0,
+                 allow_nan=False))
+def test_wkt_coord_formatting_matches_python_reference(x):
+    """WKT coordinate text must equal the closed-form Python reference
+    (fixed %.6f then trim) for any coordinate — the exact contract the
+    DuckDB oracle replays."""
+    import re
+
+    ref = re.sub(r"\.$", "", re.sub(r"0+$", "", f"{x:.6f}"))
+    from tests.conftest import _WKT_RESULTS
+
+    _WKT_RESULTS.append((x, ref))
+
+
+def test_wkt_coord_formatting_spark_batch(spark):
+    """Evaluate all hypothesis-generated coordinates in ONE Spark job
+    and compare to the Python %.6f-trim reference."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.geo import wkt_coord
+    from tests.conftest import _WKT_RESULTS
+
+    if not _WKT_RESULTS:
+        return
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, (x, _) in enumerate(_WKT_RESULTS)],
+        ["i", "x"])
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", wkt_coord(F.col("x")).alias("s")).collect()}
+    for i, (_, ref) in enumerate(_WKT_RESULTS):
+        assert got[i] == ref, (i, _WKT_RESULTS[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=2, max_value=60),
+       st.integers(min_value=0, max_value=10**6))
+def test_mp4_roundtrip_arbitrary_sample_layouts(n_samples, seed):
+    """Build an MP4 with a random chunk layout / sample sizes / sync
+    set from the seed and assert the parser reconstructs every sample's
+    exact byte range and timestamp."""
+    import random
+    import struct as _struct
+
+    from dump1090_db_stream_spark.functions.mp4 import video_sample_index
+    from tests.test_mp4 import _box, _full
+
+    rng = random.Random(seed)
+    samples = [bytes([rng.randrange(1, 255)]) * rng.randrange(1, 40)
+               for _ in range(n_samples)]
+    # random chunking: split samples into 1..n chunks
+    n_chunks = rng.randrange(1, n_samples + 1)
+    cuts = sorted(rng.sample(range(1, n_samples), n_chunks - 1)) \
+        if n_chunks > 1 else []
+    bounds = [0] + cuts + [n_samples]
+    per_chunk = [bounds[i + 1] - bounds[i] for i in range(n_chunks)]
+    delta = rng.randrange(10, 2000)
+    sync = sorted(rng.sample(range(1, n_samples + 1),
+                             rng.randrange(1, n_samples + 1)))
+
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomavc1")
+    mdat = _box(b"mdat", b"".join(samples))
+    data_off = len(ftyp) + 8
+    offs, off, si = [], data_off, 0
+    for c in per_chunk:
+        offs.append(off)
+        for _ in range(c):
+            off += len(samples[si]); si += 1
+    stts = _full(b"stts", _struct.pack(">III", 1, n_samples, delta))
+    # stsc runs: collapse consecutive equal samples-per-chunk
+    runs = []
+    for i, c in enumerate(per_chunk):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c))
+    stsc = _full(b"stsc", _struct.pack(">I", len(runs)) + b"".join(
+        _struct.pack(">III", fc, c, 1) for fc, c in runs))
+    stsz = _full(b"stsz", _struct.pack(">II", 0, n_samples) + b"".join(
+        _struct.pack(">I", len(s)) for s in samples))
+    stco = _full(b"stco", _struct.pack(">I", n_chunks) + b"".join(
+        _struct.pack(">I", o) for o in offs))
+    stss = _full(b"stss", _struct.pack(">I", len(sync)) + b"".join(
+        _struct.pack(">I", s) for s in sync))
+    stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
+    mdhd = _full(b"mdhd", _struct.pack(">IIIIHH", 0, 0, 1000, 1000, 0, 0))
+    hdlr = _full(b"hdlr", _struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"\x00")
+    data = ftyp + mdat + _box(b"moov", _box(b"trak", _box(
+        b"mdia", mdhd + hdlr + _box(b"minf", stbl))))
+
+    idx = video_sample_index(data)
+    assert len(idx) == n_samples
+    for s, planted in zip(idx, samples):
+        assert data[s.offset:s.offset + s.size] == planted
+    assert [s.ts_ms for s in idx] == [i * delta for i in range(n_samples)]
+    assert [s.index for s in idx if s.is_sync] == sync
