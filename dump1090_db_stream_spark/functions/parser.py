@@ -174,9 +174,11 @@ def parse_sbs1_tagged(
     same input exactly (asserted in tests/test_parser.py)."""
     if parsed_time is None:
         parsed_time = F.current_timestamp()
-    raw = F.regexp_replace(F.col(value_col), "\r$", "")
-    fields = F.split(raw, ",", -1)
-    df = lines.select(raw.alias("raw_value"), fields.alias("_f"))
+    # raw_value keeps the UNTOUCHED wire line (CR included) so a reject
+    # can be byte-replayed; the CR-stripped copy exists only for splitting.
+    stripped = F.regexp_replace(F.col(value_col), "\r$", "")
+    fields = F.split(stripped, ",", -1)
+    df = lines.select(F.col(value_col).alias("raw_value"), fields.alias("_f"))
 
     cols = [
         _coerce(name, F.get(F.col("_f"), i)).alias(name)

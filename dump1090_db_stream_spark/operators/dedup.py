@@ -540,10 +540,27 @@ def write_minhash_index(
     parquet, so hdfs:// and s3a:// index paths work, not just local
     disk."""
     rows = num_hashes // bands
+    spark = df.sparkSession
+    if mode == "append":
+        # Appending with different LSH parameters would silently mix
+        # incompatible signatures that probes then read with ONE set of
+        # params — refuse instead of corrupting the index.
+        try:
+            old = spark.read.json(path + "/_lsh_meta").first().asDict()
+        except Exception:
+            old = None
+        if old is not None:
+            want = {"n": n, "num_hashes": num_hashes, "bands": bands,
+                    "portable_base_hash": bool(portable_base_hash)}
+            got = {k: (bool(old[k]) if k == "portable_base_hash"
+                       else int(old[k])) for k in want}
+            if got != want:
+                raise ValueError(
+                    f"minhash index at {path} was built with {got}; "
+                    f"refusing to append signatures built with {want}")
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              portable_base_hash)
     _banded(sig, bands, rows).write.mode(mode).parquet(path)
-    spark = df.sparkSession
     (spark.createDataFrame(
         [(n, num_hashes, bands, bool(portable_base_hash))],
         "n int, num_hashes int, bands int, portable_base_hash boolean")

@@ -219,7 +219,9 @@ def _disc_quantile(arr, q: float):
     the result is an actual data value, so cross-engine comparison is
     exact (no float-arithmetic drift)."""
     idx = F.floor(F.lit(q) * (F.size(arr) - 1)).cast("int") + 1
-    return F.element_at(arr, idx)
+    # an empty sample (e.g. keys=[] over a fully-filtered store still
+    # emits one global row) must yield NULL, not an index-0 error
+    return F.when(F.size(arr) > 0, F.element_at(arr, idx))
 
 
 def _q_name(q: float) -> str:

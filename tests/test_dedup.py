@@ -166,3 +166,15 @@ def test_incremental_neardup_vs_persisted_index(spark, tmp_path):
     assert (3, 100003) in pairs and pairs[(3, 100003)] > 0.8
     assert (7, 100007) in pairs and pairs[(7, 100007)] > 0.8
     assert not any(n == 200000 for _, n in pairs)
+
+    # appending with DIFFERENT LSH params would silently mix
+    # incompatible signatures — must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="refusing to append"):
+        write_minhash_index(new_docs, path, bands=8, num_hashes=32,
+                            mode="append")
+    # same params append is allowed and keeps the sidecar intact
+    write_minhash_index(new_docs, path, bands=16, num_hashes=32,
+                        mode="append")
+    assert spark.read.json(path + "/_lsh_meta").first()["bands"] == 16

@@ -163,3 +163,10 @@ def test_tagged_parse_routes_rejects_and_matches_parse_sbs1(spark):
     a = sorted(map(tuple, accepted.drop("parsed_time").collect()))
     b = sorted(map(tuple, direct.drop("parsed_time").collect()))
     assert a == b and len(a) > 0
+
+    # CRLF wire form (the socket source's real framing): raw_value keeps
+    # the CR byte for exact replay, while parsing still sees 22 fields
+    crlf = spark.createDataFrame([(msg + "\r",)], ["value"])
+    row = parse_sbs1_tagged(crlf).first()
+    assert row["raw_value"] == msg + "\r"
+    assert row["reject_reason"] is None

@@ -21,6 +21,40 @@ def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def read_schema_cols(plan: str) -> list[str]:
+    """Top-level column names of the scan's ReadSchema. Type-aware: a
+    naive split(',') breaks on parenthesized types like decimal(10,2)."""
+    marker = "ReadSchema: struct<"
+    i = plan.find(marker)
+    assert i >= 0, plan
+    body_start = i + len(marker)
+    cols, depth, start = [], 1, body_start
+    for j in range(body_start, len(plan)):
+        ch = plan[j]
+        if ch in "(<":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ">":
+            depth -= 1
+            if depth == 0:
+                if plan[start:j].strip():
+                    cols.append(plan[start:j])
+                break
+        elif ch == "," and depth == 1:
+            cols.append(plan[start:j])
+            start = j + 1
+    return [c.split(":", 1)[0].strip() for c in cols]
+
+
+def test_read_schema_cols_handles_parenthesized_types():
+    plan = ("... ReadSchema: struct<o_orderkey:bigint,"
+            "o_totalprice:decimal(10,2),meta:struct<a:int,b:string>,"
+            "tags:array<string>> ...")
+    assert read_schema_cols(plan) == ["o_orderkey", "o_totalprice",
+                                      "meta", "tags"]
+
+
 @pytest.fixture(scope="module")
 def sf(sf_dir):
     return sf_dir
@@ -31,14 +65,7 @@ def test_locations_projection_pushdown(spark, sf):
     assert "PushedFilters: [IsNotNull(value)]" in plan
     # column pruning: only the 4 selected columns reach the scan (ts physical
     # type is whatever the driver generated — bigint epoch or timestamp)
-    import re
-
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m, plan
-    # type-aware name extraction: a naive split(",") would break on
-    # parenthesized types like decimal(10,2)
-    read_cols = re.findall(r"(\w+):", m.group(1))
-    assert read_cols == ["event_id", "ts", "user_id", "value"], m.group(1)
+    assert read_schema_cols(plan) == ["event_id", "ts", "user_id", "value"]
 
 
 def test_like_prefix_pushdown(spark, sf):

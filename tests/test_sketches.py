@@ -223,7 +223,7 @@ def test_streaming_appended_sketch_store_matches_batch(spark, tmp_path):
          .write.mode("append").parquet(store))
 
     (stream.writeStream.foreachBatch(sink)
-     .option("checkpointDir", str(tmp_path / "ckpt"))
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
      .trigger(availableNow=True).start().awaitTermination(120))
 
     stored = spark.read.parquet(store)
@@ -267,3 +267,10 @@ def test_global_span_quantiles(spark, sf_dir):
         qs=(0.5, 0.95), rate=4).first()
     assert (glob["n_sampled"], glob["p50"], glob["p95"]) == \
         (direct["n_sampled"], direct["p50"], direct["p95"])
+
+    # an empty store (fully filtered) still emits the one global row —
+    # with NULL quantiles, not an element_at index error
+    empty = span_quantiles(stored.where(F.lit(False)), keys=[],
+                           qs=(0.5, 0.95)).first()
+    assert empty["n_sampled"] == 0
+    assert empty["p50"] is None and empty["p95"] is None
