@@ -2022,9 +2022,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, s FROM shs
             ), sizes AS (
                 SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), keep AS (
+                -- replay of the max_df=1000 stop-phrase cap (the
+                -- operator's default): shingles in more docs are
+                -- excluded from the common count, never from sizes
+                SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
             ), common AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                FROM (SELECT sh.* FROM sh JOIN keep USING (s)) a
+                JOIN (SELECT sh.* FROM sh JOIN keep USING (s)) b
+                  ON a.s = b.s AND a.id < b.id
                 GROUP BY a.id, b.id
             )
             SELECT id_a, id_b, n_common,

@@ -175,6 +175,47 @@ def bench_skew(spark, n_rows: int = 2_000_000, n_keys: int = 10_000,
     return out
 
 
+def bench_ngram_skew(spark, n_docs: int = 3000) -> dict:
+    """Stop-phrase skew stress for the n-gram inverted-index self-join
+    (operators.dedup.ngram_jaccard_pairs). Every document shares a
+    6-token phrase, so 4 trigram shingles each have df = n_docs — the
+    uncapped index funnels 4 * C(n_docs, 2) pair rows through the join
+    (the hazard the finite ``max_df`` default exists for). Two timed
+    configs on identical data:
+      capped_sec   — the default (max_df=1000 drops the hot shingles)
+      uncapped_sec — max_df=None exact mode (every hot pair materialized)
+    """
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over u"), F.col("id"),
+            F.lit(" v"), F.col("id"), F.lit(" w"), F.col("id"),
+            F.lit(" x"), F.col("id"), F.lit(" y"), F.col("id"),
+        ).alias("text"),
+    ).persist()
+    docs.count()
+
+    def timed(max_df: int | None) -> float:
+        t0 = time.perf_counter()
+        run_one(ngram_jaccard_pairs(docs, n=3, threshold=0.0,
+                                    max_df=max_df))
+        release_tracked()
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        timed(1000)  # codegen warmup, untimed
+        out = {"n_docs": n_docs,
+               "capped_sec": timed(1000),
+               "uncapped_sec": timed(None)}
+    finally:
+        docs.unpersist(blocking=False)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -193,14 +234,15 @@ def main() -> None:
 
     release_tracked()  # warmup caches must not serve the timed runs
 
-    def timed_min(fn, runs: int = 3) -> float:
-        """Min over ``runs`` executions: the machine-noise-robust
-        estimator of a query's true cost (co-tenant load only ever ADDS
-        time). 3 runs since r3 — identical code measured 15.9 s and
-        17.4 s headline back-to-back at min-of-2 under co-tenant load;
-        the extra run costs ~30 s and tightens the estimator. Caches
+    def timed_runs(fn, runs: int = 3) -> list[float]:
+        """All ``runs`` execution times, in run order. The headline
+        metric uses the min (machine-noise-robust: co-tenant load only
+        ever ADDS time), but the FULL array is recorded in the output —
+        r3's headline drifted +13% on code-untouched queries and the
+        min-only record could not distinguish sandbox noise from a real
+        regression. The per-run spread makes variance visible. Caches
         are released between runs so each run does the full work."""
-        best = float("inf")
+        out = []
         for _ in range(runs):
             t0 = time.perf_counter()
             run_one(fn())
@@ -208,12 +250,14 @@ def main() -> None:
             # operator intermediates so no run is timed against
             # another's storage
             release_tracked()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            out.append(round(time.perf_counter() - t0, 3))
+        return out
 
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     for n in names:
-        timings[n] = timed_min(lambda: qs[n](spark, sf_dir))
+        runs_detail[n] = timed_runs(lambda: qs[n](spark, sf_dir))
+        timings[n] = min(runs_detail[n])
 
     ext_names = [n for n in EXTENDED if n in qs]
     for n in ext_names:  # same warmup discipline as the headline set
@@ -221,10 +265,12 @@ def main() -> None:
     release_tracked()
     extended: dict[str, float] = {}
     for n in ext_names:
-        extended[n] = timed_min(lambda: qs[n](spark, sf_dir))
+        runs_detail[n] = timed_runs(lambda: qs[n](spark, sf_dir))
+        extended[n] = min(runs_detail[n])
 
     ingest = bench_ingest(spark)
     skew = bench_skew(spark)
+    ngram_skew = bench_ngram_skew(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -232,10 +278,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "timing": "min_of_3_runs",
+        "queries_runs": runs_detail,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "ingest": ingest,
         "skew": skew,
+        "ngram_skew": ngram_skew,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

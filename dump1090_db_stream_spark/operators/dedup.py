@@ -92,7 +92,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -106,9 +106,14 @@ def ngram_jaccard_pairs(
       so the SQL oracle joins on raw shingles and matches exactly);
     - only documents sharing a shingle ever meet — no cross join;
     - ``max_df`` drops shingles present in more than max_df documents
-      (stop-phrase skew, the known hazard of inverted-index self-joins).
-      With a cap, reported Jaccard is a lower bound (common-shingle count
-      excludes capped shingles; set sizes don't). Default None = exact.
+      (stop-phrase skew, the known hazard of inverted-index self-joins:
+      a shingle in 10^6 docs makes a 10^12-row join bucket). With a cap,
+      reported Jaccard is a lower bound (common-shingle count excludes
+      capped shingles; set sizes don't). The DEFAULT is a finite cap —
+      the safe behavior at corpus scale; pass ``max_df=None`` to opt in
+      to exact Jaccard when the corpus is known stop-phrase-free. The
+      ``ngram_skew`` bench quantifies the cap's effect on a hot-shingle
+      corpus.
     """
     sh = (
         with_tokens(df, text_col)
