@@ -1346,6 +1346,38 @@ def q_track_lines_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-1/G-2 BINARY interop: the same per-user tracks as
+    q_track_lines_wkt, emitted as OGC WKB bytes (operators.geo
+    st_asbinary_point/line — closed-form IEEE-754 recomposition, pure
+    Column arithmetic, zero Python). Output carries lowercase hex of the
+    bytes so the DuckDB oracle can replay the byte layout bit-exactly
+    (sign/exponent/mantissa arithmetic — no spatial extension needed);
+    consumers unhex straight into ST_GeomFromWKB/shapely/GDAL."""
+    from dump1090_db_stream_spark.operators.geo import (
+        st_asbinary_line, st_asbinary_point,
+    )
+
+    pts = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 104729) % 34000) / 100.0 - 170.0).alias("lon"),
+        (((F.col("event_id") * 7919) % 14000) / 100.0 - 70.0).alias("lat"),
+    )
+    agg = pts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "lon", "lat"))
+        ).alias("pts"),
+    )
+    line_pts = F.transform(
+        "pts", lambda p: F.struct(p["lon"].alias("x"), p["lat"].alias("y")))
+    return agg.select(
+        "user_id",
+        F.size("pts").cast("long").alias("n_points"),
+        F.lower(F.hex(st_asbinary_point(line_pts[0]))).alias("start_wkb"),
+        F.lower(F.hex(st_asbinary_line(line_pts))).alias("track_wkb"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -1356,70 +1388,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS LOAD-BEARING: the driver's CORRECTNESS file holds
     only the FIRST 50 entries.  Tiers (see COVERAGE.md "Driver window"):
 
-    1. Queries with no (or stale/red) driver verification — never let one
-       of these fall outside the window again (r2 lesson: 14 entries past
-       position 50 went driver-unchecked, incl. formerly-red
-       hash_split_stats).
+    1. ROTATION: every query NOT in the previous round's driver window is
+       promoted to the front, so each query is driver-verified at least
+       every other round even with no code change (r3 lesson: 25
+       double-green queries sat permanently outside the hard signal;
+       an input change — Spark upgrade, fixture regeneration — could
+       have rotted there invisibly).
     2. Queries new this round.
-    3. Queries green in only ONE prior driver round.
-    4. Tail: queries green in BOTH r1 and r2 driver rounds — the safest
-       to leave outside the window.
+    3. Queries whose implementation changed since their last driver
+       verification.
+    4. Tail: queries driver-verified green in the PREVIOUS round and
+       untouched since — the only safe ones to leave outside; they
+       rotate back in via tier 1 next round.
     """
     return {
-        # -- tier 1: never driver-verified, or red/stale last verification
-        "uniform_sample": q_uniform_sample,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "mixture_sample_docs": q_mixture_sample_docs,
-        "pii_scrub_stats": q_pii_scrub_stats,
-        "doc_normalized": q_doc_normalized,
-        "hash_split_stats": q_hash_split_stats,
-        "stratified_sample": q_stratified_sample,
-        "time_rollup_multires": q_time_rollup_multires,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "event_approx_stats": q_event_approx_stats,
-        "daily_distinct_rollup": q_daily_distinct_rollup,
-        "event_portable_distinct": q_event_portable_distinct,
-        "daily_portable_rollup": q_daily_portable_rollup,
-        "points_in_radius": q_points_in_radius,
-        # -- tier 2: new in round 3
-        "track_lines_wkt": q_track_lines_wkt,
-        "neardup_clusters_star": q_neardup_clusters_star,
-        "neardup_survivors": q_neardup_survivors,
-        "doc_entropy": q_doc_entropy,
-        "event_value_quantiles": q_event_value_quantiles,
-        "daily_quantile_rollup": q_daily_quantile_rollup,
-        "sbs1_rejects": q_sbs1_rejects,
-        "embedding_decontamination": q_embedding_decontamination,
-        "aircraft_json_parse": q_aircraft_json_parse,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "doc_boilerplate_share": q_doc_boilerplate_share,
-        # -- tier 3: green in r2 only (one driver confirmation)
-        "full_outer_balance": q_full_outer_balance,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "embedding_neardup_pairs": q_embedding_neardup_pairs,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "minhash_lsh_dups": q_minhash_lsh_dups,
-        "simhash_dups": q_simhash_dups,
-        "multimodal_features": q_multimodal_features,
-        "benchmark_decontamination": q_benchmark_decontamination,
-        "corpus_diff": q_corpus_diff,
-        "neardup_clusters": q_neardup_clusters,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_scores": q_bm25_scores,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "weighted_sample": q_weighted_sample,
-        # -- tier 4: green in BOTH r1 and r2 (safest outside the window)
-        "callsign_sessions": q_callsign_sessions,
-        "locations_projection": q_locations_projection,
-        "flights_band_join": q_flights_band_join,
-        "like_prefix_filter": q_like_prefix_filter,
-        "equality_filter": q_equality_filter,
-        "time_range_between": q_time_range_between,
-        "window_track_lines": q_window_track_lines,
-        "dedup_by_key": q_dedup_by_key,
-        "pricing_summary": q_pricing_summary,
+        # -- tier 1: not in CORRECTNESS_r03's window (r2-green, rotating
+        #    back into the hard signal; ngram_jaccard_dups additionally
+        #    changed this round — max_df default)
         "revenue_by_nation": q_revenue_by_nation,
         "doc_token_stats": q_doc_token_stats,
         "sbs1_parse": q_sbs1_parse,
@@ -1445,6 +1430,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "embedding_topk": q_embedding_topk,
+        # -- tier 2: new in round 4
+        "track_lines_wkb": q_track_lines_wkb,
+        # -- tier 3: implementation changed since the r3 verification
+        #    (parser raw_value now keeps the wire CR; _disc_quantile
+        #    gained the empty-sample guard)
+        "sbs1_rejects": q_sbs1_rejects,
+        "event_value_quantiles": q_event_value_quantiles,
+        "daily_quantile_rollup": q_daily_quantile_rollup,
+        # -- tier 4: r3-green and untouched — fills the window to 50;
+        #    the tail past 50 rotates back in next round via tier 1
+        "uniform_sample": q_uniform_sample,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_normalized": q_doc_normalized,
+        "hash_split_stats": q_hash_split_stats,
+        "stratified_sample": q_stratified_sample,
+        "time_rollup_multires": q_time_rollup_multires,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "event_approx_stats": q_event_approx_stats,
+        "daily_distinct_rollup": q_daily_distinct_rollup,
+        "event_portable_distinct": q_event_portable_distinct,
+        "daily_portable_rollup": q_daily_portable_rollup,
+        "points_in_radius": q_points_in_radius,
+        "track_lines_wkt": q_track_lines_wkt,
+        "neardup_clusters_star": q_neardup_clusters_star,
+        "neardup_survivors": q_neardup_survivors,
+        "doc_entropy": q_doc_entropy,
+        "embedding_decontamination": q_embedding_decontamination,
+        "aircraft_json_parse": q_aircraft_json_parse,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "doc_boilerplate_share": q_doc_boilerplate_share,
+        "full_outer_balance": q_full_outer_balance,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "multimodal_features": q_multimodal_features,
+        "benchmark_decontamination": q_benchmark_decontamination,
+        "corpus_diff": q_corpus_diff,
+        "neardup_clusters": q_neardup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "weighted_sample": q_weighted_sample,
+        "callsign_sessions": q_callsign_sessions,
+        "locations_projection": q_locations_projection,
+        "flights_band_join": q_flights_band_join,
+        "like_prefix_filter": q_like_prefix_filter,
+        "equality_filter": q_equality_filter,
+        "time_range_between": q_time_range_between,
+        "window_track_lines": q_window_track_lines,
+        "dedup_by_key": q_dedup_by_key,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -2696,6 +2738,70 @@ def oracle_sql() -> dict[str, str]:
                        AS track_wkt
             FROM fmt
             GROUP BY user_id
+        """,
+        "track_lines_wkb": """
+            -- closed-form WKB byte replay: IEEE-754 binary64 bits are
+            -- recomposed arithmetically (sign/exponent/mantissa; the
+            -- power-of-two rescale is exact), little-endianized byte by
+            -- byte, and framed with the OGC point/linestring headers.
+            -- All coordinate arithmetic is forced to DOUBLE so both
+            -- engines execute the identical IEEE operation sequence.
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       CAST((event_id * 104729) % 34000 AS DOUBLE)
+                           / CAST(100 AS DOUBLE) - CAST(170 AS DOUBLE) AS lon,
+                       CAST((event_id * 7919) % 14000 AS DOUBLE)
+                           / CAST(100 AS DOUBLE) - CAST(70 AS DOUBLE) AS lat
+                FROM events
+            ), coords AS (
+                SELECT user_id, ts, event_id, 0 AS ci, lon AS v FROM pts
+                UNION ALL
+                SELECT user_id, ts, event_id, 1 AS ci, lat AS v FROM pts
+            ), ecs AS (
+                SELECT user_id, ts, event_id, ci, v,
+                       CASE WHEN abs(v) / pow(2.0, e0) >= 2 THEN e0 + 1
+                            WHEN abs(v) / pow(2.0, e0) < 1 THEN e0 - 1
+                            ELSE e0 END AS ec
+                FROM (SELECT *, CASE WHEN v = 0 THEN 0
+                                     ELSE CAST(floor(log2(abs(v))) AS INTEGER)
+                                END AS e0
+                      FROM coords)
+            ), bits AS (
+                SELECT user_id, ts, event_id, ci,
+                       CASE WHEN v = 0 THEN 0::HUGEINT ELSE
+                         (CASE WHEN v < 0 THEN 9223372036854775808::HUGEINT
+                               ELSE 0::HUGEINT END)
+                         + ((ec + 1023)::HUGEINT * 4503599627370496::HUGEINT)
+                         + (CAST(abs(v) / pow(2.0, ec)
+                                 * 4503599627370496.0 AS HUGEINT)
+                            - 4503599627370496::HUGEINT)
+                       END AS b
+                FROM ecs
+            ), chex AS (
+                SELECT user_id, ts, event_id, ci,
+                       lower(string_agg(
+                           lpad(to_hex(CAST((b // CAST(pow(256, i) AS HUGEINT))
+                                            % 256 AS BIGINT)), 2, '0'),
+                           '' ORDER BY i)) AS h
+                FROM bits, range(8) r(i)
+                GROUP BY user_id, ts, event_id, ci, b
+            ), pthex AS (
+                SELECT user_id, ts, event_id,
+                       string_agg(h, '' ORDER BY ci) AS xy
+                FROM chex GROUP BY user_id, ts, event_id
+            ), agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       lower(lpad(to_hex(count(*)), 8, '0')) AS nh,
+                       first(xy ORDER BY ts, event_id) AS first_xy,
+                       string_agg(xy, '' ORDER BY ts, event_id) AS all_xy
+                FROM pthex GROUP BY user_id
+            )
+            SELECT user_id, n_points,
+                   '0101000000' || first_xy AS start_wkb,
+                   '0102000000' || substr(nh, 7, 2) || substr(nh, 5, 2)
+                       || substr(nh, 3, 2) || substr(nh, 1, 2)
+                       || all_xy AS track_wkb
+            FROM agg
         """,
         "points_in_radius": """
             WITH p AS (

@@ -254,3 +254,81 @@ def track_segments(
                              F.col("_lat2"), F.col("_lon2")), 6)
         .alias("segment_km"),
     )
+
+
+# --- WKB emission: binary geometry for real GIS interop -----------------
+# The reference's PostGIS surface (README.md:261-273) hands geometries to
+# tools that consume ST_AsBinary bytes (GEOS, GDAL, shapely, QGIS). The
+# WKT text forms above cover human/SQL interop; these emit the OGC WKB /
+# PostGIS EWKB byte forms as pure Column arithmetic — no Sedona, no UDF,
+# fully inside WholeStageCodegen.
+
+_P52 = 4503599627370496  # 2^52
+_MIN_NORMAL = 2.0 ** -1022
+
+
+def ieee754_le_hex(v: Column) -> Column:
+    """IEEE-754 binary64 little-endian hex (16 lowercase chars) of a
+    double, recomposed closed-form from sign/exponent/mantissa — the
+    engine-portable building block of WKB (a DuckDB oracle replays the
+    identical arithmetic, so emitted bytes are cross-checked bit-exactly).
+
+    Exactness argument: a finite normal double is m * 2^(e-52) with
+    integer m in [2^52, 2^53); dividing by 2^e and rescaling by 2^52 are
+    power-of-two operations, hence exact, so the mantissa is recovered
+    bit-perfectly. floor(log2(|v|)) can be off by one at binade
+    boundaries (log2 rounds) — corrected by direct comparison against
+    the candidate binade. -0.0 and subnormals (|v| < 2^-1022, far below
+    any geographic coordinate) normalize to +0.0; NaN/Inf are out of
+    contract (geometry coordinates are finite)."""
+    d = v.cast("double")
+    # clamp so log2/pow stay finite for v == 0 (result is overridden)
+    a = F.greatest(F.abs(d), F.lit(_MIN_NORMAL))
+    e0 = F.floor(F.log2(a)).cast("int")
+    ec = (F.when(a / F.pow(F.lit(2.0), e0.cast("double")) >= 2, e0 + 1)
+          .when(a / F.pow(F.lit(2.0), e0.cast("double")) < 1, e0 - 1)
+          .otherwise(e0))
+    m = ((a / F.pow(F.lit(2.0), ec.cast("double")) * F.lit(float(_P52)))
+         .cast("long") - F.lit(_P52))
+    sign = F.when(d < 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    bits = F.when(F.abs(d) < F.lit(_MIN_NORMAL), F.lit(0)).otherwise(
+        sign + (ec.cast("long") + F.lit(1023)) * F.lit(_P52) + m)
+    h = F.lower(F.lpad(F.hex(bits), 16, "0"))
+    return F.concat(*[F.substring(h, 15 - 2 * i, 2) for i in range(8)])
+
+
+def _u32_le_hex(n: Column) -> Column:
+    """uint32 little-endian hex (8 lowercase chars)."""
+    h = F.lower(F.lpad(F.hex(n.cast("long")), 8, "0"))
+    return F.concat(*[F.substring(h, 7 - 2 * i, 2) for i in range(4)])
+
+
+def st_asbinary_point(point: Column, srid: int | None = None) -> Column:
+    """ST_AsBinary for the :func:`make_point` struct (or any x/y struct):
+    OGC WKB little-endian bytes — 01, uint32 type 1, two binary64
+    coordinates. With ``srid``, the PostGIS EWKB form instead (type bit
+    0x20000000 set, uint32 srid next) — what ST_AsEWKB emits and
+    ST_GeomFromEWKB consumes."""
+    t = 1 | (0x20000000 if srid is not None else 0)
+    parts = [F.lit("01"), _u32_le_hex(F.lit(t))]
+    if srid is not None:
+        parts.append(_u32_le_hex(F.lit(srid)))
+    parts += [ieee754_le_hex(point["x"]), ieee754_le_hex(point["y"])]
+    return F.unhex(F.concat(*parts))
+
+
+def st_asbinary_line(points: Column, srid: int | None = None) -> Column:
+    """ST_AsBinary(ST_MakeLine(...)): OGC WKB LINESTRING bytes from an
+    array of x/y structs in drawing order — 01, uint32 type 2, uint32
+    point count, binary64 coordinate pairs. ``srid`` selects the EWKB
+    variant. transform + array_join keep it one narrow projection."""
+    t = 2 | (0x20000000 if srid is not None else 0)
+    parts = [F.lit("01"), _u32_le_hex(F.lit(t))]
+    if srid is not None:
+        parts.append(_u32_le_hex(F.lit(srid)))
+    parts.append(_u32_le_hex(F.size(points)))
+    parts.append(F.array_join(
+        F.transform(points, lambda p: F.concat(ieee754_le_hex(p["x"]),
+                                               ieee754_le_hex(p["y"]))),
+        ""))
+    return F.unhex(F.concat(*parts))

@@ -162,3 +162,64 @@ def test_wkt_formatting(spark):
         F.struct(F.lit(1.25).alias("x"), F.lit(-2.0).alias("y")),
     )).alias("l")).collect()[0]["l"]
     assert line == "LINESTRING(0 0.5,1.25 -2)"
+
+
+def test_ieee754_le_hex_matches_struct_pack(spark):
+    """The WKB coordinate encoder recovers the exact IEEE-754 bytes for
+    a spread of magnitudes, signs, and binade-boundary values (where the
+    floor(log2) correction matters)."""
+    import struct
+
+    from dump1090_db_stream_spark.operators.geo import ieee754_le_hex
+
+    vals = [0.0, 1.5, -170.0, 102.53, 2.0, -2.0, 0.5, -0.07, 169.99,
+            1e-3, 123456.789, 4.0, 8.0, 1.9999999999999998,
+            2.0000000000000004, -89.999999, 179.999999, 1e-300, -1e300,
+            3.141592653589793]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["v"]: r["h"] for r in
+           df.select("v", ieee754_le_hex(F.col("v")).alias("h")).collect()}
+    for v in vals:
+        assert got[v] == struct.pack("<d", v).hex(), v
+
+
+def test_wkb_point_and_line_decode(spark):
+    """Emitted WKB parses back byte-for-byte: header, type, count, and
+    coordinates — both plain WKB and the EWKB srid variant."""
+    import struct
+
+    from dump1090_db_stream_spark.operators.geo import (
+        make_point,
+        st_asbinary_line,
+        st_asbinary_point,
+    )
+
+    df = spark.createDataFrame([(102.53, -46.55), (-0.07, 51.47)],
+                               ["lon", "lat"])
+    pts = df.select(
+        "lon", "lat",
+        st_asbinary_point(make_point(F.col("lon"), F.col("lat")))
+        .alias("wkb"),
+        st_asbinary_point(make_point(F.col("lon"), F.col("lat")),
+                          srid=4326).alias("ewkb"),
+    ).collect()
+    for r in pts:
+        b = bytes(r["wkb"])
+        assert b[0] == 1 and struct.unpack("<I", b[1:5])[0] == 1
+        assert struct.unpack("<dd", b[5:21]) == (r["lon"], r["lat"])
+        eb = bytes(r["ewkb"])
+        t = struct.unpack("<I", eb[1:5])[0]
+        assert t == (1 | 0x20000000)
+        assert struct.unpack("<I", eb[5:9])[0] == 4326
+        assert struct.unpack("<dd", eb[9:25]) == (r["lon"], r["lat"])
+
+    line = (df.agg(F.array_sort(F.collect_list(
+                F.struct(F.col("lon").alias("x"), F.col("lat").alias("y"))))
+            .alias("pts"))
+            .select(st_asbinary_line(F.col("pts")).alias("wkb"))).first()
+    b = bytes(line["wkb"])
+    assert b[0] == 1 and struct.unpack("<I", b[1:5])[0] == 2
+    n = struct.unpack("<I", b[5:9])[0]
+    assert n == 2 and len(b) == 9 + 16 * n
+    coords = struct.unpack("<" + "d" * (2 * n), b[9:])
+    assert coords == (-0.07, 51.47, 102.53, -46.55)
