@@ -479,6 +479,29 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=centroids)
 
 
+def q_embedding_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a TRAINED coarse quantizer (operators.similarity
+    kmeans_centroids_portable + ivf_topk): 2 Lloyd iterations over a
+    64-vector md5-ranked sample, 8 centroids, cosine assignment. The
+    portable trainer folds every sum left-to-right (the same IEEE
+    sequence as SQL list_sum), so the DuckDB oracle replays the WHOLE
+    pipeline — sampling, both Lloyd iterations, corpus assignment,
+    probing, ranking — closed-form and the rows hash-match bit-exactly.
+    This puts the k-means training path itself under the driver gate
+    (q_embedding_ivf_topk covers the fixed/persisted-quantizer path)."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids_portable(
+        emb, dim=64, n_centroids=8, n_iters=2, train_sample=64)
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, dim=64, k=10, n_probes=3,
+                    centroids=centroids)
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH (operators.similarity.
     lsh_topk): deterministic seeded hyperplanes, bucket-collision
@@ -1432,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         # -- tier 2: new in round 4
         "track_lines_wkb": q_track_lines_wkb,
+        "embedding_ivf_trained": q_embedding_ivf_trained,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -1526,6 +1550,116 @@ def _sbs1_rejects_oracle() -> str:
                        THEN 'not_null'
                    END AS reject_reason
             FROM fields
+        """
+
+
+def _ivf_trained_oracle(dim: int = 64, k_cent: int = 8, n_iters: int = 2,
+                        train_sample: int = 64, n_probes: int = 3,
+                        topk: int = 10) -> str:
+    """Closed-form replay of the ENTIRE trained-quantizer IVF pipeline:
+    md5-ranked sampling, both unrolled Lloyd iterations (cosine argmax
+    with lower-cid ties, md5-ordered mean update, empty cluster keeps
+    its centroid), corpus assignment, probe selection, and top-k
+    ranking. Works because kmeans_centroids_portable folds every sum
+    left-to-right — the same IEEE sequence as DuckDB's list_sum — so
+    the centroids are bit-identical in both engines."""
+    rng = f"range(1, {dim + 1})"
+
+    def inv_cte(src: str, name: str, inv: str = "inv") -> str:
+        return f"""{name} AS (
+                SELECT cid, cvec,
+                       1.0 / (CASE WHEN sqrt(ss) = 0 THEN 1.0
+                                   ELSE sqrt(ss) END) AS {inv}
+                FROM (SELECT cid, cvec,
+                             list_sum(list_transform(cvec, x -> x * x)) AS ss
+                      FROM {src})
+            )"""
+
+    iters = []
+    for t in range(n_iters):
+        iters.append(f"""{inv_cte(f'c{t}', f'c{t}i')}, a{t} AS (
+                SELECT h, embedding, cid FROM (
+                    SELECT s.h, s.embedding, c.cid,
+                           row_number() OVER (PARTITION BY s.h ORDER BY
+                               list_sum(list_transform({rng},
+                                   i -> s.embedding[i]::DOUBLE * c.cvec[i]))
+                               * c.inv DESC, c.cid) AS rn
+                    FROM sample s CROSS JOIN c{t}i c)
+                WHERE rn = 1
+            ), m{t} AS (
+                SELECT cid, list(embedding ORDER BY h) AS mem,
+                       count(*) AS n
+                FROM a{t} GROUP BY cid
+            ), c{t + 1} AS (
+                SELECT p.cid,
+                       CASE WHEN m.cid IS NULL THEN p.cvec
+                            ELSE list_transform({rng},
+                                d -> list_sum(list_transform(m.mem,
+                                    mm -> mm[d]::DOUBLE)) / m.n)
+                       END AS cvec
+                FROM c{t} p LEFT JOIN m{t} m ON p.cid = m.cid
+            )""")
+    iter_sql = ", ".join(iters)
+    return f"""
+            WITH sample AS (
+                SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
+                FROM embeddings ORDER BY h LIMIT {train_sample}
+            ), c0 AS (
+                SELECT cid, cvec FROM (
+                    SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+                           list_transform(embedding, x -> x::DOUBLE) AS cvec
+                    FROM sample)
+                WHERE cid < {k_cent}
+            ), {iter_sql}, {inv_cte(f'c{n_iters}', 'cents', 'inv_c')},
+            corpus AS (
+                SELECT vec_id AS neighbor_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings
+            ), assign AS (
+                SELECT neighbor_id, embedding, nrm, cid,
+                       row_number() OVER (PARTITION BY neighbor_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM (
+                    SELECT c.neighbor_id, c.embedding, c.nrm, t.cid,
+                           list_sum(list_transform({rng},
+                               i -> c.embedding[i]::DOUBLE * t.cvec[i]))
+                           * t.inv_c AS sim
+                    FROM corpus c CROSS JOIN cents t)
+            ), clustered AS (
+                SELECT neighbor_id, embedding, nrm, cid FROM assign
+                WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS qnrm
+                FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+            ), probes AS (
+                SELECT query_id, qv, qnrm, cid FROM (
+                    SELECT q.query_id, q.qv, q.qnrm, t.cid,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_sum(list_transform({rng},
+                                   i -> q.qv[i]::DOUBLE * t.cvec[i]))
+                                   * t.inv_c DESC, t.cid) AS pr
+                    FROM q CROSS JOIN cents t)
+                WHERE pr <= {n_probes}
+            ), scored AS (
+                SELECT p.query_id, c.neighbor_id,
+                       list_sum(list_transform({rng},
+                           i -> p.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (p.qnrm * c.nrm) AS cos
+                FROM probes p JOIN clustered c ON p.cid = c.cid
+                WHERE c.neighbor_id <> p.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= {topk}
         """
 
 
@@ -2228,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 10
         """,
+        "embedding_ivf_trained": _ivf_trained_oracle(),
         "embedding_ivf_topk": """
             WITH cents AS (
                 SELECT vec_id - 10 AS cid, embedding AS cvec,

@@ -414,6 +414,71 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in centroids]
 
 
+def kmeans_centroids_portable(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 64,
+) -> list[list[float]]:
+    """Engine-portable variant of :func:`kmeans_centroids`: identical
+    Lloyd structure (md5-ranked deterministic sample, cosine argmax with
+    lower-index ties, mean update, empty cluster keeps its centroid) but
+    every float operation is a LEFT-TO-RIGHT sequential fold in pure
+    Python — the same IEEE operation sequence a SQL engine's
+    ``list_sum``/sequential aggregate executes — instead of numpy's
+    pairwise-summation BLAS kernels. Centroids are therefore
+    bit-reproducible across engines, so a DuckDB oracle can replay the
+    ENTIRE trained-quantizer IVF search closed-form (the
+    ``embedding_ivf_trained`` contract query); :func:`kmeans_centroids`
+    remains the faster trainer when the quantizer is not under an
+    exactness contract. Sample membership and the summation order are
+    both keyed by the md5 rank, so layout/partitioning never changes
+    the result."""
+    rows = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(train_sample)
+        .collect()
+    )
+    sample = [[float(x) for x in r["v"]] for r in
+              sorted(rows, key=lambda r: r["h"])]
+    centroids = [list(sample[i]) for i in range(min(n_centroids,
+                                                   len(sample)))]
+
+    def seq_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for _ in range(n_iters):
+        invs = [1.0 / (sum(x * x for x in c) ** 0.5 or 1.0)
+                for c in centroids]
+        members: list[list[list[float]]] = [[] for _ in centroids]
+        for s in sample:
+            best_k, best_sim = 0, None
+            for k, c in enumerate(centroids):
+                sim = seq_dot(s, c) * invs[k]
+                if best_sim is None or sim > best_sim:
+                    best_k, best_sim = k, sim
+            members[best_k].append(s)
+        for k, mem in enumerate(members):
+            if not mem:
+                continue  # empty cluster keeps its centroid
+            for d in range(dim):
+                acc = 0.0
+                for m in mem:
+                    acc = acc + m[d]
+                centroids[k][d] = acc / len(mem)
+    return centroids
+
+
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of (sim, idx) structs, one per centroid, as ONE narrow
     expression: a single transform over a 2-D centroid literal (one

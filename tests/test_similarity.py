@@ -97,6 +97,30 @@ def test_kmeans_centroids_deterministic_and_shaped(spark, corpus):
     assert len(c1) == 4 and all(len(c) == DIM for c in c1)
 
 
+def test_kmeans_portable_close_to_numpy_trainer(spark, corpus):
+    """The portable (sequential-fold) trainer and the numpy (BLAS)
+    trainer run the same Lloyd structure — same sample, same init, same
+    assignment rule — so their centroids agree to float tolerance (they
+    may differ in final ulps, which is exactly why the portable variant
+    exists for the oracle contract), and it is self-deterministic."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_portable,
+    )
+
+    p1 = kmeans_centroids_portable(corpus, dim=DIM, n_centroids=4,
+                                   n_iters=2, train_sample=64)
+    p2 = kmeans_centroids_portable(corpus, dim=DIM, n_centroids=4,
+                                   n_iters=2, train_sample=64)
+    assert p1 == p2
+    np_c = kmeans_centroids(corpus, dim=DIM, n_centroids=4, n_iters=2,
+                            train_sample=64)
+    assert len(p1) == 4 and all(len(c) == DIM for c in p1)
+    for cp, cn in zip(p1, np_c):
+        for a, b in zip(cp, cn):
+            assert abs(a - b) < 1e-9
+
+
 def test_ivf_topk_finds_planted_neardup_and_recall(spark, corpus):
     from dump1090_db_stream_spark.operators.similarity import ivf_topk
 
