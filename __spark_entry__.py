@@ -1401,6 +1401,21 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join (operators.fuzzy.edit_distance_join):
+    every customer-name pair within edit distance 1, found via the
+    Ed-Join q-gram prefix filter — global-frequency-ordered grams,
+    k*q+1 prefix index, length filter, JVM levenshtein verify — never
+    an n^2 cross join. The DuckDB oracle IS the n^2 levenshtein cross
+    join, so the driver hash-check proves the prefix filter loses no
+    qualifying pair (same oracle pattern as the decontamination
+    queries)."""
+    from dump1090_db_stream_spark.operators.fuzzy import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_join(cust, "c_custkey", "c_name", k=1, q=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -1456,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: new in round 4
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
+        "fuzzy_name_matches": q_fuzzy_name_matches,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2515,6 +2531,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        # Brute-force n^2 levenshtein cross join on purpose: hash-matching
+        # it proves the Spark side's q-gram prefix filter loses no pair.
+        "fuzzy_name_matches": """
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   a.c_name AS s1, b.c_name AS s2,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -301,6 +301,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "embedding_topk",         # broadcast query side, non-equi self-guard
         "tfidf_top_terms",        # one-row corpus-size N scalar attach
         "bm25_scores",            # same one-row corpus-stats attach
+        "fuzzy_name_matches",     # short-string fallback bucket is
+                                  # broadcast-by-contract (operators.fuzzy)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
