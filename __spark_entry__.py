@@ -1401,6 +1401,24 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators.relevance.bigram_pmi): top-40
+    adjacent-token pairs by pointwise mutual information, min_count=3.
+    Bigrams are built narrow (zip_with over array slices), aggregated
+    map-side, joined at vocabulary (not corpus) size; the top-40 plans
+    as TakeOrderedAndProject (never a global sort), with the rank column
+    added on the 40-row result. Ties are broken (pmi desc, w1, w2) on
+    the ROUNDED pmi so both engines rank identically."""
+    from dump1090_db_stream_spark.operators.relevance import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (bigram_pmi(docs, min_count=3)
+           .orderBy(F.col("pmi").desc(), "w1", "w2")
+           .limit(40))
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.withColumn("rk", F.row_number().over(w))
+
+
 def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string self-join (operators.fuzzy.edit_distance_join):
     every customer-name pair within edit distance 1, found via the
@@ -1472,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
+        "bigram_pmi": q_bigram_pmi,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2531,6 +2550,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), uni AS (
+                SELECT unnest(t) AS w FROM toks
+            ), ucnt AS (
+                SELECT w, count(*) AS c FROM uni GROUP BY w
+            ), utot AS (
+                SELECT CAST(sum(c) AS BIGINT) AS u FROM ucnt
+            ), big AS (
+                SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                FROM toks
+            ), bcnt AS (
+                SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy
+                FROM big GROUP BY w1, w2
+            ), btot AS (
+                SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM bcnt
+            ), scored AS (
+                SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+                       round(ln(CAST(c_xy AS DOUBLE) * u * u
+                                / (CAST(b AS DOUBLE) * u1.c * u2.c)),
+                             6) AS pmi
+                FROM bcnt
+                JOIN ucnt u1 ON bcnt.w1 = u1.w
+                JOIN ucnt u2 ON bcnt.w2 = u2.w
+                CROSS JOIN utot CROSS JOIN btot
+                WHERE c_xy >= 3
+            ), top AS (
+                SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 40
+            )
+            SELECT w1, w2, c_xy, c_x, c_y, pmi,
+                   CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
+                        AS INT) AS rk
+            FROM top
         """,
         # Brute-force n^2 levenshtein cross join on purpose: hash-matching
         # it proves the Spark side's q-gram prefix filter loses no pair.

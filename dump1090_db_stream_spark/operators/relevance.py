@@ -74,6 +74,88 @@ def tfidf_terms(
     )
 
 
+def _bigrams_of_toks(toks: DataFrame) -> DataFrame:
+    """(w1, w2, c_xy) from a DataFrame carrying a ``_toks`` array.
+
+    Bigrams are built NARROW (zip_with over two array slices — no
+    shuffle, no Python), exploded, then hash-aggregated once with
+    map-side partial counts. 1-token documents contribute nothing
+    (slice length 0 -> empty zip).
+    """
+    n1 = F.greatest(F.lit(0), F.size("_toks") - 1)
+    pairs = F.zip_with(
+        F.slice("_toks", 1, n1), F.slice("_toks", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (
+        toks.select(F.explode(pairs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c_xy): corpus-wide adjacent-token bigram counts."""
+    return _bigrams_of_toks(with_tokens(df, text_col))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs — the classic phrase-discovery statistic (Church &
+    Hanks 1990) used to mine multi-word expressions ("new york",
+    "machine learning") for tokenizer vocabularies and boilerplate
+    phrase lists.
+
+        pmi(x, y) = ln( p(x,y) / (p(x) p(y)) )
+                  = ln( c_xy * U * U / (B * c_x * c_y) )
+
+    with U = total tokens, B = total bigrams. ``min_count`` drops the
+    hapax noise floor (PMI is maximal for pairs seen once).
+
+    Scale shape: the bigram and unigram relations are both aggregated
+    (map-side combined) BEFORE any join, so the joins carry vocabulary-
+    sized relations, never the corpus; U/B are one-row broadcasts. The
+    unigram joins are plain equi-joins — AQE broadcasts them when the
+    vocabulary is small, shuffles vocab-sized (not corpus-sized) rows
+    when it is not.
+
+    Output: w1, w2, c_xy, c_x, c_y, pmi (rounded 6).
+    """
+    # the tokenize->explode pipeline feeds both the unigram and bigram
+    # branches; persist so the corpus is tokenized once (no cross-branch
+    # CSE — see tfidf_terms)
+    toks = track(with_tokens(df, text_col))
+    uni = (toks.select(F.explode("_toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # B totals over ALL bigrams; min_count prunes only the output rows
+    bg_all = track(_bigrams_of_toks(toks))
+    bg = bg_all.filter(F.col("c_xy") >= min_count)
+    totals = (uni.agg(F.sum("c").alias("u"))
+              .crossJoin(bg_all.agg(F.sum("c_xy").alias("b"))))
+    return (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")),
+                "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")),
+              "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            # double chain on BOTH sides of the division: overflow-safe
+            # (int64 products overflow at web scale) and the exact IEEE
+            # sequence the DuckDB oracle replays
+            F.round(F.log(F.col("c_xy").cast("double") * F.col("u")
+                          * F.col("u")
+                          / (F.col("b").cast("double") * F.col("c_x")
+                             * F.col("c_y"))),
+                    6).alias("pmi"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -303,6 +303,7 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "bm25_scores",            # same one-row corpus-stats attach
         "fuzzy_name_matches",     # short-string fallback bucket is
                                   # broadcast-by-contract (operators.fuzzy)
+        "bigram_pmi",             # one-row U/B corpus-totals attach
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

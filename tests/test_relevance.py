@@ -70,3 +70,44 @@ def test_tfidf_single_shuffle_on_big_side(corpus):
     # the (doc, term) relation shuffles once; df/N come back via
     # BroadcastExchange, not extra hash exchanges of the big side
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_bigram_pmi_known_values(spark):
+    from dump1090_db_stream_spark.operators.relevance import bigram_pmi
+
+    # "new york" appears 3x; unigrams: new=4, york=3; U=11 tokens,
+    # B=9 bigrams (doc1: 5, doc2: 4)
+    df = spark.createDataFrame(
+        [(1, "a new york a new york"),
+         (2, "a a new york new")],
+        ["doc_id", "text"])
+    got = {(r["w1"], r["w2"]): r
+           for r in bigram_pmi(df, min_count=1).collect()}
+    u, b = 11, 9
+    r = got[("new", "york")]
+    assert (r["c_xy"], r["c_x"], r["c_y"]) == (3, 4, 3)
+    assert r["pmi"] == pytest.approx(
+        math.log(3 * u * u / (b * 4 * 3)), abs=1e-6)
+
+
+def test_bigram_pmi_min_count_prunes_rows_not_totals(spark):
+    from dump1090_db_stream_spark.operators.relevance import bigram_pmi
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z q")], ["doc_id", "text"])
+    # B must count ALL 5 bigrams even though min_count=2 keeps only
+    # "x y" (2 occurrences); a post-filter total would inflate pmi
+    r = bigram_pmi(df, min_count=2).collect()
+    assert len(r) == 1 and (r[0]["w1"], r[0]["w2"]) == ("x", "y")
+    u, b = 6, 5
+    assert r[0]["pmi"] == pytest.approx(
+        math.log(2 * u * u / (b * 2 * 2)), abs=1e-6)
+
+
+def test_bigram_single_token_docs_contribute_nothing(spark):
+    from dump1090_db_stream_spark.operators.relevance import bigram_counts
+
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                               ["doc_id", "text"])
+    rows = bigram_counts(df).collect()
+    assert [(r["w1"], r["w2"], r["c_xy"]) for r in rows] == [("a", "b", 1)]
