@@ -1401,6 +1401,39 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (operators.similarity.quantize_embeddings)
+    of every embedding, posexploded to one row per (vector, dimension)
+    so the driver hash-checks EVERY quantized value and every scale
+    bit-exactly (floor(x/scale + 0.5) is tie-free in both engines;
+    float->double widening and amax/127 are identical IEEE ops)."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "scale",
+        F.posexplode("qvec").alias("idx", "qval"),
+    ).select("vec_id", F.col("idx").cast("int").alias("idx"),
+             F.col("qval").cast("int").alias("qval"), "scale")
+
+
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (operators.similarity.
+    quantized_topk): scale cancels out of cosine, so search runs on the
+    raw int arrays — 1/4 the bytes of the float corpus. The oracle
+    replays quantization + integer cosine + ranking closed-form; the
+    exact-recall baseline is embedding_topk on the same query set."""
+    from dump1090_db_stream_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return quantized_topk(emb, queries, k=10)
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (operators.relevance.bigram_pmi): top-40
     adjacent-token pairs by pointwise mutual information, min_count=3.
@@ -1491,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
         "bigram_pmi": q_bigram_pmi,
+        "embedding_quantized": q_embedding_quantized,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2550,6 +2585,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        "embedding_quantized": """
+            WITH base AS (
+                SELECT vec_id, embedding AS e,
+                       list_max(list_transform(embedding,
+                                               x -> abs(x::DOUBLE))) AS amax
+                FROM embeddings
+            ), scaled AS (
+                SELECT vec_id, e,
+                       CASE WHEN amax > 0 THEN amax / 127.0
+                            ELSE 1.0 END AS scale
+                FROM base
+            ), ex AS (
+                SELECT vec_id, scale,
+                       unnest(list_transform(range(1, len(e) + 1),
+                           i -> struct_pack(
+                               idx := CAST(i - 1 AS INT),
+                               qval := CAST(floor(e[i]::DOUBLE / scale
+                                                  + 0.5) AS INT)))) AS z
+                FROM scaled
+            )
+            SELECT vec_id, z.idx AS idx, z.qval AS qval, scale FROM ex
+        """,
+        "embedding_quantized_topk": """
+            WITH base AS (
+                SELECT vec_id, embedding AS e,
+                       list_max(list_transform(embedding,
+                                               x -> abs(x::DOUBLE))) AS amax
+                FROM embeddings
+            ), qv AS (
+                SELECT vec_id,
+                       list_transform(range(1, len(e) + 1),
+                           i -> floor(e[i]::DOUBLE
+                                      / (CASE WHEN amax > 0
+                                              THEN amax / 127.0
+                                              ELSE 1.0 END) + 0.5)) AS q
+                FROM base
+            ), qset AS (
+                SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5
+            ), scored AS (
+                SELECT qset.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, len(c.q) + 1),
+                           i -> qq[i] * c.q[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(qq) + 1),
+                              i -> qq[i] * qq[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(c.q) + 1),
+                              i -> c.q[i] * c.q[i])))) AS cos
+                FROM qv c, qset
+                WHERE c.vec_id <> qset.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
         """,
         "bigram_pmi": """
             WITH toks AS (

@@ -801,3 +801,77 @@ def embedding_cross_neardup(
         .filter(F.col("cosine") >= threshold)
         .select("corpus_id", "other_id", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: (id, scale, qvec).
+
+    scale = max|x| / 127 (1.0 for the all-zero vector so the division
+    is total); q_i = floor(x_i / scale + 0.5) — explicit floor(+0.5)
+    rounding instead of round() so BOTH engines (and any ANSI replayer)
+    compute the identical integer without round-half tie ambiguity.
+    q_i spans [-127, 127], stored as array<tinyint>.
+
+    Storage lever at 100 TB: 4 bytes/dim float -> 1 byte/dim + one
+    double, a ~4x cut in vector bytes (shuffle, cache, and index sizes
+    shrink the same way). A narrow zero-shuffle projection: the scale
+    is materialized as a real column FIRST so the transform lambda
+    captures an attribute reference, not a re-evaluated array_max
+    (which would be O(dim^2) per row — see text.with_tokens).
+    """
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    with_scale = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+         .alias("scale"),
+    )
+    return with_scale.select(
+        F.col("id").alias(id_col),
+        "scale",
+        F.transform(
+            "v",
+            lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5)
+                       .cast("tinyint"),
+        ).alias("qvec"),
+    )
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """array<double> reconstruction q_i * scale (max abs error scale/2).
+
+    ``scale`` must be an attribute reference (a materialized column),
+    not a computed expression — lambda capture re-evaluates expressions
+    per element.
+    """
+    return F.transform(qvec, lambda v: v.cast("double") * scale)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k over int8-quantized vectors.
+
+    Cosine is scale-invariant, so ranking on the raw INT arrays equals
+    ranking on the dequantized floats — the per-vector scale column
+    never participates in search, only in magnitude reconstruction.
+    Search therefore runs on 1/4 the bytes of the float corpus with
+    the same plan shape as brute_force_topk (broadcast queries, one
+    corpus scan, per-partition top-k). Recall loss comes only from the
+    rounding itself (~1e-2 cosine perturbation at int8/64d — tested).
+    """
+    qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    qq = quantize_embeddings(queries, id_col=query_id_col, vec_col=vec_col)
+    return brute_force_topk(
+        qc, qq, k=k, id_col=id_col, vec_col="qvec",
+        query_id_col=query_id_col)

@@ -304,6 +304,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "fuzzy_name_matches",     # short-string fallback bucket is
                                   # broadcast-by-contract (operators.fuzzy)
         "bigram_pmi",             # one-row U/B corpus-totals attach
+        "embedding_quantized_topk",  # broadcast query side, non-equi
+                                     # self-guard (same as embedding_topk)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

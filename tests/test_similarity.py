@@ -6,6 +6,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dump1090_db_stream_spark.operators.similarity import (
@@ -352,3 +353,66 @@ def test_embedding_cross_neardup_finds_planted_contamination(spark, corpus):
     assert hof == fast
     found = {(c, o) for c, o, _ in hof}
     assert {(i, i + 1000) for i in range(5)} <= found
+
+
+def test_quantize_embeddings_values_and_bounds(corpus):
+    from dump1090_db_stream_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = quantize_embeddings(corpus).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    for r in rows:
+        v = raw[r["vec_id"]]
+        amax = max(abs(float(x)) for x in v)
+        assert r["scale"] == pytest.approx(amax / 127.0, rel=1e-12)
+        assert max(abs(q) for q in r["qvec"]) == 127  # amax maps to +/-127
+        for x, q in zip(v, r["qvec"]):
+            assert q == math.floor(float(x) / r["scale"] + 0.5)
+
+
+def test_quantize_zero_vector_total(spark):
+    from dump1090_db_stream_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               ["vec_id", "embedding"])
+    r = quantize_embeddings(df).collect()[0]
+    assert r["scale"] == 1.0 and list(r["qvec"]) == [0, 0, 0]
+
+
+def test_dequantize_error_bounded_by_half_scale(corpus):
+    from dump1090_db_stream_spark.operators.similarity import (
+        dequantize, quantize_embeddings,
+    )
+
+    q = quantize_embeddings(corpus)
+    joined = q.join(corpus, "vec_id").select(
+        "vec_id", "embedding",
+        dequantize(F.col("qvec"), F.col("scale")).alias("recon"),
+        "scale")
+    for r in joined.collect():
+        half = r["scale"] / 2 + 1e-12
+        for x, y in zip(r["embedding"], r["recon"]):
+            assert abs(float(x) - y) <= half
+
+
+def test_quantized_topk_recall_vs_exact(corpus):
+    from dump1090_db_stream_spark.operators.similarity import (
+        brute_force_topk, quantized_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(corpus, queries, k=10)
+    quant = quantized_topk(corpus, queries, k=10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qu = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    # int8 rounding perturbs cosine by ~1e-2; demand >= 80% overlap
+    assert len(ex & qu) / len(ex) >= 0.8
+    # and the planted near-duplicate must survive quantization as the
+    # top neighbor of query 0
+    top = {r["query_id"]: r["neighbor_id"]
+           for r in quant.collect() if r["rank"] == 1}
+    assert top[0] == 59
