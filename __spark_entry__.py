@@ -1401,6 +1401,48 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Funnel step list shared by q_funnel_conversions and its oracle SQL.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (operators.funnel.funnel_counts): users reaching
+    view -> click -> purchase in strict event-time order. The greedy
+    subsequence fold (F.aggregate over each user's sorted events) equals
+    the classic min-chain semantics, which the oracle replays step by
+    step (t1 = first view, t2 = first click after t1, ...). One shuffle
+    on user_id; per-user state is one int."""
+    from dump1090_db_stream_spark.operators.funnel import funnel_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
+def q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (operators.anomaly.mad_outliers): events
+    whose |value - median| / MAD exceeds 3 within their event type.
+    Medians are data values (or two-point midpoints), so the score is
+    engine-reproducible without float-sum ordering sensitivity; the
+    filter runs on the ROUNDED score in both engines."""
+    from dump1090_db_stream_spark.operators.anomaly import mad_outliers
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    return mad_outliers(ev, "value", ["event_type"], threshold=3.0)
+
+
+def q_event_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric outlier detection (operators.anomaly.zscore_outliers):
+    |v - mean| / stddev_samp > 2 within each event type. Group stats are
+    one broadcast-back aggregation — the event relation itself is never
+    shuffled."""
+    from dump1090_db_stream_spark.operators.anomaly import zscore_outliers
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    return zscore_outliers(ev, "value", ["event_type"], threshold=2.0)
+
+
 def q_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization (operators.similarity.quantize_embeddings)
     of every embedding, posexploded to one row per (vector, dimension)
@@ -1526,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "embedding_quantized": q_embedding_quantized,
         "embedding_quantized_topk": q_embedding_quantized_topk,
+        "funnel_conversions": q_funnel_conversions,
+        "event_mad_outliers": q_event_mad_outliers,
+        "event_zscore_outliers": q_event_zscore_outliers,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2585,6 +2630,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        # min-chain replay of the greedy funnel fold: t_{i+1} = first
+        # step-(i+1) event strictly after t_i (timestamps are unique per
+        # user in this dataset; operator tie-breaks by event_id)
+        "funnel_conversions": f"""
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+        """,
+        "event_mad_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS m
+                FROM events GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type, median(abs(e.value - med.m)) AS d
+                FROM events e JOIN med USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - med.m) / mad.d, 6) AS mad_score
+            FROM events e
+            JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE mad.d > 0
+              AND abs(round((e.value - med.m) / mad.d, 6)) > 3.0
+        """,
+        "event_zscore_outliers": """
+            WITH st AS (
+                SELECT event_type, avg(value) AS mu, stddev(value) AS sigma
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - st.mu) / st.sigma, 6) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE st.sigma > 0
+              AND abs(round((e.value - st.mu) / st.sigma, 6)) > 2.0
         """,
         "embedding_quantized": """
             WITH base AS (
