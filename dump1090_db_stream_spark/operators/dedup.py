@@ -285,8 +285,10 @@ def minhash_lsh_pairs(
         F.array_distinct(shingles(F.col("_toks"), n)).alias("shs"))
     va = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     vb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    # candidates are tiny by contract (near-dup pairs, not the corpus):
+    # broadcast them so the shingle relations join without an exchange
     return (
-        candidates.join(va, "id_a").join(vb, "id_b")
+        F.broadcast(candidates).join(va, "id_a").join(vb, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn("n_union", F.size(F.array_union("shs_a", "shs_b")))
         .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
