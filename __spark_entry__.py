@@ -1401,6 +1401,39 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (operators.timeseries.
+    sliding_window_agg): 10-minute windows sliding every 5, counts and
+    value sums per (window, event_type). Every event lands in exactly
+    width/slide = 2 windows; Spark plans ONE explode + hash aggregation,
+    which the oracle replays by unnesting k in {0, 1} over floor-aligned
+    epoch arithmetic."""
+    from dump1090_db_stream_spark.operators.timeseries import (
+        sliding_window_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    return sliding_window_agg(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_event_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing 1-hour features (operators.timeseries.
+    trailing_range_stats): for every event, the count / sum / mean of
+    the same user's events in [t - 1h, t]. The RANGE frame runs over
+    epoch MICROSECONDS, so the oracle replays the frame with the same
+    integer bounds — no interval-inclusivity ambiguity."""
+    from dump1090_db_stream_spark.operators.timeseries import (
+        trailing_range_stats,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return trailing_range_stats(ev, "ts", "value", "user_id", 3600)
+
+
 #: Funnel step list shared by q_funnel_conversions and its oracle SQL.
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -1571,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversions": q_funnel_conversions,
         "event_mad_outliers": q_event_mad_outliers,
         "event_zscore_outliers": q_event_zscore_outliers,
+        "sliding_window_counts": q_sliding_window_counts,
+        "event_trailing_stats": q_event_trailing_stats,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2630,6 +2665,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        "sliding_window_counts": """
+            WITH ex AS (
+                SELECT event_type, value,
+                       make_timestamp(
+                           (epoch_us(ts) // 300000000 - k.k) * 300000000)
+                           AS window_start
+                FROM events, (SELECT unnest([0, 1]) AS k) k
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 10 MINUTE AS window_end,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM ex
+            GROUP BY window_start, event_type
+        """,
+        "event_trailing_stats": """
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS n_trail,
+                   round(sum(value) OVER w, 6) AS sum_trail,
+                   round(avg(value) OVER w, 6) AS avg_trail
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
         """,
         # min-chain replay of the greedy funnel fold: t_{i+1} = first
         # step-(i+1) event strictly after t_i (timestamps are unique per

@@ -1,0 +1,71 @@
+"""Sliding windows and trailing range frames (operators.timeseries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dump1090_db_stream_spark.operators.timeseries import (
+    sliding_window_agg,
+    trailing_range_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, uid, T0 + dt.timedelta(seconds=s), float(v))
+         for i, (uid, s, v) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "value"])
+
+
+def test_sliding_event_lands_in_width_over_slide_windows(spark):
+    df = _df(spark, [(1, 720, 1.0)])  # 00:12:00
+    got = sliding_window_agg(df, "ts", "10 minutes", "5 minutes", [],
+                             F.count(F.lit(1)).alias("n")).collect()
+    starts = sorted(r["window_start"] for r in got)
+    # 00:12 falls in [00:05,00:15) and [00:10,00:20)
+    assert starts == [T0 + dt.timedelta(minutes=5),
+                      T0 + dt.timedelta(minutes=10)]
+    assert all(r["n"] == 1 for r in got)
+    assert all(r["window_end"] - r["window_start"]
+               == dt.timedelta(minutes=10) for r in got)
+
+
+def test_sliding_window_start_boundary_inclusive_end_exclusive(spark):
+    # event exactly at 00:05:00 belongs to [00:05,00:15) and
+    # [00:00,00:10), NOT to [00:-05,00:05)
+    df = _df(spark, [(1, 300, 1.0)])
+    got = sliding_window_agg(df, "ts", "10 minutes", "5 minutes", [],
+                             F.count(F.lit(1)).alias("n")).collect()
+    starts = sorted(r["window_start"] for r in got)
+    assert starts == [T0, T0 + dt.timedelta(minutes=5)]
+
+
+def test_trailing_frame_is_closed_on_both_ends(spark):
+    # events at t=0 and t=3600: the 1h trailing frame of the second
+    # INCLUDES the first (inclusive lower bound); at t=3601 it does not
+    df = _df(spark, [(1, 0, 10.0), (1, 3600, 1.0), (1, 7201, 5.0)])
+    got = {r["event_id"]: r for r in
+           trailing_range_stats(df, trailing_seconds=3600).collect()}
+    assert got[1]["n_trail"] == 2 and got[1]["sum_trail"] == 11.0
+    assert got[2]["n_trail"] == 1 and got[2]["sum_trail"] == 5.0
+
+
+def test_trailing_frame_partitions_by_user(spark):
+    df = _df(spark, [(1, 0, 1.0), (2, 1, 100.0), (1, 2, 3.0)])
+    got = {r["event_id"]: r for r in
+           trailing_range_stats(df, trailing_seconds=3600).collect()}
+    assert got[2]["n_trail"] == 2 and got[2]["sum_trail"] == 4.0
+    assert got[1]["n_trail"] == 1 and got[1]["sum_trail"] == 100.0
+
+
+def test_trailing_frame_ties_are_peers(spark):
+    # two events with IDENTICAL ts: RANGE frames include peers, so both
+    # rows see both values
+    df = _df(spark, [(1, 100, 2.0), (1, 100, 3.0)])
+    got = trailing_range_stats(df, trailing_seconds=10).collect()
+    assert [r["n_trail"] for r in got] == [2, 2]
+    assert [r["sum_trail"] for r in got] == [5.0, 5.0]
