@@ -1401,6 +1401,46 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (operators.profiling.table_profile) of the
+    orders table: per-column row/null/distinct counts and typed min/max
+    — ONE scan, one aggregation row, narrow unpivot. The oracle is the
+    per-column UNION ALL audit; numeric min/max stay DOUBLE and
+    string/timestamp min/max stay strings, so no engine-specific number
+    formatting enters the hash."""
+    from dump1090_db_stream_spark.operators.profiling import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "orders"))
+
+
+def q_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a snapshot transform (operators.versioning.
+    merge_upsert): a deterministic change set updates doc_id%7==0
+    (excluding the %13 deletes, which would be ambiguous), inserts
+    copies of doc_id<15 under new ids, and tombstones doc_id%13==0.
+    The oracle replays the full-outer-join MERGE in SQL; the result is
+    the complete next snapshot, so every surviving row's content is
+    hash-checked."""
+    from dump1090_db_stream_spark.operators.versioning import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    updates = (docs.filter((F.col("doc_id") % 7 == 0)
+                           & (F.col("doc_id") % 13 != 0))
+               .select(F.col("doc_id"),
+                       F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                       "lang", "source", "n_chars",
+                       F.lit(False).alias("deleted")))
+    inserts = (docs.filter(F.col("doc_id") < 15)
+               .select((F.col("doc_id") + 600000).alias("doc_id"),
+                       "text", "lang", "source", "n_chars",
+                       F.lit(False).alias("deleted")))
+    deletes = (docs.filter(F.col("doc_id") % 13 == 0)
+               .select(*cols, F.lit(True).alias("deleted")))
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    return merge_upsert(docs, changes)
+
+
 def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping event-time windows (operators.timeseries.
     sliding_window_agg): 10-minute windows sliding every 5, counts and
@@ -1606,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_zscore_outliers": q_event_zscore_outliers,
         "sliding_window_counts": q_sliding_window_counts,
         "event_trailing_stats": q_event_trailing_stats,
+        "corpus_merge": q_corpus_merge,
+        "table_profile": q_table_profile,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2022,6 +2064,33 @@ def _simhash_oracle(n: int = 2, n_bits: int = 60, n_chunks: int = 4,
               ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
             WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
     """
+
+
+def _table_profile_oracle() -> str:
+    """Per-column UNION ALL replay of operators.profiling.table_profile
+    over orders: numeric min/max as DOUBLE, string/timestamp min/max as
+    VARCHAR, n_null via count(*) - count(col) (sum(CASE) would be
+    HUGEINT in DuckDB)."""
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = []
+    for c in cols:
+        if c in numeric:
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smn, smx = (f"CAST(min({c}) AS VARCHAR)",
+                        f"CAST(max({c}) AS VARCHAR)")
+        parts.append(f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {smn} AS min_str, {smx} AS max_str
+            FROM orders""")
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2665,6 +2734,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(reach.comp, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        """,
+        "table_profile": _table_profile_oracle(),
+        "corpus_merge": """
+            WITH changes AS (
+                SELECT doc_id, text || ' v2' AS text, lang, source,
+                       n_chars, FALSE AS deleted
+                FROM documents
+                WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 600000, text, lang, source, n_chars,
+                       FALSE
+                FROM documents WHERE doc_id < 15
+                UNION ALL
+                SELECT doc_id, text, lang, source, n_chars, TRUE
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
+                   CASE WHEN c.doc_id IS NOT NULL
+                        THEN c.text ELSE d.text END AS text,
+                   CASE WHEN c.doc_id IS NOT NULL
+                        THEN c.lang ELSE d.lang END AS lang,
+                   CASE WHEN c.doc_id IS NOT NULL
+                        THEN c.source ELSE d.source END AS source,
+                   CASE WHEN c.doc_id IS NOT NULL
+                        THEN c.n_chars ELSE d.n_chars END AS n_chars
+            FROM documents d FULL OUTER JOIN changes c
+                 ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR NOT c.deleted
         """,
         "sliding_window_counts": """
             WITH ex AS (

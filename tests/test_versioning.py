@@ -90,3 +90,58 @@ def test_jsonl_shards_roundtrip_and_bounds(spark, tmp_path):
     c1 = sorted(open(f).read() for f in glob.glob(f"{p1}/part-*"))
     c2 = sorted(open(f).read() for f in glob.glob(f"{p2}/part-*"))
     assert c1 == c2 and len(c1) > 0
+
+
+def test_merge_upsert_full_semantics(spark):
+    from dump1090_db_stream_spark.operators.versioning import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["doc_id", "text"])
+    changes = spark.createDataFrame(
+        [(2, "TWO", False),    # update
+         (4, "four", False),   # insert
+         (3, "x", True)],      # delete
+        ["doc_id", "text", "deleted"])
+    got = {r["doc_id"]: r["text"]
+           for r in merge_upsert(target, changes).collect()}
+    assert got == {1: "one", 2: "TWO", 4: "four"}
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.versioning import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    bad = spark.createDataFrame([(1, False)], ["doc_id", "deleted"])
+    with pytest.raises(ValueError, match="must match target"):
+        merge_upsert(target, bad)
+
+
+def test_merge_upsert_rejects_duplicate_change_ids(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.versioning import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    dup = spark.createDataFrame(
+        [(1, "b", False), (1, "c", False)], ["doc_id", "text", "deleted"])
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        merge_upsert(target, dup).collect()
+
+
+def test_merge_then_diff_audits_the_merge(spark):
+    from dump1090_db_stream_spark.operators.versioning import (
+        corpus_diff, merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["doc_id", "text"])
+    changes = spark.createDataFrame(
+        [(2, "TWO", False), (4, "four", False), (3, "x", True)],
+        ["doc_id", "text", "deleted"])
+    merged = merge_upsert(target, changes)
+    audit = {r["status"]: r["doc_id"]
+             for r in corpus_diff(target, merged).collect()
+             if r["status"] != "unchanged"}
+    assert audit == {"changed": 2, "added": 4, "removed": 3}
