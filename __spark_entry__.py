@@ -1401,6 +1401,27 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming.pipeline.stream_interval_join
+    run in batch mode — same code path): every click within 30 minutes
+    after a view by the same user, with the attribution delay. The
+    two-sided time bound is what lets the STREAMING form expire join
+    state; here the oracle replays it as a plain interval join."""
+    from dump1090_db_stream_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"))
+    return stream_interval_join(views, clicks, "user_id", "vts", "cts",
+                                max_delay="30 minutes")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile (operators.profiling.table_profile) of the
     orders table: per-column row/null/distinct counts and typed min/max
@@ -1648,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trailing_stats": q_event_trailing_stats,
         "corpus_merge": q_corpus_merge,
         "table_profile": q_table_profile,
+        "attribution_join": q_attribution_join,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -2736,6 +2758,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         """,
         "table_profile": _table_profile_oracle(),
+        "attribution_join": """
+            SELECT v.user_id,
+                   v.ts AS l_vts, v.event_id AS l_vid,
+                   c.ts AS r_cts, c.event_id AS r_cid,
+                   (epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0
+                       AS delay_sec
+            FROM events v JOIN events c ON v.user_id = c.user_id
+            WHERE v.event_type = 'view' AND c.event_type = 'click'
+              AND c.ts >= v.ts
+              AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        """,
         "corpus_merge": """
             WITH changes AS (
                 SELECT doc_id, text || ' v2' AS text, lang, source,

@@ -180,3 +180,51 @@ def run_with_bounded_retries(
             if attempts >= attempt_limit:
                 raise
             time.sleep(attempt_delay)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right events within
+    [left_ts, left_ts + max_delay] for the same key — the attribution
+    primitive (impression -> click; callsign MSG,1 -> position MSG,3
+    for the same hex_ident within a few seconds).
+
+    Both sides carry watermarks and the join has a two-sided event-time
+    bound, so Spark can expire buffered state: a left row is held at
+    most watermark + max_delay past its event time, a right row at most
+    watermark. Without the time bound the state store would grow
+    unboundedly — Structured Streaming rejects that only for OUTER
+    joins, so the bound here is a correctness-of-scale contract, not
+    decoration.
+
+    Output columns: key, left columns prefixed ``l_``, right columns
+    prefixed ``r_`` (minus the key), delay_sec. Works identically on
+    batch DataFrames (the watermark degrades to a no-op), which is how
+    the test equates streaming output with the batch join.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}")
+             for c in left.columns if c != key_col]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}")
+             for c in right.columns if c != key_col]
+    delay = (F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp"))
+             - F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp")))
+    return (
+        lw.join(rw, cond)
+        .select(F.col(f"l.{key_col}").alias(key_col), *lcols, *rcols,
+                (delay / 1_000_000.0).alias("delay_sec"))
+    )

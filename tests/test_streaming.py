@@ -273,3 +273,87 @@ def test_hygiene_ops_run_in_structured_streaming(spark, tmp_path):
             count_emails(F.col("text")).alias("n_emails")),
         "keep_p", "doc_id", seed=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """stream_interval_join as an actual stream-stream join with state:
+    two file streams (views / clicks split across micro-batch files),
+    availableNow, append sink — the finalized output must equal the
+    batch-mode join of the same inputs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    views = [(u, t0 + dt.timedelta(minutes=m), 1000 + u * 100 + m)
+             for u in (1, 2) for m in (0, 30, 60)]
+    clicks = [(1, t0 + dt.timedelta(minutes=4), 1), # attributed to v@0
+              (1, t0 + dt.timedelta(minutes=29), 2), # also v@0 (<=30m)
+              (1, t0 + dt.timedelta(minutes=95), 3), # none (>30m after 60)
+              (2, t0 + dt.timedelta(minutes=31), 4), # v@30 only
+              (3, t0 + dt.timedelta(minutes=5), 5)]  # no view for user 3
+    vschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("vts", T.TimestampType()),
+        T.StructField("vid", T.LongType())])
+    cschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cts", T.TimestampType()),
+        T.StructField("cid", T.LongType())])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(); cdir.mkdir()
+    vb, cb = spark.createDataFrame(views, vschema), \
+        spark.createDataFrame(clicks, cschema)
+
+    def _write(rows, cols, path):
+        pq.write_table(
+            pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)},
+                     schema=pa.schema([(cols[0], pa.int64()),
+                                       (cols[1], pa.timestamp("us")),
+                                       (cols[2], pa.int64())])),
+            str(path))
+
+    # two files per side so the join spans micro-batches
+    _write([r for r in views if r[2] % 2 == 0],
+           ["user_id", "vts", "vid"], vdir / "a.parquet")
+    _write([r for r in views if r[2] % 2 == 1],
+           ["user_id", "vts", "vid"], vdir / "b.parquet")
+    _write([r for r in clicks if r[2] <= 2],
+           ["user_id", "cts", "cid"], cdir / "a.parquet")
+    _write([r for r in clicks if r[2] > 2],
+           ["user_id", "cts", "cid"], cdir / "b.parquet")
+
+    vs = spark.readStream.schema(vschema).parquet(str(vdir))
+    cs = spark.readStream.schema(cschema).parquet(str(cdir))
+    joined = stream_interval_join(vs, cs, "user_id", "vts", "cts",
+                                  max_delay="30 minutes",
+                                  watermark="2 hours")
+    out = tmp_path / "out"
+    q = (joined.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    batch = stream_interval_join(vb, cb, "user_id", "vts", "cts",
+                                 max_delay="30 minutes",
+                                 watermark="2 hours")
+    expect = {(r["user_id"], r["l_vid"], r["r_cid"])
+              for r in batch.collect()}
+    got = {(r["user_id"], r["l_vid"], r["r_cid"])
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == expect
+    # the attribution facts themselves
+    assert (1, 1100, 1) in got and (1, 1100, 2) in got
+    assert (2, 1230, 4) in got
+    assert all(c != 3 and c != 5 for (_, _, c) in got)
