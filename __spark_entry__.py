@@ -1596,11 +1596,14 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     an n^2 cross join. The DuckDB oracle IS the n^2 levenshtein cross
     join, so the driver hash-check proves the prefix filter loses no
     qualifying pair (same oracle pattern as the decontamination
-    queries)."""
+    queries). q=3 because zero-padded numeric names have only 100
+    distinct digit BIgrams — q=2 prefix buckets blow candidates ~40x
+    past the true pairs; 1000 trigram values keep buckets selective
+    (gram-diversity rule in the operator docstring)."""
     from dump1090_db_stream_spark.operators.fuzzy import edit_distance_join
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit_distance_join(cust, "c_custkey", "c_name", k=1, q=2)
+    return edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3)
 
 
 def entry(spark: SparkSession) -> DataFrame:

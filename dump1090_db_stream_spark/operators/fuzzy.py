@@ -38,6 +38,20 @@ they are routed through a broadcast brute-force pass against every
 length-compatible string. Contract: the short bucket is tiny (names
 shorter than a few characters); it is broadcast, never shuffled.
 
+Tuning: candidate volume is governed by GRAM DIVERSITY. Over a small
+effective alphabet (zero-padded numeric ids: 100 possible digit
+bigrams) even the rarest q=2 grams land in buckets of n/100-scale and
+candidates blow up ~40x past the true pairs (measured: 9.7M candidates
+for 262k pairs on 15k synthetic names). Raise q so alphabet^q far
+exceeds n (q=3 cut candidates 13x there); the short-string floor
+rises accordingly. Position-band residuals (classic Ed-Join) would
+prune further but are UNSOUND under this module's (gram, occ) multiset
+matching — an edit that destroys an early occurrence renumbers later
+ones, so matched occurrence pairs can sit k positions apart yet the
+minimal common element gets dislocated arbitrarily; see
+test_properties.test_edit_distance_join_equals_brute_force for the
+losslessness gate any change here must keep green.
+
 The contract query's DuckDB oracle is a full O(n^2) levenshtein cross
 join — so the driver hash-check PROVES the prefix filter loses no pair
 (same oracle pattern as the decontamination queries).
@@ -98,6 +112,8 @@ def edit_distance_join(
     Output: id1, id2, s1, s2, dist. See module docstring for the
     algorithm and its no-lost-pair argument.
     """
+    from dump1090_db_stream_spark.cache import track
+
     short_max = q * (k + 1) + q - 2  # |G| <= k*q  <=>  len <= this
     base = df.select(F.col(id_col).alias("id"),
                      F.col(str_col).alias("s"),
@@ -110,20 +126,33 @@ def edit_distance_join(
     freq = elems.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
     prefix_w = (Window.partitionBy("id")
                 .orderBy("gfreq", "gram", "occ"))
-    prefix = (
+    # prefix feeds both self-join sides — persist or the tokenize/
+    # window pipeline runs twice (no CSE across self-join branches)
+    prefix = track(
         elems.join(F.broadcast(freq), "gram")
         .withColumn("rn", F.row_number().over(prefix_w))
         .filter(F.col("rn") <= k * q + 1)
         .select("id", "s", "slen", "gram", "occ")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # EXPLICIT repartition on the join key: the index input is small
+    # (k*q+1 rows/string), so AQE would coalesce the exchange to ~1
+    # partition — but this join EXPANDS (bucket products), and the
+    # expansion then runs serially. A user-specified repartition is
+    # exempt from AQE coalescing, keeping the expansion + verify spread
+    # across the cluster. (Measured 12x at sf0.1: 51 s -> 4 s.)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = prefix.repartition(n_part, "gram", "occ").alias("a")
+    b = prefix.repartition(n_part, "gram", "occ").alias("b")
+    # NO distinct here: a pair can match on several prefix elements, but
+    # deduping 10^6-scale candidate rows costs a full-width exchange,
+    # while the thresholded levenshtein verify is a few us/row — verify
+    # first, dedup the (much smaller) surviving pairs at the end.
     long_pairs = (
         a.join(b, ["gram", "occ"])
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(F.abs(F.col("a.slen") - F.col("b.slen")) <= k)
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
                 F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .distinct()  # a pair may share several prefix elements
     )
 
     # Short-string fallback: broadcast the (tiny-by-contract) short
@@ -155,7 +184,10 @@ def edit_distance_join(
     )
 
     cands = long_pairs.unionByName(short_pairs).unionByName(short_pairs_rev)
+    # thresholded levenshtein: banded DP + early exit, ~2x over the full
+    # distance; returns -1 above the threshold, the true distance below
     return (
-        cands.withColumn("dist", F.levenshtein("s1", "s2"))
-        .filter(F.col("dist") <= k)
+        cands.withColumn("dist", F.levenshtein("s1", "s2", k))
+        .filter(F.col("dist") >= 0)
+        .distinct()
     )

@@ -324,3 +324,34 @@ def test_mp4_roundtrip_arbitrary_sample_layouts(n_samples, seed):
         assert data[s.offset:s.offset + s.size] == planted
     assert [s.ts_ms for s in idx] == [i * delta for i in range(n_samples)]
     assert [s.index for s in idx if s.is_sync] == sync
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcX", min_size=0, max_size=12),
+    min_size=2, max_size=25, unique=True),
+    st.integers(min_value=1, max_value=2))
+def test_edit_distance_join_equals_brute_force(spark, strings, k):
+    """The q-gram prefix filter must lose NO pair for arbitrary strings
+    — including empty strings, single chars, and heavy duplicate-gram
+    content ('aaaa...') — at k in {1, 2}."""
+    from dump1090_db_stream_spark.operators.fuzzy import edit_distance_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {(i, j, lev(a, b))
+              for i, a in enumerate(strings)
+              for j, b in enumerate(strings)
+              if i < j and lev(a, b) <= k}
+    df = spark.createDataFrame(list(enumerate(strings)), ["sid", "s"])
+    got = {(r.id1, r.id2, r.dist)
+           for r in edit_distance_join(df, "sid", "s", k=k).collect()}
+    assert got == expect
