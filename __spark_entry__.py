@@ -1401,6 +1401,56 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level corpus curation (operators.similarity
+    kmeans_centroids_portable + assign_clusters): train the portable
+    k-means quantizer, assign every embedding, join the documents table
+    on id and profile each cluster's source mix and size stats. The
+    oracle reuses the trained-IVF replay's training+assignment prefix
+    (bit-identical centroids) with a profile tail — so the clustering
+    AND the join/rollup are hash-checked end to end."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        assign_clusters, kmeans_centroids_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    centroids = kmeans_centroids_portable(
+        emb, dim=64, n_centroids=8, n_iters=2, train_sample=64)
+    assigned = assign_clusters(emb, centroids)
+    return (
+        assigned.join(docs, assigned.vec_id == docs.doc_id)
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+    )
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality signal (operators.relevance.unigram_logprob): mean
+    unigram log-probability of each document under the corpus's own
+    unigram distribution — the thresholdable CCNet-style gibberish
+    filter. Vocabulary-sized joins only; U broadcast."""
+    from dump1090_db_stream_spark.operators.relevance import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_weighted_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling (operators.sampling.
+    weighted_fixed_sample, Efraimidis-Spirakis A-Res): exactly 100
+    documents drawn with inclusion odds proportional to n_chars, from
+    the seeded portable hash — deterministic, layout-invariant, and
+    replayed exactly by the oracle (same key, ordering, tie-break).
+    Plans as TakeOrderedAndProject, never a global sort."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        weighted_fixed_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_fixed_sample(docs, 100, "n_chars", "doc_id", seed=11)
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval join (streaming.pipeline.stream_interval_join
     run in batch mode — same code path): every click within 30 minutes
@@ -1673,6 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_merge": q_corpus_merge,
         "table_profile": q_table_profile,
         "attribution_join": q_attribution_join,
+        "weighted_fixed_sample": q_weighted_fixed_sample,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "cluster_profiles": q_cluster_profiles,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -1772,7 +1825,7 @@ def _sbs1_rejects_oracle() -> str:
 
 def _ivf_trained_oracle(dim: int = 64, k_cent: int = 8, n_iters: int = 2,
                         train_sample: int = 64, n_probes: int = 3,
-                        topk: int = 10) -> str:
+                        topk: int = 10, prefix_only: bool = False) -> str:
     """Closed-form replay of the ENTIRE trained-quantizer IVF pipeline:
     md5-ranked sampling, both unrolled Lloyd iterations (cosine argmax
     with lower-cid ties, md5-ordered mean update, empty cluster keeps
@@ -1817,7 +1870,7 @@ def _ivf_trained_oracle(dim: int = 64, k_cent: int = 8, n_iters: int = 2,
                 FROM c{t} p LEFT JOIN m{t} m ON p.cid = m.cid
             )""")
     iter_sql = ", ".join(iters)
-    return f"""
+    prefix = f"""
             WITH sample AS (
                 SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
                 FROM embeddings ORDER BY h LIMIT {train_sample}
@@ -1846,7 +1899,10 @@ def _ivf_trained_oracle(dim: int = 64, k_cent: int = 8, n_iters: int = 2,
             ), clustered AS (
                 SELECT neighbor_id, embedding, nrm, cid FROM assign
                 WHERE rn = 1
-            ), q AS (
+            )"""
+    if prefix_only:
+        return prefix
+    return prefix + f""", q AS (
                 SELECT vec_id AS query_id, embedding AS qv,
                        sqrt(list_sum(list_transform(embedding,
                             x -> x::DOUBLE * x::DOUBLE))) AS qnrm
@@ -2123,7 +2179,10 @@ def oracle_sql() -> dict[str, str]:
         threshold_distinct_sql_exprs,
     )
 
-    from dump1090_db_stream_spark.operators.sampling import portable_hash_sql
+    from dump1090_db_stream_spark.operators.sampling import (
+        portable_hash_sql,
+        weighted_fixed_sample_sql,
+    )
     from dump1090_db_stream_spark.operators.sketches import sample_threshold
 
     _th_case, _th_est = threshold_distinct_sql_exprs("user_id", rate=4)
@@ -2607,6 +2666,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "embedding_ivf_trained": _ivf_trained_oracle(),
+        # same trained-k-means prefix (bit-identical centroids), profile
+        # tail: per-cluster source mix over the documents join
+        "cluster_profiles": _ivf_trained_oracle(prefix_only=True) + """
+            SELECT c.cid AS cluster, d.source,
+                   count(*) AS n_docs,
+                   round(avg(d.n_chars), 6) AS avg_chars
+            FROM clustered c JOIN documents d ON c.neighbor_id = d.doc_id
+            GROUP BY c.cid, d.source
+        """,
         "embedding_ivf_topk": """
             WITH cents AS (
                 SELECT vec_id - 10 AS cid, embedding AS cvec,
@@ -2761,6 +2829,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         """,
         "table_profile": _table_profile_oracle(),
+        "doc_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), terms AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tfreq AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ), freq AS (
+                SELECT term, CAST(sum(tf) AS BIGINT) AS c
+                FROM tfreq GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(tf) AS BIGINT) AS u FROM tfreq
+            )
+            SELECT f.doc_id,
+                   CAST(sum(f.tf) AS BIGINT) AS n_toks,
+                   round(sum(f.tf * ln(CAST(q.c AS DOUBLE) / tot.u))
+                         / sum(f.tf), 6) AS logprob
+            FROM tfreq f JOIN freq q USING (term) CROSS JOIN tot
+            GROUP BY f.doc_id
+        """,
+        "weighted_fixed_sample": weighted_fixed_sample_sql(
+            "documents", 100, "n_chars", "doc_id", seed=11,
+            select_cols="doc_id, text, lang, source, n_chars"),
         "attribution_join": """
             SELECT v.user_id,
                    v.ts AS l_vts, v.event_id AS l_vid,

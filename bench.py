@@ -65,6 +65,19 @@ EXTENDED = [
     "doc_boilerplate_share",
     "event_value_quantiles",
     "daily_quantile_rollup",
+    # round-4 additions
+    "fuzzy_name_matches",
+    "bigram_pmi",
+    "embedding_quantized_topk",
+    "funnel_conversions",
+    "event_mad_outliers",
+    "sliding_window_counts",
+    "event_trailing_stats",
+    "attribution_join",
+    "corpus_merge",
+    "table_profile",
+    "weighted_fixed_sample",
+    "doc_unigram_logprob",
 ]
 
 

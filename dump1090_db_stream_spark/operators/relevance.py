@@ -156,6 +156,42 @@ def bigram_pmi(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the simplest form of the LM-perplexity
+    quality filter (CCNet-style): documents of improbable tokens (OCR
+    noise, gibberish, wrong-language fragments) score far below the
+    corpus mode and can be thresholded out.
+
+        logprob(d) = (1/|d|) * sum over tokens t of ln(c_t / U)
+
+    Scale shape: the (doc, term, tf) relation aggregates map-side, the
+    term-frequency dimension joins at vocabulary size (never corpus
+    size), U is a one-row broadcast. Same discipline as tfidf_terms —
+    the tokenize pipeline is persisted across its two consumers.
+
+    Output: (id_col, n_toks, logprob rounded 6).
+    """
+    terms = track(_doc_terms(df, id_col, text_col))
+    tot = terms.agg(F.sum("tf").alias("u"))
+    freq = terms.groupBy("term").agg(F.sum("tf").alias("c"))
+    return (
+        terms.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(F.sum("tf").cast("long").alias("n_toks"),
+             F.round(
+                 F.sum(F.col("tf")
+                       * F.log(F.col("c").cast("double") / F.col("u")))
+                 / F.sum("tf"), 6).alias("logprob"))
+        .select(F.col("id").alias(id_col), "n_toks", "logprob")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

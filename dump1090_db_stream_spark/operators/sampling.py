@@ -277,3 +277,59 @@ def weighted_sample_where_sql(
     thr = (f"round(least(greatest(CAST({weight_expr} AS DOUBLE), 0.0),"
            f" 1.0) * {SPLIT_BUCKETS}, 0)")
     return f"({b}) < ({thr})"
+
+
+def weighted_fixed_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Fixed-SIZE weighted sample without replacement — Efraimidis &
+    Spirakis A-Res (IPL 2006): each row draws u in (0, 1] and ranks by
+    key = ln(u) / w; the top n keys are a weighted sample where row i's
+    inclusion odds are proportional to w_i. Complements
+    :func:`weighted_sample` (Bernoulli per-row keeps -> variable size):
+    mixture building usually needs EXACTLY n rows per bucket.
+
+    u comes from the seeded portable hash ((h + 1) / P, never 0), so
+    the draw is deterministic, layout-invariant, and replayable in any
+    ANSI engine. Rows with w <= 0 are excluded (their key would be
+    undefined — ln(u)/w flips sign); ties broken by id.
+
+    Scale: narrow key projection + ORDER BY key LIMIT n — plans as
+    TakeOrderedAndProject (per-partition heap of n), no global sort.
+    Output adds ``ares_key`` (rounded 6) so samples are auditable.
+    """
+    u = ((portable_hash_seeded(id_col, seed) + 1).cast("double")
+         / float(_P))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_ares", key)
+        .orderBy(F.col("_ares").desc(), F.col(id_col))
+        .limit(n)
+        .select(*df.columns, F.round("_ares", 6).alias("ares_key"))
+    )
+
+
+def weighted_fixed_sample_sql(
+    table: str,
+    n: int,
+    weight_expr: str,
+    id_expr: str,
+    seed: int = 0,
+    select_cols: str = "*",
+) -> str:
+    """Oracle-side twin of :func:`weighted_fixed_sample` (same key, same
+    ordering, same tie-break)."""
+    u = f"((({portable_hash_seeded_sql(id_expr, seed)}) + 1) / {_P}.0)"
+    key = f"ln({u}) / CAST({weight_expr} AS DOUBLE)"
+    return f"""
+        SELECT {select_cols}, round({key}, 6) AS ares_key
+        FROM {table}
+        WHERE CAST({weight_expr} AS DOUBLE) > 0
+        ORDER BY {key} DESC, {id_expr}
+        LIMIT {n}
+    """

@@ -875,3 +875,21 @@ def quantized_topk(
     return brute_force_topk(
         qc, qq, k=k, id_col=id_col, vec_col="qvec",
         query_id_col=query_id_col)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): max-cosine centroid assignment — the corpus-side
+    half of IVF indexing exposed as a standalone operator for
+    cluster-level data curation (per-cluster source mix, dedup scopes,
+    mixture re-weighting). Narrow zero-shuffle projection; ties break
+    toward the lower cluster id, matching the k-means trainer and the
+    DuckDB oracle replay."""
+    return df.select(
+        F.col(id_col).alias(id_col),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+    )

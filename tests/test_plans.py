@@ -304,6 +304,7 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "fuzzy_name_matches",     # short-string fallback bucket is
                                   # broadcast-by-contract (operators.fuzzy)
         "bigram_pmi",             # one-row U/B corpus-totals attach
+        "doc_unigram_logprob",    # one-row U corpus-total attach
         "embedding_quantized_topk",  # broadcast query side, non-equi
                                      # self-guard (same as embedding_topk)
     }

@@ -111,3 +111,19 @@ def test_bigram_single_token_docs_contribute_nothing(spark):
                                ["doc_id", "text"])
     rows = bigram_counts(df).collect()
     assert [(r["w1"], r["w2"], r["c_xy"]) for r in rows] == [("a", "b", 1)]
+
+
+def test_unigram_logprob_known_values(spark):
+    from dump1090_db_stream_spark.operators.relevance import unigram_logprob
+
+    # corpus: "a a b" + "a z": U=5, c_a=3, c_b=1, c_z=1
+    df = spark.createDataFrame([(1, "a a b"), (2, "a z")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp1 = (2 * math.log(3 / 5) + 1 * math.log(1 / 5)) / 3
+    lp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert got[1]["n_toks"] == 3 and got[2]["n_toks"] == 2
+    assert got[1]["logprob"] == pytest.approx(lp1, abs=1e-6)
+    assert got[2]["logprob"] == pytest.approx(lp2, abs=1e-6)
+    # the rare-token doc scores lower — the filterable signal
+    assert got[2]["logprob"] < got[1]["logprob"]

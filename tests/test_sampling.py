@@ -192,3 +192,51 @@ def test_weighted_sample_rates_and_clamping(spark):
     got = {r["doc_id"] for r in
            weighted_sample(df2, "w", "doc_id").collect()}
     assert got == set(range(50, 100))
+
+
+def test_weighted_fixed_sample_size_bias_and_determinism(spark):
+    from dump1090_db_stream_spark.operators.sampling import (
+        weighted_fixed_sample,
+    )
+
+    # 500 rows, half weight 1, half weight 10: the heavy half should
+    # dominate a 100-row sample (expected ~91%); exact set is seeded
+    df = spark.createDataFrame(
+        [(i, 10.0 if i % 2 else 1.0) for i in range(500)],
+        ["rid", "w"])
+    s1 = weighted_fixed_sample(df, 100, "w", "rid", seed=3)
+    s2 = weighted_fixed_sample(df, 100, "w", "rid", seed=3)
+    ids1 = [r["rid"] for r in s1.collect()]
+    assert ids1 == [r["rid"] for r in s2.collect()]  # deterministic
+    assert len(ids1) == 100 and len(set(ids1)) == 100
+    heavy = sum(1 for i in ids1 if i % 2)
+    assert heavy >= 75  # binomial(100, .91) far above 75
+
+    ids_other = {r["rid"]
+                 for r in weighted_fixed_sample(df, 100, "w", "rid",
+                                                seed=4).collect()}
+    assert set(ids1) != ids_other  # seed changes the draw
+
+
+def test_weighted_fixed_sample_excludes_nonpositive(spark):
+    from dump1090_db_stream_spark.operators.sampling import (
+        weighted_fixed_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0), (4, 1.0)], ["rid", "w"])
+    got = {r["rid"] for r in
+           weighted_fixed_sample(df, 10, "w", "rid").collect()}
+    assert got == {3, 4}
+
+
+def test_weighted_fixed_sample_plans_take_ordered(spark):
+    from dump1090_db_stream_spark.operators.sampling import (
+        weighted_fixed_sample,
+    )
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)],
+                               ["rid", "w"])
+    plan = (weighted_fixed_sample(df, 5, "w", "rid")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
