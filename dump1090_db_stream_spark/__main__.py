@@ -94,12 +94,13 @@ def main(argv: list[str] | None = None) -> int:
               "-d/--dbname (PGDATABASE)", file=sys.stderr)
         return 2
 
+    import time
+
     from dump1090_db_stream_spark import get_spark
     from dump1090_db_stream_spark.sinks.writers import write_jdbc
     from dump1090_db_stream_spark.streaming.pipeline import (
         file_lines,
         parsed_stream,
-        run_with_bounded_retries,
         socket_lines,
         start_foreach_batch,
         start_parquet_ingest,
@@ -151,26 +152,52 @@ def main(argv: list[str] | None = None) -> int:
                 messages, os.path.join(args.checkpoint, "db"), batch_fn,
                 available_now=args.available_now))
         if args.verbose:
-            qs.append(messages.writeStream.format("console")
-                      .option("checkpointLocation",
-                              os.path.join(args.checkpoint, "console"))
-                      .outputMode("append").start())
+            w = (messages.writeStream.format("console")
+                 .option("checkpointLocation",
+                         os.path.join(args.checkpoint, "console"))
+                 .outputMode("append"))
+            if args.available_now:
+                w = w.trigger(availableNow=True)
+            qs.append(w.start())
         queries[:] = qs
-        return qs[0]
+        return qs
 
-    def supervised():
-        q0 = start_all()
-        for q in queries[1:]:
-            q.awaitTermination()
-        return q0
+    def run_ensemble() -> None:
+        """Start every sink, then supervise ALL of them: the first
+        failure raises (triggering an ensemble restart from the
+        checkpoints), and the finally-stop guarantees no stale query is
+        still holding a checkpoint when the retry calls start_all()
+        again. availableNow runs drain every sink and return."""
+        qs = start_all()
+        try:
+            if args.available_now:
+                for q in qs:
+                    q.awaitTermination()
+                return
+            while True:
+                for q in qs:
+                    if not q.isActive:
+                        if q.exception() is not None:
+                            raise q.exception()
+                        return  # externally stopped: clean exit
+                time.sleep(1)
+        finally:
+            for q in qs:
+                if q.isActive:
+                    q.stop()
 
-    run_with_bounded_retries(
-        supervised,
-        attempt_limit=args.connect_attempt_limit,
-        attempt_delay=args.connect_attempt_delay,
-        on_attempt=lambda n, e: print(
-            f"stream attempt {n} failed: {e}", file=sys.stderr))
-    return 0
+    attempts = 0
+    while True:
+        try:
+            run_ensemble()
+            return 0
+        except Exception as e:  # noqa: BLE001 — any stream failure retries
+            attempts += 1
+            print(f"stream attempt {attempts} failed: {e}",
+                  file=sys.stderr)
+            if attempts >= args.connect_attempt_limit:
+                raise
+            time.sleep(args.connect_attempt_delay)
 
 
 if __name__ == "__main__":

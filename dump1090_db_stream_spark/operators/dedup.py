@@ -285,10 +285,13 @@ def minhash_lsh_pairs(
         F.array_distinct(shingles(F.col("_toks"), n)).alias("shs"))
     va = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     vb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
-    # candidates are tiny by contract (near-dup pairs, not the corpus):
-    # broadcast them so the shingle relations join without an exchange
+    # deliberately NOT broadcast(candidates): candidate volume is
+    # quadratic in bucket skew (one m-doc boilerplate group -> C(m,2)
+    # pairs), exactly the corpus shape a dedup pipeline targets — a
+    # forced broadcast would OOM the driver there. AQE promotes the
+    # join to broadcast at runtime when candidates really are small.
     return (
-        F.broadcast(candidates).join(va, "id_a").join(vb, "id_b")
+        candidates.join(va, "id_a").join(vb, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn("n_union", F.size(F.array_union("shs_a", "shs_b")))
         .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
@@ -551,14 +554,28 @@ def write_minhash_index(
     if mode == "append":
         # Appending with different LSH parameters would silently mix
         # incompatible signatures that probes then read with ONE set of
-        # params — refuse instead of corrupting the index.
+        # params — refuse instead of corrupting the index. Only a
+        # MISSING sidecar (fresh index dir) may skip the check; any
+        # other read failure (permissions, transient fs error) must
+        # propagate — swallowing it would skip the very guard that
+        # protects the index.
+        from pyspark.errors import AnalysisException
+
         try:
             old = spark.read.json(path + "/_lsh_meta").first().asDict()
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" \
+                    not in str(e):
+                raise
             old = None
         if old is not None:
             want = {"n": n, "num_hashes": num_hashes, "bands": bands,
                     "portable_base_hash": bool(portable_base_hash)}
+            missing = [k for k in want if old.get(k) is None]
+            if missing:
+                raise ValueError(
+                    f"minhash index at {path} has a sidecar without "
+                    f"{missing}; refusing to append blind")
             got = {k: (bool(old[k]) if k == "portable_base_hash"
                        else int(old[k])) for k in want}
             if got != want:

@@ -32,9 +32,9 @@ join, never a cross product. Verification cost is |candidates|, which
 the prefix filter keeps near |true pairs|.
 
 Blind spot handled explicitly: the prefix guarantee needs
-|G(s)| > k*q. Strings shorter than q*(k+1) + q - 1 characters can be
-within distance k yet share zero grams ("ab" vs "cd", q=2, k=2), so
-they are routed through a broadcast brute-force pass against every
+|G(s)| > k*q, i.e. len > k*q + q - 1. Shorter strings can be within
+distance k yet share zero grams ("ab" vs "cd", q=2, k=2), so they are
+routed through a broadcast brute-force pass against every
 length-compatible string. Contract: the short bucket is tiny (names
 shorter than a few characters); it is broadcast, never shuffled.
 
@@ -114,7 +114,9 @@ def edit_distance_join(
     """
     from dump1090_db_stream_spark.cache import track
 
-    short_max = q * (k + 1) + q - 2  # |G| <= k*q  <=>  len <= this
+    # |G| = len - q + 1 <= k*q  <=>  len <= k*q + q - 1: below this the
+    # prefix guarantee can fail (A\B may be all of A), so brute-force
+    short_max = k * q + q - 1
     base = df.select(F.col(id_col).alias("id"),
                      F.col(str_col).alias("s"),
                      F.length(str_col).alias("slen"))
@@ -164,11 +166,7 @@ def edit_distance_join(
         F.broadcast(shorts.alias("a"))
         .join(partners.alias("b"),
               (F.col("a.id") < F.col("b.id"))
-              & (F.abs(F.col("a.slen") - F.col("b.slen")) <= k)
-              # (long, short) pairs with the long side > short_max are
-              # also produced here, and only here, exactly once
-              & ((F.col("b.slen") <= short_max)
-                 | (F.col("a.slen") <= short_max)))
+              & (F.abs(F.col("a.slen") - F.col("b.slen")) <= k))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
                 F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
     )

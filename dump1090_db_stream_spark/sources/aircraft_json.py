@@ -181,7 +181,11 @@ def _poll_classes():
                 snap_now = None  # malformed body still flows downstream
             if snap_now is not None and snap_now == self._last_now:
                 return iter(()), start  # server hasn't rewritten yet
-            self._last_now = snap_now
+            if snap_now is not None:
+                # a malformed body (snap_now None) must NOT clear the
+                # stamp: the next poll of the same unchanged document
+                # would re-emit an already-delivered snapshot
+                self._last_now = snap_now
             return iter([(body,)]), {"n": start["n"] + 1}
 
         def readBetweenOffsets(
