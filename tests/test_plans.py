@@ -313,3 +313,41 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sliding_window_partial_aggregates(spark, sf):
+    plan = plan_of(entrymod.q_sliding_window_counts(spark, sf))
+    # explode-into-windows then map-side-combined hash agg, one exchange
+    assert "partial_count" in plan
+    assert plan.count("Exchange") <= 2  # agg exchange (+ AQE artifacts)
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_stats_single_partition_exchange(spark, sf):
+    plan = plan_of(entrymod.q_event_trailing_stats(spark, sf))
+    # one window over user_id: exactly one hash exchange, RANGE frame
+    assert plan.count("hashpartitioning") >= 1
+    assert "Window" in plan
+    assert "RangeFrame" in plan  # event-time range, not a row frame
+
+
+def test_quantized_scan_prunes_to_id_and_vector(spark, sf):
+    plan = plan_of(entrymod.q_embedding_quantized(spark, sf))
+    # the narrow quantization projection must not widen the scan
+    assert read_schema_cols(plan) == ["vec_id", "embedding"]
+    assert "Exchange" not in plan  # zero-shuffle projection
+
+
+def test_fuzzy_join_pins_expansion_parallelism(spark, sf):
+    plan = plan_of(entrymod.q_fuzzy_name_matches(spark, sf))
+    # the self-join inputs carry the user repartition (AQE-exempt), so
+    # the bucket-product expansion cannot collapse to one partition
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan \
+        or plan.count("hashpartitioning") >= 2
+    assert "levenshtein" in plan
+
+
+def test_merge_upsert_joins_on_id_only(spark, sf):
+    plan = plan_of(entrymod.q_corpus_merge(spark, sf))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
