@@ -78,6 +78,7 @@ EXTENDED = [
     "table_profile",
     "weighted_fixed_sample",
     "doc_unigram_logprob",
+    "close_encounters",
 ]
 
 

@@ -56,23 +56,37 @@ def _pack_cell(lo: Column, la: Column) -> Column:
     return F.shiftleft(lo, 32) + la
 
 
-def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+def grid_cell(lat: Column, lon: Column, cell_deg: float,
+              wrap_lon: bool = False) -> Column:
     """Single packed BIGINT cell id for a point on a fixed-degree grid.
 
     Packing keeps the join key one 8-byte column instead of two.
+    ``wrap_lon=True`` reduces the lon index modulo the grid width so
+    neighbor enumeration can cross the antimeridian (close_encounters
+    uses it; radius_join documents non-wrapping as its trade-off).
     """
     la = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lo = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    if wrap_lon:
+        lo = F.pmod(lo, F.lit(_n_lon_cells(cell_deg)))
     return _pack_cell(lo, la)
+
+
+def _n_lon_cells(cell_deg: float) -> int:
+    """Longitude cells in a full 360° ring at this resolution."""
+    return max(1, int(math.ceil(360.0 / cell_deg)))
 
 
 def _center_cells(
     lat: Column, lon: Column, radius_km: float, cell_deg: float,
+    wrap_lon: bool = False,
 ) -> Column:
     """All grid cells a ``radius_km`` disk around (lat, lon) can touch —
     an array built with sequence/transform (no Python, no UDF). The lon
     reach is widened by 1/cos(lat) (clamped near the poles) so coverage
-    holds at any latitude."""
+    holds at any latitude. ``wrap_lon=True`` wraps lon indices around
+    the antimeridian (and dedups, since a wide reach near a pole can
+    lap the whole ring)."""
     reach_deg = radius_km / KM_PER_DEG
     # lat cells the disk spans (same everywhere on the globe)
     d_lat = F.lit(int(math.ceil(reach_deg / cell_deg)))
@@ -81,6 +95,18 @@ def _center_cells(
     d_lon = F.ceil(F.lit(reach_deg / cell_deg) / coslat).cast("int")
     la0 = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lo0 = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    if wrap_lon:
+        n_lon = F.lit(_n_lon_cells(cell_deg))
+        cells = F.flatten(
+            F.transform(
+                F.sequence(-d_lon, d_lon),
+                lambda i: F.transform(
+                    F.sequence(-d_lat, d_lat),
+                    lambda j: _pack_cell(F.pmod(lo0 + i, n_lon), la0 + j),
+                ),
+            )
+        )
+        return F.array_distinct(cells)
     return F.flatten(
         F.transform(
             F.sequence(-d_lon, d_lon),
@@ -332,3 +358,80 @@ def st_asbinary_line(points: Column, srid: int | None = None) -> Column:
                                                ieee754_le_hex(p["y"]))),
         ""))
     return F.unhex(F.concat(*parts))
+
+
+def close_encounters(
+    df: DataFrame,
+    dist_km: float,
+    window_seconds: int,
+    id_col: str = "event_id",
+    obj_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Spatio-temporal proximity self-join: pairs of events from
+    DIFFERENT objects within ``dist_km`` AND ``window_seconds`` of each
+    other — the ADS-B loss-of-separation / close-encounter query, and
+    the generic trajectory-proximity primitive.
+
+    Never a cross join: the equi key is (time bucket, grid cell). One
+    side keeps its single (bucket, cell); the other explodes into the
+    3 adjacent time buckets x the latitude-corrected cell cover
+    (:func:`_center_cells` — the same cover whose losslessness is
+    property-tested for the radius join), with WRAPPED longitude
+    indices so pairs straddling the antimeridian are found (the
+    radius join documents non-wrapping as its trade-off; a proximity
+    join cannot afford the blind sliver). Each pair within range
+    matches in BOTH orderings (covers are mutual), and the exploded
+    keys are distinct (array_distinct after wrapping), so
+    ``id_a < id_b`` keeps each pair exactly once with no distinct()
+    pass. Exact residuals (|dt| and haversine) then discard the
+    quantization margin.
+
+    Scale: shuffle keyed on (bucket, cell) — volume O(rows x cover
+    size); encounter hot spots (one airport's cell) are classic skew,
+    handled by AQE skew-join splitting; at extreme density shrink
+    cell_deg (more, smaller buckets).
+
+    Output: id_a, id_b, obj_a, obj_b, dt_sec (signed, b minus a),
+    distance_km (rounded 2).
+    """
+    if cell_deg is None:
+        cell_deg = max(dist_km / KM_PER_DEG, 1e-6)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(us / F.lit(window_seconds * 1_000_000)).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(obj_col).alias("obj"),
+        us.alias("t_us"),
+        F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
+        bucket.alias("tb"),
+    )
+    a = base.withColumn(
+        "cell",
+        grid_cell(F.col("lat"), F.col("lon"), cell_deg, wrap_lon=True),
+    ).alias("a")
+    b = (base
+         .withColumn("tb", F.explode(F.array(
+             F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)))
+         .withColumn("cell", F.explode(_center_cells(
+             F.col("lat"), F.col("lon"), dist_km, cell_deg,
+             wrap_lon=True)))
+         .alias("b"))
+    dist = haversine_km(F.col("a.lat"), F.col("a.lon"),
+                        F.col("b.lat"), F.col("b.lon"))
+    dt = (F.col("b.t_us") - F.col("a.t_us")) / F.lit(1_000_000.0)
+    return (
+        a.join(b, (F.col("a.tb") == F.col("b.tb"))
+               & (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.col("a.obj") != F.col("b.obj")))
+        .withColumn("dt_sec", dt)
+        .withColumn("distance_km", dist)
+        .filter((F.abs(F.col("dt_sec")) <= window_seconds)
+                & (F.col("distance_km") <= dist_km))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.obj").alias("obj_a"), F.col("b.obj").alias("obj_b"),
+                "dt_sec", F.round("distance_km", 2).alias("distance_km"))
+    )

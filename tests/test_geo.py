@@ -223,3 +223,73 @@ def test_wkb_point_and_line_decode(spark):
     assert n == 2 and len(b) == 9 + 16 * n
     coords = struct.unpack("<" + "d" * (2 * n), b[9:])
     assert coords == (-0.07, 51.47, 102.53, -46.55)
+
+
+def _enc_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(i, uid, t0 + dt.timedelta(seconds=s), la, lo)
+         for i, (uid, s, la, lo) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "lat", "lon"])
+
+
+def test_close_encounters_finds_planted_pair(spark):
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    df = _enc_df(spark, [
+        (1, 0, 50.0, 10.0),      # id 0
+        (2, 60, 50.05, 10.05),   # id 1: ~6.6 km, 60 s later -> pair
+        (1, 30, 50.0, 10.0),     # id 2: same user as id 0 -> excluded
+        (3, 5000, 50.0, 10.0),   # id 3: outside the window
+        (4, 120, 20.0, 10.0),    # id 4: far away
+    ])
+    got = close_encounters(df, dist_km=50.0, window_seconds=600).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # (0,1): cross-user, near, 60 s apart. (1,2): id 2 is user 1's
+    # second ping — cross-user vs id 1, 30 s apart, ~6.6 km. (0,2) is
+    # SAME user -> excluded; 3 is outside the window; 4 is 3000+ km out.
+    assert pairs == {(0, 1), (1, 2)}
+    r = next(r for r in got if (r["id_a"], r["id_b"]) == (0, 1))
+    assert r["dt_sec"] == 60.0 and 6.0 < r["distance_km"] < 8.0
+    r12 = next(r for r in got if (r["id_a"], r["id_b"]) == (1, 2))
+    assert r12["dt_sec"] == -30.0  # signed: id 2 precedes id 1
+
+
+def test_close_encounters_wraps_antimeridian(spark):
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    # 0.2 degrees of longitude apart ACROSS the +-180 line (~18 km at
+    # lat 35): a non-wrapping grid cannot join these cells
+    df = _enc_df(spark, [
+        (1, 0, 35.0, 179.9),
+        (2, 30, 35.0, -179.9),
+    ])
+    got = close_encounters(df, dist_km=50.0, window_seconds=600).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    assert got[0]["distance_km"] < 20.0
+
+
+def test_close_encounters_emits_each_pair_once(spark):
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    # identical position and time bucket: candidate match possible in
+    # many (bucket, cell) combos — output must still be one row per pair
+    df = _enc_df(spark, [(u, s, 40.0, 8.0)
+                         for u in (1, 2, 3) for s in (0, 10)])
+    got = close_encounters(df, dist_km=10.0, window_seconds=600).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(pairs) == len(set(pairs))
+    # 6 events, 3 users x 2: cross-user pairs = C(6,2)=15 minus 3 same-user
+    assert len(pairs) == 12
+
+
+def test_close_encounters_plans_equi_join(spark):
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    df = _enc_df(spark, [(1, 0, 50.0, 10.0), (2, 60, 50.05, 10.05)])
+    plan = (close_encounters(df, 50.0, 600)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
