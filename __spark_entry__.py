@@ -1401,6 +1401,22 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration (operators.graph.triangles) over the n-gram
+    near-dup pair graph — corroboration analysis: a pair inside a
+    triangle is supported by two independent similarity paths, so
+    triangle membership separates real clusters from chance collisions.
+    Oriented two-join enumeration (each triangle exactly once, both
+    joins equi on node ids); the oracle closes wedges over the SAME
+    pair SQL the ngram_jaccard_dups oracle defines."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+    from dump1090_db_stream_spark.operators.graph import triangles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    return triangles(pairs)
+
+
 def q_close_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal proximity self-join (operators.geo.
     close_encounters): pairs of events from different users within
@@ -1747,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "cluster_profiles": q_cluster_profiles,
         "close_encounters": q_close_encounters,
+        "neardup_triangles": q_neardup_triangles,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -3579,6 +3596,15 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    # triangles close wedges over the SAME pair graph the ngram oracle
+    # defines (identical params) — semantic reuse, not duplication
+    oracles["neardup_triangles"] = f"""
+        WITH pairs AS ({oracles["ngram_jaccard_dups"]})
+        SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        FROM pairs p1
+        JOIN pairs p2 ON p1.id_b = p2.id_a
+        JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    """
     # survivors = same transitive closure, keep-iff-min final filter
     closure = oracles["neardup_clusters"]
     tail = closure.rindex("SELECT d.doc_id")

@@ -233,3 +233,39 @@ def dedup_survivors(
         .select(id_col)
     )
     return df.join(survivors, id_col, "left_semi")
+
+
+def triangles(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """All triangles (a < b < c) in an undirected pair graph.
+
+    Community densification for dedup graphs: a candidate pair inside a
+    triangle is corroborated by two independent paths, so triangle
+    membership separates true near-dup clusters from chance collisions
+    (LSH false positives are overwhelmingly triangle-free).
+
+    Classic two-join enumeration on ORIENTED edges (each edge stored
+    once as lo < hi): wedges a<b<c from edges (a,b) and (b,c), closed
+    by probing (a,c). Orientation means each triangle is counted
+    exactly once and every join is an equi-join on a node id. Skew: a
+    node of degree d contributes d^2/... wedges through the b-join —
+    the classic hotspot; for dedup graphs degree is bounded by cluster
+    size. At web scale the standard refinement (not needed here) is
+    degree-ordered orientation, which bounds wedge counts by arboricity.
+
+    Output: (a, b, c) node-id triples, a < b < c.
+    """
+    e = (edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
+         .filter(F.col("lo") < F.col("hi"))
+         .distinct())
+    e = track(e)  # three consumers below
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, "b")  # a < b < c by construction
+    return wedges.join(ac, ["a", "c"]).select("a", "b", "c")

@@ -120,3 +120,26 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
         connected_components_star(chain, max_iterations=2).collect()
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iterations=3).collect()
+
+
+def test_triangles_known_graph(spark):
+    from dump1090_db_stream_spark.operators.graph import triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + square {5,6,7,8} (0) + dangling
+    # edge; edges given in MIXED orientation with a duplicate
+    edges = [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3),
+             (5, 6), (6, 7), (8, 7), (5, 8),
+             (9, 10), (2, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangles_count_each_once(spark):
+    from dump1090_db_stream_spark.operators.graph import triangles
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                               ["id_a", "id_b"])
+    rows = triangles(df).collect()
+    assert len(rows) == 1 and (rows[0]["a"], rows[0]["b"],
+                               rows[0]["c"]) == (1, 2, 3)
