@@ -357,3 +357,42 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert (1, 1100, 1) in got and (1, 1100, 2) in got
     assert (2, 1230, 4) in got
     assert all(c != 3 and c != 5 for (_, _, c) in got)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """T-5/T-6: a second availableNow run on the SAME checkpoint must
+    ingest only files discovered since the first run — nothing from the
+    first batch is re-read (source offsets) and nothing is double-
+    written (file-sink commit log), even though the old input files are
+    still present in the source directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    sch = pa.schema([("k", pa.int64())])
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+
+    def write(name, lo, hi):
+        pq.write_table(pa.table({"k": list(range(lo, hi))}, schema=sch),
+                       str(src / name))
+
+    def drain():
+        q = (spark.readStream.schema(schema).parquet(str(src))
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write("a.parquet", 0, 100)
+    drain()
+    assert spark.read.parquet(str(out)).count() == 100
+
+    write("b.parquet", 100, 150)
+    drain()  # resume: must pick up ONLY b.parquet
+    got = spark.read.parquet(str(out))
+    assert got.count() == 150
+    # every key exactly once — the first run's rows were not re-ingested
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
