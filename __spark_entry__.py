@@ -1401,6 +1401,54 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt via the native DataFrame.unpivot (Spark's wide-to-
+    long reshape — an Expand node, one scan, no join): lineitem's four
+    numeric measures as (keys, metric, value) rows. The oracle is the
+    portable UNION ALL expansion of the same reshape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "value")
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): per-key
+    aggregates of two event slices joined so the NULL key groups match
+    each other (a plain equi-join silently drops them — the classic
+    dropped-rows bug in key-bucketed reconciliations). Key = NULLIF of
+    a derived bucket, so NULL groups genuinely exist on both sides."""
+    ev = _events(spark, sf_dir)
+    key = F.nullif(F.col("user_id") % 7, F.lit(0))
+    a = (ev.filter(F.col("event_type") != "error")
+         .groupBy(key.alias("k"))
+         .agg(F.count(F.lit(1)).alias("n_ok"),
+              F.round(F.sum("value"), 2).alias("sum_ok")))
+    b = (ev.filter(F.col("event_type") == "error")
+         .groupBy(key.alias("k"))
+         .agg(F.count(F.lit(1)).alias("n_err")))
+    return (a.join(b, a["k"].eqNullSafe(b["k"]), "inner")
+            .select(a["k"].alias("k"), "n_ok", "sum_ok", "n_err"))
+
+
+def q_order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family breadth: ntile(4) quartiles,
+    percent_rank, and cume_dist over order value within each order
+    priority. The window orders by (o_totalprice, o_orderkey) — the
+    unique tie-break that makes ntile deterministic across engines
+    (ntile over ties is otherwise order-dependent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration (operators.graph.triangles) over the n-gram
     near-dup pair graph — corroboration analysis: a pair inside a
@@ -1764,6 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profiles": q_cluster_profiles,
         "close_encounters": q_close_encounters,
         "neardup_triangles": q_neardup_triangles,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "null_safe_join": q_null_safe_join,
+        "order_value_ranks": q_order_value_ranks,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -3534,6 +3585,43 @@ def oracle_sql() -> dict[str, str]:
                        || substr(nh, 3, 2) || substr(nh, 1, 2)
                        || all_xy AS track_wkb
             FROM agg
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
+        """,
+        "null_safe_join": """
+            WITH a AS (
+                SELECT nullif(user_id % 7, 0) AS k,
+                       count(*) AS n_ok,
+                       round(sum(value), 2) AS sum_ok
+                FROM events WHERE event_type <> 'error'
+                GROUP BY nullif(user_id % 7, 0)
+            ), b AS (
+                SELECT nullif(user_id % 7, 0) AS k, count(*) AS n_err
+                FROM events WHERE event_type = 'error'
+                GROUP BY nullif(user_id % 7, 0)
+            )
+            SELECT a.k, a.n_ok, a.sum_ok, b.n_err
+            FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        """,
+        "order_value_ranks": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
         # brute-force time-banded self-join: proves the (time bucket,
         # cell cover) equi-join loses no qualifying pair
