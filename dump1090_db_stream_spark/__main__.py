@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     from dump1090_db_stream_spark.streaming.pipeline import (
         file_lines,
         parsed_stream,
+        run_with_bounded_retries,
         socket_lines,
         start_foreach_batch,
         start_parquet_ingest,
@@ -111,8 +112,6 @@ def main(argv: list[str] | None = None) -> int:
     lines = (file_lines(spark, args.file_source) if args.file_source
              else socket_lines(spark, args.dump1090, args.port))
     messages = parsed_stream(lines)
-
-    queries = []
 
     def start_all():
         qs = []
@@ -159,7 +158,6 @@ def main(argv: list[str] | None = None) -> int:
             if args.available_now:
                 w = w.trigger(availableNow=True)
             qs.append(w.start())
-        queries[:] = qs
         return qs
 
     def run_ensemble() -> None:
@@ -186,18 +184,13 @@ def main(argv: list[str] | None = None) -> int:
                 if q.isActive:
                     q.stop()
 
-    attempts = 0
-    while True:
-        try:
-            run_ensemble()
-            return 0
-        except Exception as e:  # noqa: BLE001 — any stream failure retries
-            attempts += 1
-            print(f"stream attempt {attempts} failed: {e}",
-                  file=sys.stderr)
-            if attempts >= args.connect_attempt_limit:
-                raise
-            time.sleep(args.connect_attempt_delay)
+    run_with_bounded_retries(
+        run_ensemble,
+        attempt_limit=args.connect_attempt_limit,
+        attempt_delay=args.connect_attempt_delay,
+        on_attempt=lambda n, e: print(
+            f"stream attempt {n} failed: {e}", file=sys.stderr))
+    return 0
 
 
 if __name__ == "__main__":

@@ -93,6 +93,13 @@ def _center_cells(
     # lon cells: reach grows with latitude; clamp cos to avoid pole blowup
     coslat = F.greatest(F.cos(F.radians(lat)), F.lit(0.01))
     d_lon = F.ceil(F.lit(reach_deg / cell_deg) / coslat).cast("int")
+    if wrap_lon:
+        # the wrapped ring is RAGGED unless cell_deg divides 360: the
+        # last cell is narrower than cell_deg, adding one extra cell
+        # boundary at the +-180 seam that the uniform-width budget
+        # above cannot see. A span of x degrees therefore crosses at
+        # most ceil(x/cell_deg) + 1 boundaries — widen by exactly one.
+        d_lon = d_lon + F.lit(1)
     la0 = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lo0 = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
     if wrap_lon:

@@ -112,6 +112,7 @@ def _poll_classes():
     """Build the DataSource classes on first registration so this module
     stays importable for its pure batch helpers without touching the
     DataSource API surface."""
+    import hashlib
     import json as jsonmod
     import time
     import urllib.request
@@ -155,6 +156,7 @@ def _poll_classes():
             self.attempt_limit = int(options.get("poll_attempt_limit", "10"))
             self._last_poll = float("-inf")
             self._last_now: float | None = None
+            self._last_bad: str | None = None  # digest of a malformed body
             self._failures = 0
 
         def initialOffset(self) -> dict:
@@ -179,13 +181,19 @@ def _poll_classes():
                 snap_now = jsonmod.loads(body).get("now")
             except ValueError:
                 snap_now = None  # malformed body still flows downstream
-            if snap_now is not None and snap_now == self._last_now:
-                return iter(()), start  # server hasn't rewritten yet
             if snap_now is not None:
-                # a malformed body (snap_now None) must NOT clear the
-                # stamp: the next poll of the same unchanged document
-                # would re-emit an already-delivered snapshot
-                self._last_now = snap_now
+                if snap_now == self._last_now:
+                    return iter(()), start  # server hasn't rewritten yet
+                self._last_now = snap_now  # NOT cleared on malformed
+                self._last_bad = None
+            else:
+                # a malformed body has no `now` stamp to dedupe on; use
+                # its own digest so a STATIC broken document (crashed
+                # writer) is delivered once, not once per poll forever
+                digest = hashlib.md5(body.encode()).hexdigest()
+                if digest == self._last_bad:
+                    return iter(()), start
+                self._last_bad = digest
             return iter([(body,)]), {"n": start["n"] + 1}
 
         def readBetweenOffsets(

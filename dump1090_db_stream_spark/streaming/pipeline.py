@@ -158,7 +158,7 @@ def tumbling_counts(
 
 
 def run_with_bounded_retries(
-    start_query: Callable[[], StreamingQuery],
+    start_query: Callable[[], StreamingQuery | None],
     attempt_limit: int = 10,
     attempt_delay: float = 5.0,
     on_attempt: Callable[[int, Exception], None] | None = None,
@@ -166,12 +166,18 @@ def run_with_bounded_retries(
     """S-3/T-6: bounded-retry supervision — N restart attempts with fixed
     delay, then give up — mirroring --connect-attempt-limit/-delay
     (dump1090-postgres.py:181-198, :220-237, defaults Dockerfile:17-18).
-    Each restart resumes from the checkpoint."""
+    Each restart resumes from the checkpoint.
+
+    ``start_query`` may return a StreamingQuery (awaited here) or block
+    until its own completion and return None (the CLI's multi-sink
+    ensemble supervisor does the latter) — one retry policy, not two.
+    """
     attempts = 0
     while True:
         try:
             q = start_query()
-            q.awaitTermination()
+            if q is not None:
+                q.awaitTermination()
             return
         except Exception as e:  # noqa: BLE001 — any stream failure retries
             attempts += 1

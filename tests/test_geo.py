@@ -293,3 +293,20 @@ def test_close_encounters_plans_equi_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_close_encounters_ragged_seam_cell(spark):
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    # cell_deg = 2000/111.195 never divides 360, so the wrapped ring's
+    # LAST cell is only ~0.27 deg wide: these two points (~44 km apart
+    # at the equator, straddling +-180) sit one extra cell-boundary
+    # apart than the uniform-width budget predicts — the regression
+    # the +1 widening under wrap_lon exists for
+    df = _enc_df(spark, [
+        (1, 0, 0.0, 179.70),
+        (2, 60, 0.0, -179.90),
+    ])
+    got = close_encounters(df, dist_km=2000.0, window_seconds=600).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    assert got[0]["distance_km"] < 50.0

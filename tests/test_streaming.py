@@ -384,7 +384,7 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
              .option("path", str(out))
              .option("checkpointLocation", str(ck))
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # False = still running: timeout
 
     write("a.parquet", 0, 100)
     drain()
