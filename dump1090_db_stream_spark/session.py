@@ -18,6 +18,15 @@ from pyspark.sql import SparkSession
 # (create_schema.sql:75); UTC is the lossless common denominator.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    # PySpark's driver default is 1g — in local mode the driver JVM IS
+    # the whole cluster (all executor threads share its heap), so an
+    # unset value silently runs 32 cores against one gigabyte: constant
+    # GC pressure and an OOM the moment a join's build side outgrows
+    # it. 8g is MEASURED as the sweet spot on this box (ingest msg/s:
+    # 1g=669k, 8g=805k, 16g=203k, 32g=47k — oversized G1 heaps let the
+    # live set balloon and allocation-path locality collapse), and it
+    # absorbs the close-encounter join that OOMed the 1g default.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
