@@ -233,6 +233,11 @@ def bench_ngram_skew(spark, n_docs: int = 3000) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SMOKE MODE (tests/test_bench_smoke.py): 1 run per query and
+    # shrunken synthetic benches, so a bench.py regression is caught in
+    # the suite instead of costing the round its BENCH file.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    synth_scale = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH", "1"))
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -248,7 +253,7 @@ def main() -> None:
 
     release_tracked()  # warmup caches must not serve the timed runs
 
-    def timed_runs(fn, runs: int = 3) -> list[float]:
+    def timed_runs(fn, runs: int = None) -> list[float]:
         """All ``runs`` execution times, in run order. The headline
         metric uses the min (machine-noise-robust: co-tenant load only
         ever ADDS time), but the FULL array is recorded in the output —
@@ -257,7 +262,7 @@ def main() -> None:
         regression. The per-run spread makes variance visible. Caches
         are released between runs so each run does the full work."""
         out = []
-        for _ in range(runs):
+        for _ in range(runs or n_runs):
             t0 = time.perf_counter()
             run_one(fn())
             # operators own persist(), callers own release: free
@@ -282,16 +287,16 @@ def main() -> None:
         runs_detail[n] = timed_runs(lambda: qs[n](spark, sf_dir))
         extended[n] = min(runs_detail[n])
 
-    ingest = bench_ingest(spark)
-    skew = bench_skew(spark)
-    ngram_skew = bench_ngram_skew(spark)
+    ingest = bench_ingest(spark, n_msgs=2_000_000 // synth_scale)
+    skew = bench_skew(spark, n_rows=2_000_000 // synth_scale)
+    ngram_skew = bench_ngram_skew(spark, n_docs=3000 // synth_scale)
 
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "timing": "min_of_3_runs",
+        "timing": f"min_of_{n_runs}_runs",
         "queries_runs": runs_detail,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),

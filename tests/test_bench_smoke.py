@@ -1,0 +1,40 @@
+"""bench.py smoke test: the driver records BENCH_r{N}.json by running
+bench.py — a regression there silently costs the round its performance
+record, so the suite runs the whole harness in shrunken smoke mode
+(sf0.001, 1 run per query, synthetic benches scaled down 100x) and
+validates the output contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_end_to_end_smoke():
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_RUNS": "1",
+        "SPARK_GRAFT_BENCH_SYNTH": "100",
+        "SPARK_GRAFT_CPUS": "4",
+    })
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd="/root/repo", env=env,
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)  # exactly one parseable JSON line at the end
+    # driver contract: metric/value/unit/queries/sf
+    assert out["metric"] == "headline_queries_total"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert set(out["queries"]) == {
+        n for n in out["queries"]} and len(out["queries"]) >= 15
+    assert all(v >= 0 for v in out["queries"].values())
+    assert out["sf"] == 0.001
+    # per-run arrays recorded for every timed query
+    assert set(out["queries_runs"]) >= set(out["queries"])
+    assert out["ingest"]["msgs_per_sec"] > 0
+    assert out["skew"]["salted_sec"] > 0
+    assert len(out["extended"]) >= 20
