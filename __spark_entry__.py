@@ -1401,6 +1401,26 @@ def q_track_lines_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tolerant_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode per-row tolerance: the try_* family (try_divide /
+    try_add / try_to_timestamp) yields NULL where plain operators THROW
+    under Spark 4's default ANSI semantics (division by zero, bigint
+    overflow, malformed timestamp). The derived inputs guarantee every
+    failure class actually occurs; the oracle replays each with
+    closed-form CASE / TRY_CAST guards."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    denom = F.col("user_id") % 3
+    day = F.lpad((F.col("user_id") % 40).cast("string"), 2, "0")
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), denom), 6).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id"))
+         .alias("safe_add"),
+        F.try_to_timestamp(F.concat(F.lit("2024-01-"), day))
+         .alias("safe_ts"),
+    )
+
+
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt via the native DataFrame.unpivot (Spark's wide-to-
     long reshape — an Expand node, one scan, no join): lineitem's four
@@ -1766,8 +1786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 1: not in CORRECTNESS_r03's window (r2-green, rotating
         #    back into the hard signal; ngram_jaccard_dups additionally
-        #    changed this round — max_df default)
-        "revenue_by_nation": q_revenue_by_nation,
+        #    changed this round — max_df default). revenue_by_nation
+        #    ceded its slot to the 23rd new query (never driver-
+        #    verified beats rotating a twice-locally-audited green);
+        #    it sits first past the window and rotates in r5.
         "doc_token_stats": q_doc_token_stats,
         "sbs1_parse": q_sbs1_parse,
         "top_revenue_orders": q_top_revenue_orders,
@@ -1815,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "null_safe_join": q_null_safe_join,
         "order_value_ranks": q_order_value_ranks,
+        "tolerant_arithmetic": q_tolerant_arithmetic,
         # -- tier 3: implementation changed since the r3 verification
         #    (parser raw_value now keeps the wire CR; _disc_quantile
         #    gained the empty-sample guard)
@@ -1823,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_quantile_rollup": q_daily_quantile_rollup,
         # -- tier 4: r3-green and untouched — fills the window to 50;
         #    the tail past 50 rotates back in next round via tier 1
+        "revenue_by_nation": q_revenue_by_nation,
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
         "mixture_sample_docs": q_mixture_sample_docs,
@@ -3585,6 +3609,19 @@ def oracle_sql() -> dict[str, str]:
                        || substr(nh, 3, 2) || substr(nh, 1, 2)
                        || all_xy AS track_wkb
             FROM agg
+        """,
+        "tolerant_arithmetic": """
+            SELECT event_id,
+                   CASE WHEN user_id % 3 = 0 THEN NULL
+                        ELSE round(value / (user_id % 3), 6)
+                   END AS safe_div,
+                   CASE WHEN event_id > 0 THEN NULL
+                        ELSE 9223372036854775807 + event_id
+                   END AS safe_add,
+                   TRY_CAST('2024-01-' || lpad(CAST(user_id % 40
+                                               AS VARCHAR), 2, '0')
+                            AS TIMESTAMP) AS safe_ts
+            FROM events
         """,
         "lineitem_unpivot": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
