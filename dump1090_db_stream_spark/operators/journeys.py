@@ -1,0 +1,123 @@
+"""User-journey analytics: cohort retention and event-transition
+matrices.
+
+Two product/behavior staples that complete the funnel family
+(operators/funnel.py) — nothing in the reference covers them (its views
+stop at per-day sessionization, create_schema.sql:85-93), but any
+event-stream consumer asks both questions:
+
+- cohort_retention : group users by the period of their FIRST event
+  (the cohort), then for each later period count how many of the cohort
+  were active — the classic triangular retention table.
+- event_transitions : first-order Markov transition counts/probabilities
+  between consecutive events of the same user — "after a click, what
+  happens next?".
+
+Spark-first shapes:
+
+- Retention is two aggregations and one equi join, all on aggregate-
+  sized data after the first pass: (a) per-user first-event period (one
+  map-side-combined shuffle over the raw table — the only full-size
+  exchange), (b) distinct (user, period) activity from the same scan
+  shape, (c) join activity to cohorts on user_id and count per (cohort,
+  offset). Cohort sizes re-derive from offset 0 (every user is active
+  in their own first period by construction), so no third pass.
+- Transitions are one window pass (lead over user-partitioned,
+  time-ordered events) plus one small aggregation over the type-pair
+  alphabet; the probability denominator reuses a window sum over the
+  aggregated pairs — |types|^2 rows, no second scan.
+
+Determinism contract (oracle-replayable): periods are integer epoch
+divisions (epoch_us // period_us) — no calendar-week folklore between
+engines; event order ties break on the unique event id; probabilities
+round 6 after one float divide.
+
+Scale: one full-size shuffle each (user-keyed). The retention output is
+O(periods^2 / 2) rows and the transition matrix O(|types|^2) — both
+driver-safe at any corpus size. Skewed users (one user = 10^8 events)
+hit the lead() window's single partition; cap per-user history upstream
+(sessionize first) if that shape exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICROS_PER_SEC = 1_000_000
+
+
+def _period(ts_col: str, period_seconds: int):
+    return (F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(period_seconds * MICROS_PER_SEC)).cast("long")
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Triangular retention: one row per (cohort_start, period_offset).
+
+    - ``cohort_start``  : first-event period of the cohort (timestamp)
+    - ``period_offset`` : whole periods since the cohort period (>= 0)
+    - ``n_active``      : cohort users with >= 1 event in that period
+    - ``n_cohort``      : cohort size (== n_active at offset 0)
+    - ``retention``     : n_active / n_cohort, rounded 6
+    """
+    p = _period(ts_col, period_seconds)
+    cohorts = events.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(p).alias("_cohort"))
+    activity = (events.select(F.col(id_col).alias("_id"), p.alias("_p"))
+                .distinct())
+    active = (
+        activity.join(cohorts, "_id")
+        .groupBy("_cohort", (F.col("_p") - F.col("_cohort")).alias(
+            "period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    # offset-0 count IS the cohort size: min-period membership implies
+    # activity in that period, so no separate size aggregation is needed
+    w = Window.partitionBy("_cohort")
+    n_cohort = F.max(F.when(F.col("period_offset") == 0,
+                            F.col("n_active"))).over(w)
+    return active.select(
+        F.timestamp_seconds(F.col("_cohort") * period_seconds)
+         .alias("cohort_start"),
+        "period_offset",
+        "n_active",
+        n_cohort.alias("n_cohort"),
+        F.round(F.col("n_active").cast("double") / n_cohort, 6)
+         .alias("retention"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over consecutive same-user events.
+
+    One row per observed (from_type, to_type): ``n_transitions`` and
+    ``prob`` (row-stochastic: transitions out of from_type sum to 1).
+    The last event of each user has no successor and feeds no pair.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.select(F.col(type_col).alias("from_type"),
+                      F.lead(type_col).over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    out_total = F.sum("n_transitions").over(
+        Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type", "to_type", "n_transitions",
+        F.round(F.col("n_transitions").cast("double") / out_total, 6)
+         .alias("prob"),
+    )

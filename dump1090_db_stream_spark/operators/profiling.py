@@ -23,6 +23,11 @@ approx_count_distinct: at 100 TB one exact distinct per column is an
 expand-based multi-aggregate (n_cols full shuffles of the row id
 space); the sketch keeps the single-scan single-shuffle shape with
 constant state per column.
+
+``value_histogram`` extends the profile to distributions: per-key
+equi-width histograms over a numeric column, two aggregate passes
+(per-key min/max, then bin counts with the tiny extent relation
+broadcast back) — never a driver-side collect of values.
 """
 
 from __future__ import annotations
@@ -80,3 +85,60 @@ def table_profile(
         ))
     return (one.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.*"))
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-key equi-width histogram of ``value_col``: one row per
+    (keys, bin) with the bin bounds and count; only non-empty bins are
+    emitted (a dense grid is a trivial downstream sequence-join if a
+    renderer needs it).
+
+    - ``bin``            : 0..n_bins-1; bin i covers
+      [min + i*w, min + (i+1)*w) with the last bin closed on the right
+      (the max value lands in bin n_bins-1, the standard equi-width
+      convention)
+    - ``bin_lo/bin_hi``  : bounds, rounded 6
+    - ``n``              : rows in the bin
+
+    Degenerate extent (min == max, including single-row keys) puts all
+    rows in bin 0 with lo == hi. NULL values are excluded (they have no
+    bin; the null count is table_profile's job).
+
+    Physical shape: a per-key min/max aggregation (aggregate-sized),
+    broadcast-joined back, then one map-side-combined count per (keys,
+    bin). The raw relation is scanned twice but shuffled once at
+    aggregate size — at 100 TB both scans prune to (keys..., value) at
+    the reader. Bin index arithmetic is the order-fixed IEEE sequence
+    floor((v - min) / (max - min) * n_bins) clamped to n_bins-1, so any
+    ANSI engine reproduces bin placement bit-for-bit.
+    """
+    keys = keys or []
+    vals = df.filter(F.col(value_col).isNotNull())
+    extent = vals.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"))
+    joined = (vals.join(F.broadcast(extent), on=keys)
+              if keys else vals.crossJoin(F.broadcast(extent)))
+    raw_bin = F.floor((F.col(value_col).cast("double") - F.col("_lo"))
+                      / (F.col("_hi") - F.col("_lo")) * n_bins)
+    bin_idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(raw_bin, F.lit(n_bins - 1))).cast("int")
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    return (
+        joined.select(*keys, "_lo", "_hi", bin_idx.alias("bin"))
+        .groupBy(*keys, "_lo", "_hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * width, 6)
+             .alias("bin_hi"),
+            "n",
+        )
+    )

@@ -15,11 +15,17 @@ rollup/session operators don't cover:
   order exactly and any ANSI engine replays the frame bit-for-bit
   (interval-typed frames have engine-specific inclusivity folklore;
   integers do not).
+- gap_fill : dense per-key time grid with last-observation-carried-
+  forward and linear interpolation — the TimescaleDB
+  ``time_bucket_gapfill``/``locf``/``interpolate`` triple, re-expressed
+  as sequence-explode + ignore-nulls window frames (no Python, no
+  per-gap joins).
 
-Scale: both are single-shuffle operators (window-key hash agg / one
-partition-key exchange). The range frame is evaluated with a sliding
-two-pointer in both engines — O(rows) per partition, state bounded by
-the frame's row count.
+Scale: both window operators are single-shuffle (window-key hash agg /
+one partition-key exchange); the range frame is evaluated with a
+sliding two-pointer in both engines — O(rows) per partition, state
+bounded by the frame's row count. gap_fill adds two aggregate-sized
+shuffles AFTER the raw table has been reduced to O(nonempty buckets).
 """
 
 from __future__ import annotations
@@ -76,4 +82,86 @@ def trailing_range_stats(
         F.count(F.lit(1)).over(w).alias("n_trail"),
         F.round(F.sum(value_col).over(w), 6).alias("sum_trail"),
         F.round(F.avg(value_col).over(w), 6).alias("avg_trail"),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense time grid per key with gap statistics, LOCF, and linear
+    interpolation (the continuous-aggregate companion to ``time_rollup``;
+    semantics follow TimescaleDB's gapfill family, re-derived here from
+    its public docs — nothing in the reference covers gaps, its views
+    simply skip empty days, create_schema.sql:85-93).
+
+    Output, one row per (keys, bucket) covering EVERY bucket between each
+    key's first and last observation (empty buckets included):
+
+    - ``bucket_start``  : bucket timestamp (epoch // bucket_seconds grid)
+    - ``n_obs``         : observations in the bucket (0 for gaps)
+    - ``value_avg``     : mean of observed values (NULL for gaps), round 6
+    - ``value_locf``    : value_avg with gaps filled by the most recent
+      non-empty bucket (NULL before the first observation), round 6
+    - ``value_interp``  : linear interpolation between the bracketing
+      non-empty buckets, in bucket-index space; equals value_avg on
+      non-empty buckets and NULL outside the observed span, round 6
+
+    Plan shape (scale contract): one full-size map-side-combined shuffle
+    reduces the raw table to O(nonempty buckets); everything after runs
+    on aggregate-sized data — a per-key min/max agg, a ``sequence``
+    explode generating span/bucket rows per key (no Python, no driver
+    loop), one equi join grid<-buckets, and one window pass per key for
+    the ignore-nulls LOCF/interp frames. Buckets are integer epoch
+    indices (epoch_us // (bucket_seconds * 1e6)) so any ANSI engine
+    replays the grid bit-for-bit; interpolation runs in index space with
+    integer deltas, so the only float ops (one divide, one multiply, one
+    add over IEEE doubles) are order-fixed and engine-reproducible.
+
+    At 100 TB the grid size is bounded by keys x (span / bucket): choose
+    ``bucket_seconds`` so that per-key spans stay O(10^4-10^6) buckets;
+    the raw relation is scanned exactly once regardless.
+    """
+    keys = keys or []
+    idx = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           / F.lit(bucket_seconds * MICROS_PER_SEC)).cast("long")
+    buckets = (
+        df.groupBy(*keys, idx.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n_obs"),
+             F.avg(value_col).alias("_avg"))
+    )
+    grid = (
+        buckets.groupBy(*keys)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+    )
+    dense = (
+        grid.join(buckets, on=[*keys, "_b"], how="left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+    )
+    w_past = (Window.partitionBy(*keys).orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_future = (Window.partitionBy(*keys).orderBy("_b")
+                .rowsBetween(0, Window.unboundedFollowing))
+    prev_v = F.last("_avg", ignorenulls=True).over(w_past)
+    prev_b = F.last(F.when(F.col("_avg").isNotNull(), F.col("_b")),
+                    ignorenulls=True).over(w_past)
+    next_v = F.first("_avg", ignorenulls=True).over(w_future)
+    next_b = F.first(F.when(F.col("_avg").isNotNull(), F.col("_b")),
+                     ignorenulls=True).over(w_future)
+    interp = F.when(F.col("_avg").isNotNull(), F.col("_avg")).otherwise(
+        prev_v + (next_v - prev_v)
+        * ((F.col("_b") - prev_b).cast("double")
+           / (next_b - prev_b).cast("double")))
+    return dense.select(
+        *keys,
+        F.timestamp_seconds(F.col("_b") * bucket_seconds)
+         .alias("bucket_start"),
+        "n_obs",
+        F.round("_avg", 6).alias("value_avg"),
+        F.round(prev_v, 6).alias("value_locf"),
+        F.round(interp, 6).alias("value_interp"),
     )

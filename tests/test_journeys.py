@@ -1,0 +1,70 @@
+"""Cohort retention and transition matrices (operators.journeys)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dump1090_db_stream_spark.operators.journeys import (
+    cohort_retention,
+    event_transitions,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+DAY = 86400
+
+
+def _ev(spark, rows):
+    """rows: (user_id, day_offset_float, event_type)."""
+    return spark.createDataFrame(
+        [(i, uid, T0 + dt.timedelta(seconds=int(d * DAY)), et)
+         for i, (uid, d, et) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"])
+
+
+def test_retention_offsets_and_rates(spark):
+    # user 1: first day 0, also active day 2; user 2: first day 0 only;
+    # user 3: first day 1
+    df = _ev(spark, [(1, 0.1, "a"), (1, 2.5, "a"), (2, 0.7, "a"),
+                     (3, 1.2, "a")])
+    got = {(r["cohort_start"], r["period_offset"]): r
+           for r in cohort_retention(df, period_seconds=DAY).collect()}
+    d0, d1 = T0, T0 + dt.timedelta(days=1)
+    assert got[(d0, 0)]["n_active"] == 2
+    assert got[(d0, 0)]["n_cohort"] == 2
+    assert got[(d0, 0)]["retention"] == 1.0
+    assert got[(d0, 2)]["n_active"] == 1
+    assert got[(d0, 2)]["retention"] == 0.5
+    assert got[(d1, 0)]["n_cohort"] == 1
+    # no activity -> no row (triangular, not dense)
+    assert (d0, 1) not in got and len(got) == 3
+
+
+def test_retention_same_period_activity_counts_once(spark):
+    # three events in the cohort period still count the user once
+    df = _ev(spark, [(1, 0.1, "a"), (1, 0.5, "a"), (1, 0.9, "a")])
+    got = cohort_retention(df, period_seconds=DAY).collect()
+    assert len(got) == 1
+    assert got[0]["n_active"] == 1 and got[0]["n_cohort"] == 1
+
+
+def test_transitions_counts_and_row_stochastic_probs(spark):
+    # user 1: a->b->b->c ; user 2: a->c
+    df = _ev(spark, [(1, 0.0, "a"), (1, 0.1, "b"), (1, 0.2, "b"),
+                     (1, 0.3, "c"), (2, 0.0, "a"), (2, 0.1, "c")])
+    got = {(r["from_type"], r["to_type"]): r
+           for r in event_transitions(df).collect()}
+    assert got[("a", "b")]["n_transitions"] == 1
+    assert got[("a", "c")]["n_transitions"] == 1
+    assert got[("a", "b")]["prob"] == 0.5
+    assert got[("b", "b")]["prob"] == 0.5
+    assert got[("b", "c")]["prob"] == 0.5
+    # last event per user emits no pair
+    assert ("c", None) not in got and len(got) == 4
+
+
+def test_transitions_tie_breaks_on_event_id(spark):
+    # identical ts: order falls back to event_id (insertion order here)
+    df = _ev(spark, [(1, 0.0, "x"), (1, 0.0, "y"), (1, 0.0, "z")])
+    got = {(r["from_type"], r["to_type"])
+           for r in event_transitions(df).collect()}
+    assert got == {("x", "y"), ("y", "z")}

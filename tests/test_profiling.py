@@ -58,3 +58,41 @@ def test_profile_approx_distinct_close(spark, sf_dir):
 def test_profile_column_subset(spark):
     got = table_profile(_tbl(spark), cols=["k", "v"]).collect()
     assert sorted(r["column"] for r in got) == ["k", "v"]
+
+
+def test_histogram_equiwidth_bins_and_closed_last_bin(spark):
+    from dump1090_db_stream_spark.operators.profiling import value_histogram
+
+    # values 0..10 over [0,10] with 2 bins: [0,5) and [5,10] — the max
+    # value lands in the LAST bin, not a phantom bin 2
+    df = spark.createDataFrame([(float(v),) for v in range(11)], ["value"])
+    got = {r["bin"]: r for r in
+           value_histogram(df, "value", n_bins=2).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n"] == 5 and got[1]["n"] == 6
+    assert (got[0]["bin_lo"], got[0]["bin_hi"]) == (0.0, 5.0)
+    assert (got[1]["bin_lo"], got[1]["bin_hi"]) == (5.0, 10.0)
+
+
+def test_histogram_degenerate_extent_single_bin(spark):
+    from dump1090_db_stream_spark.operators.profiling import value_histogram
+
+    df = spark.createDataFrame([(7.0,), (7.0,)], ["value"])
+    got = value_histogram(df, "value", n_bins=4).collect()
+    assert len(got) == 1
+    assert got[0]["bin"] == 0 and got[0]["n"] == 2
+    assert got[0]["bin_lo"] == 7.0 and got[0]["bin_hi"] == 7.0
+
+
+def test_histogram_per_key_extents_and_null_exclusion(spark):
+    from dump1090_db_stream_spark.operators.profiling import value_histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 100.0), ("b", 0.0), ("b", 1.0), ("b", None)],
+        ["k", "value"])
+    got = {(r["k"], r["bin"]): r for r in
+           value_histogram(df, "value", ["k"], n_bins=2).collect()}
+    # each key bins over ITS OWN min/max; the null row is simply absent
+    assert got[("a", 0)]["bin_hi"] == 50.0
+    assert got[("b", 0)]["bin_hi"] == 0.5
+    assert sum(r["n"] for (k, _), r in got.items() if k == "b") == 2

@@ -1,4 +1,5 @@
-"""Sliding windows and trailing range frames (operators.timeseries)."""
+"""Sliding windows, trailing range frames, and gap filling
+(operators.timeseries)."""
 
 from __future__ import annotations
 
@@ -7,6 +8,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.operators.timeseries import (
+    gap_fill,
     sliding_window_agg,
     trailing_range_stats,
 )
@@ -69,3 +71,50 @@ def test_trailing_frame_ties_are_peers(spark):
     got = trailing_range_stats(df, trailing_seconds=10).collect()
     assert [r["n_trail"] for r in got] == [2, 2]
     assert [r["sum_trail"] for r in got] == [5.0, 5.0]
+
+
+def _gap(spark, rows):
+    """rows: (key, bucket_index, value) at 1h buckets."""
+    return _df(spark, [(k, b * 3600, v) for (k, b, v) in rows]
+               ).withColumnRenamed("user_id", "key")
+
+
+def test_gap_fill_grid_covers_span_and_marks_gaps(spark):
+    # key 1 observed in buckets 0 and 3 -> grid emits 0,1,2,3
+    df = _gap(spark, [(1, 0, 1.0), (1, 3, 7.0)])
+    got = sorted(gap_fill(df, "ts", ["key"], "value", 3600).collect(),
+                 key=lambda r: r["bucket_start"])
+    assert [r["bucket_start"] for r in got] == [
+        T0 + dt.timedelta(hours=h) for h in range(4)]
+    assert [r["n_obs"] for r in got] == [1, 0, 0, 1]
+    assert [r["value_avg"] for r in got] == [1.0, None, None, 7.0]
+
+
+def test_gap_fill_locf_carries_last_observation(spark):
+    df = _gap(spark, [(1, 0, 1.0), (1, 2, 5.0), (1, 3, 9.0)])
+    got = sorted(gap_fill(df, "ts", ["key"], "value", 3600).collect(),
+                 key=lambda r: r["bucket_start"])
+    # gap at bucket 1 carries bucket 0's value; observed buckets carry
+    # their own
+    assert [r["value_locf"] for r in got] == [1.0, 1.0, 5.0, 9.0]
+
+
+def test_gap_fill_linear_interpolation_in_bucket_space(spark):
+    # obs 1.0 at bucket 0 and 5.0 at bucket 4: interp 2,3,4 in between
+    df = _gap(spark, [(1, 0, 1.0), (1, 4, 5.0)])
+    got = sorted(gap_fill(df, "ts", ["key"], "value", 3600).collect(),
+                 key=lambda r: r["bucket_start"])
+    assert [r["value_interp"] for r in got] == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_gap_fill_buckets_average_and_keys_are_independent(spark):
+    # two obs in one bucket -> avg; second key's span doesn't leak
+    df = _gap(spark, [(1, 0, 2.0), (1, 0, 4.0), (2, 5, 1.0)])
+    got = gap_fill(df, "ts", ["key"], "value", 3600).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], []).append(r)
+    assert len(by_key[1]) == 1
+    assert by_key[1][0]["n_obs"] == 2 and by_key[1][0]["value_avg"] == 3.0
+    assert len(by_key[2]) == 1  # single-obs key: one grid row
+    assert by_key[2][0]["value_interp"] == 1.0
