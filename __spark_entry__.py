@@ -1837,6 +1837,35 @@ def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(ev, "value", ["event_type"], n_bins=12)
 
 
+def q_value_runs_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD type-2 coalescing (operators.sessions.
+    value_runs): consecutive same-event_type rows per user become one
+    half-open [valid_from, valid_to) validity interval, the current run
+    open (NULL valid_to). One Exchange serves all three window passes;
+    run boundaries tie-break on the unique event_id. The oracle replays
+    the identical lag/cumsum/lead derivation."""
+    from dump1090_db_stream_spark.operators.sessions import value_runs
+
+    ev = _events(spark, sf_dir)
+    return value_runs(ev, key="user_id", ts="ts", value="event_type",
+                      tie_col="event_id")
+
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives (operators.journeys.
+    trailing_active_users — the WAU metric): activity deduped to
+    (user, day), each day voting for the 7 window-end days it falls in
+    via one sequence explode (Spark has no sliding count-distinct
+    window; a per-day self-join would rescan activity 7x), clipped to
+    the observed span."""
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    ev = _events(spark, sf_dir)
+    return trailing_active_users(ev, "user_id", "ts", window_days=7)
+
+
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-of-ANDs join predicate (TPC-H Q19 shape; the reference's WHERE
     surface is conjunctive only, README.md:180-239): revenue from three
@@ -1945,8 +1974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_stats": q_window_running_stats,
         "customers_without_orders": q_customers_without_orders,
         "segment_order_activity": q_segment_order_activity,
-        "customer_order_counts": q_customer_order_counts,
-        "streaming_window_counts": q_streaming_window_counts,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (seven late-round additions pushed
         #    set_ops_segments / cosine_neardup_pairs / doc_quality /
@@ -1961,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histograms": q_value_histograms,
         "disjunctive_revenue": q_disjunctive_revenue,
         "late_sole_suppliers": q_late_sole_suppliers,
+        "value_runs_scd2": q_value_runs_scd2,
+        "weekly_active_users": q_weekly_active_users,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -1995,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the seven tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "customer_order_counts": q_customer_order_counts,
+        "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "doc_quality": q_doc_quality,
@@ -3888,6 +3919,55 @@ def oracle_sql() -> dict[str, str]:
                    round(lo + (bin + 1) * ((hi - lo) / 12), 6) AS bin_hi,
                    count(*) AS n
             FROM b GROUP BY event_type, lo, hi, bin
+        """,
+        # identical lag/cumsum/lead derivation; the row_number()=1 arm
+        # mirrors the operator's struct-lag first-row handling
+        "value_runs_scd2": """
+            WITH c AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN row_number() OVER w = 1 THEN 0
+                            WHEN lag(event_type) OVER w
+                                 IS NOT DISTINCT FROM event_type THEN 0
+                            ELSE 1 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT user_id, ts, event_type,
+                       CAST(sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) + 1
+                            AS BIGINT) AS run
+                FROM c
+            ), g AS (
+                SELECT user_id, run, min(ts) AS valid_from,
+                       min(event_type) AS event_type,
+                       count(*) AS n_rows
+                FROM r GROUP BY user_id, run
+            )
+            SELECT user_id, event_type, run, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY run) AS valid_to,
+                   n_rows
+            FROM g
+        """,
+        "weekly_active_users": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ), s AS (
+                SELECT max(d) AS hi FROM a
+            ), v AS (
+                SELECT user_id,
+                       unnest(range(d, least(d + 6,
+                                             (SELECT hi FROM s)) + 1))
+                           AS w
+                FROM a
+            )
+            SELECT make_timestamp(w * 86400000000) AS day,
+                   count(DISTINCT user_id) AS n_active
+            FROM v GROUP BY w
         """,
         "disjunctive_revenue": """
             SELECT p_brand, count(*) AS n_items,

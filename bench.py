@@ -79,6 +79,14 @@ EXTENDED = [
     "weighted_fixed_sample",
     "doc_unigram_logprob",
     "close_encounters",
+    "gap_fill_locf",
+    "cohort_retention",
+    "event_transitions",
+    "value_histograms",
+    "disjunctive_revenue",
+    "late_sole_suppliers",
+    "value_runs_scd2",
+    "weekly_active_users",
 ]
 
 

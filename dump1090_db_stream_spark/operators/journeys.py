@@ -9,6 +9,8 @@ event-stream consumer asks both questions:
 - cohort_retention : group users by the period of their FIRST event
   (the cohort), then for each later period count how many of the cohort
   were active — the classic triangular retention table.
+- trailing_active_users : distinct actives over a trailing day window
+  per calendar day — the DAU/WAU/MAU engagement metric.
 - event_transitions : first-order Markov transition counts/probabilities
   between consecutive events of the same user — "after a click, what
   happens next?".
@@ -90,6 +92,54 @@ def cohort_retention(
         n_cohort.alias("n_cohort"),
         F.round(F.col("n_active").cast("double") / n_cohort, 6)
          .alias("retention"),
+    )
+
+
+def trailing_active_users(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct actives (the DAU/WAU/MAU metric): for
+    every day in the observed span, how many distinct users had >= 1
+    event in the ``window_days`` days ending on (and including) it.
+
+    Output: ``day`` (timestamp at midnight UTC), ``n_active``.
+
+    Spark-first shape — the explode trick, NOT a per-day self-join and
+    NOT a sliding count-distinct window (Spark has no distinct window
+    aggregate): dedupe activity to (user, day) — the only full-size
+    shuffle, map-side combined — then each activity day votes for the
+    ``window_days`` window-end days it falls into (one ``sequence``
+    explode, x window_days fan-out of the already-deduped relation) and
+    one count_distinct per window-end day. Window-end days are clipped
+    to the observed [min_day, max_day] span (one 1-row agg broadcast
+    back), so leading windows are partial by definition and trailing
+    phantom days are not emitted.
+
+    Scale: shuffle volume = window_days x |distinct (user, day)|, far
+    below raw events; for month+ windows at web scale swap the exact
+    count_distinct for the mergeable sketches in operators/sketches.py
+    (same grid, constant state).
+    """
+    day = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           / F.lit(86400 * MICROS_PER_SEC)).cast("long")
+    activity = events.select(F.col(id_col).alias("_id"),
+                             day.alias("_d")).distinct()
+    span = activity.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    votes = (
+        activity.crossJoin(F.broadcast(span))
+        .select("_id", F.explode(F.sequence(
+            F.col("_d"),
+            F.least(F.col("_d") + (window_days - 1), F.col("_hi"))
+        )).alias("_w"))
+    )
+    return (
+        votes.groupBy("_w")
+        .agg(F.count_distinct("_id").alias("n_active"))
+        .select(F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
+                "n_active")
     )
 
 

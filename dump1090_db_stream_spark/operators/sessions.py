@@ -188,3 +188,66 @@ def asof_join(
             .select(*left.columns,
                     *[F.col("_m")[c].alias(f"{c}{suffix}")
                       for c in right_cols]))
+
+
+def value_runs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Coalesce a change log into validity intervals (gaps-and-islands /
+    SCD type-2): consecutive same-``value`` rows per ``key`` become ONE
+    row with a half-open [valid_from, valid_to) interval; the current
+    run's valid_to is NULL (the warehouse "open row" convention).
+
+    Output: key, value (as named), ``run`` (1-based per key),
+    ``valid_from``, ``valid_to``, ``n_rows`` (events in the run).
+
+    Classic two-window derivation, one shuffle total (all three window
+    passes share the same (key) partitioning and (ts, tie) ordering, so
+    Catalyst plans ONE Exchange + ONE sort):
+
+      1. change flag  : value IS DISTINCT FROM lag(value)  — null-safe,
+         so NULL-valued runs coalesce like any other value
+      2. run id       : running sum of change flags (gaps-and-islands)
+      3. interval     : groupBy(key, run) min(ts); valid_to = the NEXT
+         run's valid_from via lead over the aggregated runs (tiny)
+
+    ``tie_col`` (default: none) breaks equal timestamps so run
+    boundaries are deterministic across engines; pass the relation's
+    unique id when ts can tie.
+
+    Scale: state per row is O(1); the groupBy carries (key, run) —
+    output cardinality = number of value changes, typically orders of
+    magnitude below the input. Skew bound = rows per key (same contract
+    as any per-key window; sessionize upstream if a key is unbounded).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # lag over a STRUCT is NULL exactly on the first row per key, even
+    # when the value column itself is NULL — the bare-lag version would
+    # start NULL-valued keys at run 1 but everyone else at run 2
+    prev = F.lag(F.struct(F.col(value).alias("v"))).over(w)
+    chg = F.when(prev.isNull(), 0).when(
+        prev["v"].eqNullSafe(F.col(value)), 0).otherwise(1)
+    runs = (
+        df.withColumn("_chg", chg)
+        .withColumn("run", (F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) + 1)
+            .cast("long"))
+        .groupBy(key, "run")
+        # value is CONSTANT within a run by construction, so min() is
+        # just extraction, not a choice
+        .agg(F.min(ts).alias("valid_from"),
+             F.min(value).alias(value),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    w_runs = Window.partitionBy(key).orderBy("run")
+    return runs.select(
+        key, value, "run", "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"), "n_rows",
+    )

@@ -68,3 +68,32 @@ def test_transitions_tie_breaks_on_event_id(spark):
     got = {(r["from_type"], r["to_type"])
            for r in event_transitions(df).collect()}
     assert got == {("x", "y"), ("y", "z")}
+
+
+def test_trailing_actives_window_and_clip(spark):
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    # user 1 active day 0; user 2 active day 2; span = days 0..2 with a
+    # 3-day window: day0 sees {1}, day1 sees {1}, day2 sees {1,2};
+    # days 3-4 (phantom tails of user 2's vote) are clipped
+    df = _ev(spark, [(1, 0.5, "a"), (2, 2.5, "a")])
+    got = {r["day"]: r["n_active"]
+           for r in trailing_active_users(df, window_days=3).collect()}
+    assert got == {T0: 1, T0 + dt.timedelta(days=1): 1,
+                   T0 + dt.timedelta(days=2): 2}
+
+
+def test_trailing_actives_counts_user_once_per_window(spark):
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    # one user active twice on day 0 and once on day 1: every window
+    # still counts them once
+    df = _ev(spark, [(1, 0.1, "a"), (1, 0.6, "a"), (1, 1.2, "a")])
+    got = {r["day"]: r["n_active"]
+           for r in trailing_active_users(df, window_days=7).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 2  # clipped to the observed 2-day span

@@ -307,6 +307,7 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "doc_unigram_logprob",    # one-row U corpus-total attach
         "embedding_quantized_topk",  # broadcast query side, non-equi
                                      # self-guard (same as embedding_topk)
+        "weekly_active_users",    # one-row span (min/max day) attach
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

@@ -82,3 +82,54 @@ def test_asof_join_single_shuffle(spark):
     assert shuffles == 1  # the window's — never a range-join explosion
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_runs_coalesces_and_half_open_intervals(spark):
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import value_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(hours=i), v)
+            for i, v in enumerate(["a", "a", "b", "b", "b", "a"])]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "v"])
+    got = sorted(value_runs(df, "key", "ts", "v", "event_id").collect(),
+                 key=lambda r: r["run"])
+    assert [(r["v"], r["run"], r["n_rows"]) for r in got] == [
+        ("a", 1, 2), ("b", 2, 3), ("a", 3, 1)]
+    # half-open chaining: each valid_to is the next run's valid_from;
+    # the current (last) run stays open
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+    assert got[2]["valid_to"] is None
+
+
+def test_value_runs_null_values_coalesce_and_first_row_is_run_one(spark):
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import value_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, 1, t0, None), (1, 1, t0 + dt.timedelta(hours=1), None),
+            (2, 1, t0 + dt.timedelta(hours=2), "x"),
+            (3, 2, t0, "y")]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "v"])
+    got = {(r["key"], r["run"]): r for r in
+           value_runs(df, "key", "ts", "v", "event_id").collect()}
+    # NULL-valued run coalesces like any value; every key starts at run 1
+    assert got[(1, 1)]["n_rows"] == 2 and got[(1, 1)]["v"] is None
+    assert got[(1, 2)]["v"] == "x"
+    assert got[(2, 1)]["v"] == "y" and len(got) == 3
+
+
+def test_value_runs_ties_break_on_tie_col(spark):
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import value_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    # identical ts: event_id order makes a,b,a -> three runs
+    rows = [(0, 1, t0, "a"), (1, 1, t0, "b"), (2, 1, t0, "a")]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "v"])
+    got = value_runs(df, "key", "ts", "v", "event_id").collect()
+    assert sorted(r["run"] for r in got) == [1, 2, 3]
