@@ -869,8 +869,19 @@ def quantized_topk(
     the same plan shape as brute_force_topk (broadcast queries, one
     corpus scan, per-partition top-k). Recall loss comes only from the
     rounding itself (~1e-2 cosine perturbation at int8/64d — tested).
+
+    The quantized corpus is materialized (cache.track) BEFORE the
+    search join: Catalyst collapses the quantize projection into the
+    join output, so without the barrier every corpus vector would be
+    re-quantized once PER QUERY inside the nested-loop probe (measured
+    ~3x at |Q|=5). In a persistent deployment the int arrays are
+    quantized once at WRITE time (write_ivf_index-style) and this
+    barrier is the storage layer itself; callers own the release
+    (release_tracked), same contract as every tracked intermediate.
     """
-    qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    from dump1090_db_stream_spark.cache import track
+
+    qc = track(quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col))
     qq = quantize_embeddings(queries, id_col=query_id_col, vec_col=vec_col)
     return brute_force_topk(
         qc, qq, k=k, id_col=id_col, vec_col="qvec",
