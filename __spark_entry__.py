@@ -1866,6 +1866,35 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_active_users(ev, "user_id", "ts", window_days=7)
 
 
+def q_weekly_active_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier WAU (operators.sketches.trailing_distinct_estimate):
+    trailing 7-day distinct-user ESTIMATE from stored per-day portable
+    hash samples (rate=4) — the constant-state companion to
+    weekly_active_users. The deterministic hash-threshold sample makes
+    the merged trailing estimate EQUAL the direct raw-scan estimate, so
+    the oracle computes it straight from raw events and the driver
+    hash-check proves the store-then-merge path lossless."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        trailing_distinct_estimate,
+    )
+
+    ev = _events(spark, sf_dir)
+    return trailing_distinct_estimate(ev, "ts", "user_id",
+                                      window_days=7, rate=4)
+
+
+def q_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence patterns (operators.journeys.top_paths): the ten most
+    common first-3-event journeys, ranked (count desc, path asc). The
+    per-user path is a slice of the same sorted struct array the funnel
+    fold uses; ragged (short) users keep their shorter path. Top-k
+    plans as TakeOrderedAndProject."""
+    from dump1090_db_stream_spark.operators.journeys import top_paths
+
+    ev = _events(spark, sf_dir)
+    return top_paths(ev, n_steps=3, k=10)
+
+
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-of-ANDs join predicate (TPC-H Q19 shape; the reference's WHERE
     surface is conjunctive only, README.md:180-239): revenue from three
@@ -1981,8 +2010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
         "window_running_stats": q_window_running_stats,
-        "customers_without_orders": q_customers_without_orders,
-        "segment_order_activity": q_segment_order_activity,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (seven late-round additions pushed
         #    set_ops_segments / cosine_neardup_pairs / doc_quality /
@@ -1999,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_sole_suppliers": q_late_sole_suppliers,
         "value_runs_scd2": q_value_runs_scd2,
         "weekly_active_users": q_weekly_active_users,
+        "weekly_active_estimate": q_weekly_active_estimate,
+        "top_journey_paths": q_top_journey_paths,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2033,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the seven tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "customers_without_orders": q_customers_without_orders,
+        "segment_order_activity": q_segment_order_activity,
         "customer_order_counts": q_customer_order_counts,
         "streaming_window_counts": q_streaming_window_counts,
         "set_ops_segments": q_set_ops_segments,
@@ -3959,6 +3990,47 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY run) AS valid_to,
                    n_rows
             FROM g
+        """,
+        # direct raw-scan replay of the store-then-merge trailing
+        # estimate: the deterministic hash-threshold sample makes them
+        # equal (losslessness, as in daily_portable_rollup)
+        "weekly_active_estimate": f"""
+            WITH a AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+                       ({portable_hash_sql('user_id')}) AS h
+                FROM events
+                WHERE ({portable_hash_sql('user_id')})
+                      < {sample_threshold(4)}
+            ), s AS (
+                SELECT max(d) AS hi FROM a
+            ), v AS (
+                SELECT h, unnest(range(d, least(d + 6,
+                                                (SELECT hi FROM s)) + 1))
+                           AS w
+                FROM a
+            )
+            SELECT make_timestamp(w * 86400000000) AS day,
+                   count(DISTINCT h) * 4 AS est_active
+            FROM v GROUP BY w
+        """,
+        "top_journey_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 3 GROUP BY user_id
+            ), c AS (
+                SELECT path, count(*) AS n_users FROM p GROUP BY path
+                ORDER BY n_users DESC, path LIMIT 10
+            )
+            SELECT path, n_users,
+                   row_number() OVER (ORDER BY n_users DESC, path)
+                       AS rank
+            FROM c
         """,
         "weekly_active_users": """
             WITH a AS (

@@ -87,6 +87,8 @@ EXTENDED = [
     "late_sole_suppliers",
     "value_runs_scd2",
     "weekly_active_users",
+    "weekly_active_estimate",
+    "top_journey_paths",
 ]
 
 

@@ -10,7 +10,11 @@ event-stream consumer asks both questions:
   (the cohort), then for each later period count how many of the cohort
   were active — the classic triangular retention table.
 - trailing_active_users : distinct actives over a trailing day window
-  per calendar day — the DAU/WAU/MAU engagement metric.
+  per calendar day — the DAU/WAU/MAU engagement metric (exact tier;
+  sketches.trailing_distinct_estimate is the constant-state variant).
+- top_paths : most common opening journeys (first n event types per
+  user), ranked — the sequence-pattern companion to the pairwise
+  transition matrix.
 - event_transitions : first-order Markov transition counts/probabilities
   between consecutive events of the same user — "after a click, what
   happens next?".
@@ -141,6 +145,48 @@ def trailing_active_users(
         .select(F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
                 "n_active")
     )
+
+
+def top_paths(
+    events: DataFrame,
+    n_steps: int = 3,
+    k: int = 10,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Most common opening journeys: each user's FIRST ``n_steps`` event
+    types (time-ordered, tie-broken on ``tie_col``) joined with ``sep``,
+    counted, top ``k`` with a deterministic rank (count desc, path asc).
+
+    Users with fewer than ``n_steps`` events contribute their full
+    shorter path — real journey data is ragged and dropping short users
+    would silently bias the ranking toward heavy users.
+
+    Spark-first shape: one groupBy(user) collects the time-ordered
+    struct array (same bounded-per-user contract as the funnel fold),
+    ``slice`` keeps the first n_steps BEFORE any further processing, a
+    vocabulary-sized path aggregation follows, and the top-k plans as
+    TakeOrderedAndProject (never a global sort). Rank is attached on
+    the k-row result.
+    """
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).alias("t"), F.col(tie_col).alias("k"),
+        F.col(type_col).alias("e"))))
+    path = F.array_join(
+        F.transform(F.slice(seq, 1, n_steps), lambda s: s["e"]), sep)
+    paths = (
+        events.groupBy(F.col(id_col).alias("_id"))
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_users").desc(), "path")
+    return paths.withColumn("rank", F.row_number().over(w))
 
 
 def event_transitions(

@@ -307,6 +307,61 @@ def span_quantiles(
     return ex.agg(*aggs)
 
 
+def trailing_distinct_estimate(
+    df: DataFrame,
+    ts: str,
+    distinct_col: str,
+    window_days: int = 7,
+    rate: int = 64,
+    est_col: str = "est_active",
+) -> DataFrame:
+    """Sketch-tier trailing distinct actives — the 100 TB companion to
+    ``journeys.trailing_active_users`` (which is exact and shuffles
+    window_days x the FULL deduped activity): per trailing-day window,
+    estimate distinct ``distinct_col`` values from the stored daily
+    hash samples.
+
+    Composition, all existing tiers: :func:`daily_hash_samples` reduces
+    raw rows to per-day sampled-hash arrays (the threshold filter runs
+    BEFORE any shuffle, so the exchange carries ~distinct/rate hashes
+    per day), then each day's sample votes for the ``window_days``
+    window-end days it falls in (the same sequence-explode grid as the
+    exact operator, but over day-sized sample rows) and the estimate is
+    rate x distinct sampled hashes per window. Because the sample is a
+    deterministic subset keyed by value hash, the merged trailing
+    estimate EQUALS the direct raw-scan estimate over the same window —
+    so a SQL oracle replays it exactly (same losslessness argument the
+    daily_portable_rollup oracle proves).
+
+    Span contract: window-end days are clipped to the last day that has
+    at least one SAMPLED value (the store's span); a window whose every
+    member day sampled nothing emits no row.
+
+    Output: ``day`` (timestamp midnight UTC), ``est_col``.
+    """
+    samples = daily_hash_samples(df, ts, [], distinct_col, rate=rate)
+    d = (F.unix_micros(F.col("day").cast("timestamp"))
+         / F.lit(86400 * 1_000_000)).cast("long")
+    days = samples.select(d.alias("_d"), "hash_sample")
+    hi = days.agg(F.max("_d").alias("_hi"))
+    # one generator per select: days fan out to windows first, then the
+    # (never-empty — sampled-only days have rows) array unnests
+    votes = (
+        days.crossJoin(F.broadcast(hi))
+        .select(F.explode(F.sequence(
+            F.col("_d"),
+            F.least(F.col("_d") + (window_days - 1), F.col("_hi"))
+        )).alias("_w"), "hash_sample")
+        .select("_w", F.explode("hash_sample").alias("_h"))
+    )
+    return (
+        votes.groupBy("_w")
+        .agg((F.count_distinct("_h") * F.lit(rate)).alias(est_col))
+        .select(F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
+                est_col)
+    )
+
+
 def merge_hash_samples(
     samples: DataFrame,
     keys: list[str],

@@ -97,3 +97,29 @@ def test_trailing_actives_counts_user_once_per_window(spark):
            for r in trailing_active_users(df, window_days=7).collect()}
     assert set(got.values()) == {1}
     assert len(got) == 2  # clipped to the observed 2-day span
+
+
+def test_top_paths_ranks_and_keeps_ragged_users(spark):
+    from dump1090_db_stream_spark.operators.journeys import top_paths
+
+    # users 1,2: a>b>c ; user 3: a>b>c>d (slice keeps first 3);
+    # user 4 ragged with only a>b
+    rows = []
+    for uid in (1, 2):
+        rows += [(uid, 0.1, "a"), (uid, 0.2, "b"), (uid, 0.3, "c")]
+    rows += [(3, 0.1, "a"), (3, 0.2, "b"), (3, 0.3, "c"), (3, 0.4, "d")]
+    rows += [(4, 0.1, "a"), (4, 0.2, "b")]
+    got = {r["path"]: r for r in
+           top_paths(_ev(spark, rows), n_steps=3, k=10).collect()}
+    assert got["a>b>c"]["n_users"] == 3 and got["a>b>c"]["rank"] == 1
+    assert got["a>b"]["n_users"] == 1 and got["a>b"]["rank"] == 2
+
+
+def test_top_paths_k_limit_and_tie_order(spark):
+    from dump1090_db_stream_spark.operators.journeys import top_paths
+
+    # three single-user paths, k=2: ties broken by path ascending
+    rows = [(1, 0.1, "a"), (2, 0.1, "b"), (3, 0.1, "c")]
+    got = top_paths(_ev(spark, rows), n_steps=3, k=2).collect()
+    assert [(r["path"], r["rank"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == [("a", 1), ("b", 2)]

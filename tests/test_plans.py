@@ -308,6 +308,7 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "embedding_quantized_topk",  # broadcast query side, non-equi
                                      # self-guard (same as embedding_topk)
         "weekly_active_users",    # one-row span (min/max day) attach
+        "weekly_active_estimate",  # same one-row span attach, sketch tier
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

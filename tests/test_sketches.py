@@ -274,3 +274,43 @@ def test_global_span_quantiles(spark, sf_dir):
                            qs=(0.5, 0.95)).first()
     assert empty["n_sampled"] == 0
     assert empty["p50"] is None and empty["p95"] is None
+
+
+def test_trailing_estimate_matches_direct_window_estimate(spark):
+    """Store-then-merge trailing estimate == direct raw-scan estimate
+    per window (the losslessness contract), on a multi-day fixture."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import portable_hash
+    from dump1090_db_stream_spark.operators.sketches import (
+        sample_threshold,
+        trailing_distinct_estimate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(days=d, hours=1))
+            for d in range(10) for u in range((d * 37) % 90 + 10)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    rate = 2
+    got = {r["day"]: r["est_active"] for r in
+           trailing_distinct_estimate(df, "ts", "user_id",
+                                      window_days=3, rate=rate).collect()}
+    t = sample_threshold(rate)
+    day = (F.unix_micros(F.col("ts")) / F.lit(86400 * 10**6)).cast("long")
+    sampled = (df.select(F.col("user_id"), day.alias("d"))
+               .filter(portable_hash("user_id") < t).distinct())
+    for w_day, est in got.items():
+        w = int(w_day.timestamp()) // 86400
+        direct = (sampled.filter(F.col("d").between(w - 2, w))
+                  .select("user_id").distinct().count()) * rate
+        assert est == direct, w_day
+    # estimate lands near truth on the densest window
+    last = max(got)
+    truth = (df.select("user_id",
+                       day.alias("d"))
+             .filter(F.col("d").between(int(last.timestamp()) // 86400 - 2,
+                                        int(last.timestamp()) // 86400))
+             .select("user_id").distinct().count())
+    assert abs(got[last] - truth) / truth < 0.6
