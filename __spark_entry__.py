@@ -4038,17 +4038,22 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts) // 86400000000 AS d
                 FROM events
             ), s AS (
-                SELECT max(d) AS hi FROM a
+                SELECT min(d) AS lo, max(d) AS hi FROM a
             ), v AS (
                 SELECT user_id,
                        unnest(range(d, least(d + 6,
                                              (SELECT hi FROM s)) + 1))
                            AS w
                 FROM a
+            ), c AS (
+                SELECT w, count(DISTINCT user_id) AS n
+                FROM v GROUP BY w
+            ), g AS (
+                SELECT unnest(range(lo, hi + 1)) AS w FROM s
             )
             SELECT make_timestamp(w * 86400000000) AS day,
-                   count(DISTINCT user_id) AS n_active
-            FROM v GROUP BY w
+                   coalesce(c.n, 0) AS n_active
+            FROM g LEFT JOIN c USING (w)
         """,
         "disjunctive_revenue": """
             SELECT p_brand, count(*) AS n_items,

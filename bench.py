@@ -83,6 +83,7 @@ EXTENDED = [
     "cohort_retention",
     "event_transitions",
     "value_histograms",
+    "event_type_extremes",
     "disjunctive_revenue",
     "late_sole_suppliers",
     "value_runs_scd2",

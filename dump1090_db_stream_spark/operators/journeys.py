@@ -50,12 +50,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dump1090_db_stream_spark.operators.timeseries import epoch_bucket
+
 MICROS_PER_SEC = 1_000_000
 
 
 def _period(ts_col: str, period_seconds: int):
-    return (F.unix_micros(F.col(ts_col).cast("timestamp"))
-            / F.lit(period_seconds * MICROS_PER_SEC)).cast("long")
+    # shared floor-division bucketing (epoch_bucket): a bare
+    # cast('long') would truncate pre-1970 timestamps toward zero and
+    # diverge from the oracles' ANSI // replay
+    return epoch_bucket(F.col(ts_col), period_seconds)
 
 
 def cohort_retention(
@@ -117,18 +121,21 @@ def trailing_active_users(
     shuffle, map-side combined — then each activity day votes for the
     ``window_days`` window-end days it falls into (one ``sequence``
     explode, x window_days fan-out of the already-deduped relation) and
-    one count_distinct per window-end day. Window-end days are clipped
-    to the observed [min_day, max_day] span (one 1-row agg broadcast
-    back), so leading windows are partial by definition and trailing
-    phantom days are not emitted.
+    one count_distinct per window-end day. The output is DENSE over the
+    observed [min_day, max_day] span: a day whose whole trailing window
+    is empty still emits n_active = 0 (a time-series consumer must be
+    able to tell "zero actives" from "out of span") — the span grid is
+    one sequence-explode of the 1-row span aggregate, left-joined to
+    the vote counts. Leading windows are partial by definition;
+    trailing phantom days past max_day are not emitted.
 
     Scale: shuffle volume = window_days x |distinct (user, day)|, far
     below raw events; for month+ windows at web scale swap the exact
     count_distinct for the mergeable sketches in operators/sketches.py
-    (same grid, constant state).
+    (same grid, constant state; that tier's output is sparse —
+    sampled-store days only — as its docstring documents).
     """
-    day = (F.unix_micros(F.col(ts_col).cast("timestamp"))
-           / F.lit(86400 * MICROS_PER_SEC)).cast("long")
+    day = epoch_bucket(F.col(ts_col), 86400)
     activity = events.select(F.col(id_col).alias("_id"),
                              day.alias("_d")).distinct()
     span = activity.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
@@ -139,11 +146,14 @@ def trailing_active_users(
             F.least(F.col("_d") + (window_days - 1), F.col("_hi"))
         )).alias("_w"))
     )
+    counts = votes.groupBy("_w").agg(
+        F.count_distinct("_id").alias("_n"))
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_w"))
     return (
-        votes.groupBy("_w")
-        .agg(F.count_distinct("_id").alias("n_active"))
+        grid.join(counts, "_w", "left")
         .select(F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
-                "n_active")
+                F.coalesce("_n", F.lit(0)).alias("n_active"))
     )
 
 

@@ -340,9 +340,28 @@ def trailing_distinct_estimate(
     Output: ``day`` (timestamp midnight UTC), ``est_col``.
     """
     samples = daily_hash_samples(df, ts, [], distinct_col, rate=rate)
-    d = (F.unix_micros(F.col("day").cast("timestamp"))
-         / F.lit(86400 * 1_000_000)).cast("long")
-    days = samples.select(d.alias("_d"), "hash_sample")
+    return trailing_estimate_from_samples(
+        samples, window_days=window_days, rate=rate, est_col=est_col)
+
+
+def trailing_estimate_from_samples(
+    samples: DataFrame,
+    window_days: int = 7,
+    rate: int = 64,
+    day_col: str = "day",
+    sample_col: str = "hash_sample",
+    est_col: str = "est_active",
+) -> DataFrame:
+    """Trailing estimate straight from a STORED (possibly append-only
+    duplicated — see :func:`merge_hash_samples`) sample relation: the
+    deployment shape, where the daily store is maintained by a stream
+    and trailing metrics are answered without touching raw events.
+    Duplicate day-partial rows are harmless: the per-window
+    count_distinct reads through them unchanged."""
+    from dump1090_db_stream_spark.operators.timeseries import epoch_bucket
+
+    d = epoch_bucket(F.col(day_col), 86400)
+    days = samples.select(d.alias("_d"), F.col(sample_col).alias("_s"))
     hi = days.agg(F.max("_d").alias("_hi"))
     # one generator per select: days fan out to windows first, then the
     # (never-empty — sampled-only days have rows) array unnests
@@ -351,8 +370,8 @@ def trailing_distinct_estimate(
         .select(F.explode(F.sequence(
             F.col("_d"),
             F.least(F.col("_d") + (window_days - 1), F.col("_hi"))
-        )).alias("_w"), "hash_sample")
-        .select("_w", F.explode("hash_sample").alias("_h"))
+        )).alias("_w"), "_s")
+        .select("_w", F.explode("_s").alias("_h"))
     )
     return (
         votes.groupBy("_w")

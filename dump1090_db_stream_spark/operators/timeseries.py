@@ -36,6 +36,23 @@ from pyspark.sql import functions as F
 MICROS_PER_SEC = 1_000_000
 
 
+def epoch_bucket(ts: Column, period_seconds: int) -> Column:
+    """Integer epoch bucket index: floor(epoch_us / period_us), as
+    BIGINT. The shared bucketing primitive for gap_fill, cohort
+    retention, trailing actives, and the sketch store — ONE definition
+    so the semantics cannot drift between operators.
+
+    F.floor (not a bare cast('long')) because casting truncates toward
+    zero: a pre-1970 timestamp like 1969-12-31 18:00 (epoch_us < 0)
+    must land in bucket -1 to match the ANSI floor-division (`//`)
+    replay every oracle uses. The double division is exact here:
+    |epoch_us| < 2^53 until the year 2255."""
+    return F.floor(
+        F.unix_micros(ts.cast("timestamp"))
+        / F.lit(period_seconds * MICROS_PER_SEC)
+    ).cast("long")
+
+
 def sliding_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -126,8 +143,7 @@ def gap_fill(
     the raw relation is scanned exactly once regardless.
     """
     keys = keys or []
-    idx = (F.unix_micros(F.col(ts_col).cast("timestamp"))
-           / F.lit(bucket_seconds * MICROS_PER_SEC)).cast("long")
+    idx = epoch_bucket(F.col(ts_col), bucket_seconds)
     buckets = (
         df.groupBy(*keys, idx.alias("_b"))
         .agg(F.count(F.lit(1)).alias("n_obs"),

@@ -31,6 +31,9 @@ DEFAULT = [
     "sliding_window_counts",  # window explode + agg
     "tfidf_top_terms",        # token pipeline + two aggs
     "event_trailing_stats",   # range-frame window
+    "gap_fill_locf",          # bucket agg -> grid explode -> windows
+    "weekly_active_users",    # dedup -> vote explode -> count_distinct
+    "value_runs_scd2",        # shared-exchange window chain
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -85,6 +85,23 @@ def test_trailing_actives_window_and_clip(spark):
                    T0 + dt.timedelta(days=2): 2}
 
 
+def test_trailing_actives_dense_zero_for_empty_windows(spark):
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    # activity on day 0 and day 5 with a 2-day window: days 2-4 have
+    # EMPTY trailing windows and must emit n_active = 0, not vanish
+    df = _ev(spark, [(1, 0.5, "a"), (2, 5.5, "a")])
+    got = {r["day"]: r["n_active"]
+           for r in trailing_active_users(df, window_days=2).collect()}
+    assert len(got) == 6  # dense: every day in [0, 5]
+    assert got[T0 + dt.timedelta(days=1)] == 1  # trailing edge of day 0
+    assert got[T0 + dt.timedelta(days=2)] == 0
+    assert got[T0 + dt.timedelta(days=4)] == 0
+    assert got[T0 + dt.timedelta(days=5)] == 1
+
+
 def test_trailing_actives_counts_user_once_per_window(spark):
     from dump1090_db_stream_spark.operators.journeys import (
         trailing_active_users,

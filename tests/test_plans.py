@@ -353,3 +353,53 @@ def test_merge_upsert_joins_on_id_only(spark, sf):
     plan = plan_of(entrymod.q_corpus_merge(spark, sf))
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_reduces_before_grid(spark, sf):
+    plan = plan_of(entrymod.q_gap_fill_locf(spark, sf))
+    # the raw table is bucket-aggregated (map-side partial) BEFORE the
+    # grid join/windows; the grid explode runs on aggregate-sized rows
+    assert "partial_count" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_value_runs_windows_share_one_exchange(spark, sf):
+    plan = plan_of(entrymod.q_value_runs_scd2(spark, sf))
+    # lag flag + running sum share the (user_id) exchange; the lead over
+    # aggregated runs re-uses the same partitioning -> at most the agg
+    # exchange on top (plus AQE reads)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_histogram_broadcasts_extents(spark, sf):
+    plan = plan_of(entrymod.q_value_histograms(spark, sf))
+    # the per-key min/max extent relation is the broadcast side; the
+    # event relation itself is never exchanged before the join
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_trailing_actives_dedups_before_fanout(spark, sf):
+    plan = plan_of(entrymod.q_weekly_active_users(spark, sf))
+    # the (user, day) dedup must sit BELOW the vote explode so the
+    # fan-out multiplies deduped rows only. The dedup aggregate is the
+    # one keyed on (_id, _d) — the span aggregate (keys=[]) printing
+    # below the Generate must NOT satisfy this
+    ex = plan.find("Generate explode")
+    assert ex > 0
+    assert "HashAggregate(keys=[_id" in plan[ex:]
+
+
+def test_sketch_trailing_actives_filters_before_shuffle(spark, sf):
+    from dump1090_db_stream_spark.operators.sketches import sample_threshold
+
+    plan = plan_of(entrymod.q_weekly_active_estimate(spark, sf))
+    # the hash-threshold predicate must sit below the BOTTOM-MOST
+    # exchange (printed last in toString): the shuffle carries only
+    # sampled hashes. Matching the literal threshold value pins the
+    # assertion to THE filter, not any filter
+    bottom_ex = plan.rfind("Exchange")
+    assert bottom_ex > 0
+    assert str(sample_threshold(4)) in plan[bottom_ex:]

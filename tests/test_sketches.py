@@ -314,3 +314,60 @@ def test_trailing_estimate_matches_direct_window_estimate(spark):
                                         int(last.timestamp()) // 86400))
              .select("user_id").distinct().count())
     assert abs(got[last] - truth) / truth < 0.6
+
+
+def test_trailing_estimate_from_streamed_store(spark, tmp_path):
+    """The full streaming-WAU loop: micro-batches append day-partial
+    hash samples (duplicates and all), and the trailing estimate read
+    from the STORE equals the batch estimate over raw rows — trailing
+    engagement metrics without rescanning raw events."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.sketches import (
+        daily_hash_samples,
+        trailing_distinct_estimate,
+        trailing_estimate_from_samples,
+    )
+
+    base = 1_700_006_400_000_000  # midnight-aligned + offset
+    rows = [(base + (i % 6) * 86_400_000_000 + (i % 7) * 3_600_000_000,
+             i % 97) for i in range(1200)]
+    d = tmp_path / "replay"
+    d.mkdir()
+    sch = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64())])
+    t0 = _time.time()
+    for i, chunk in enumerate([rows[:500], rows[500:]]):
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(pa.table(
+            {"ts": [r[0] for r in chunk],
+             "user_id": [r[1] for r in chunk]}, schema=sch), p)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("user_id", T.LongType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    store = str(tmp_path / "wau_store")
+
+    def sink(batch_df, _bid):
+        (daily_hash_samples(batch_df, "ts", [], "user_id", rate=2)
+         .write.mode("append").parquet(store))
+
+    (stream.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    got = sorted(map(tuple, trailing_estimate_from_samples(
+        spark.read.parquet(store), window_days=3, rate=2).collect()))
+    batch_direct = spark.createDataFrame(
+        [(dt.datetime.utcfromtimestamp(r[0] / 1e6), r[1]) for r in rows],
+        schema)
+    want = sorted(map(tuple, trailing_distinct_estimate(
+        batch_direct, "ts", "user_id", window_days=3, rate=2).collect()))
+    assert got == want and len(got) == 6
