@@ -138,6 +138,13 @@ def trailing_active_users(
     day = epoch_bucket(F.col(ts_col), 86400)
     activity = events.select(F.col(id_col).alias("_id"),
                              day.alias("_d")).distinct()
+    # activity feeds the span aggregate AND the vote explode — no
+    # cross-branch reuse in Catalyst, so materialize the (user, day)
+    # dedup once instead of scanning+deduping the raw relation twice
+    # (caller releases via cache.release_tracked)
+    from dump1090_db_stream_spark.cache import track
+
+    activity = track(activity)
     span = activity.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
     votes = (
         activity.crossJoin(F.broadcast(span))
