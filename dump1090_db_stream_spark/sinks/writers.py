@@ -66,6 +66,8 @@ def write_time_sorted(
     ts_col: str = "parsed_time",
     mode: str = "append",
     n_files: int = 8,
+    bloom_cols: dict[str, int] | None = None,
+    parquet_options: dict[str, str] | None = None,
 ) -> None:
     """Date-partitioned AND within-file time-sorted parquet — the strict
     upgrade over the reference's BRIN index (create_schema.sql:141).
@@ -82,14 +84,40 @@ def write_time_sorted(
     (the failure mode of repartition-by-date-only at 100 TB ingest
     rates), while keeping each file inside a single day so directory
     partitioning stays clean.
+
+    ``bloom_cols`` ({column: expected_ndv}) adds a FOURTH pruning level
+    for the columns min/max stats cannot help: parquet bloom filters.
+    Time-sorting makes ts stats tight but leaves e.g. ``hex_ident``
+    scattered across every file (its min/max spans the alphabet), so
+    the reference's point-lookup corpus (README.md:182-199, WHERE
+    hex_ident = '...') would still scan every row group in the day.
+    A bloom filter per row group answers "definitely absent" at a few
+    bits/value, skipping row groups without decoding — size the ndv to
+    distinct values per row group (~aircraft per day here), not the
+    global cardinality. parquet-mr only MATERIALIZES the bloom when a
+    chunk falls back from dictionary encoding (a fully dict-encoded
+    chunk already answers point lookups exactly via its dictionary
+    page, so a bloom would be redundant) — i.e. precisely the
+    high-cardinality chunks that need one; low-cardinality days cost
+    zero extra bytes. Verified empirically in
+    tests/test_plans.py::test_time_sorted_store_writes_bloom_filters.
+
+    ``parquet_options`` passes extra per-write parquet knobs through
+    (e.g. ``parquet.dictionary.page.size`` to tune the fallback point).
     """
     df = with_date_partition(messages, ts_col)
-    (df.repartitionByRange(n_files, F.col(DATE_PARTITION_COL),
-                           F.col(ts_col))
-       .sortWithinPartitions(DATE_PARTITION_COL, ts_col)
-       .write.mode(mode)
-       .partitionBy(DATE_PARTITION_COL)
-       .parquet(path))
+    writer = (df.repartitionByRange(n_files, F.col(DATE_PARTITION_COL),
+                                    F.col(ts_col))
+              .sortWithinPartitions(DATE_PARTITION_COL, ts_col)
+              .write.mode(mode))
+    for col, ndv in (bloom_cols or {}).items():
+        writer = (writer
+                  .option(f"parquet.bloom.filter.enabled#{col}", "true")
+                  .option(f"parquet.bloom.filter.expected.ndv#{col}",
+                          str(ndv)))
+    for k, v in (parquet_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(DATE_PARTITION_COL).parquet(path)
 
 
 def write_jdbc(

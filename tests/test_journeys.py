@@ -140,3 +140,21 @@ def test_top_paths_k_limit_and_tie_order(spark):
     got = top_paths(_ev(spark, rows), n_steps=3, k=2).collect()
     assert [(r["path"], r["rank"]) for r in
             sorted(got, key=lambda r: r["rank"])] == [("a", 1), ("b", 2)]
+
+
+def test_journeys_operators_handle_empty_input(spark):
+    from dump1090_db_stream_spark.operators.journeys import (
+        cohort_retention,
+        event_transitions,
+        top_paths,
+        trailing_active_users,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string")
+    assert cohort_retention(empty).count() == 0
+    assert event_transitions(empty).count() == 0
+    assert top_paths(empty).count() == 0
+    # span aggregate emits one NULL row on empty input; the sequence
+    # explode of a NULL span must yield zero rows, not an error
+    assert trailing_active_users(empty).count() == 0

@@ -403,3 +403,60 @@ def test_sketch_trailing_actives_filters_before_shuffle(spark, sf):
     bottom_ex = plan.rfind("Exchange")
     assert bottom_ex > 0
     assert str(sample_threshold(4)) in plan[bottom_ex:]
+
+
+def test_time_sorted_store_writes_bloom_filters(spark, tmp_path_factory):
+    """bloom_cols adds real parquet bloom filters on the requested
+    column only, verified from the JVM footer (bloom offset >= 0).
+    parquet-mr's adaptive rule is part of the contract: a fully
+    dict-encoded chunk gets NO bloom (its dictionary page already
+    answers point lookups exactly), so the test forces dictionary
+    fallback on hex_ident — the high-cardinality shape blooms exist
+    for — and asserts the dict-encoded sibling column stays bloomless.
+    An equality lookup through the store stays correct."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.sinks.writers import write_time_sorted
+
+    d = str(tmp_path_factory.mktemp("bloom_store"))
+    rows = [("MSG", 3, f"HEX{i:05d}",
+             f"2024-02-01 {i % 24:02d}:{(i * 7) % 60:02d}:00")
+            for i in range(500)]
+    df = (spark.createDataFrame(
+        rows, ["message_type", "transmission_type", "hex_ident", "t"])
+        .withColumn("parsed_time", F.to_timestamp("t")).drop("t"))
+    write_time_sorted(
+        df, d, mode="overwrite", n_files=2,
+        bloom_cols={"hex_ident": 512, "message_type": 16},
+        # 64-byte dictionary page: the 500-value hex_ident dictionary
+        # overflows -> plain encoding -> bloom materializes (at real
+        # scale a day of aircraft overflows the default 1 MiB the
+        # same way); message_type (1 value) stays dict-encoded
+        parquet_options={"parquet.dictionary.page.size": "64"})
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    offsets = {}
+    for f in glob.glob(os.path.join(d, "parsed_date=*", "*.parquet")):
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+            .fromPath(jvm.org.apache.hadoop.fs.Path(f), conf)
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            rg = reader.getRowGroups().get(0)
+            for i in range(rg.getColumns().size()):
+                col = rg.getColumns().get(i)
+                offsets[col.getPath().toDotString()] = \
+                    col.getBloomFilterOffset()
+        finally:
+            reader.close()
+    assert offsets["hex_ident"] >= 0       # plain-encoded -> bloom
+    assert offsets["message_type"] == -1   # dict-encoded -> no bloom
+    assert offsets["parsed_time"] == -1    # never requested
+
+    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    got = (spark.read.parquet(d)
+           .filter(F.col("hex_ident") == "HEX00042").count())
+    assert got == 1

@@ -118,3 +118,9 @@ def test_gap_fill_buckets_average_and_keys_are_independent(spark):
     assert by_key[1][0]["n_obs"] == 2 and by_key[1][0]["value_avg"] == 3.0
     assert len(by_key[2]) == 1  # single-obs key: one grid row
     assert by_key[2][0]["value_interp"] == 1.0
+
+
+def test_gap_fill_empty_input_yields_empty_grid(spark):
+    empty = spark.createDataFrame(
+        [], "event_id long, key long, ts timestamp, value double")
+    assert gap_fill(empty, "ts", ["key"], "value", 3600).count() == 0
