@@ -2011,11 +2011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": q_cube_order_stats,
         "window_running_stats": q_window_running_stats,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        # -- tier 2: new in round 4 (seven late-round additions pushed
-        #    set_ops_segments / cosine_neardup_pairs / doc_quality /
-        #    lang_id_counts / doc_fingerprints / exact_dup_docs /
-        #    embedding_topk just past the window; they lead the r5
-        #    rotation — never-driver-verified outranks rotating a
+        # -- tier 2: new in round 4 (the eleven late-round additions
+        #    below pushed customers_without_orders /
+        #    segment_order_activity / customer_order_counts /
+        #    streaming_window_counts / set_ops_segments /
+        #    cosine_neardup_pairs / doc_quality / lang_id_counts /
+        #    doc_fingerprints / exact_dup_docs / embedding_topk just
+        #    past the window; they lead the r5 rotation —
+        #    never-driver-verified outranks rotating a
         #    twice-locally-audited green)
         "gap_fill_locf": q_gap_fill_locf,
         "cohort_retention": q_cohort_retention,
