@@ -460,3 +460,18 @@ def test_time_sorted_store_writes_bloom_filters(spark, tmp_path_factory):
     got = (spark.read.parquet(d)
            .filter(F.col("hex_ident") == "HEX00042").count())
     assert got == 1
+
+
+def test_top_paths_plans_take_ordered(spark, sf):
+    plan = plan_of(entrymod.q_top_journey_paths(spark, sf))
+    # top-k must be TakeOrderedAndProject (partial per-partition top-k),
+    # never a global sort of all paths
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_late_sole_suppliers_avoids_expand(spark, sf):
+    plan = plan_of(entrymod.q_late_sole_suppliers(spark, sf))
+    # staged distinctness: the (orderkey, suppkey) pre-aggregate replaces
+    # the COUNT(DISTINCT)x2 Expand (x3 input rows before the shuffle)
+    assert "Expand" not in plan
+    assert "hashpartitioning(l_orderkey" in plan
