@@ -108,6 +108,7 @@ def trailing_active_users(
     id_col: str = "user_id",
     ts_col: str = "ts",
     window_days: int = 7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Trailing-window distinct actives (the DAU/WAU/MAU metric): for
     every day in the observed span, how many distinct users had >= 1
@@ -135,16 +136,22 @@ def trailing_active_users(
     (same grid, constant state; that tier's output is sparse —
     sampled-store days only — as its docstring documents).
     """
+    if window_days < 1:
+        # sequence(start, stop) auto-steps -1 when start > stop, so a
+        # zero/negative window would silently vote BACKWARD in time
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     day = epoch_bucket(F.col(ts_col), 86400)
     activity = events.select(F.col(id_col).alias("_id"),
                              day.alias("_d")).distinct()
     # activity feeds the span aggregate AND the vote explode — no
     # cross-branch reuse in Catalyst, so materialize the (user, day)
     # dedup once instead of scanning+deduping the raw relation twice
-    # (caller releases via cache.release_tracked)
-    from dump1090_db_stream_spark.cache import track
+    # (caller releases via cache.release_tracked; pass
+    # materialize=False for streaming inputs, where persist is illegal)
+    if materialize:
+        from dump1090_db_stream_spark.cache import track
 
-    activity = track(activity)
+        activity = track(activity)
     span = activity.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
     votes = (
         activity.crossJoin(F.broadcast(span))

@@ -314,6 +314,7 @@ def trailing_distinct_estimate(
     window_days: int = 7,
     rate: int = 64,
     est_col: str = "est_active",
+    materialize: bool = True,
 ) -> DataFrame:
     """Sketch-tier trailing distinct actives — the 100 TB companion to
     ``journeys.trailing_active_users`` (which is exact and shuffles
@@ -341,7 +342,8 @@ def trailing_distinct_estimate(
     """
     samples = daily_hash_samples(df, ts, [], distinct_col, rate=rate)
     return trailing_estimate_from_samples(
-        samples, window_days=window_days, rate=rate, est_col=est_col)
+        samples, window_days=window_days, rate=rate, est_col=est_col,
+        materialize=materialize)
 
 
 def trailing_estimate_from_samples(
@@ -351,17 +353,35 @@ def trailing_estimate_from_samples(
     day_col: str = "day",
     sample_col: str = "hash_sample",
     est_col: str = "est_active",
+    materialize: bool = True,
 ) -> DataFrame:
     """Trailing estimate straight from a STORED (possibly append-only
     duplicated — see :func:`merge_hash_samples`) sample relation: the
     deployment shape, where the daily store is maintained by a stream
     and trailing metrics are answered without touching raw events.
     Duplicate day-partial rows are harmless: the per-window
-    count_distinct reads through them unchanged."""
+    count_distinct reads through them unchanged.
+
+    ``materialize`` (default True) caches the day-sample relation
+    because it feeds BOTH the span max-aggregate and the vote explode;
+    Catalyst has no cross-branch reuse, so without the barrier the
+    sample pipeline (through trailing_distinct_estimate: the full raw
+    scan + day shuffle) would run once per branch. Pass False for
+    streaming inputs (persist is illegal there) or when the caller
+    materializes upstream; caller releases via cache.release_tracked.
+    """
     from dump1090_db_stream_spark.operators.timeseries import epoch_bucket
 
+    if window_days < 1:
+        # sequence(start, stop) auto-steps -1 when start > stop, so a
+        # zero/negative window would silently vote BACKWARD in time
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     d = epoch_bucket(F.col(day_col), 86400)
     days = samples.select(d.alias("_d"), F.col(sample_col).alias("_s"))
+    if materialize:
+        from dump1090_db_stream_spark.cache import track
+
+        days = track(days)
     hi = days.agg(F.max("_d").alias("_hi"))
     # one generator per select: days fan out to windows first, then the
     # (never-empty — sampled-only days have rows) array unnests

@@ -15,6 +15,18 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Operator-internal persists (cache.track) are the CALLER's to
+    release; in the suite the caller is each test, so free them after
+    every test — otherwise a session-scoped JVM accumulates storage
+    memory across hundreds of tests (cache.py's lifecycle contract)."""
+    yield
+    from dump1090_db_stream_spark.cache import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -158,3 +158,15 @@ def test_journeys_operators_handle_empty_input(spark):
     # span aggregate emits one NULL row on empty input; the sequence
     # explode of a NULL span must yield zero rows, not an error
     assert trailing_active_users(empty).count() == 0
+
+
+def test_trailing_actives_rejects_nonpositive_window(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    df = _ev(spark, [(1, 0.5, "a")])
+    with pytest.raises(ValueError, match="window_days"):
+        trailing_active_users(df, window_days=0)

@@ -439,8 +439,10 @@ def test_time_sorted_store_writes_bloom_filters(spark, tmp_path_factory):
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    offsets = {}
-    for f in glob.glob(os.path.join(d, "parsed_date=*", "*.parquet")):
+    files = glob.glob(os.path.join(d, "parsed_date=*", "*.parquet"))
+    assert len(files) == 2
+    for f in files:  # EVERY file must hold the bloom, not just one
+        offsets = {}
         infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
             .fromPath(jvm.org.apache.hadoop.fs.Path(f), conf)
         reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
@@ -452,9 +454,9 @@ def test_time_sorted_store_writes_bloom_filters(spark, tmp_path_factory):
                     col.getBloomFilterOffset()
         finally:
             reader.close()
-    assert offsets["hex_ident"] >= 0       # plain-encoded -> bloom
-    assert offsets["message_type"] == -1   # dict-encoded -> no bloom
-    assert offsets["parsed_time"] == -1    # never requested
+        assert offsets["hex_ident"] >= 0, f      # plain-encoded -> bloom
+        assert offsets["message_type"] == -1, f  # dict-encoded -> none
+        assert offsets["parsed_time"] == -1, f   # never requested
 
     spark.conf.set("spark.sql.parquet.filterPushdown", "true")
     got = (spark.read.parquet(d)

@@ -222,16 +222,19 @@ def test_streaming_appended_sketch_store_matches_batch(spark, tmp_path):
                             rate=4)
          .write.mode("append").parquet(store))
 
-    (stream.writeStream.foreachBatch(sink)
-     .option("checkpointLocation", str(tmp_path / "ckpt"))
-     .trigger(availableNow=True).start().awaitTermination(120))
+    assert (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+            .awaitTermination(120)), "stream did not finish in 120 s"
+
 
     stored = spark.read.parquet(store)
     # 3 batches appended day-partials: duplicates per (day, type) exist
     assert stored.count() > stored.select("day", "event_type").distinct().count()
 
     batch_direct = spark.createDataFrame(
-        [(__import__("datetime").datetime.utcfromtimestamp(r[0] / 1e6),
+        [(__import__("datetime").datetime.fromtimestamp(
+            r[0] / 1e6, __import__("datetime").timezone.utc),
           r[1], r[2]) for r in rows], schema)
     want = sorted(map(tuple, threshold_distinct(
         batch_direct, ["event_type"], "user_id", rate=4,
@@ -359,14 +362,17 @@ def test_trailing_estimate_from_streamed_store(spark, tmp_path):
         (daily_hash_samples(batch_df, "ts", [], "user_id", rate=2)
          .write.mode("append").parquet(store))
 
-    (stream.writeStream.foreachBatch(sink)
-     .option("checkpointLocation", str(tmp_path / "ckpt"))
-     .trigger(availableNow=True).start().awaitTermination(120))
+    assert (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+            .awaitTermination(120)), "stream did not finish in 120 s"
+
 
     got = sorted(map(tuple, trailing_estimate_from_samples(
         spark.read.parquet(store), window_days=3, rate=2).collect()))
     batch_direct = spark.createDataFrame(
-        [(dt.datetime.utcfromtimestamp(r[0] / 1e6), r[1]) for r in rows],
+        [(dt.datetime.fromtimestamp(r[0] / 1e6, dt.timezone.utc), r[1])
+         for r in rows],
         schema)
     want = sorted(map(tuple, trailing_distinct_estimate(
         batch_direct, "ts", "user_id", window_days=3, rate=2).collect()))
