@@ -109,12 +109,15 @@ def trailing_active_users(
     ts_col: str = "ts",
     window_days: int = 7,
     materialize: bool = True,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Trailing-window distinct actives (the DAU/WAU/MAU metric): for
     every day in the observed span, how many distinct users had >= 1
     event in the ``window_days`` days ending on (and including) it.
+    ``keys`` segments the metric (per-event-type WAU, per-country DAU):
+    every stage keys on them, and each segment gets its own dense span.
 
-    Output: ``day`` (timestamp at midnight UTC), ``n_active``.
+    Output: keys..., ``day`` (timestamp at midnight UTC), ``n_active``.
 
     Spark-first shape — the explode trick, NOT a per-day self-join and
     NOT a sliding count-distinct window (Spark has no distinct window
@@ -140,8 +143,9 @@ def trailing_active_users(
         # sequence(start, stop) auto-steps -1 when start > stop, so a
         # zero/negative window would silently vote BACKWARD in time
         raise ValueError(f"window_days must be >= 1, got {window_days}")
+    keys = keys or []
     day = epoch_bucket(F.col(ts_col), 86400)
-    activity = events.select(F.col(id_col).alias("_id"),
+    activity = events.select(*keys, F.col(id_col).alias("_id"),
                              day.alias("_d")).distinct()
     # activity feeds the span aggregate AND the vote explode — no
     # cross-branch reuse in Catalyst, so materialize the (user, day)
@@ -152,21 +156,24 @@ def trailing_active_users(
         from dump1090_db_stream_spark.cache import track
 
         activity = track(activity)
-    span = activity.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
-    votes = (
-        activity.crossJoin(F.broadcast(span))
-        .select("_id", F.explode(F.sequence(
+    span = activity.groupBy(*keys).agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    joined = (activity.join(F.broadcast(span), on=keys)
+              if keys else activity.crossJoin(F.broadcast(span)))
+    votes = joined.select(
+        *keys, "_id",
+        F.explode(F.sequence(
             F.col("_d"),
             F.least(F.col("_d") + (window_days - 1), F.col("_hi"))
         )).alias("_w"))
-    )
-    counts = votes.groupBy("_w").agg(
+    counts = votes.groupBy(*keys, "_w").agg(
         F.count_distinct("_id").alias("_n"))
     grid = span.select(
-        F.explode(F.sequence("_lo", "_hi")).alias("_w"))
+        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_w"))
     return (
-        grid.join(counts, "_w", "left")
-        .select(F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
+        grid.join(counts, [*keys, "_w"], "left")
+        .select(*keys,
+                F.timestamp_seconds(F.col("_w") * 86400).alias("day"),
                 F.coalesce("_n", F.lit(0)).alias("n_active"))
     )
 

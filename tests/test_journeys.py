@@ -170,3 +170,23 @@ def test_trailing_actives_rejects_nonpositive_window(spark):
     df = _ev(spark, [(1, 0.5, "a")])
     with pytest.raises(ValueError, match="window_days"):
         trailing_active_users(df, window_days=0)
+
+
+def test_trailing_actives_segmented_by_key(spark):
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    # type "a": user 1 on days 0 and 2; type "b": users 1,2 on day 1 —
+    # each segment gets its own dense span and counts
+    df = _ev(spark, [(1, 0.5, "a"), (1, 2.5, "a"), (1, 1.5, "b"),
+                     (2, 1.2, "b")])
+    got = {(r["event_type"], r["day"]): r["n_active"]
+           for r in trailing_active_users(
+               df, window_days=2, keys=["event_type"]).collect()}
+    assert got[("a", T0)] == 1
+    assert got[("a", T0 + dt.timedelta(days=1))] == 1  # trailing edge
+    assert got[("a", T0 + dt.timedelta(days=2))] == 1
+    # segment b spans ONLY day 1 (its own min/max), count 2
+    assert got[("b", T0 + dt.timedelta(days=1))] == 2
+    assert len(got) == 4
