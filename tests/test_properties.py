@@ -355,3 +355,105 @@ def test_edit_distance_join_equals_brute_force(spark, strings, k):
     got = {(r.id1, r.id2, r.dist)
            for r in edit_distance_join(df, "sid", "s", k=k).collect()}
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),          # key
+              st.integers(0, 20),         # time slot
+              st.sampled_from("abc")),    # value
+    min_size=1, max_size=60))
+def test_value_runs_invariants_vs_python_reference(spark, rows):
+    """For ANY change log: runs chain half-open, n_rows sums to the
+    input count, consecutive runs differ in value, and the coalesced
+    sequence equals a brute-force Python run-length encoding."""
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import value_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(i, k, t0 + dt.timedelta(hours=s), v)
+            for i, (k, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, key long, ts timestamp, v string")
+    got = value_runs(df, "key", "ts", "v", "event_id").collect()
+
+    # python reference: sort by (ts, event_id) per key, run-length encode
+    by_key = {}
+    for (i, k, ts, v) in data:
+        by_key.setdefault(k, []).append((ts, i, v))
+    want = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        runs = []
+        for ts, i, v in evs:
+            if runs and runs[-1][0] == v:
+                runs[-1][2] += 1
+            else:
+                runs.append([v, ts, 1])
+        want[k] = runs
+
+    assert sum(r["n_rows"] for r in got) == len(data)
+    got_by_key = {}
+    for r in got:
+        got_by_key.setdefault(r["key"], []).append(r)
+    for k, rs in got_by_key.items():
+        rs.sort(key=lambda r: r["run"])
+        assert [r["run"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [(r["v"], r["valid_from"], r["n_rows"]) for r in rs] == \
+            [tuple(x) for x in want[k]]
+        for a, b in zip(rs, rs[1:]):
+            assert a["v"] != b["v"]            # coalesced: values change
+            assert a["valid_to"] == b["valid_from"]  # half-open chain
+        assert rs[-1]["valid_to"] is None      # open current run
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 1),           # key
+              st.integers(0, 12),          # bucket
+              st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=1, max_size=40))
+def test_gap_fill_invariants_vs_python_reference(spark, rows):
+    """For ANY observation set: the grid is dense per key, n_obs sums
+    to input rows, LOCF equals the most recent bucket average, and
+    interpolation is exact in bucket space (within rounding)."""
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(i, k, t0 + dt.timedelta(hours=b), float(v))
+            for i, (k, b, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, key long, ts timestamp, value double")
+    got = gap_fill(df, "ts", ["key"], "value", 3600).collect()
+
+    by_key = {}
+    for (_, k, ts, v) in data:
+        b = int((ts - t0).total_seconds()) // 3600
+        by_key.setdefault(k, {}).setdefault(b, []).append(v)
+    assert sum(r["n_obs"] for r in got) == len(data)
+    got_by_key = {}
+    for r in got:
+        b = int((r["bucket_start"] - t0).total_seconds()) // 3600
+        got_by_key.setdefault(r["key"], {})[b] = r
+    for k, obs in by_key.items():
+        lo, hi = min(obs), max(obs)
+        assert sorted(got_by_key[k]) == list(range(lo, hi + 1))  # dense
+        for b in range(lo, hi + 1):
+            r = got_by_key[k][b]
+            if b in obs:
+                avg = sum(obs[b]) / len(obs[b])
+                assert abs(r["value_avg"] - avg) < 1e-6
+                assert abs(r["value_locf"] - avg) < 1e-6
+                assert abs(r["value_interp"] - avg) < 1e-6
+            else:
+                prev = max(x for x in obs if x < b)
+                nxt = min(x for x in obs if x > b)
+                pv = sum(obs[prev]) / len(obs[prev])
+                nv = sum(obs[nxt]) / len(obs[nxt])
+                want = pv + (nv - pv) * (b - prev) / (nxt - prev)
+                assert r["value_avg"] is None and r["n_obs"] == 0
+                assert abs(r["value_locf"] - pv) < 1e-6
+                assert abs(r["value_interp"] - want) < 1e-6
