@@ -1883,6 +1883,20 @@ def q_weekly_active_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       window_days=7, rate=4)
 
 
+def q_weekly_active_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented trailing actives (operators.journeys.
+    trailing_active_users with keys): per-event-type 7-day WAU, each
+    segment with its own dense observed span. The oracle replays the
+    per-segment span/vote/grid construction."""
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+
+    ev = _events(spark, sf_dir)
+    return trailing_active_users(ev, "user_id", "ts", window_days=7,
+                                 keys=["event_type"])
+
+
 def q_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence patterns (operators.journeys.top_paths): the ten most
     common first-3-event journeys, ranked (count desc, path asc). The
@@ -2009,10 +2023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
-        "window_running_stats": q_window_running_stats,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        # -- tier 2: new in round 4 (the eleven late-round additions
-        #    below pushed customers_without_orders /
+        # -- tier 2: new in round 4 (the twelve late-round additions
+        #    below pushed window_running_stats / customers_without_orders /
         #    segment_order_activity / customer_order_counts /
         #    streaming_window_counts / set_ops_segments /
         #    cosine_neardup_pairs / doc_quality / lang_id_counts /
@@ -2031,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_users": q_weekly_active_users,
         "weekly_active_estimate": q_weekly_active_estimate,
         "top_journey_paths": q_top_journey_paths,
+        "weekly_active_by_type": q_weekly_active_by_type,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2062,9 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_quantile_rollup": q_daily_quantile_rollup,
         # -- tier 4: r3-green and untouched — fills the window to 50;
         #    the tail past 50 rotates back in next round via tier 1
-        #    (first: the seven tier-1 entries that ceded their slots to
+        #    (first: the tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "window_running_stats": q_window_running_stats,
         "customers_without_orders": q_customers_without_orders,
         "segment_order_activity": q_segment_order_activity,
         "customer_order_counts": q_customer_order_counts,
@@ -4015,6 +4030,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT make_timestamp(w * 86400000000) AS day,
                    count(DISTINCT h) * 4 AS est_active
             FROM v GROUP BY w
+        """,
+        "weekly_active_by_type": """
+            WITH a AS (
+                SELECT DISTINCT event_type, user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ), s AS (
+                SELECT event_type, min(d) AS lo, max(d) AS hi
+                FROM a GROUP BY event_type
+            ), v AS (
+                SELECT a.event_type, a.user_id,
+                       unnest(range(a.d, least(a.d + 6, s.hi) + 1)) AS w
+                FROM a JOIN s USING (event_type)
+            ), c AS (
+                SELECT event_type, w, count(DISTINCT user_id) AS n
+                FROM v GROUP BY event_type, w
+            ), g AS (
+                SELECT event_type, unnest(range(lo, hi + 1)) AS w FROM s
+            )
+            SELECT g.event_type,
+                   make_timestamp(g.w * 86400000000) AS day,
+                   coalesce(c.n, 0) AS n_active
+            FROM g LEFT JOIN c USING (event_type, w)
         """,
         "top_journey_paths": """
             WITH r AS (

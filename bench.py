@@ -89,6 +89,7 @@ EXTENDED = [
     "value_runs_scd2",
     "weekly_active_users",
     "weekly_active_estimate",
+    "weekly_active_by_type",
     "top_journey_paths",
 ]
 
