@@ -1883,6 +1883,20 @@ def q_weekly_active_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       window_days=7, rate=4)
 
 
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (operators.anomaly.winsorize): every
+    non-null event value clipped into its type's [p05, p95] band —
+    outlier CAPPING next to the detection queries. Continuous
+    percentiles are the proven-portable pair (Spark percentile ==
+    DuckDB quantile_cont, same interpolation — event_stats' median is
+    the precedent); the clip uses UNROUNDED bounds and rounds last."""
+    from dump1090_db_stream_spark.operators.anomaly import winsorize
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value")
+    return winsorize(ev, "value", ["event_type"], lower=0.05, upper=0.95)
+
+
 def q_weekly_active_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented trailing actives (operators.journeys.
     trailing_active_users with keys): per-event-type 7-day WAU, each
@@ -2022,10 +2036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
-        "cube_order_stats": q_cube_order_stats,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        # -- tier 2: new in round 4 (the twelve late-round additions
-        #    below pushed window_running_stats / customers_without_orders /
+        # -- tier 2: new in round 4 (the late-round additions below
+        #    pushed cube_order_stats / window_running_stats /
+        #    customers_without_orders /
         #    segment_order_activity / customer_order_counts /
         #    streaming_window_counts / set_ops_segments /
         #    cosine_neardup_pairs / doc_quality / lang_id_counts /
@@ -2045,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_estimate": q_weekly_active_estimate,
         "top_journey_paths": q_top_journey_paths,
         "weekly_active_by_type": q_weekly_active_by_type,
+        "winsorized_values": q_winsorized_values,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2079,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "cube_order_stats": q_cube_order_stats,
         "window_running_stats": q_window_running_stats,
         "customers_without_orders": q_customers_without_orders,
         "segment_order_activity": q_segment_order_activity,
@@ -4030,6 +4046,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT make_timestamp(w * 86400000000) AS day,
                    count(DISTINCT h) * 4 AS est_active
             FROM v GROUP BY w
+        """,
+        "winsorized_values": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS plo,
+                       quantile_cont(value, 0.95) AS phi
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(b.plo, 6) AS p_lo,
+                   round(b.phi, 6) AS p_hi,
+                   round(least(greatest(e.value, b.plo), b.phi), 6)
+                       AS value_w
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
         """,
         "weekly_active_by_type": """
             WITH a AS (

@@ -91,6 +91,7 @@ EXTENDED = [
     "weekly_active_estimate",
     "weekly_active_by_type",
     "top_journey_paths",
+    "winsorized_values",
 ]
 
 

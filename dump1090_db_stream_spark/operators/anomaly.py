@@ -33,6 +33,48 @@ def _score(v: Column, center: Column, spread: Column) -> Column:
     return F.when(spread > 0, (v - center) / spread)
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-key winsorization (outlier CAPPING, the treatment companion
+    to the detection operators above): clip ``value_col`` into the
+    per-key [p_lower, p_upper] continuous-percentile band — the
+    standard robust preprocessing step before training on heavy-tailed
+    features, where dropping outliers (repetition_filter-style) loses
+    rows but capping keeps them.
+
+    Adds ``p_lo`` / ``p_hi`` (the bounds, rounded 6) and ``value_w``
+    (the clipped value, rounded 6; NULL stays NULL — least/greatest
+    null semantics differ between engines, so the null case is pinned
+    explicitly).
+
+    Physical shape: one tiny per-key percentile aggregation broadcast
+    back onto the relation — the same two-pass
+    stats-never-shuffle-the-fact-table shape as zscore_outliers. Exact
+    continuous percentiles are one sort per key inside the aggregate;
+    at extreme group cardinality swap in approx_percentile upstream.
+    """
+    keys = keys or []
+    v = F.col(value_col)
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(float(lower))).alias("_plo"),
+        F.percentile(v, F.lit(float(upper))).alias("_phi"))
+    joined = (df.join(F.broadcast(bounds), on=keys)
+              if keys else df.crossJoin(F.broadcast(bounds)))
+    clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(v, F.col("_plo")), F.col("_phi")))
+    return joined.select(
+        *df.columns,
+        F.round("_plo", 6).alias("p_lo"),
+        F.round("_phi", 6).alias("p_hi"),
+        F.round(clipped, 6).alias("value_w"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str = "value",

@@ -105,3 +105,23 @@ def test_mad_known_value(spark):
     out = mad_outliers(df, "value", ["event_type"], threshold=3.0).collect()
     assert len(out) == 1
     assert out[0]["mad_score"] == pytest.approx(47.75, abs=1e-6)
+
+
+def test_winsorize_clips_into_band_and_preserves_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.anomaly import winsorize
+
+    # key "a": 0..10 -> p0/p100 with lower=0, upper=1 leaves values;
+    # with a tight band the tails clip to the bounds
+    rows = [("a", float(v)) for v in range(11)] + [("a", None),
+                                                   ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {(r["k"], r["value"]): r for r in
+           winsorize(df, "value", ["k"], 0.1, 0.9).collect()}
+    assert got[("a", 0.0)]["value_w"] == got[("a", 0.0)]["p_lo"] == 1.0
+    assert got[("a", 10.0)]["value_w"] == got[("a", 10.0)]["p_hi"] == 9.0
+    assert got[("a", 5.0)]["value_w"] == 5.0        # interior untouched
+    assert got[("a", None)]["value_w"] is None      # null stays null
+    # single-value key: degenerate band, value keeps itself
+    assert got[("b", 5.0)]["value_w"] == 5.0
