@@ -1883,6 +1883,61 @@ def q_weekly_active_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       window_days=7, rate=4)
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join + two-level conditional aggregation (TPC-H Q8
+    shape) — the deepest relational plan in the registry: NATION_3
+    suppliers' share of PROMO-part revenue sold to EUROPE customers,
+    per order year. lineitem anchors; orders joins on the order key
+    (the only big-side shuffle pair); customer/nation/region/supplier/
+    part are all broadcast dims, so Catalyst's join reordering and
+    broadcast selection carry the whole plan. The share divides two
+    decimal-exact conditional sums and rounds last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_nation = (customer
+                   .join(F.broadcast(nation),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(region),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .filter(F.col("r_name") == "EUROPE")
+                   .select("c_custkey"))
+    supp_nation = (supplier
+                   .join(F.broadcast(nation.select(
+                       F.col("n_nationkey").alias("_snk"),
+                       F.col("n_name").alias("supp_nation"))),
+                       F.col("s_nationkey") == F.col("_snk"))
+                   .select("s_suppkey", "supp_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+            # the two sums are decimal-exact; divide as DOUBLE so both
+            # engines apply identical IEEE division instead of their
+            # own decimal-quotient scale rules
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                      .otherwise(F.lit(0).cast("decimal(28,8)")))
+                .cast("double")
+                / F.sum(rev).cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
 def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization (operators.anomaly.winsorize): every
     non-null event value clipped into its type's [p05, p95] band —
@@ -2035,7 +2090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
-        "sales_rollup": q_sales_rollup,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (the late-round additions below
         #    pushed cube_order_stats / window_running_stats /
@@ -2060,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_journey_paths": q_top_journey_paths,
         "weekly_active_by_type": q_weekly_active_by_type,
         "winsorized_values": q_winsorized_values,
+        "market_share": q_market_share,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2094,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
         "window_running_stats": q_window_running_stats,
         "customers_without_orders": q_customers_without_orders,
@@ -4046,6 +4102,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT make_timestamp(w * 86400000000) AS day,
                    count(DISTINCT h) * 4 AS est_active
             FROM v GROUP BY w
+        """,
+        "market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))) AS DOUBLE), 2)
+                       AS total_revenue,
+                   round(
+                       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN CAST(l_extendedprice
+                                          * (1 - l_discount)
+                                          AS DECIMAL(28,8))
+                                ELSE CAST(0 AS DECIMAL(28,8)) END)
+                            AS DOUBLE)
+                       / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))) AS DOUBLE),
+                       6) AS mkt_share
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+                          AND r_name = 'EUROPE'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+                          AND p_type = 'PROMO'
+            GROUP BY year(o_orderdate)
         """,
         "winsorized_values": """
             WITH b AS (

@@ -92,6 +92,7 @@ EXTENDED = [
     "weekly_active_by_type",
     "top_journey_paths",
     "winsorized_values",
+    "market_share",
 ]
 
 

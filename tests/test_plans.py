@@ -477,3 +477,14 @@ def test_late_sole_suppliers_avoids_expand(spark, sf):
     # the COUNT(DISTINCT)x2 Expand (x3 input rows before the shuffle)
     assert "Expand" not in plan
     assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_market_share_broadcasts_every_dimension(spark, sf):
+    plan = plan_of(entrymod.q_market_share(spark, sf))
+    # customer-side (nation+region), supplier-nation, and part are all
+    # broadcast; the only shuffle-worthy pair is lineitem<->orders
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the PROMO filter is pushed to the part scan, not post-join
+    assert "PushedFilters" in plan and "p_type" in plan
