@@ -1801,6 +1801,19 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
 
 
+def q_event_transitions_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order transitions (operators.journeys.event_transitions,
+    order=2): after the state "view>click", what happens next — the
+    n-gram deepening of the order-1 matrix. The oldest lag gates
+    history completeness (each user's first event feeds no state); all
+    lags + the lead share one window spec, one Exchange."""
+    from dump1090_db_stream_spark.operators.journeys import event_transitions
+
+    ev = _events(spark, sf_dir)
+    return event_transitions(ev, "user_id", "ts", "event_type",
+                             "event_id", order=2)
+
+
 def q_event_type_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by argmax aggregates (beyond the reference's plain
     min/max, create_schema.sql:88-92): per event type, WHICH user/when
@@ -2089,7 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "asof_join": q_asof_join,
         "stateful_sessions": q_stateful_sessions,
-        "json_extract": q_json_extract,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (the late-round additions below
         #    pushed cube_order_stats / window_running_stats /
@@ -2115,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_by_type": q_weekly_active_by_type,
         "winsorized_values": q_winsorized_values,
         "market_share": q_market_share,
+        "event_transitions_k2": q_event_transitions_k2,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2149,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
         "window_running_stats": q_window_running_stats,
@@ -4002,18 +4016,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_transitions": """
             WITH p AS (
-                SELECT event_type AS from_type,
+                SELECT event_type AS from_state,
                        lead(event_type) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id)
                            AS to_type
                 FROM events
             )
-            SELECT from_type, to_type, count(*) AS n_transitions,
+            SELECT from_state, to_type, count(*) AS n_transitions,
                    round(CAST(count(*) AS DOUBLE)
                          / sum(count(*))
-                               OVER (PARTITION BY from_type), 6) AS prob
+                               OVER (PARTITION BY from_state), 6)
+                       AS prob
             FROM p WHERE to_type IS NOT NULL
-            GROUP BY from_type, to_type
+            GROUP BY from_state, to_type
+        """,
+        "event_transitions_k2": """
+            WITH p AS (
+                SELECT CASE WHEN lag(event_type) OVER w IS NOT NULL
+                            THEN lag(event_type) OVER w || '>'
+                                 || event_type END AS from_state,
+                       lead(event_type) OVER w AS to_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT from_state, to_type, count(*) AS n_transitions,
+                   round(CAST(count(*) AS DOUBLE)
+                         / sum(count(*))
+                               OVER (PARTITION BY from_state), 6)
+                       AS prob
+            FROM p WHERE from_state IS NOT NULL AND to_type IS NOT NULL
+            GROUP BY from_state, to_type
         """,
         # DuckDB arg_max has no composite tiebreak; max over a NAMED
         # struct compares field-by-field (same as Spark struct ordering)

@@ -93,6 +93,7 @@ EXTENDED = [
     "top_journey_paths",
     "winsorized_values",
     "market_share",
+    "event_transitions_k2",
 ]
 
 

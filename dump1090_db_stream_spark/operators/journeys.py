@@ -226,25 +226,44 @@ def event_transitions(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tie_col: str = "event_id",
+    order: int = 1,
+    sep: str = ">",
 ) -> DataFrame:
-    """First-order transition matrix over consecutive same-user events.
+    """Order-k transition matrix over consecutive same-user events:
+    ``from_state`` is the ``sep``-joined window of the last ``order``
+    event types, ``to_type`` the next one — order=1 is the classic
+    first-order Markov matrix, order=2 answers "after view>click, what
+    happens next?".
 
-    One row per observed (from_type, to_type): ``n_transitions`` and
-    ``prob`` (row-stochastic: transitions out of from_type sum to 1).
-    The last event of each user has no successor and feeds no pair.
+    One row per observed (from_state, to_type): ``n_transitions`` and
+    ``prob`` (row-stochastic: transitions out of a state sum to 1).
+    A user's first order-1 events lack full history and feed no row,
+    and the last event has no successor — exactly the n-gram edge
+    convention. All ``order`` lags and the lead share ONE window spec,
+    so the whole matrix costs a single (user) Exchange plus a
+    state-alphabet-sized aggregation (<= |types|^(order+1) rows).
     """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
     w = Window.partitionBy(id_col).orderBy(ts_col, tie_col)
+    lags = [F.lag(type_col, k).over(w) for k in range(order - 1, 0, -1)]
+    # the OLDEST lag being non-null implies every younger one is too;
+    # rows without full order-1 history emit no state (n-gram edges)
+    full_history = lags[0].isNotNull() if lags else F.lit(True)
+    state = F.when(full_history, F.concat_ws(sep, *lags, F.col(type_col)))
     pairs = (
-        events.select(F.col(type_col).alias("from_type"),
-                      F.lead(type_col).over(w).alias("to_type"))
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
+        events.select(
+            state.alias("from_state"),
+            F.lead(type_col).over(w).alias("to_type"))
+        .filter(F.col("from_state").isNotNull()
+                & F.col("to_type").isNotNull())
+        .groupBy("from_state", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
     out_total = F.sum("n_transitions").over(
-        Window.partitionBy("from_type"))
+        Window.partitionBy("from_state"))
     return pairs.select(
-        "from_type", "to_type", "n_transitions",
+        "from_state", "to_type", "n_transitions",
         F.round(F.col("n_transitions").cast("double") / out_total, 6)
          .alias("prob"),
     )

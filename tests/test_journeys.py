@@ -51,7 +51,7 @@ def test_transitions_counts_and_row_stochastic_probs(spark):
     # user 1: a->b->b->c ; user 2: a->c
     df = _ev(spark, [(1, 0.0, "a"), (1, 0.1, "b"), (1, 0.2, "b"),
                      (1, 0.3, "c"), (2, 0.0, "a"), (2, 0.1, "c")])
-    got = {(r["from_type"], r["to_type"]): r
+    got = {(r["from_state"], r["to_type"]): r
            for r in event_transitions(df).collect()}
     assert got[("a", "b")]["n_transitions"] == 1
     assert got[("a", "c")]["n_transitions"] == 1
@@ -65,7 +65,7 @@ def test_transitions_counts_and_row_stochastic_probs(spark):
 def test_transitions_tie_breaks_on_event_id(spark):
     # identical ts: order falls back to event_id (insertion order here)
     df = _ev(spark, [(1, 0.0, "x"), (1, 0.0, "y"), (1, 0.0, "z")])
-    got = {(r["from_type"], r["to_type"])
+    got = {(r["from_state"], r["to_type"])
            for r in event_transitions(df).collect()}
     assert got == {("x", "y"), ("y", "z")}
 
@@ -190,3 +190,14 @@ def test_trailing_actives_segmented_by_key(spark):
     # segment b spans ONLY day 1 (its own min/max), count 2
     assert got[("b", T0 + dt.timedelta(days=1))] == 2
     assert len(got) == 4
+
+
+def test_transitions_second_order_states(spark):
+    # user 1: a,b,c,a -> states a>b -> c, b>c -> a; user 2's single
+    # pair has no order-2 history and feeds nothing
+    df = _ev(spark, [(1, 0.0, "a"), (1, 0.1, "b"), (1, 0.2, "c"),
+                     (1, 0.3, "a"), (2, 0.0, "x"), (2, 0.1, "y")])
+    got = {(r["from_state"], r["to_type"]): r
+           for r in event_transitions(df, order=2).collect()}
+    assert set(got) == {("a>b", "c"), ("b>c", "a")}
+    assert all(r["prob"] == 1.0 for r in got.values())
