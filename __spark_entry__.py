@@ -2104,8 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (the late-round additions below
-        #    pushed cube_order_stats / window_running_stats /
-        #    customers_without_orders /
+        #    pushed json_extract / sales_rollup / cube_order_stats /
+        #    window_running_stats / customers_without_orders /
         #    segment_order_activity / customer_order_counts /
         #    streaming_window_counts / set_ops_segments /
         #    cosine_neardup_pairs / doc_quality / lang_id_counts /
@@ -4027,7 +4027,8 @@ def oracle_sql() -> dict[str, str]:
                          / sum(count(*))
                                OVER (PARTITION BY from_state), 6)
                        AS prob
-            FROM p WHERE to_type IS NOT NULL
+            FROM p
+            WHERE from_state IS NOT NULL AND to_type IS NOT NULL
             GROUP BY from_state, to_type
         """,
         "event_transitions_k2": """

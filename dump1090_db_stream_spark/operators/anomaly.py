@@ -58,6 +58,11 @@ def winsorize(
     continuous percentiles are one sort per key inside the aggregate;
     at extreme group cardinality swap in approx_percentile upstream.
     """
+    if not (0.0 <= lower <= upper <= 1.0):
+        # lower > upper would silently collapse every value to p_upper
+        # via least(greatest(v, plo), phi)
+        raise ValueError(
+            f"need 0 <= lower <= upper <= 1, got ({lower}, {upper})")
     keys = keys or []
     v = F.col(value_col)
     bounds = df.groupBy(*keys).agg(

@@ -47,6 +47,8 @@ hit the lead() window's single partition; cap per-user history upstream
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -247,10 +249,14 @@ def event_transitions(
         raise ValueError(f"order must be >= 1, got {order}")
     w = Window.partitionBy(id_col).orderBy(ts_col, tie_col)
     lags = [F.lag(type_col, k).over(w) for k in range(order - 1, 0, -1)]
-    # the OLDEST lag being non-null implies every younger one is too;
-    # rows without full order-1 history emit no state (n-gram edges)
-    full_history = lags[0].isNotNull() if lags else F.lit(True)
-    state = F.when(full_history, F.concat_ws(sep, *lags, F.col(type_col)))
+    history = [*lags, F.col(type_col)]
+    # EVERY history element must be non-null — a missing lag means not
+    # enough predecessors (the n-gram edge convention), and a NULL type
+    # value anywhere must not silently shrink the state (concat_ws
+    # drops NULLs instead of propagating them); such rows feed no row
+    full_history = reduce(lambda a, b: a & b,
+                          [h.isNotNull() for h in history])
+    state = F.when(full_history, F.concat_ws(sep, *history))
     pairs = (
         events.select(
             state.alias("from_state"),

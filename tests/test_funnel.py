@@ -108,7 +108,7 @@ def test_mad_known_value(spark):
 
 
 def test_winsorize_clips_into_band_and_preserves_nulls(spark):
-    from pyspark.sql import functions as F
+    import pytest
 
     from dump1090_db_stream_spark.operators.anomaly import winsorize
 
@@ -125,3 +125,5 @@ def test_winsorize_clips_into_band_and_preserves_nulls(spark):
     assert got[("a", None)]["value_w"] is None      # null stays null
     # single-value key: degenerate band, value keeps itself
     assert got[("b", 5.0)]["value_w"] == 5.0
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(df, "value", ["k"], 0.9, 0.1)

@@ -201,3 +201,24 @@ def test_transitions_second_order_states(spark):
            for r in event_transitions(df, order=2).collect()}
     assert set(got) == {("a>b", "c"), ("b>c", "a")}
     assert all(r["prob"] == 1.0 for r in got.values())
+
+
+def test_transitions_null_types_feed_no_state(spark):
+    # NULL event types must not shrink the state (concat_ws drops
+    # NULLs) or appear as a state themselves — such rows feed nothing
+    df = spark.createDataFrame(
+        [(0, 1, T0, "a"), (1, 1, T0 + dt.timedelta(hours=1), None),
+         (2, 1, T0 + dt.timedelta(hours=2), "b"),
+         (3, 1, T0 + dt.timedelta(hours=3), "c")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    got1 = {(r["from_state"], r["to_type"])
+            for r in event_transitions(df).collect()}
+    # order 1: 'a'->NULL filtered (to_type null? no: to_type='b'? lead
+    # of row0 is NULL-typed row -> to_type IS NULL -> dropped), the
+    # NULL-typed row itself has no state, b->c survives
+    assert got1 == {("b", "c")}
+    got2 = {(r["from_state"], r["to_type"])
+            for r in event_transitions(df, order=2).collect()}
+    # order 2: every 2-window containing the NULL is invalid; only
+    # b>c would need a successor and has none
+    assert got2 == set()

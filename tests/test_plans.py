@@ -487,4 +487,6 @@ def test_market_share_broadcasts_every_dimension(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the PROMO filter is pushed to the part scan, not post-join
-    assert "PushedFilters" in plan and "p_type" in plan
+    # (the literal pushed-predicate form, not just any mention of
+    # PushedFilters/p_type — 7 scans print empty PushedFilters lists)
+    assert "EqualTo(p_type,PROMO)" in plan
