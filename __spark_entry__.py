@@ -1879,6 +1879,31 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_active_users(ev, "user_id", "ts", window_days=7)
 
 
+def q_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (the temporal-table primitive):
+    every event enriched with the SCD2 run (operators.sessions.
+    value_runs) valid AT its timestamp, via the SAME union+window
+    asof_join that serves time-series lookups — one partition-key
+    shuffle, no interval join. The oracle instead joins on interval
+    CONTAINMENT (valid_from <= ts < valid_to, open current run), so a
+    green hash PROVES backward-asof-on-valid_from == containment on
+    well-formed (gapless, half-open) SCD2 chains. Deterministic
+    because runs chain exactly and ties break on event_id upstream."""
+    from dump1090_db_stream_spark.operators.sessions import (
+        asof_join,
+        value_runs,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type")
+    runs = value_runs(ev, key="user_id", ts="ts", value="event_type",
+                      tie_col="event_id").select(
+        "user_id", F.col("valid_from"), F.col("event_type").alias("attr"),
+        "run")
+    return asof_join(ev, runs, key="user_id", left_ts="ts",
+                     right_ts="valid_from", right_cols=["attr", "run"])
+
+
 def q_weekly_active_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier WAU (operators.sketches.trailing_distinct_estimate):
     trailing 7-day distinct-user ESTIMATE from stored per-day portable
@@ -2101,7 +2126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": q_event_stats,
         "event_type_pivot": q_event_type_pivot,
         "asof_join": q_asof_join,
-        "stateful_sessions": q_stateful_sessions,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         # -- tier 2: new in round 4 (the late-round additions below
         #    pushed json_extract / sales_rollup / cube_order_stats /
@@ -2128,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_values": q_winsorized_values,
         "market_share": q_market_share,
         "event_transitions_k2": q_event_transitions_k2,
+        "scd2_point_lookup": q_scd2_point_lookup,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
         "fuzzy_name_matches": q_fuzzy_name_matches,
@@ -2162,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (first: the tier-1 entries that ceded their slots to
         #    this round's late additions, then revenue_by_nation which
         #    ceded in the first rebalance)
+        "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
@@ -4117,6 +4143,43 @@ def oracle_sql() -> dict[str, str]:
         # direct raw-scan replay of the store-then-merge trailing
         # estimate: the deterministic hash-threshold sample makes them
         # equal (losslessness, as in daily_portable_rollup)
+        # interval-CONTAINMENT replay of the asof composition: a hash
+        # match proves backward-asof-on-valid_from == containment on
+        # gapless half-open SCD2 chains (per-user-unique ts fixture)
+        "scd2_point_lookup": """
+            WITH c AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN row_number() OVER w = 1 THEN 0
+                            WHEN lag(event_type) OVER w
+                                 IS NOT DISTINCT FROM event_type THEN 0
+                            ELSE 1 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), rr AS (
+                SELECT user_id, ts, event_type,
+                       CAST(sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) + 1
+                            AS BIGINT) AS run
+                FROM c
+            ), g AS (
+                SELECT user_id, run, min(ts) AS valid_from,
+                       min(event_type) AS attr
+                FROM rr GROUP BY user_id, run
+            ), iv AS (
+                SELECT user_id, run, valid_from, attr,
+                       lead(valid_from) OVER (PARTITION BY user_id
+                                              ORDER BY run) AS valid_to
+                FROM g
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   iv.attr AS attr_asof, iv.run AS run_asof
+            FROM events e
+            JOIN iv ON e.user_id = iv.user_id
+                   AND iv.valid_from <= e.ts
+                   AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+        """,
         "weekly_active_estimate": f"""
             WITH a AS (
                 SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,

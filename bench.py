@@ -94,6 +94,7 @@ EXTENDED = [
     "winsorized_values",
     "market_share",
     "event_transitions_k2",
+    "scd2_point_lookup",
 ]
 
 
