@@ -1582,10 +1582,31 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ONE scan, one aggregation row, narrow unpivot. The oracle is the
     per-column UNION ALL audit; numeric min/max stay DOUBLE and
     string/timestamp min/max stay strings, so no engine-specific number
-    formatting enters the hash."""
+    formatting enters the hash. distinct_mode="exact" is the contract
+    tier (bit-exact counts for the oracle); the function DEFAULT is the
+    Expand-free HLL tier — see q_table_profile_approx for the portable
+    middle ground."""
     from dump1090_db_stream_spark.operators.profiling import table_profile
 
-    return table_profile(load_table(spark, sf_dir, "orders"))
+    return table_profile(load_table(spark, sf_dir, "orders"),
+                         distinct_mode="exact")
+
+
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale tier of the same profile, oracle-checked: n_distinct
+    comes from PORTABLE threshold hash-sampling (operators.profiling
+    distinct_mode="portable" — md5-derived hashes below MODULUS/rate,
+    |sample| * rate), a regular aggregate with NO Expand node (plan-
+    asserted in test_profiling), unlike N simultaneous COUNT(DISTINCT)s
+    which multiply every row x(n_cols+1) pre-shuffle. rate=8 resolves
+    the orders table's smallest cardinalities; the DuckDB oracle
+    replays the canonicalization + hash + threshold closed-form, so the
+    ESTIMATE itself is value-hash-checked — the engine-specific HLL
+    tier (the function default) gets the same shape but no oracle."""
+    from dump1090_db_stream_spark.operators.profiling import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "orders"),
+                         distinct_mode="portable", rate=8)
 
 
 def q_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2113,80 +2134,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        rotate back in via tier 1 next round.
     """
     return {
-        # -- tier 1: not in CORRECTNESS_r03's window (r2-green, rotating
-        #    back into the hard signal; ngram_jaccard_dups additionally
-        #    changed this round — max_df default). revenue_by_nation
-        #    ceded its slot to the 23rd new query (never driver-
-        #    verified beats rotating a twice-locally-audited green);
-        #    it sits first past the window and rotates in r5.
-        "doc_token_stats": q_doc_token_stats,
-        "sbs1_parse": q_sbs1_parse,
-        "top_revenue_orders": q_top_revenue_orders,
-        "session_windows": q_session_windows,
-        "event_stats": q_event_stats,
-        "event_type_pivot": q_event_type_pivot,
-        "asof_join": q_asof_join,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        # -- tier 2: new in round 4 (the late-round additions below
-        #    pushed json_extract / sales_rollup / cube_order_stats /
-        #    window_running_stats / customers_without_orders /
-        #    segment_order_activity / customer_order_counts /
-        #    streaming_window_counts / set_ops_segments /
-        #    cosine_neardup_pairs / doc_quality / lang_id_counts /
-        #    doc_fingerprints / exact_dup_docs / embedding_topk just
-        #    past the window; they lead the r5 rotation —
-        #    never-driver-verified outranks rotating a
-        #    twice-locally-audited green)
-        "gap_fill_locf": q_gap_fill_locf,
-        "cohort_retention": q_cohort_retention,
-        "event_transitions": q_event_transitions,
-        "event_type_extremes": q_event_type_extremes,
-        "value_histograms": q_value_histograms,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_sole_suppliers": q_late_sole_suppliers,
-        "value_runs_scd2": q_value_runs_scd2,
-        "weekly_active_users": q_weekly_active_users,
-        "weekly_active_estimate": q_weekly_active_estimate,
+        # -- tier 2 first this round: new in round 5 (never driver-
+        #    verified outranks everything)
+        "table_profile_approx": q_table_profile_approx,
+        # -- tier 3: implementation changed since the r4 verification
+        #    (top_paths aggregation state now bounded via
+        #    cap_events_per_key; table_profile grew distinct_mode tiers;
+        #    close_encounters b-side explodes 2 time buckets, not 3)
         "top_journey_paths": q_top_journey_paths,
-        "weekly_active_by_type": q_weekly_active_by_type,
-        "winsorized_values": q_winsorized_values,
-        "market_share": q_market_share,
-        "event_transitions_k2": q_event_transitions_k2,
-        "scd2_point_lookup": q_scd2_point_lookup,
-        "track_lines_wkb": q_track_lines_wkb,
-        "embedding_ivf_trained": q_embedding_ivf_trained,
-        "fuzzy_name_matches": q_fuzzy_name_matches,
-        "bigram_pmi": q_bigram_pmi,
-        "embedding_quantized": q_embedding_quantized,
-        "embedding_quantized_topk": q_embedding_quantized_topk,
-        "funnel_conversions": q_funnel_conversions,
-        "event_mad_outliers": q_event_mad_outliers,
-        "event_zscore_outliers": q_event_zscore_outliers,
-        "sliding_window_counts": q_sliding_window_counts,
-        "event_trailing_stats": q_event_trailing_stats,
-        "corpus_merge": q_corpus_merge,
         "table_profile": q_table_profile,
-        "attribution_join": q_attribution_join,
-        "weighted_fixed_sample": q_weighted_fixed_sample,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "cluster_profiles": q_cluster_profiles,
         "close_encounters": q_close_encounters,
-        "neardup_triangles": q_neardup_triangles,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "null_safe_join": q_null_safe_join,
-        "order_value_ranks": q_order_value_ranks,
-        "tolerant_arithmetic": q_tolerant_arithmetic,
-        # -- tier 3: implementation changed since the r3 verification
-        #    (parser raw_value now keeps the wire CR; _disc_quantile
-        #    gained the empty-sample guard)
-        "sbs1_rejects": q_sbs1_rejects,
-        "event_value_quantiles": q_event_value_quantiles,
-        "daily_quantile_rollup": q_daily_quantile_rollup,
-        # -- tier 4: r3-green and untouched — fills the window to 50;
-        #    the tail past 50 rotates back in next round via tier 1
-        #    (first: the tier-1 entries that ceded their slots to
-        #    this round's late additions, then revenue_by_nation which
-        #    ceded in the first rebalance)
+        # -- tier 1a: in NEITHER r03's nor r04's window (last driver-
+        #    verified round 2 — the stalest hard signal in the registry)
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
@@ -2204,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
+        # -- tier 1b: r3-green, outside r04's window; first 29 fit the
+        #    50-slot window, the rest lead the r6 rotation
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
         "mixture_sample_docs": q_mixture_sample_docs,
@@ -2251,6 +2212,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_track_lines": q_window_track_lines,
         "dedup_by_key": q_dedup_by_key,
         "pricing_summary": q_pricing_summary,
+        # -- tier 4 tail: r4-green and untouched — verified LAST round,
+        #    the only safe entries to leave outside the window
+        "doc_token_stats": q_doc_token_stats,
+        "sbs1_parse": q_sbs1_parse,
+        "top_revenue_orders": q_top_revenue_orders,
+        "session_windows": q_session_windows,
+        "event_stats": q_event_stats,
+        "event_type_pivot": q_event_type_pivot,
+        "asof_join": q_asof_join,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "gap_fill_locf": q_gap_fill_locf,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "event_type_extremes": q_event_type_extremes,
+        "value_histograms": q_value_histograms,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_sole_suppliers": q_late_sole_suppliers,
+        "value_runs_scd2": q_value_runs_scd2,
+        "weekly_active_users": q_weekly_active_users,
+        "weekly_active_estimate": q_weekly_active_estimate,
+        "weekly_active_by_type": q_weekly_active_by_type,
+        "winsorized_values": q_winsorized_values,
+        "market_share": q_market_share,
+        "event_transitions_k2": q_event_transitions_k2,
+        "scd2_point_lookup": q_scd2_point_lookup,
+        "track_lines_wkb": q_track_lines_wkb,
+        "embedding_ivf_trained": q_embedding_ivf_trained,
+        "fuzzy_name_matches": q_fuzzy_name_matches,
+        "bigram_pmi": q_bigram_pmi,
+        "embedding_quantized": q_embedding_quantized,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
+        "funnel_conversions": q_funnel_conversions,
+        "event_mad_outliers": q_event_mad_outliers,
+        "event_zscore_outliers": q_event_zscore_outliers,
+        "sliding_window_counts": q_sliding_window_counts,
+        "event_trailing_stats": q_event_trailing_stats,
+        "corpus_merge": q_corpus_merge,
+        "attribution_join": q_attribution_join,
+        "weighted_fixed_sample": q_weighted_fixed_sample,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "cluster_profiles": q_cluster_profiles,
+        "neardup_triangles": q_neardup_triangles,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "null_safe_join": q_null_safe_join,
+        "order_value_ranks": q_order_value_ranks,
+        "tolerant_arithmetic": q_tolerant_arithmetic,
+        "sbs1_rejects": q_sbs1_rejects,
+        "event_value_quantiles": q_event_value_quantiles,
+        "daily_quantile_rollup": q_daily_quantile_rollup,
     }
 
 
@@ -2638,6 +2648,49 @@ def _table_profile_oracle() -> str:
             SELECT '{c}' AS "column", count(*) AS n_rows,
                    count(*) - count({c}) AS n_null,
                    count(DISTINCT {c}) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {smn} AS min_str, {smx} AS max_str
+            FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+def _table_profile_approx_oracle(rate: int = 8) -> str:
+    """Same per-column UNION ALL audit as _table_profile_oracle, but
+    n_distinct replays the PORTABLE threshold estimator closed-form:
+    per-type canonical string (ints/strings via cast, timestamps via
+    epoch micros, doubles via DECIMAL(30,6)) -> first 15 md5 hex chars
+    as BIGINT mod 1e9+7 -> keep hashes below MODULUS/rate ->
+    count(DISTINCT kept) * rate. Byte-identical canonical text is what
+    makes the md5 hashes — and therefore the estimate — match Spark
+    bit-for-bit."""
+    from dump1090_db_stream_spark.operators.sampling import HASH_MODULUS
+    from dump1090_db_stream_spark.operators.sketches import sample_threshold
+
+    t = sample_threshold(rate)
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    canon = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR)",
+        "o_orderdate": "CAST(epoch_us(o_orderdate) AS VARCHAR)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    parts = []
+    for c, cn in canon.items():
+        h = f"(('0x' || substr(md5({cn}), 1, 15))::BIGINT % {HASH_MODULUS})"
+        kept = f"CASE WHEN {h} < {t} THEN {h} END"
+        if c in numeric:
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+            smn = smx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            smn, smx = (f"CAST(min({c}) AS VARCHAR)",
+                        f"CAST(max({c}) AS VARCHAR)")
+        parts.append(f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {kept}) * {rate} AS n_distinct,
                    {mn} AS min_num, {mx} AS max_num,
                    {smn} AS min_str, {smx} AS max_str
             FROM orders""")
@@ -3299,6 +3352,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         """,
         "table_profile": _table_profile_oracle(),
+        "table_profile_approx": _table_profile_approx_oracle(),
         "doc_unigram_logprob": """
             WITH toks AS (
                 SELECT doc_id,

@@ -95,6 +95,8 @@ EXTENDED = [
     "market_share",
     "event_transitions_k2",
     "scd2_point_lookup",
+    # round-5 additions
+    "table_profile_approx",
 ]
 
 
@@ -123,14 +125,19 @@ def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
     # benches leave behind (r2 recorded a phantom 2.4x "regression" on a
     # byte-identical parser purely from cold-measurement drift).
     run_one(parse_sbs1(df.limit(100_000)))  # codegen/JIT warmup, untimed
-    best = float("inf")
-    for _ in range(2):
+    # min-of-3 WITH the per-run array recorded — same discipline as the
+    # query timings. r4's two independent runs of identical code measured
+    # 543k vs 733k msg/s; min-of-2 without the spread could not tell
+    # sandbox noise from a parser regression.
+    runs = []
+    for _ in range(3):
         t0 = time.perf_counter()
         run_one(parse_sbs1(df))
-        best = min(best, time.perf_counter() - t0)
-    return {"msgs": n_msgs, "sec": round(best, 3),
+        runs.append(round(time.perf_counter() - t0, 3))
+    best = min(runs)
+    return {"msgs": n_msgs, "sec": best, "runs_sec": runs,
             "msgs_per_sec": round(n_msgs / best),
-            "timing": "min_of_2_runs_after_warmup"}
+            "timing": "min_of_3_runs_after_warmup"}
 
 
 def bench_skew(spark, n_rows: int = 2_000_000, n_keys: int = 10_000,
@@ -246,6 +253,45 @@ def bench_ngram_skew(spark, n_docs: int = 3000) -> dict:
     return out
 
 
+def bench_close_encounters_joinbound(spark, sf_dir: str) -> dict:
+    """Join-machinery timing for close_encounters. The CONTRACT query's
+    parameters (2000 km / 2 h — sized so the sf0.01 brute-force oracle
+    stays tractable) make its sf0.1 bench entry OUTPUT-bound (~692k
+    result pairs): it measures answer volume, not the join. This entry
+    times the realistic loss-of-separation shape (10 km / 5 min —
+    output is tiny) so a regression in the bucket/cell join machinery
+    itself stays visible in the round record."""
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # synthesize coordinates from stable ids (events has no lat/lon):
+    # deterministic, spread over a ~100x100 km region so cells are hot
+    # but the result set stays small
+    from pyspark.sql import functions as F
+
+    pts = events.select(
+        "event_id", "user_id", "ts",
+        (50.0 + (F.pmod(F.xxhash64("event_id"), 90000)) / 100000.0)
+        .alias("lat"),
+        (10.0 + (F.pmod(F.xxhash64("event_id", F.lit(1)), 140000))
+         / 100000.0).alias("lon"),
+    ).persist()
+    n = pts.count()
+
+    def timed() -> float:
+        t0 = time.perf_counter()
+        run_one(close_encounters(pts, dist_km=10.0, window_seconds=300))
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        timed()  # codegen warmup, untimed
+        runs = [timed(), timed()]
+    finally:
+        pts.unpersist(blocking=False)
+    return {"rows": n, "dist_km": 10.0, "window_sec": 300,
+            "runs_sec": runs, "sec": min(runs)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -306,12 +352,16 @@ def main() -> None:
     ingest = bench_ingest(spark, n_msgs=2_000_000 // synth_scale)
     skew = bench_skew(spark, n_rows=2_000_000 // synth_scale)
     ngram_skew = bench_ngram_skew(spark, n_docs=3000 // synth_scale)
+    enc_joinbound = bench_close_encounters_joinbound(spark, sf_dir)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail FIRST, compact headline record LAST: the driver's tail
+    # capture truncated BENCH_r04.json (parsed: null) because the per-run
+    # arrays pushed the one-line record past its window and ate `value` —
+    # the number the 2x contract is judged on. The last stdout line is
+    # now a bounded-size summary that can never be displaced by detail.
     print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
+        "metric": "headline_queries_detail",
         "timing": f"min_of_{n_runs}_runs",
         "queries_runs": runs_detail,
         "extended": extended,
@@ -319,7 +369,15 @@ def main() -> None:
         "ingest": ingest,
         "skew": skew,
         "ngram_skew": ngram_skew,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "close_encounters_joinbound": enc_joinbound,
+        "sf": sf_val,
+    }))
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
     }))
 
 

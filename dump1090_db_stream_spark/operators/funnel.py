@@ -18,8 +18,10 @@ means strictly later in that sort. With unique per-user timestamps
 (this dataset) that is plain ``ts >``.
 
 Scale: the collected sequence is one user's events — bounded by
-contract (the same bound any sessionizer needs). The fold runs
-per-row in codegen; funnel_counts aggregates |steps| rows afterward.
+contract (the same bound any sessionizer needs; enforce it with
+``operators.sessions.cap_events_per_key`` when a key can be
+unbounded). The fold runs per-row in codegen; funnel_counts
+aggregates |steps| rows afterward.
 """
 
 from __future__ import annotations

@@ -384,18 +384,26 @@ def close_encounters(
     the generic trajectory-proximity primitive.
 
     Never a cross join: the equi key is (time bucket, grid cell). One
-    side keeps its single (bucket, cell); the other explodes into the
-    3 adjacent time buckets x the latitude-corrected cell cover
+    side keeps its single (bucket, cell); the other explodes into
+    adjacent time buckets x the latitude-corrected cell cover
     (:func:`_center_cells` — the same cover whose losslessness is
     property-tested for the radius join), with WRAPPED longitude
     indices so pairs straddling the antimeridian are found (the
     radius join documents non-wrapping as its trade-off; a proximity
-    join cannot afford the blind sliver). Each pair within range
-    matches in BOTH orderings (covers are mutual), and the exploded
-    keys are distinct (array_distinct after wrapping), so
-    ``id_a < id_b`` keeps each pair exactly once with no distinct()
-    pass. Exact residuals (|dt| and haversine) then discard the
-    quantization margin.
+    join cannot afford the blind sliver).
+
+    Pairing-direction discipline cuts the b-side time replication from
+    3 buckets to 2: the join requires the a side to be the (t, id)-
+    EARLIER event of the pair, so the later event's bucket is always
+    equal to or one above a's — b only explodes {tb-1, tb}, a 1/3 cut
+    in exploded join input vs the naive +-1 explode (the id_a < id_b
+    convention alone pairs in either time direction and needs all 3).
+    Exactly-once still holds with no distinct() pass: exploded
+    (bucket, cell) keys are distinct (array_distinct after wrapping)
+    and only one bucket value can equal a's. The output contract is
+    unchanged (id_a < id_b, dt signed b-minus-a): a conditional swap
+    relabels the time-ordered pair by id order. Exact residuals (|dt|
+    and haversine) then discard the quantization margin.
 
     Scale: shuffle keyed on (bucket, cell) — volume O(rows x cover
     size); encounter hot spots (one airport's cell) are classic skew,
@@ -421,24 +429,41 @@ def close_encounters(
     ).alias("a")
     b = (base
          .withColumn("tb", F.explode(F.array(
-             F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)))
+             F.col("tb") - 1, F.col("tb"))))
          .withColumn("cell", F.explode(_center_cells(
              F.col("lat"), F.col("lon"), dist_km, cell_deg,
              wrap_lon=True)))
          .alias("b"))
     dist = haversine_km(F.col("a.lat"), F.col("a.lon"),
                         F.col("b.lat"), F.col("b.lon"))
-    dt = (F.col("b.t_us") - F.col("a.t_us")) / F.lit(1_000_000.0)
-    return (
+    # a is the (t, id)-earlier event: |t_b - t_a| <= window implies
+    # b's true bucket is a.tb or a.tb + 1, both reached by b's
+    # {tb-1, tb} explode. Strict tuple order also excludes self-pairs.
+    earlier = (F.col("a.t_us") < F.col("b.t_us")) | (
+        (F.col("a.t_us") == F.col("b.t_us"))
+        & (F.col("a.id") < F.col("b.id")))
+    pairs = (
         a.join(b, (F.col("a.tb") == F.col("b.tb"))
                & (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") < F.col("b.id"))
+               & earlier
                & (F.col("a.obj") != F.col("b.obj")))
-        .withColumn("dt_sec", dt)
+        .withColumn("dt_sec",
+                    (F.col("b.t_us") - F.col("a.t_us"))
+                    / F.lit(1_000_000.0))
         .withColumn("distance_km", dist)
         .filter((F.abs(F.col("dt_sec")) <= window_seconds)
                 & (F.col("distance_km") <= dist_km))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.obj").alias("obj_a"), F.col("b.obj").alias("obj_b"),
-                "dt_sec", F.round("distance_km", 2).alias("distance_km"))
+    )
+    # relabel by id order (the output contract): dt stays signed b-a
+    # in ID order, so it flips sign when id order disagrees with time
+    # order
+    a_first = F.col("a.id") < F.col("b.id")
+    pick = lambda x, y: F.when(a_first, x).otherwise(y)  # noqa: E731
+    return pairs.select(
+        pick(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        pick(F.col("b.id"), F.col("a.id")).alias("id_b"),
+        pick(F.col("a.obj"), F.col("b.obj")).alias("obj_a"),
+        pick(F.col("b.obj"), F.col("a.obj")).alias("obj_b"),
+        pick(F.col("dt_sec"), -F.col("dt_sec")).alias("dt_sec"),
+        F.round("distance_km", 2).alias("distance_km"),
     )

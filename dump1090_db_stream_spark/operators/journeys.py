@@ -42,7 +42,8 @@ Scale: one full-size shuffle each (user-keyed). The retention output is
 O(periods^2 / 2) rows and the transition matrix O(|types|^2) — both
 driver-safe at any corpus size. Skewed users (one user = 10^8 events)
 hit the lead() window's single partition; cap per-user history upstream
-(sessionize first) if that shape exists.
+with ``operators.sessions.cap_events_per_key`` (or sessionize first) if
+that shape exists — top_paths applies the cap internally.
 """
 
 from __future__ import annotations
@@ -198,20 +199,32 @@ def top_paths(
     shorter path — real journey data is ragged and dropping short users
     would silently bias the ranking toward heavy users.
 
-    Spark-first shape: one groupBy(user) collects the time-ordered
-    struct array (same bounded-per-user contract as the funnel fold),
-    ``slice`` keeps the first n_steps BEFORE any further processing, a
-    vocabulary-sized path aggregation follows, and the top-k plans as
-    TakeOrderedAndProject (never a global sort). Rank is attached on
-    the k-row result.
+    Spark-first shape: :func:`~dump1090_db_stream_spark.operators.
+    sessions.cap_events_per_key` first keeps each user's earliest
+    ``n_steps`` events (streaming row_number, O(1) task state), THEN
+    groupBy(user) collects the time-ordered struct array — so
+    aggregation state is O(n_steps) per user by construction, never the
+    user's full history (a 10^8-event user costs sort time, not
+    executor memory; the funnel fold genuinely needs the full array,
+    this operator never did). The window's (user) partitioning
+    satisfies the groupBy — one Exchange total. A vocabulary-sized path
+    aggregation follows, and the top-k plans as TakeOrderedAndProject
+    (never a global sort). Rank is attached on the k-row result.
     """
+    from dump1090_db_stream_spark.operators.sessions import (
+        cap_events_per_key,
+    )
+
+    capped = cap_events_per_key(
+        events, id_col, ts_col, n_steps, tie_col=tie_col)
+    # array_sort still required: collect_list order is partition-
+    # nondeterministic even over the capped (<= n_steps) rows
     seq = F.array_sort(F.collect_list(F.struct(
         F.col(ts_col).alias("t"), F.col(tie_col).alias("k"),
         F.col(type_col).alias("e"))))
-    path = F.array_join(
-        F.transform(F.slice(seq, 1, n_steps), lambda s: s["e"]), sep)
+    path = F.array_join(F.transform(seq, lambda s: s["e"]), sep)
     paths = (
-        events.groupBy(F.col(id_col).alias("_id"))
+        capped.groupBy(F.col(id_col).alias("_id"))
         .agg(path.alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))

@@ -18,11 +18,30 @@ identical across ANSI engines). Mixing both through one string cast
 would make numeric mins lexical ("10" < "9") and engine-formatted —
 the classic profiling-tool bug this split avoids.
 
-``exact_distinct=False`` swaps COUNT(DISTINCT) for HLL++
-approx_count_distinct: at 100 TB one exact distinct per column is an
-expand-based multi-aggregate (n_cols full shuffles of the row id
-space); the sketch keeps the single-scan single-shuffle shape with
-constant state per column.
+Distinct-count tiers (``distinct_mode``): Spark plans N simultaneous
+COUNT(DISTINCT) aggregates as an Expand — every input row is
+multiplied x(n_cols+1) BEFORE the shuffle, which at 100 TB turns the
+"one scan" into n_cols row-id shuffles. So exact is the CONTRACT tier,
+not the default:
+
+- ``"approx"`` (default) — HLL++ ``approx_count_distinct`` per column:
+  a regular (non-distinct) aggregate, so no Expand, constant state per
+  column, ~2% error. The 100 TB default.
+- ``"portable"`` — threshold hash-sampling (the
+  ``operators.sketches.threshold_distinct`` estimator, per column):
+  collect_set of the sampled portable md5-hashes (values whose hash <
+  MODULUS/rate), estimate = |set| * rate. Also a regular aggregate (no
+  Expand); state ~distinct/rate hashes per column (pick rate ~
+  expected_distinct/1e5 at scale); and — unlike HLL — every step is
+  closed-form ANSI SQL, so the DuckDB oracle hash-checks the ESTIMATE
+  itself. Values are canonicalized per type before hashing (ints/
+  strings/dates via string cast, timestamps via epoch micros, floats
+  via DECIMAL(30,6) — sub-1e-6 float distinctions merge; use another
+  tier if that matters). Columns with n_distinct << rate sample
+  nothing and estimate 0 — inherent to threshold sampling; pick rate
+  below the smallest cardinality you care to resolve.
+- ``"exact"`` — COUNT(DISTINCT col): bit-exact, Expand-planned; right
+  for contract/oracle runs and small tables.
 
 ``value_histogram`` extends the profile to distributions: per-key
 equi-width histograms over a numeric column, two aggregate passes
@@ -32,7 +51,7 @@ broadcast back) — never a driver-side collect of values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -41,22 +60,58 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 _STRINGY = (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
+def _portable_canon(f: T.StructField) -> Column:
+    """Engine-portable canonical string of a column value for hashing:
+    identical text in Spark and any ANSI engine, so md5-derived hashes
+    (and therefore the portable distinct estimate) match bit-for-bit."""
+    c = F.col(f.name)
+    if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+        # raw float->string differs across engines (1.0E7 vs 10000000.0);
+        # fixed-scale decimal renders identically, merging only sub-1e-6
+        # distinctions (documented in the module docstring)
+        return c.cast("decimal(30,6)").cast("string")
+    if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+        # epoch micros: engine-neutral integer text, no format folklore
+        return F.unix_micros(c.cast("timestamp")).cast("string")
+    return c.cast("string")
+
+
 def table_profile(
     df: DataFrame,
     cols: list[str] | None = None,
-    exact_distinct: bool = True,
+    distinct_mode: str = "approx",
+    rate: int = 64,
 ) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_num, max_num, min_str,
-    max_str) — one output row per profiled column, one input scan."""
+    max_str) — one output row per profiled column, one input scan.
+    ``distinct_mode`` in {"approx", "portable", "exact"} picks the
+    n_distinct tier (see module docstring); ``rate`` is the portable
+    tier's sampling rate."""
+    if distinct_mode not in ("approx", "portable", "exact"):
+        raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
+    from dump1090_db_stream_spark.operators.sampling import HASH_MODULUS
+    from dump1090_db_stream_spark.operators.sketches import sample_threshold
+
+    t = sample_threshold(rate)
     fields = [f for f in df.schema.fields
               if cols is None or f.name in cols]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for f in fields:
         c, name = F.col(f.name), f.name
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"_null_{name}"))
-        aggs.append(
-            (F.count_distinct(c) if exact_distinct
-             else F.approx_count_distinct(c)).alias(f"_nd_{name}"))
+        if distinct_mode == "exact":
+            nd = F.count_distinct(c)
+        elif distinct_mode == "approx":
+            nd = F.approx_count_distinct(c)
+        else:
+            h = (F.conv(F.substring(F.md5(_portable_canon(f)), 1, 15),
+                        16, 10).cast("long") % F.lit(HASH_MODULUS))
+            # when() yields NULL above the threshold and collect_set
+            # ignores NULLs: the aggregate state only ever holds the
+            # ~distinct/rate sampled hashes
+            nd = (F.size(F.collect_set(F.when(h < t, h))).cast("long")
+                  * F.lit(rate))
+        aggs.append(nd.alias(f"_nd_{name}"))
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(c).cast("double").alias(f"_min_{name}"))
             aggs.append(F.max(c).cast("double").alias(f"_max_{name}"))

@@ -132,6 +132,57 @@ def dedup_by_key(
     )
 
 
+def cap_events_per_key(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts: str,
+    max_rows: int,
+    tie_col: str | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Skew guard: keep at most ``max_rows`` events per key — the
+    deterministic upstream cap that every per-key window/aggregate
+    operator's scale contract assumes (journeys, funnel folds,
+    value_runs all document "bounded rows per key"; this operator IS
+    that bound, not a docstring).
+
+    ``keep="first"`` keeps the EARLIEST ``max_rows`` rows per key by
+    (ts, tie_col); ``keep="last"`` the latest. ``tie_col`` (the
+    relation's unique id) makes the cut deterministic across engines
+    when timestamps tie — without it, equal-ts rows at the boundary are
+    engine-ordered.
+
+    Physical shape: ONE hash shuffle on ``keys``; ``row_number`` is a
+    streaming window frame, so task state is O(1) per key regardless of
+    how many events the hottest key owns — a 10^8-event user costs sort
+    time, never executor memory. Better: Catalyst rewrites the
+    rank-filter into a WindowGroupLimit with a PARTIAL (map-side)
+    stage, so each input partition pre-caps to max_rows rows/key
+    BEFORE the exchange — the shuffle itself never carries the hot
+    key's full history (plan-asserted in test_sessions). Downstream
+    per-key operators then see <= max_rows rows/key, turning their
+    "skew bound = rows per key" caveat into a hard invariant, and the
+    window's output partitioning satisfies any following groupBy on
+    the same key (no second Exchange).
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
+    if keep == "last":
+        order = [c.desc() for c in order]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -222,7 +273,8 @@ def value_runs(
     Scale: state per row is O(1); the groupBy carries (key, run) —
     output cardinality = number of value changes, typically orders of
     magnitude below the input. Skew bound = rows per key (same contract
-    as any per-key window; sessionize upstream if a key is unbounded).
+    as any per-key window; :func:`cap_events_per_key` or sessionize
+    upstream if a key is unbounded).
     """
     from pyspark.sql import Window
 

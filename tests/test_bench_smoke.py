@@ -24,17 +24,27 @@ def test_bench_end_to_end_smoke():
         [sys.executable, "bench.py"], cwd="/root/repo", env=env,
         capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)  # exactly one parseable JSON line at the end
-    # driver contract: metric/value/unit/queries/sf
+    lines = proc.stdout.strip().splitlines()
+    # LAST line: the compact headline record the driver's tail capture
+    # must always see (r4's one-line format outgrew the capture window
+    # and recorded parsed: null). It must stay bounded: headline metric
+    # fields only, no per-run arrays or synthetic-bench detail.
+    out = json.loads(lines[-1])
     assert out["metric"] == "headline_queries_total"
     assert out["unit"] == "sec" and out["value"] > 0
     assert set(out["queries"]) == {
         n for n in out["queries"]} and len(out["queries"]) >= 15
     assert all(v >= 0 for v in out["queries"].values())
     assert out["sf"] == 0.001
-    # per-run arrays recorded for every timed query
-    assert set(out["queries_runs"]) >= set(out["queries"])
-    assert out["ingest"]["msgs_per_sec"] > 0
-    assert out["skew"]["salted_sec"] > 0
-    assert len(out["extended"]) >= 20
+    assert "queries_runs" not in out and "extended" not in out
+    # SECOND-TO-LAST line: the full-detail record (per-run spreads,
+    # extended set, synthetic benches) — printed first so truncation
+    # can only ever cost detail, never the headline.
+    detail = json.loads(lines[-2])
+    assert detail["metric"] == "headline_queries_detail"
+    assert set(detail["queries_runs"]) >= set(out["queries"])
+    assert detail["ingest"]["msgs_per_sec"] > 0
+    assert len(detail["ingest"]["runs_sec"]) == 3
+    assert detail["ingest"]["sec"] == min(detail["ingest"]["runs_sec"])
+    assert detail["skew"]["salted_sec"] > 0
+    assert len(detail["extended"]) >= 20

@@ -295,6 +295,59 @@ def test_close_encounters_plans_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_close_encounters_matches_brute_force_across_buckets(spark):
+    """Seals the 2-time-bucket pairing discipline (b explodes {tb-1, tb}
+    with a as the (t, id)-earlier event): a deterministic swarm spread
+    over ~7 time buckets, including same-timestamp events and pairs
+    whose id order disagrees with time order, must equal the O(n^2)
+    brute force exactly — ids, labels, signed dt, and distance."""
+    import math
+
+    from dump1090_db_stream_spark.operators.geo import close_encounters
+
+    # ids assigned in REVERSE so id order mostly opposes time order
+    rows = []
+    n = 40
+    for j in range(n):
+        rows.append((j % 7,                 # user
+                     (j * 97) % 2000,       # seconds: spans many buckets
+                     50.0 + 0.01 * (j % 11),
+                     10.0 + 0.01 * (j % 13)))
+    df = _enc_df(spark, rows)
+    got = {(r["id_a"], r["id_b"]): (r["obj_a"], r["obj_b"], r["dt_sec"],
+                                    r["distance_km"])
+           for r in close_encounters(
+               df, dist_km=5.0, window_seconds=300).collect()}
+
+    raw = df.collect()
+
+    def hav(a, b):
+        r = 6371.0088
+        p1, p2 = math.radians(a["lat"]), math.radians(b["lat"])
+        dp = p2 - p1
+        dl = math.radians(b["lon"] - a["lon"])
+        h = (math.sin(dp / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * r * math.asin(math.sqrt(h))
+
+    want = {}
+    for x in raw:
+        for y in raw:
+            if x["event_id"] >= y["event_id"] or x["user_id"] == y["user_id"]:
+                continue
+            dt_s = (y["ts"] - x["ts"]).total_seconds()
+            if abs(dt_s) <= 300 and hav(x, y) <= 5.0:
+                want[(x["event_id"], y["event_id"])] = (
+                    x["user_id"], y["user_id"], dt_s,
+                    round(hav(x, y), 2))
+    assert set(got) == set(want)
+    assert len(want) > 20  # the scenario actually exercises pairs
+    for k, (oa, ob, dt_s, d) in want.items():
+        goa, gob, gdt, gd = got[k]
+        assert (goa, gob) == (oa, ob) and gdt == dt_s
+        assert abs(gd - d) <= 0.01  # haversine radius convention slack
+
+
 def test_close_encounters_ragged_seam_cell(spark):
     from dump1090_db_stream_spark.operators.geo import close_encounters
 

@@ -132,6 +132,64 @@ def test_top_paths_ranks_and_keeps_ragged_users(spark):
     assert got["a>b"]["n_users"] == 1 and got["a>b"]["rank"] == 2
 
 
+def test_top_paths_equals_unbounded_reference_form(spark):
+    """The r4 implementation collected each user's FULL history and
+    sliced after aggregation; r5 pre-caps with cap_events_per_key so
+    aggregation state is O(n_steps)/user. Same answer, proven here
+    against the old form inlined as the reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.journeys import top_paths
+
+    rows = [(uid, (uid * 7 + j * 13) % 50 / 10.0,
+             "abcde"[(uid + j) % 5])
+            for uid in range(1, 30) for j in range(uid % 9 + 1)]
+    df = _ev(spark, rows)
+    got = sorted((r["path"], r["n_users"], r["rank"]) for r in
+                 top_paths(df, n_steps=3, k=25).collect())
+
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("k"),
+        F.col("event_type").alias("e"))))
+    path = F.array_join(
+        F.transform(F.slice(seq, 1, 3), lambda s: s["e"]), ">")
+    ref = (df.groupBy(F.col("user_id").alias("_id"))
+           .agg(path.alias("path"))
+           .groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+           .orderBy(F.col("n_users").desc(), "path").limit(25)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("n_users").desc(), "path"))))
+    want = sorted((r["path"], r["n_users"], r["rank"])
+                  for r in ref.collect())
+    assert got == want
+
+
+def test_top_paths_heavy_user_stays_bounded(spark):
+    """One user owns 1e6 events (the 100 TB skew shape): the capped
+    aggregation state is 3 structs for them, not 1e6 — the query must
+    complete and the heavy user must contribute exactly one 3-step
+    path. The old collect-then-slice form buffered the full history
+    per user in one aggregate state."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.journeys import top_paths
+
+    heavy = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(777).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"),
+        F.concat(F.lit("e"), (F.col("id") % 4)).alias("event_type"))
+    light = spark.range(5).select(
+        (F.col("id") + 2_000_000).alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"),
+        F.lit("x").alias("event_type"))
+    got = {r["path"]: r["n_users"] for r in
+           top_paths(heavy.union(light), n_steps=3, k=10).collect()}
+    assert got == {"x": 5, "e0>e1>e2": 1}
+
+
 def test_top_paths_k_limit_and_tie_order(spark):
     from dump1090_db_stream_spark.operators.journeys import top_paths
 

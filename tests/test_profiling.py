@@ -48,11 +48,50 @@ def test_profile_scans_table_once(spark, sf_dir):
 def test_profile_approx_distinct_close(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
     exact = {r["column"]: r["n_distinct"]
-             for r in table_profile(df).collect()}
+             for r in table_profile(df, distinct_mode="exact").collect()}
     approx = {r["column"]: r["n_distinct"]
-              for r in table_profile(df, exact_distinct=False).collect()}
+              for r in table_profile(df).collect()}  # default = approx
     for c, n in exact.items():
         assert abs(approx[c] - n) <= max(2, 0.1 * n), c
+
+
+def test_profile_portable_distinct_estimates(spark, sf_dir):
+    """The portable tier's estimate is a real estimate on cardinalities
+    >> rate (within 35% on the orders key columns at rate=8) and the
+    non-distinct stats are identical to the exact tier."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {r["column"]: r for r in
+             table_profile(df, distinct_mode="exact").collect()}
+    port = {r["column"]: r for r in
+            table_profile(df, distinct_mode="portable", rate=8).collect()}
+    for c in ("o_orderkey", "o_totalprice"):
+        n = exact[c]["n_distinct"]
+        assert abs(port[c]["n_distinct"] - n) <= 0.35 * n, (c, n)
+    for c, r in exact.items():
+        for f in ("n_rows", "n_null", "min_num", "max_num",
+                  "min_str", "max_str"):
+            assert port[c][f] == r[f], (c, f)
+
+
+def test_profile_portable_and_approx_plan_no_expand(spark, sf_dir):
+    """The scale tiers must not plan an Expand: N simultaneous
+    COUNT(DISTINCT)s multiply every row x(n_cols+1) before the shuffle
+    — the exact tier's 100 TB hazard these tiers exist to remove."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for mode in ("approx", "portable"):
+        plan = (table_profile(df, distinct_mode=mode)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Expand" not in plan, mode
+    exact_plan = (table_profile(df, distinct_mode="exact")
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in exact_plan  # the contrast that proves the claim
+
+
+def test_profile_rejects_unknown_mode(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct_mode"):
+        table_profile(_tbl(spark), distinct_mode="sketchy")
 
 
 def test_profile_column_subset(spark):

@@ -133,3 +133,86 @@ def test_value_runs_ties_break_on_tie_col(spark):
     df = spark.createDataFrame(rows, ["event_id", "key", "ts", "v"])
     got = value_runs(df, "key", "ts", "v", "event_id").collect()
     assert sorted(r["run"] for r in got) == [1, 2, 3]
+
+
+def test_cap_events_per_key_first_and_last(spark):
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import (
+        cap_events_per_key,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, uid, t0 + dt.timedelta(seconds=i), f"e{i}")
+            for uid in (1, 2) for i in range(uid * 10, uid * 10 + 5)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "v"])
+    first = cap_events_per_key(df, "user_id", "ts", 2,
+                               tie_col="event_id").collect()
+    got = {r["user_id"]: sorted(x["event_id"] for x in first
+                                if x["user_id"] == r["user_id"])
+           for r in first}
+    assert got == {1: [10, 11], 2: [20, 21]}
+    last = cap_events_per_key(df, "user_id", "ts", 2,
+                              tie_col="event_id", keep="last").collect()
+    got = {r["user_id"]: sorted(x["event_id"] for x in last
+                                if x["user_id"] == r["user_id"])
+           for r in last}
+    assert got == {1: [13, 14], 2: [23, 24]}
+
+
+def test_cap_events_per_key_tie_determinism_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from dump1090_db_stream_spark.operators.sessions import (
+        cap_events_per_key,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # all timestamps equal: tie_col decides the cut deterministically
+    rows = [(i, 1, t0) for i in (5, 3, 9, 1, 7)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = sorted(r["event_id"] for r in cap_events_per_key(
+        df, ["user_id"], "ts", 3, tie_col="event_id").collect())
+    assert got == [1, 3, 5]
+    with pytest.raises(ValueError, match="max_rows"):
+        cap_events_per_key(df, "user_id", "ts", 0)
+    with pytest.raises(ValueError, match="keep"):
+        cap_events_per_key(df, "user_id", "ts", 1, keep="middle")
+
+
+def test_cap_events_per_key_heavy_key_single_shuffle(spark):
+    """The planted 1e6-events-one-user shape: the cap is a streaming
+    row_number (O(1) task state), one Exchange, and a following groupBy
+    on the same key adds NO second Exchange."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sessions import (
+        cap_events_per_key,
+    )
+
+    # user 1 owns 1e6 - 4 events; four light users own one each (a
+    # non-constant key keeps the Exchange in the plan)
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 4, F.col("id") + 100)
+         .otherwise(F.lit(1)).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"))
+    capped = cap_events_per_key(df, "user_id", "ts", 100,
+                                tie_col="event_id")
+    agg = capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("event_id").alias("max_id"))
+    got = {r["user_id"]: (r["n"], r["max_id"]) for r in agg.collect()}
+    assert got[1] == (100, 103)  # earliest 100 of the heavy user
+    assert all(got[u] == (1, u - 100) for u in (100, 101, 102, 103))
+    final_plan = (agg._jdf.queryExecution().executedPlan().toString()
+                  .split("== Initial Plan ==")[0])
+    assert final_plan.count("Exchange") == 1
+    # Spark's WindowGroupLimit pushes the rank<=100 cap MAP-SIDE: each
+    # input partition pre-caps to 100 rows/key before the shuffle, so
+    # the exchange itself never carries the heavy user's full history
+    assert "WindowGroupLimit" in final_plan
+    assert "Partial" in final_plan.split("WindowGroupLimit")[-1] or \
+        final_plan.count("WindowGroupLimit") == 2
