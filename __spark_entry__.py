@@ -1609,6 +1609,27 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                          distinct_mode="portable", rate=8)
 
 
+def q_capped_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-key skew guard as a contract query (operators.sessions.
+    cap_events_per_key): each user's FIRST 3 and LAST 2 events by
+    (ts, event_id), tagged by mode — both cut directions driver-
+    verified. Catalyst plans each cap as a map-side WindowGroupLimit,
+    so even the shuffle carries <= max_rows rows per user; the oracle
+    is the plain row_number replay of the same deterministic cut."""
+    from dump1090_db_stream_spark.operators.sessions import (
+        cap_events_per_key,
+    )
+
+    ev = _events(spark, sf_dir)
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    first = cap_events_per_key(ev, "user_id", "ts", 3,
+                               tie_col="event_id")
+    last = cap_events_per_key(ev, "user_id", "ts", 2,
+                              tie_col="event_id", keep="last")
+    return (first.select(F.lit("first").alias("mode"), *cols)
+            .unionAll(last.select(F.lit("last").alias("mode"), *cols)))
+
+
 def q_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO as a snapshot transform (operators.versioning.
     merge_upsert): a deterministic change set updates doc_id%7==0
@@ -2137,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2 first this round: new in round 5 (never driver-
         #    verified outranks everything)
         "table_profile_approx": q_table_profile_approx,
+        "capped_user_events": q_capped_user_events,
         # -- tier 3: implementation changed since the r4 verification
         #    (top_paths aggregation state now bounded via
         #    cap_events_per_key; table_profile grew distinct_mode tiers;
@@ -3353,6 +3375,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": _table_profile_oracle(),
         "table_profile_approx": _table_profile_approx_oracle(),
+        "capped_user_events": """
+            SELECT 'first' AS mode, event_id, user_id, ts, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+            UNION ALL
+            SELECT 'last' AS mode, event_id, user_id, ts, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn <= 2
+        """,
         "doc_unigram_logprob": """
             WITH toks AS (
                 SELECT doc_id,
