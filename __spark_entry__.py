@@ -1609,6 +1609,26 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                          distinct_mode="portable", rate=8)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators.sampling.
+    token_budget_sample): per source, hash-shuffle documents
+    deterministically and keep the maximal prefix totalling <= 700
+    whitespace tokens (roughly half of each source at sf0.01, so the
+    budget cut is genuinely exercised) — the "N tokens per source" contract a training
+    mixture is actually specified in (doc-count fractions are a proxy
+    that 1000x length variance breaks). The oracle replays the seeded
+    hash order and running sum closed-form; cum_tokens makes the
+    prefix rule itself hash-checked, not just membership."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, budget_tokens=700, keys=["source"], seed=7,
+    ).select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
 def q_capped_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-key skew guard as a contract query (operators.sessions.
     cap_events_per_key): each user's FIRST 3 and LAST 2 events by
@@ -2159,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    verified outranks everything)
         "table_profile_approx": q_table_profile_approx,
         "capped_user_events": q_capped_user_events,
+        "token_budget_sample": q_token_budget_sample,
         # -- tier 3: implementation changed since the r4 verification
         #    (top_paths aggregation state now bounded via
         #    cap_events_per_key; table_profile grew distinct_mode tiers;
@@ -2726,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
 
     from dump1090_db_stream_spark.operators.sampling import (
         portable_hash_sql,
+        token_budget_sample_sql,
         weighted_fixed_sample_sql,
     )
     from dump1090_db_stream_spark.operators.sketches import sample_threshold
@@ -3375,6 +3397,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": _table_profile_oracle(),
         "table_profile_approx": _table_profile_approx_oracle(),
+        "token_budget_sample": token_budget_sample_sql(
+            "documents", budget_tokens=700, id_expr="doc_id",
+            keys=["source"], seed=7,
+            select_cols="source, doc_id",
+        ),
         "capped_user_events": """
             SELECT 'first' AS mode, event_id, user_id, ts, event_type
             FROM (

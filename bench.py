@@ -97,6 +97,7 @@ EXTENDED = [
     "scd2_point_lookup",
     # round-5 additions
     "table_profile_approx",
+    "token_budget_sample",
 ]
 
 

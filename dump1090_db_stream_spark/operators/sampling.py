@@ -333,3 +333,93 @@ def weighted_fixed_sample_sql(
         ORDER BY {key} DESC, {id_expr}
         LIMIT {n}
     """
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    keys: list[str] | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-key sample that fills a TOKEN budget — how
+    training mixtures are actually specified ("20B tokens of web, 5B of
+    code"), where :func:`mixture_sample`'s row fractions are only a
+    proxy: documents vary 1000x in length, so a doc-count quota does
+    not pin the token count.
+
+    Semantics (prefix-truncation, the "shuffle then take until the
+    budget is full" pipeline convention): per ``keys`` group, order
+    documents by the seeded portable hash of ``id_col`` (a
+    deterministic, layout-invariant shuffle; ties on id), then keep the
+    maximal PREFIX whose cumulative token count is <= budget_tokens.
+    NOT bin-packing: a document that overflows the budget ends the
+    prefix even if a later, smaller one would still fit — packing would
+    bias the tail of the sample toward short documents and requires a
+    sequential fold besides.
+
+    Token counts come from ``token_col`` if given (a precomputed/BPE
+    count), else the whitespace ``token_count`` of ``text_col`` (the
+    portable convention shared with the text-analysis queries).
+
+    Output: input columns + ``n_tokens`` + ``cum_tokens`` (the audit
+    trail: cum_tokens <= budget_tokens on every row by construction).
+
+    Scale: ONE hash shuffle on ``keys``; the running sum is a streaming
+    window frame (O(1) state/row). Rows past the budget still sort —
+    at extreme per-key volume pre-filter with a generous
+    :func:`stratified_cap` / row-count bound first; the hash order
+    makes any such cap a superset of the final prefix as long as it
+    keeps >= the budget's worth of documents.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            f"budget_tokens must be >= 0, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    from dump1090_db_stream_spark.operators.text import token_count
+
+    keys = keys or []
+    n_tok = (F.col(token_col).cast("long") if token_col
+             else token_count(text_col).cast("long"))
+    order = portable_hash_seeded(id_col, seed)
+    w = (Window.partitionBy(*keys).orderBy(order, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    return out.filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def token_budget_sample_sql(
+    table: str,
+    budget_tokens: int,
+    id_expr: str = "doc_id",
+    keys: list[str] | None = None,
+    token_expr: str | None = None,
+    text_expr: str = "text",
+    seed: int = 0,
+    select_cols: str = "*",
+) -> str:
+    """Oracle-side twin of :func:`token_budget_sample` (same hash order,
+    same tie-break, same prefix rule)."""
+    keys = keys or []
+    tok = (token_expr if token_expr else
+           f"length(regexp_split_to_array(trim({text_expr}), '\\s+'))")
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    h = portable_hash_seeded_sql(id_expr, seed)
+    # DuckDB's sum(BIGINT) widens to HUGEINT; cast back so the schema
+    # matches Spark's LongType running sum
+    return f"""
+        SELECT {select_cols}, n_tokens, cum_tokens FROM (
+            SELECT *, CAST({tok} AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST({tok} AS BIGINT)) OVER (
+                       {part}ORDER BY ({h}), {id_expr}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM {table}
+        ) WHERE cum_tokens <= {budget_tokens}
+    """

@@ -240,3 +240,84 @@ def test_weighted_fixed_sample_plans_take_ordered(spark):
     plan = (weighted_fixed_sample(df, 5, "w", "rid")
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_sample_prefix_rule(spark):
+    """The kept set is the maximal hash-ordered PREFIX within budget:
+    verified against a Python replay of the same hash order."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = [(i, "src", " ".join(["w"] * (5 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["cum_tokens"]) for r in
+           token_budget_sample(df, 100, keys=["source"],
+                               seed=3).collect()}
+
+    # replay: portable seeded hash order, running sum, prefix cut
+    M1, A, C, P = 1_000_003, 2_654_435_761, 40_503, 1_000_000_007
+
+    def h(x, seed):
+        a, c = A + 2 * seed, C + seed
+        h1 = ((x % M1) * a + c) % P
+        return ((h1 % M1) * A + C) % P
+
+    order = sorted(range(40), key=lambda i: (h(i, 3), i))
+    want, cum = {}, 0
+    for i in order:
+        n = 5 + i % 7
+        if cum + n > 100:
+            break
+        cum += n
+        want[i] = (n, cum)
+    assert got == want
+    assert 0 < len(want) < 40  # the budget genuinely cuts
+
+
+def test_token_budget_sample_per_key_budgets_and_token_col(spark):
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i < 10 else "b", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = token_budget_sample(df, 35, keys=["source"],
+                              token_col="n_tok").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["cum_tokens"])
+    # each key fills its OWN 35-token budget: 3 docs of 10 tokens
+    assert {k: sorted(v) for k, v in by_src.items()} == {
+        "a": [10, 20, 30], "b": [10, 20, 30]}
+
+
+def test_token_budget_sample_layout_invariant(spark):
+    """Repartitioning must not change the sample — the property rand()
+    lacks and the whole reason the order is a hash."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = [(i, f"s{i % 3}", " ".join(["t"] * (3 + i % 5)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    a = {(r["source"], r["doc_id"]) for r in
+         token_budget_sample(df, 30, keys=["source"]).collect()}
+    b = {(r["source"], r["doc_id"]) for r in
+         token_budget_sample(df.repartition(13), 30,
+                             keys=["source"]).collect()}
+    assert a == b and a
+
+
+def test_token_budget_sample_rejects_negative_budget(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame([(1, "x", "a b")],
+                               ["doc_id", "source", "text"])
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(df, -1)
