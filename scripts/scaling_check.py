@@ -34,6 +34,8 @@ DEFAULT = [
     "gap_fill_locf",          # bucket agg -> grid explode -> windows
     "weekly_active_users",    # dedup -> vote explode -> count_distinct
     "value_runs_scd2",        # shared-exchange window chain
+    "token_budget_sample",    # hash-order running-sum prefix cut
+    "capped_user_events",     # map-side WindowGroupLimit cap
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
