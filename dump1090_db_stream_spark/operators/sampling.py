@@ -366,6 +366,11 @@ def token_budget_sample(
 
     Output: input columns + ``n_tokens`` + ``cum_tokens`` (the audit
     trail: cum_tokens <= budget_tokens on every row by construction).
+    Rows whose token count is NULL (NULL text / NULL token_col) are
+    EXCLUDED up front: a NULL cost can neither consume nor respect a
+    budget, and leaving it in would make the running sum's NULL
+    semantics decide membership by position — count or impute tokens
+    upstream if those rows must participate.
 
     Scale: ONE hash shuffle on ``keys``; the running sum is a streaming
     window frame (O(1) state/row). Rows past the budget still sort —
@@ -389,6 +394,7 @@ def token_budget_sample(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (
         df.withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens").isNotNull())
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
     )
     return out.filter(F.col("cum_tokens") <= budget_tokens)
@@ -421,5 +427,6 @@ def token_budget_sample_sql(
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum_tokens
             FROM {table}
+            WHERE ({tok}) IS NOT NULL
         ) WHERE cum_tokens <= {budget_tokens}
     """

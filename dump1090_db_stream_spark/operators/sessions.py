@@ -150,7 +150,9 @@ def cap_events_per_key(
     (ts, tie_col); ``keep="last"`` the latest. ``tie_col`` (the
     relation's unique id) makes the cut deterministic across engines
     when timestamps tie — without it, equal-ts rows at the boundary are
-    engine-ordered.
+    engine-ordered. NULL ordering is engine-specific (Spark sorts NULLs
+    first ascending, DuckDB last by default) — keep ``ts``/``tie_col``
+    NOT NULL if the cut must replay identically elsewhere.
 
     Physical shape: ONE hash shuffle on ``keys``; ``row_number`` is a
     streaming window frame, so task state is O(1) per key regardless of

@@ -321,3 +321,19 @@ def test_token_budget_sample_rejects_negative_budget(spark):
                                ["doc_id", "source", "text"])
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_sample(df, -1)
+
+
+def test_token_budget_sample_null_tokens_excluded(spark):
+    """NULL token counts (NULL text) are excluded up front — a NULL
+    cost must not decide membership by its position in the hash order
+    (the running sum would drop a NULL-first row but keep later ones)."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(0, "s", None), (1, "s", "a b c"), (2, "s", None),
+            (3, "s", "d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = token_budget_sample(df, 100, keys=["source"]).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+    assert all(r["n_tokens"] is not None for r in got)
