@@ -451,7 +451,9 @@ def close_encounters(
                     (F.col("b.t_us") - F.col("a.t_us"))
                     / F.lit(1_000_000.0))
         .withColumn("distance_km", dist)
-        .filter((F.abs(F.col("dt_sec")) <= window_seconds)
+        # dt_sec >= 0 by the `earlier` condition — no abs() needed;
+        # the bare <= states the invariant the 2-bucket explode needs
+        .filter((F.col("dt_sec") <= window_seconds)
                 & (F.col("distance_km") <= dist_km))
     )
     # relabel by id order (the output contract): dt stays signed b-a

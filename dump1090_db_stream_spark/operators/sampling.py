@@ -366,11 +366,15 @@ def token_budget_sample(
 
     Output: input columns + ``n_tokens`` + ``cum_tokens`` (the audit
     trail: cum_tokens <= budget_tokens on every row by construction).
-    Rows whose token count is NULL (NULL text / NULL token_col) are
-    EXCLUDED up front: a NULL cost can neither consume nor respect a
-    budget, and leaving it in would make the running sum's NULL
-    semantics decide membership by position — count or impute tokens
-    upstream if those rows must participate.
+    Rows whose token count is NULL (NULL text / NULL token_col) or
+    NEGATIVE (a corrupt user-supplied token_col) are EXCLUDED up
+    front: a NULL cost can neither consume nor respect a budget
+    (leaving it in would make the running sum's NULL semantics decide
+    membership by position), and a negative cost would let a document
+    AFTER the overflow point re-enter the sample — cum <= budget is
+    only a prefix when costs are non-negative. Count or impute tokens
+    upstream if those rows must participate; zero-cost rows are fine
+    and pass through without consuming budget.
 
     Scale: ONE hash shuffle on ``keys``; the running sum is a streaming
     window frame (O(1) state/row). Rows past the budget still sort —
@@ -394,7 +398,7 @@ def token_budget_sample(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (
         df.withColumn("n_tokens", n_tok)
-        .filter(F.col("n_tokens").isNotNull())
+        .filter(F.col("n_tokens") >= 0)  # also drops NULLs
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
     )
     return out.filter(F.col("cum_tokens") <= budget_tokens)
@@ -427,6 +431,6 @@ def token_budget_sample_sql(
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum_tokens
             FROM {table}
-            WHERE ({tok}) IS NOT NULL
+            WHERE ({tok}) >= 0
         ) WHERE cum_tokens <= {budget_tokens}
     """

@@ -305,7 +305,9 @@ def test_close_encounters_matches_brute_force_across_buckets(spark):
 
     from dump1090_db_stream_spark.operators.geo import close_encounters
 
-    # ids assigned in REVERSE so id order mostly opposes time order
+    # the (j*97) % 2000 timestamp scramble makes id order disagree with
+    # time order for most pairs (ids are sequential; times are not) —
+    # the disagreement is what exercises the conditional-swap relabel
     rows = []
     n = 40
     for j in range(n):

@@ -337,3 +337,38 @@ def test_token_budget_sample_null_tokens_excluded(spark):
     got = token_budget_sample(df, 100, keys=["source"]).collect()
     assert sorted(r["doc_id"] for r in got) == [1, 3]
     assert all(r["n_tokens"] is not None for r in got)
+
+
+def test_token_budget_sample_negative_costs_excluded(spark):
+    """A negative user-supplied token count would let a document AFTER
+    the overflow point re-enter (cum dips back under budget) — the
+    prefix contract only holds for non-negative costs, so negatives are
+    excluded like NULLs. Zero-cost rows pass through for free."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s", t) for i, t in enumerate([60, 50, -30, 10, 0])]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = token_budget_sample(df, 100, keys=["source"],
+                              token_col="n_tok", seed=11).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 2 not in ids            # the negative row is gone entirely
+    assert all(r["cum_tokens"] <= 100 for r in got)
+    # kept set must be a PREFIX of the hash order over the valid rows
+    M1, A, C, P = 1_000_003, 2_654_435_761, 40_503, 1_000_000_007
+
+    def h(x, seed=11):
+        a, c = A + 2 * seed, C + seed
+        h1 = ((x % M1) * a + c) % P
+        return ((h1 % M1) * A + C) % P
+
+    toks = {0: 60, 1: 50, 3: 10, 4: 0}
+    order = sorted(toks, key=lambda i: (h(i), i))
+    cum, want = 0, set()
+    for i in order:
+        if cum + toks[i] > 100:
+            break
+        cum += toks[i]
+        want.add(i)
+    assert ids == want
