@@ -1629,6 +1629,29 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_tokens", "cum_tokens")
 
 
+def q_sampled_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation from a deterministic row sample
+    (operators.sketches.sampled_item_counts — the COUNT analog of the
+    portable distinct/quantile sketches, closing the frequency gap in
+    the sketch family): per (day, event_type), rows whose
+    portable_hash(event_id) lands under MODULUS/8 are counted and
+    scaled x8. The exchange carries ~1/8 of the input after a narrow
+    pre-shuffle filter; the DuckDB oracle replays the hash, threshold,
+    and scaling closed-form, so the ESTIMATES are value-hash-checked.
+    Accuracy vs exact counts is asserted separately in
+    test_sketches.py (heavy items only — that asymmetry is the
+    estimator's contract)."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        sampled_item_counts,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts")))
+    return sampled_item_counts(
+        ev, item_cols="event_type", id_col="event_id",
+        keys=["day"], rate=8)
+
+
 def q_capped_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-key skew guard as a contract query (operators.sessions.
     cap_events_per_key): each user's FIRST 3 and LAST 2 events by
@@ -2180,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_approx": q_table_profile_approx,
         "capped_user_events": q_capped_user_events,
         "token_budget_sample": q_token_budget_sample,
+        "sampled_event_counts": q_sampled_event_counts,
         # -- tier 3: implementation changed since the r4 verification
         #    (top_paths aggregation state now bounded via
         #    cap_events_per_key; table_profile grew distinct_mode tiers;
@@ -2743,6 +2767,7 @@ def _table_profile_approx_oracle(rate: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from dump1090_db_stream_spark.operators.sketches import (
+        sampled_item_counts_sql,
         threshold_distinct_sql_exprs,
     )
 
@@ -3402,6 +3427,11 @@ def oracle_sql() -> dict[str, str]:
             "documents", budget_tokens=700, id_expr="doc_id",
             keys=["source"], seed=7,
             select_cols="source, doc_id",
+        ),
+        "sampled_event_counts": sampled_item_counts_sql(
+            "(SELECT *, CAST(ts AS DATE) AS day FROM events)",
+            item_exprs="event_type", id_expr="event_id",
+            keys=["day"], rate=8,
         ),
         "capped_user_events": """
             SELECT 'first' AS mode, event_id, user_id, ts, event_type

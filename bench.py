@@ -98,6 +98,7 @@ EXTENDED = [
     # round-5 additions
     "table_profile_approx",
     "token_budget_sample",
+    "sampled_event_counts",
 ]
 
 

@@ -27,7 +27,9 @@ against exact values in tests (HLL++ rsd and DataSketches lgK bound the
 error; defaults here give ~1-2%).
 
 3. PORTABLE threshold sketches (``threshold_distinct`` /
-   ``daily_hash_samples`` / ``span_estimate``): distinct counting via
+   ``daily_hash_samples`` / ``span_estimate``; ``sampled_item_counts``
+   extends the family from distincts/quantiles to FREQUENCY estimates —
+   heavy hitters from a deterministic row sample): distinct counting via
    hash-threshold sampling (Wegman's adaptive-sampling idea — keep only
    values whose deterministic hash lands below ``MODULUS/rate``, count
    the surviving distinct hashes, scale by ``rate``). Unlike HLL the
@@ -422,3 +424,76 @@ def merge_hash_samples(
         .agg(F.sort_array(F.array_distinct(F.flatten(
             F.collect_list(sample_col)))).alias(sample_col))
     )
+
+
+def sampled_item_counts(
+    df: DataFrame,
+    item_cols: list[str] | str,
+    id_col: str,
+    keys: list[str] | None = None,
+    rate: int = 64,
+    min_sampled: int = 1,
+    n_sampled_col: str = "n_sampled",
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Heavy hitters / frequency estimation from a deterministic row
+    sample — the COUNT analog of :func:`threshold_distinct` (the
+    portable sketch family covers distincts and quantiles; this closes
+    the frequency gap). Per (keys, item), estimate the row count as
+    (rows whose ``portable_hash(id) < MODULUS/rate``) x rate.
+
+    The sample is a deterministic, layout-invariant subset keyed on the
+    row id's portable hash, so the estimate is reproducible across
+    reruns, partitionings, and engines (closed-form BIGINT + md5-free —
+    a SQL oracle replays it bit-for-bit; see
+    :func:`sampled_item_counts_sql`).
+
+    Estimator contract: a sampled count s estimates the true frequency
+    f with relative error ~ sqrt(rate/f) (binomial) — tight for HEAVY
+    items (f >> rate), useless for rare ones; that asymmetry is the
+    point (the rare tail is what the sample exists to discard).
+    ``min_sampled`` is the noise floor: items with fewer sampled rows
+    are dropped rather than reported with garbage estimates. The
+    default (1) reports everything sampled; raise it to ~8+ when only
+    defensible estimates should surface.
+
+    Scale: the hash filter is a NARROW row filter BEFORE the shuffle —
+    the exchange carries ~1/rate of the input, map-side combined to
+    one row per (keys, item) per partition. State per group is O(1).
+    """
+    keys = keys or []
+    item_cols = [item_cols] if isinstance(item_cols, str) else list(item_cols)
+    t = sample_threshold(rate)
+    return (
+        df.where(portable_hash(id_col) < t)
+        .groupBy(*keys, *item_cols)
+        .agg(F.count(F.lit(1)).alias(n_sampled_col))
+        .where(F.col(n_sampled_col) >= min_sampled)
+        .withColumn(est_col, F.col(n_sampled_col) * F.lit(rate))
+    )
+
+
+def sampled_item_counts_sql(
+    table: str,
+    item_exprs: list[str] | str,
+    id_expr: str,
+    keys: list[str] | None = None,
+    rate: int = 64,
+    min_sampled: int = 1,
+) -> str:
+    """ANSI-SQL twin of :func:`sampled_item_counts` for oracle
+    embedding."""
+    keys = keys or []
+    item_exprs = ([item_exprs] if isinstance(item_exprs, str)
+                  else list(item_exprs))
+    t = sample_threshold(rate)
+    h = portable_hash_sql(id_expr)
+    group = ", ".join([*keys, *item_exprs])
+    return f"""
+        SELECT {group}, count(*) AS n_sampled,
+               count(*) * {rate} AS est_count
+        FROM {table}
+        WHERE ({h}) < {t}
+        GROUP BY {group}
+        HAVING count(*) >= {min_sampled}
+    """

@@ -377,3 +377,50 @@ def test_trailing_estimate_from_streamed_store(spark, tmp_path):
     want = sorted(map(tuple, trailing_distinct_estimate(
         batch_direct, "ts", "user_id", window_days=3, rate=2).collect()))
     assert got == want and len(got) == 6
+
+
+def test_sampled_item_counts_accuracy_on_heavy_items(spark, sf_dir):
+    """Global per-event-type estimates (~2k true rows per type at
+    sf0.01, rate=8 -> ~250 sampled) must land within the binomial
+    error band; exact twin computed from the same relation."""
+    from dump1090_db_stream_spark.operators.sketches import (
+        sampled_item_counts,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").count()
+             .withColumnRenamed("count", "n").collect()}
+    est = {r["event_type"]: r["est_count"] for r in
+           sampled_item_counts(ev, "event_type", "event_id",
+                               rate=8).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # ~4 sigma of sqrt(rate/f): f~2000, rate 8 -> ~6% sigma
+        assert abs(est[t] - n) <= 0.3 * n, (t, n, est[t])
+
+
+def test_sampled_item_counts_layout_invariant_and_floor(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sketches import (
+        sampled_item_counts,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("it"), (F.col("id") % 4)).alias("item"))
+    a = {(r["item"], r["n_sampled"]) for r in
+         sampled_item_counts(df, "item", "rid", rate=16).collect()}
+    b = {(r["item"], r["n_sampled"]) for r in
+         sampled_item_counts(df.repartition(17), "item", "rid",
+                             rate=16).collect()}
+    assert a == b and a
+    # min_sampled drops the noise tail: a singleton item that happens
+    # to be sampled reports n_sampled=1 and dies at floor 2
+    df2 = df.union(spark.createDataFrame([(6, "rare")], ["rid", "item"]))
+    got = sampled_item_counts(df2, "item", "rid", rate=1,
+                              min_sampled=2).collect()
+    assert "rare" not in {r["item"] for r in got}
+    assert {r["item"] for r in got} == {"it0", "it1", "it2", "it3"}
