@@ -2230,8 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
-        # -- tier 1b: r3-green, outside r04's window; the first 27 fit
-        #    the 50-slot window (after 3 tier-2 + 3 tier-3 + 17 tier-1a),
+        # -- tier 1b: r3-green, outside r04's window; the first 26 fit
+        #    the 50-slot window (after 4 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
