@@ -424,3 +424,61 @@ def test_sampled_item_counts_layout_invariant_and_floor(spark):
                               min_sampled=2).collect()
     assert "rare" not in {r["item"] for r in got}
     assert {r["item"] for r in got} == {"it0", "it1", "it2", "it3"}
+
+
+def test_sampled_counts_streaming_additive_store_matches_batch(
+        spark, tmp_path):
+    """Frequency estimates are ADDITIVE (unlike distincts): per-batch
+    sampled counts appended to a store sum to exactly the one-shot
+    batch computation — so the heavy-hitter store is maintainable
+    append-only from a Structured Streaming foreachBatch with a plain
+    SUM compaction, no sketch-union machinery needed."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.sketches import (
+        sampled_item_counts,
+    )
+
+    rows = [(i, "t%d" % (i % 3)) for i in range(3000)]
+    d = tmp_path / "replay"
+    d.mkdir()
+    sch = pa.schema([("event_id", pa.int64()), ("event_type", pa.string())])
+    t0 = _time.time()
+    for i, chunk in enumerate([rows[:1000], rows[1000:2000], rows[2000:]]):
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(pa.table(
+            {"event_id": [r[0] for r in chunk],
+             "event_type": [r[1] for r in chunk]}, schema=sch), p)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("event_type", T.StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    store = str(tmp_path / "count_store")
+
+    def sink(batch_df, _bid):
+        (sampled_item_counts(batch_df, "event_type", "event_id", rate=8)
+         .write.mode("append").parquet(store))
+
+    assert (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+            .awaitTermination(120)), "stream did not finish in 120 s"
+
+    stored = spark.read.parquet(store)
+    assert stored.count() > 3  # per-batch partials exist
+    compact = (stored.groupBy("event_type")
+               .agg(F.sum("n_sampled").alias("n_sampled"),
+                    F.sum("est_count").alias("est_count")))
+    batch_direct = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, sampled_item_counts(
+        batch_direct, "event_type", "event_id", rate=8).collect()))
+    got = sorted(map(tuple, compact.collect()))
+    assert got == want
