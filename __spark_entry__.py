@@ -1629,6 +1629,35 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_tokens", "cum_tokens")
 
 
+def q_logprob_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/Gopher perplexity-style quality filter as a PIPELINE
+    composition of two oracled primitives: score every document with
+    its mean unigram log-probability (operators.relevance.
+    unigram_logprob), estimate the corpus's 25th percentile from a
+    deterministic 1/4 row sample (operators.sketches.
+    threshold_quantiles — a portable discrete quantile, so the cutoff
+    is an actual data value both engines agree on exactly), and keep
+    documents at or above it. The scored relation feeds both the
+    cutoff estimate and the filter — materialized once (no cross-
+    branch reuse in Catalyst); the cutoff is a one-row broadcast.
+    Output carries the cutoff as an audit column."""
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.relevance import unigram_logprob
+    from dump1090_db_stream_spark.operators.sketches import (
+        threshold_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lp = track(unigram_logprob(docs))
+    cut = threshold_quantiles(lp, keys=[], value_col="logprob",
+                              id_col="doc_id", qs=(0.25,), rate=4)
+    return (
+        lp.crossJoin(F.broadcast(cut.select(F.col("p25").alias("cutoff"))))
+        .filter(F.col("logprob") >= F.col("cutoff"))
+        .select("doc_id", "n_toks", "logprob", "cutoff")
+    )
+
+
 def q_sampled_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency estimation from a deterministic row sample
     (operators.sketches.sampled_item_counts — the COUNT analog of the
@@ -2204,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_user_events": q_capped_user_events,
         "token_budget_sample": q_token_budget_sample,
         "sampled_event_counts": q_sampled_event_counts,
+        "logprob_percentile_filter": q_logprob_percentile_filter,
         # -- tier 3: implementation changed since the r4 verification
         #    (top_paths aggregation state now bounded via
         #    cap_events_per_key; table_profile grew distinct_mode tiers;
@@ -2230,8 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
-        # -- tier 1b: r3-green, outside r04's window; the first 26 fit
-        #    the 50-slot window (after 4 tier-2 + 3 tier-3 + 17 tier-1a),
+        # -- tier 1b: r3-green, outside r04's window; the first 25 fit
+        #    the 50-slot window (after 5 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -3433,6 +3463,40 @@ def oracle_sql() -> dict[str, str]:
             item_exprs="event_type", id_expr="event_id",
             keys=["day"], rate=8,
         ),
+        "logprob_percentile_filter": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), terms AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tfreq AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ), freq AS (
+                SELECT term, CAST(sum(tf) AS BIGINT) AS c
+                FROM tfreq GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(tf) AS BIGINT) AS u FROM tfreq
+            ), lp AS (
+                SELECT f.doc_id,
+                       CAST(sum(f.tf) AS BIGINT) AS n_toks,
+                       round(sum(f.tf * ln(CAST(q.c AS DOUBLE) / tot.u))
+                             / sum(f.tf), 6) AS logprob
+                FROM tfreq f JOIN freq q USING (term) CROSS JOIN tot
+                GROUP BY f.doc_id
+            ), arr AS (
+                SELECT list_sort(list(logprob)) AS a, count(*) AS n
+                FROM lp WHERE (((((doc_id) % 1000003 + 1000003) % 1000003) * 2654435761 + 40503) % 1000000007) < 250000001
+            ), cut AS (
+                SELECT CASE WHEN n > 0 THEN
+                    a[CAST(floor(0.25 * (len(a) - 1)) AS INT) + 1]
+                END AS cutoff FROM arr
+            )
+            SELECT lp.doc_id, lp.n_toks, lp.logprob, cut.cutoff
+            FROM lp CROSS JOIN cut
+            WHERE lp.logprob >= cut.cutoff
+        """,
         "capped_user_events": """
             SELECT 'first' AS mode, event_id, user_id, ts, event_type
             FROM (

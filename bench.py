@@ -99,6 +99,7 @@ EXTENDED = [
     "table_profile_approx",
     "token_budget_sample",
     "sampled_event_counts",
+    "logprob_percentile_filter",
 ]
 
 
