@@ -309,6 +309,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                      # self-guard (same as embedding_topk)
         "weekly_active_users",    # one-row span (min/max day) attach
         "weekly_active_estimate",  # same one-row span attach, sketch tier
+        "logprob_percentile_filter",  # one-row U total + one-row p25
+                                      # cutoff attach (both broadcast)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
