@@ -1629,6 +1629,23 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_tokens", "cum_tokens")
 
 
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level gap sessionization (operators.sessions.sessionize):
+    every event labeled with its 1-based per-user session id, new
+    session after a > 30-minute silence — the row-preserving member of
+    the session family (session_windows AGGREGATES one row per
+    session; this labels events for downstream per-session funnels/
+    paths/runs). One Exchange + one sort (flag window and running sum
+    share the spec); the oracle replays the lag/gap/cumsum
+    gaps-and-islands closed-form on microsecond arithmetic."""
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                      tie_col="event_id").select(
+        "event_id", "user_id", "ts", "event_type", "session_id")
+
+
 def q_logprob_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet/Gopher perplexity-style quality filter as a PIPELINE
     composition of two oracled primitives: score every document with
@@ -2234,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "sampled_event_counts": q_sampled_event_counts,
         "logprob_percentile_filter": q_logprob_percentile_filter,
+        "sessionized_events": q_sessionized_events,
         # -- tier 3: implementation changed since the r4 verification
         #    (top_paths aggregation state now bounded via
         #    cap_events_per_key; table_profile grew distinct_mode tiers;
@@ -2260,8 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
-        # -- tier 1b: r3-green, outside r04's window; the first 25 fit
-        #    the 50-slot window (after 5 tier-2 + 3 tier-3 + 17 tier-1a),
+        # -- tier 1b: r3-green, outside r04's window; the first 24 fit
+        #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
         "uniform_sample": q_uniform_sample,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -3463,6 +3481,24 @@ def oracle_sql() -> dict[str, str]:
             item_exprs="event_type", id_expr="event_id",
             keys=["day"], rate=8,
         ),
+        "sessionized_events": """
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT *,
+                       CASE WHEN lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+        """,
         "logprob_percentile_filter": """
             WITH toks AS (
                 SELECT doc_id,

@@ -100,6 +100,7 @@ EXTENDED = [
     "token_budget_sample",
     "sampled_event_counts",
     "logprob_percentile_filter",
+    "sessionized_events",
 ]
 
 

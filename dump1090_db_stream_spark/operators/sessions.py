@@ -185,6 +185,54 @@ def cap_events_per_key(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tie_col: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Row-level gap sessionization: assign every event a 1-based
+    ``session_col`` per ``key``, starting a new session whenever the
+    time since the key's previous event exceeds ``gap_seconds`` — the
+    batch, row-preserving member of the session family
+    (``F.session_window`` AGGREGATES to one row per session;
+    ``streaming.stateful.session_flights`` is the streaming form; this
+    labels the events themselves, which is what downstream per-session
+    operators — funnels, journey paths, value runs — consume).
+
+    Classic gaps-and-islands, the same one-Exchange shape as
+    :func:`value_runs`: one window pass computes the new-session flag
+    (lag + gap compare), a running sum over the SAME window spec turns
+    flags into ids — Catalyst plans ONE Exchange + ONE sort, O(1)
+    state per row. ``tie_col`` (the relation's unique id) makes
+    equal-timestamp ordering deterministic across engines; boundary
+    semantics are strict (dt > gap starts a new session; dt == gap
+    continues), on microsecond arithmetic so any ANSI engine replays
+    ids exactly.
+
+    Skew: one key's rows land in one task (any per-key window's
+    contract) — sort cost, O(1) memory; pre-split pathological keys
+    with :func:`cap_events_per_key` if even sort time is unaffordable.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    from pyspark.sql import Window
+
+    order = [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts).cast("timestamp"))).over(w)
+    dt_us = F.unix_micros(F.col(ts).cast("timestamp")) - prev_us
+    new_sess = F.when(
+        prev_us.isNull() | (dt_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -216,3 +216,57 @@ def test_cap_events_per_key_heavy_key_single_shuffle(spark):
     assert "WindowGroupLimit" in final_plan
     assert "Partial" in final_plan.split("WindowGroupLimit")[-1] or \
         final_plan.count("WindowGroupLimit") == 2
+
+
+def test_sessionize_gap_boundaries_and_numbering(spark):
+    import datetime as dt
+
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: gaps of exactly 60s (continues), 61s (breaks), 1s
+    rows = [(0, 1, t0),
+            (1, 1, t0 + dt.timedelta(seconds=60)),     # dt == gap: same
+            (2, 1, t0 + dt.timedelta(seconds=121)),    # dt = 61 > gap: new
+            (3, 1, t0 + dt.timedelta(seconds=122)),
+            (4, 2, t0 + dt.timedelta(seconds=500))]    # other key: own ids
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {r["event_id"]: r["session_id"] for r in
+           sessionize(df, "user_id", "ts", 60,
+                      tie_col="event_id").collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_sessionize_tie_break_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    # equal timestamps: zero dt never breaks; ordering still total
+    df = spark.createDataFrame(
+        [(i, 1, t0) for i in (3, 1, 2)], ["event_id", "user_id", "ts"])
+    got = sessionize(df, "user_id", "ts", 10, tie_col="event_id").collect()
+    assert {r["session_id"] for r in got} == {1}
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, "user_id", "ts", 0)
+
+
+def test_sessionize_single_exchange_plan(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 7).alias("ts"))
+    out = sessionize(df, "user_id", "ts", 60, tie_col="event_id")
+    out.write.format("noop").mode("overwrite").save()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    # flag window and running sum share one spec: one Exchange, one Sort
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
