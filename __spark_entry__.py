@@ -2220,6 +2220,275 @@ def q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution with an ON-clause filter (TPC-H Q13
+    shape): how many customers placed exactly k non-urgent orders,
+    INCLUDING k=0. The filter must live in the JOIN condition, not a
+    WHERE — a WHERE on the right side after a left join silently drops
+    the zero-order customers the query exists to count. Two-level
+    aggregation: per-customer counts (one shuffle on the join key,
+    count(o_orderkey) ignores the null-extended rows), then the
+    customer-count histogram (vocabulary-sized, map-side combined)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-max subquery re-expression (TPC-H Q15 shape): the
+    supplier(s) with the maximum 1996-Q1 revenue. Revenue is summed as
+    DECIMAL(28,8) so the max-equality filter compares exact values —
+    a double sum's partition-order nondeterminism could make two
+    engines disagree about a near-tie argmax. The one-row max relation
+    is broadcast back onto the |suppliers|-sized aggregate (never a
+    global sort, never a single-partition window); the date filter
+    prunes the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    max_rev = per_supp.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        per_supp.join(F.broadcast(max_rev),
+                      F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-HAVING IN-subquery (TPC-H Q18 shape): orders whose
+    total quantity exceeds 300, joined back to their customer. The
+    subquery result (46 keys at sf0.01; rare by construction at any
+    scale) is the BROADCAST side of both join-backs, so neither orders
+    nor lineitem re-shuffles; sum(l_quantity) is grouped map-side
+    before the one l_orderkey exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (
+        orders.join(F.broadcast(big),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape):
+    above-average-balance customers with no order since 2000-06-01,
+    summarized per market segment. The positive-balance average is a
+    one-row aggregate broadcast as a crossJoin (documented one-row
+    attach, the Q22 scalar subquery); the NOT EXISTS is a LEFT ANTI
+    join against the date-pruned order keys. Customer is the only
+    shuffled relation and only for the final vocabulary-sized
+    segment rollup."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+    recent = (orders
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-06-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+              "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Correlated-min subquery join-back (TPC-H Q2 shape, re-keyed to
+    this schema: no partsupp table, so lineitem is the part-supplier
+    cost relation): for each small part (p_size <= 2), the supplier
+    with the minimum observed unit price. Spark-first re-expression:
+    instead of a correlated `WHERE cost = (SELECT min(cost) ...)`
+    rescan, ONE window pass (row_number over (part) ordered by rounded
+    unit cost, then supplier key as the deterministic tiebreak) picks
+    the argmin; Catalyst rewrites the rank filter into a map-side
+    WindowGroupLimit so the exchange carries one candidate row per
+    (part, task). The part filter is broadcast; unit cost divides as
+    DOUBLE (identical IEEE semantics both engines) and rounds before
+    ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    w = (Window.partitionBy("l_partkey")
+         .orderBy("unit_cost", "l_suppkey"))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") <= 2)),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "p_name", "l_suppkey",
+                unit.alias("unit_cost"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "p_name",
+            F.col("s_suppkey").alias("cheapest_suppkey"),
+            "s_name", "unit_cost",
+        )
+    )
+
+
+def q_trade_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-role dimension join with a disjunctive pair predicate
+    (TPC-H Q7 shape): shipping volume between NATION_1 and NATION_2 in
+    both directions, per ship year. The nation dimension joins TWICE
+    under different roles (supplier side, customer side); both roles
+    pre-filter to the two nations of interest BEFORE their joins, so
+    the disjunctive cross-pair condition (supp <> cust) is a cheap
+    residual instead of a post-join filter over the full fact. orders
+    is the only big-side shuffle pair; supplier/customer/nation
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    supp_side = (supplier
+                 .join(F.broadcast(
+                     nation.filter(F.col("n_name").isin(pair)).select(
+                         F.col("n_nationkey").alias("_snk"),
+                         F.col("n_name").alias("supp_nation"))),
+                     F.col("s_nationkey") == F.col("_snk"))
+                 .select("s_suppkey", "supp_nation"))
+    cust_side = (customer
+                 .join(F.broadcast(
+                     nation.filter(F.col("n_name").isin(pair)).select(
+                         F.col("n_nationkey").alias("_cnk"),
+                         F.col("n_name").alias("cust_nation"))),
+                     F.col("c_nationkey") == F.col("_cnk"))
+                 .select("c_custkey", "cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(supp_side),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_side),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_event_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface (the SQL-standard REGR_* family +
+    corr/covar): per event type, how value co-moves with hour-of-day.
+    All six aggregates are single-pass map-side-combined moments (one
+    shuffle on the vocabulary-sized type key, O(1) state per group);
+    x is a small-magnitude derived int so cross-engine float noise
+    stays far below the shared 6-decimal rounding. Rows where either
+    variable is NULL are excluded explicitly — Spark and DuckDB agree
+    on pairwise deletion only when it's spelled out."""
+    ev = _events(spark, sf_dir)
+    x = F.hour("ts").cast("double")
+    v = F.col("value")
+    return (
+        ev.filter(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr(v, x), 6).alias("corr_vh"),
+            F.round(F.covar_samp(v, x), 6).alias("covar_vh"),
+            F.round(F.regr_slope(v, x), 6).alias("slope"),
+            F.round(F.regr_intercept(v, x), 6).alias("intercept"),
+            F.round(F.regr_r2(v, x), 6).alias("r2"),
+        )
+    )
+
+
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth (the WoW/MoM dashboard staple): weekly
+    order revenue with previous-week delta and percent change. The
+    week bucket is integer epoch-week arithmetic (engine-neutral;
+    date_trunc('week') start-of-week conventions differ across
+    engines/locales). Scale shape: the full-size relation reduces to
+    O(weeks) rows in ONE map-side-combined aggregation FIRST; the
+    unpartitioned lag window then runs over those ~350 aggregate rows
+    (same bounded-relation contract as bigram_pmi's totals attach).
+    Growth math runs on the ROUNDED revenue so both engines divide
+    identical inputs."""
+    from dump1090_db_stream_spark.operators.timeseries import epoch_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    week = epoch_bucket(F.col("o_orderdate"), 7 * 86400)
+    weekly = (orders.groupBy(week.alias("week_idx"))
+              .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("week_idx")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_idx", "n_orders", "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("wow_growth"),
+    )
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain funnel — the composition the row-preserving
+    sessionizer exists for: label every event with its gap session
+    (operators.sessions.sessionize, 30 min), then run the ordered
+    view -> click -> purchase conversion fold PER SESSION rather than
+    per user (operators.funnel.funnel_counts over the composite
+    user#session key). Same two-shuffle budget as the user-grain
+    funnel (sessionize's key window, the funnel's key groupBy — both
+    hash the same user-dominated key); the oracle replays
+    sessionization closed-form and chains per-session min-ts steps."""
+    from dump1090_db_stream_spark.operators.funnel import funnel_counts
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+
+    ev = sessionize(_events(spark, sf_dir), "user_id", "ts",
+                    gap_seconds=1800, tie_col="event_id")
+    keyed = ev.withColumn(
+        "_skey", F.concat_ws("#", F.col("user_id"), F.col("session_id")))
+    return (funnel_counts(keyed, FUNNEL_STEPS, id_col="_skey")
+            .withColumnRenamed("n_users", "n_sessions"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -2246,6 +2515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 2 first this round: new in round 5 (never driver-
         #    verified outranks everything)
+        "customer_distribution": q_customer_distribution,
+        "event_correlations": q_event_correlations,
+        "weekly_growth": q_weekly_growth,
+        "session_funnel": q_session_funnel,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "large_order_customers": q_large_order_customers,
+        "idle_rich_customers": q_idle_rich_customers,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "trade_volume_pairs": q_trade_volume_pairs,
         "table_profile_approx": q_table_profile_approx,
         "capped_user_events": q_capped_user_events,
         "token_budget_sample": q_token_budget_sample,
@@ -4694,6 +4972,167 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, center_id, round(dist, 2) AS distance_km
             FROM d WHERE dist <= 200.0
+        """,
+        "session_funnel": f"""
+            WITH sess AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM (
+                    SELECT *,
+                           CASE WHEN lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) > 1800000000
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                )
+            ), s1 AS (
+                SELECT user_id, session_id, min(ts) AS t FROM sess
+                WHERE event_type = '{FUNNEL_STEPS[0]}'
+                GROUP BY user_id, session_id
+            ), s2 AS (
+                SELECT e.user_id, e.session_id, min(e.ts) AS t
+                FROM sess e JOIN s1 ON e.user_id = s1.user_id
+                                   AND e.session_id = s1.session_id
+                WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+                GROUP BY e.user_id, e.session_id
+            ), s3 AS (
+                SELECT e.user_id, e.session_id, min(e.ts) AS t
+                FROM sess e JOIN s2 ON e.user_id = s2.user_id
+                                   AND e.session_id = s2.session_id
+                WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+                GROUP BY e.user_id, e.session_id
+            )
+            SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+                   (SELECT count(*) FROM s1) AS n_sessions
+            UNION ALL
+            SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+        """,
+        "customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,8))) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(rev AS DOUBLE), 2) AS total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM r)
+        """,
+        "large_order_customers": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN big      ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "idle_rich_customers": """
+            SELECT c_mktsegment,
+                   count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY c_mktsegment
+        """,
+        "cheapest_supplier_per_part": """
+            WITH costed AS (
+                SELECT l_partkey, p_name, l_suppkey,
+                       round(l_extendedprice / l_quantity, 6) AS unit_cost,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY round(l_extendedprice / l_quantity, 6),
+                                    l_suppkey) AS rn
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size <= 2
+            )
+            SELECT l_partkey AS p_partkey, p_name,
+                   l_suppkey AS cheapest_suppkey, s_name, unit_cost
+            FROM costed JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rn = 1
+        """,
+        "event_correlations": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(corr(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS corr_vh,
+                   round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS covar_vh,
+                   round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS slope,
+                   round(regr_intercept(value,
+                                        CAST(hour(ts) AS DOUBLE)), 6)
+                       AS intercept,
+                   round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS r2
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY event_type
+        """,
+        "weekly_growth": """
+            WITH weekly AS (
+                SELECT epoch_us(o_orderdate) // 604800000000 AS week_idx,
+                       round(sum(o_totalprice), 2) AS revenue,
+                       count(*) AS n_orders
+                FROM orders
+                GROUP BY epoch_us(o_orderdate) // 604800000000
+            )
+            SELECT week_idx, n_orders, revenue,
+                   round(lag(revenue) OVER (ORDER BY week_idx), 2)
+                       AS prev_revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY week_idx))
+                         / lag(revenue) OVER (ORDER BY week_idx), 6)
+                       AS wow_growth
+            FROM weekly
+        """,
+        "trade_volume_pairs": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))) AS DOUBLE), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
         """,
     })
 

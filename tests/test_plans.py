@@ -311,6 +311,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "weekly_active_estimate",  # same one-row span attach, sketch tier
         "logprob_percentile_filter",  # one-row U total + one-row p25
                                       # cutoff attach (both broadcast)
+        "idle_rich_customers",    # one-row global-avg-balance scalar
+                                  # attach (TPC-H Q22 shape)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
