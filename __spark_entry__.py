@@ -2489,6 +2489,86 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("n_users", "n_sessions"))
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup with reconstruction (operators.cleaning.
+    dedup_lines — the RefinedWeb/CCNet hygiene pass that strips
+    cross-document boilerplate LINES and stitches the remainder back
+    together byte-exactly). The synthetic corpus has no newlines, so
+    the query PLANTS deterministic boilerplate around the real texts
+    (header on 2/3 of docs, footer on 1/3 — same crafted-fixture
+    pattern as pii_scrub_stats): both planted lines exceed max_df=50
+    and are removed; every real text line is unique and survives. The
+    oracle replays split -> doc-frequency -> filtered ordered
+    string_agg, hash-checking the reconstructed text itself."""
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.lit("NEWSLETTER SIGNUP")
+    footer = F.lit("COPYRIGHT 2026 EXAMPLE CORP")
+    nl = F.lit("\n")
+    mutated = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(header, nl, F.col("text"), nl, footer))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(header, nl, F.col("text")))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_lines(mutated, max_df=50).select(
+        "doc_id", "n_lines", "n_removed", "text")
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join (operators.timeseries.
+    interval_overlap_pairs) over gap sessions: which sessions of
+    DIFFERENT users ran concurrently (closed-interval overlap), with
+    the overlap duration — the 1-D analog of close_encounters (bucket
+    cover + later-start pair-once discipline + exact residual, never
+    a cross product; same-user sessions can't overlap by the gap
+    construction). The oracle replays sessionization closed-form and
+    brute-forces the inequality self-join."""
+    from dump1090_db_stream_spark.operators.sessions import sessionize
+    from dump1090_db_stream_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    ev = sessionize(_events(spark, sf_dir), "user_id", "ts",
+                    gap_seconds=1800, tie_col="event_id")
+    sess = (ev.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("_st"), F.max("ts").alias("_en")))
+    pairs = interval_overlap_pairs(
+        sess, ["user_id", "session_id"], "_st", "_en",
+        bucket_seconds=4 * 3600)
+    return pairs.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("_b_user_id").alias("user_b"),
+        F.col("_b_session_id").alias("session_b"),
+        "start_a", "end_a", "start_b", "end_b", "overlap_sec",
+    )
+
+
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (operators.graph.
+    best_survivors): n-gram-Jaccard pairs -> connected components ->
+    keep each cluster's HIGHEST-quality_score doc (min id on ties)
+    plus all singletons — the survivor policy real pipelines want
+    (neardup_survivors' min-id keeps an arbitrary copy). Scores come
+    from quality_features; the argmax runs on a narrow (id, canonical,
+    score) relation as a map-side WindowGroupLimit; bodies never
+    shuffle. Oracle: the neardup_clusters transitive closure spliced
+    with the doc_quality replay and a QUALIFY argmax."""
+    from dump1090_db_stream_spark.operators.dedup import ngram_jaccard_pairs
+    from dump1090_db_stream_spark.operators.graph import best_survivors
+    from dump1090_db_stream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs.select("doc_id", "text"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    return best_survivors(scored, pairs, "q_quality_score").select(
+        "canonical_id", "doc_id", "q_quality_score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -2515,6 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 2 first this round: new in round 5 (never driver-
         #    verified outranks everything)
+        "line_dedup_docs": q_line_dedup_docs,
+        "concurrent_sessions": q_concurrent_sessions,
+        "quality_survivors": q_quality_survivors,
         "customer_distribution": q_customer_distribution,
         "event_correlations": q_event_correlations,
         "weekly_growth": q_weekly_growth,
@@ -5015,6 +5098,74 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
         """,
+        "line_dedup_docs": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                'NEWSLETTER SIGNUP' || chr(10) || text
+                                || chr(10) || 'COPYRIGHT 2026 EXAMPLE CORP'
+                            WHEN doc_id % 3 = 1 THEN
+                                'NEWSLETTER SIGNUP' || chr(10) || text
+                            ELSE text END AS text
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, str_split(text, chr(10)) AS arr,
+                       unnest(range(1, len(str_split(text, chr(10))) + 1))
+                           AS pos
+                FROM docs2
+            ), lines AS (
+                SELECT doc_id, pos, arr[pos] AS line FROM idx
+            ), freq AS (
+                SELECT line, count(DISTINCT doc_id) AS doc_freq
+                FROM lines GROUP BY line
+            ), flagged AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       (f.doc_freq > 50) AS dropped
+                FROM lines l JOIN freq f USING (line)
+            )
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   coalesce(
+                       string_agg(line, chr(10) ORDER BY pos)
+                           FILTER (WHERE NOT dropped),
+                       '') AS text
+            FROM flagged GROUP BY doc_id
+        """,
+        "concurrent_sessions": """
+            WITH sess AS (
+                SELECT event_id, user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM (
+                    SELECT *,
+                           CASE WHEN lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) > 1800000000
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                )
+            ), s AS (
+                SELECT user_id, session_id,
+                       min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT a.user_id AS user_a, a.session_id AS session_a,
+                   b.user_id AS user_b, b.session_id AS session_b,
+                   a.st AS start_a, a.en AS end_a,
+                   b.st AS start_b, b.en AS end_b,
+                   round((least(a.en, b.en) - greatest(a.st, b.st))
+                         / 1000000.0, 6) AS overlap_sec
+            FROM s a JOIN s b
+              ON a.st <= b.en AND b.st <= a.en
+             AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+        """,
         "customer_distribution": """
             SELECT c_count, count(*) AS custdist
             FROM (
@@ -5158,4 +5309,18 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
             WHERE coalesce(reach.comp, d.doc_id) = d.doc_id
         """
+    # quality survivors = the same closure spliced with the doc_quality
+    # replay (argmax per cluster by score, min id on ties) — semantic
+    # reuse of both oracles, not duplication
+    oracles["quality_survivors"] = (
+        closure[:tail]
+        + f", q AS ({oracles['doc_quality']})"
+        + """
+            SELECT coalesce(reach.comp, q.doc_id) AS canonical_id,
+                   q.doc_id, q.q_quality_score
+            FROM q LEFT JOIN reach ON reach.id = q.doc_id
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(reach.comp, q.doc_id)
+                ORDER BY q.q_quality_score DESC, q.doc_id) = 1
+        """)
     return oracles

@@ -14,6 +14,10 @@ whole module stays JVM-side at 100 TB:
                      filters ("fraction of characters in most common
                      n-gram") reduce to thresholds over this output.
 - repetition_filter  keep documents under a top-share threshold.
+- line_doc_frequencies / dedup_lines
+                     line-level corpus dedup (RefinedWeb-style): count
+                     per-line document frequency, strip lines shared by
+                     more than max_df docs, reconstruct texts byte-exact.
 
 Scale notes: normalize/scrub are stateless projections (pipelined into
 the scan, zero shuffle). repetition_stats explodes n-grams and
@@ -101,6 +105,114 @@ def repetition_stats(
             F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
                 .alias("dup_frac"),
         )
+    )
+
+
+def line_doc_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """(line, doc_freq): how many DISTINCT documents contain each line.
+
+    The discovery half of line-level deduplication (the RefinedWeb /
+    CCNet corpus-hygiene pass: navigation menus, cookie banners,
+    "subscribe" calls-to-action repeat verbatim across a domain's
+    pages while real prose lines are unique). Document frequency, not
+    occurrence count: a line repeated inside ONE document is content
+    (verse refrains), a line repeated across MANY documents is
+    boilerplate.
+
+    Shape: split -> posexplode -> per-(doc, line) collapse -> per-line
+    count. Both aggregations combine map-side; the shuffle key is the
+    line string (only this relation's rows, never full texts).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+         .alias("pos", "line"),
+    )
+    return (
+        lines.select("id", "line").distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    max_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Line-level corpus deduplication with document reconstruction:
+    remove every line appearing in MORE than ``max_df`` distinct
+    documents, stitch the survivors back together in original order.
+
+    Output: df's columns with ``text_col`` REPLACED by the
+    reconstructed text (frequent lines removed; '' when nothing
+    survives), plus audit columns ``n_lines`` (original line count)
+    and ``n_removed``. Byte-exact contract: surviving lines keep
+    their exact text and relative order, rejoined with ``delimiter``
+    — any ANSI engine replays it with split/unnest + a filtered
+    ordered string_agg.
+
+    Scale shape: the frequent-line relation is df-thresholded (true
+    boilerplate is a vanishing fraction of distinct lines) and
+    broadcast; the removal flag is a broadcast LEFT join keyed on the
+    8-byte xxhash64 of the line with string equality as the residual,
+    so the big side's shuffle-free pipeline survives hash collisions.
+    Reconstruction is ONE groupBy(doc): collect the per-doc line
+    structs (bounded by document size — the same per-key contract
+    every sessionizer has), sort by position in-memory, filter, join.
+    Nothing is ever quadratic; the only full-size shuffle carries
+    (id, pos, line) rows.
+    """
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    lines = df.select(
+        F.col(id_col).alias("_ld_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+         .alias("pos", "line"),
+    )
+    frequent = (
+        line_doc_frequencies(df, id_col, text_col, delimiter)
+        .filter(F.col("doc_freq") > max_df)
+        .select(F.xxhash64("line").alias("_fh"),
+                F.col("line").alias("_fline"))
+    )
+    flagged = (
+        lines.join(
+            F.broadcast(frequent),
+            (F.xxhash64("line") == F.col("_fh"))
+            & (F.col("line") == F.col("_fline")),
+            "left")
+        .select("_ld_id", "pos", "line",
+                F.col("_fline").isNotNull().alias("_drop"))
+    )
+    rebuilt = (
+        flagged.groupBy("_ld_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "_drop", "line"))),
+                        lambda x: ~x["_drop"]),
+                    lambda x: x["line"]),
+                delimiter).alias("_new_text"),
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt, F.col(id_col) == F.col("_ld_id"))
+        .select(*others, F.col("_new_text").alias(text_col),
+                "n_lines", "n_removed")
     )
 
 

@@ -22,7 +22,7 @@ distributed; only the 1-row convergence flag reaches the driver).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.cache import track
@@ -233,6 +233,47 @@ def dedup_survivors(
         .select(id_col)
     )
     return df.join(survivors, id_col, "left_semi")
+
+
+def best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    algorithm: str = "star",
+) -> DataFrame:
+    """Quality-aware dedup: keep the HIGHEST-``score_col`` document of
+    each near-dup cluster (min id on ties) plus every singleton —
+    the survivor policy real corpus pipelines want (min-id keeps an
+    arbitrary copy; this keeps the best one) and the composition
+    point for quality_features / unigram_logprob scores.
+
+    Same scale shape as :func:`dedup_survivors`: components run over
+    the pair graph only; the argmax runs on a NARROW (id, canonical,
+    score) relation — one row_number window per cluster that Catalyst
+    executes as a map-side WindowGroupLimit (the exchange carries one
+    candidate per cluster per task, never a cluster's full membership)
+    — and the corpus rejoins by LEFT SEMI on the surviving ids, so
+    document bodies never shuffle.
+
+    Output: df's full schema for survivors, plus ``canonical_id`` (the
+    cluster key the row won).
+    """
+    cmap = canonical_map(df, pairs, id_col, src_col, dst_col, algorithm)
+    scored = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(cmap, id_col)
+    )
+    w = (Window.partitionBy("canonical_id")
+         .orderBy(F.col(score_col).desc(), F.col(id_col)))
+    winners = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "canonical_id")
+    )
+    return df.join(winners, id_col).select(*df.columns, "canonical_id")
 
 
 def triangles(

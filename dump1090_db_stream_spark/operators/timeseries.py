@@ -1,6 +1,6 @@
 """Event-time window operators beyond tumbling/session windows.
 
-Two shapes a telemetry/feature pipeline needs that the existing
+Shapes a telemetry/feature pipeline needs that the existing
 rollup/session operators don't cover:
 
 - sliding_window_agg : overlapping fixed windows (width > slide) via
@@ -20,6 +20,9 @@ rollup/session operators don't cover:
   ``time_bucket_gapfill``/``locf``/``interpolate`` triple, re-expressed
   as sequence-explode + ignore-nulls window frames (no Python, no
   per-gap joins).
+- interval_overlap_pairs : overlapping-interval self-join via time
+  bucket cover + later-start pair-once discipline (the 1-D analog of
+  geo.close_encounters) — never a cross product.
 
 Scale: both window operators are single-shuffle (window-key hash agg /
 one partition-key exchange); the range frame is evaluated with a
@@ -195,4 +198,81 @@ def gap_fill(
         F.round("_avg", 6).alias("value_avg"),
         F.round(prev_v, 6).alias("value_locf"),
         F.round(interp, 6).alias("value_interp"),
+    )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Self-join of overlapping CLOSED intervals ([start, end] with
+    a.start <= b.end AND b.start <= a.end) without a cross product —
+    the 1-D analog of the spatio-temporal close-encounters join
+    (operators.geo.close_encounters applies the same cover/discipline
+    pattern in (time, lat, lon)): concurrent sessions, overlapping
+    outages vs deploys, conflicting SCD2 validity runs.
+
+    Spark-first shape: each interval is replicated onto the integer
+    time buckets it covers (``sequence(floor(start/b), floor(end/b))``
+    — length/bucket_seconds + 1 replicas, so pick ``bucket_seconds``
+    near the typical interval length), candidates meet in a bucket
+    EQUI-join, the exact overlap predicate runs as the residual, and
+    the pair-once discipline keeps a pair only in the bucket holding
+    the LATER start (``floor(greatest(a.start, b.start)/b)``) — if a
+    and b overlap, a covers the bucket where b starts and vice versa,
+    so exactly one copy of every qualifying pair survives with no
+    ``distinct()``. Lexicographic id ordering emits each unordered
+    pair once.
+
+    Output: a-side ids (original names), b-side ids (``_b`` suffix),
+    both intervals as epoch micros (``start_a/end_a/start_b/end_b``),
+    and ``overlap_sec`` (rounded 6). Skew note: a bucket's cost is
+    quadratic in its interval count — for heavy wall-clock hotspots
+    shrink ``bucket_seconds`` (more replicas, finer buckets), the same
+    dial as the geo grid cell.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b_us = F.lit(bucket_seconds * MICROS_PER_SEC)
+    st = F.unix_micros(F.col(start_col).cast("timestamp"))
+    en = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        st.alias("_st"), en.alias("_en"),
+        F.explode(F.sequence(F.floor(st / b_us), F.floor(en / b_us)))
+         .alias("_bk"),
+    )
+    a = base.select(
+        F.col("_bk"),
+        *[F.col(c).alias(f"_a_{c}") for c in id_cols],
+        F.col("_st").alias("start_a"), F.col("_en").alias("end_a"),
+    )
+    b = base.select(
+        F.col("_bk"),
+        *[F.col(c).alias(f"_b_{c}") for c in id_cols],
+        F.col("_st").alias("start_b"), F.col("_en").alias("end_b"),
+    )
+    a_key = F.struct(*[F.col(f"_a_{c}") for c in id_cols])
+    b_key = F.struct(*[F.col(f"_b_{c}") for c in id_cols])
+    later_start = F.greatest(F.col("start_a"), F.col("start_b"))
+    pairs = (
+        a.join(b, "_bk")
+        .filter(
+            (a_key < b_key)
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+            & (F.floor(later_start / b_us) == F.col("_bk"))
+        )
+    )
+    overlap = (
+        F.least(F.col("end_a"), F.col("end_b")) - later_start
+    ).cast("double") / MICROS_PER_SEC
+    return pairs.select(
+        *[F.col(f"_a_{c}").alias(c) for c in id_cols],
+        *[F.col(f"_b_{c}") for c in id_cols],
+        "start_a", "end_a", "start_b", "end_b",
+        F.round(overlap, 6).alias("overlap_sec"),
     )

@@ -116,3 +116,70 @@ def test_mixture_sample_is_shuffle_free(spark):
     plan = (mixture_sample(df, {"a": 0.5})
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_dedup_lines_removes_frequent_and_reconstructs(spark):
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    # "AD" appears in 3 docs (> max_df=2) -> removed everywhere,
+    # including BOTH copies inside doc 1 (df counts distinct docs,
+    # removal strips every occurrence); "BODY x" lines are unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "AD\nBODY one\nAD\nBODY two"),
+            (2, "BODY three\nAD"),
+            (3, "AD\nBODY four"),
+            (4, "BODY five"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs, max_df=2).collect()}
+    assert got[1]["text"] == "BODY one\nBODY two"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (4, 2)
+    assert got[2]["text"] == "BODY three"
+    assert got[3]["text"] == "BODY four"
+    assert got[4]["text"] == "BODY five"
+    assert got[4]["n_removed"] == 0
+
+
+def test_dedup_lines_boundary_and_empty_doc(spark):
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    # df == max_df is KEPT (strict > threshold); a doc made entirely
+    # of frequent lines reconstructs to '' (not NULL)
+    docs = spark.createDataFrame(
+        [
+            (1, "KEEP\nX one"),
+            (2, "KEEP\nX two"),
+            (3, "GONE\nX three"),
+            (4, "GONE\nX four"),
+            (5, "GONE\nX five"),
+            (6, "GONE"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs, max_df=2).collect()}
+    assert got[1]["text"] == "KEEP\nX one"   # df=2 == max_df -> kept
+    assert got[3]["text"] == "X three"       # df=4 > max_df -> removed
+    assert got[6]["text"] == "" and got[6]["n_removed"] == 1
+    assert len(got) == 6  # fully-emptied docs still emit a row
+
+
+def test_dedup_lines_preserves_order_and_other_columns(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "en", "z\nF\na"), (2, "de", "F\nm"), (3, "fr", "F\nq")],
+        ["doc_id", "lang", "text"],
+    )
+    out = dedup_lines(docs, max_df=1)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # original relative order kept (never sorted lexicographically)
+    assert got[1]["text"] == "z\na"
+    assert got[1]["lang"] == "en"
+    assert set(out.columns) == {"doc_id", "lang", "text",
+                                "n_lines", "n_removed"}
+    with pytest.raises(ValueError, match="max_df"):
+        dedup_lines(docs, max_df=0)

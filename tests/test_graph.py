@@ -143,3 +143,21 @@ def test_triangles_count_each_once(spark):
     rows = triangles(df).collect()
     assert len(rows) == 1 and (rows[0]["a"], rows[0]["b"],
                                rows[0]["c"]) == (1, 2, 3)
+
+
+def test_best_survivors_keeps_highest_score(spark):
+    from dump1090_db_stream_spark.operators.graph import best_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        ["doc_id", "score"],
+    )
+    # cluster {1,2,3}: 2 and 3 tie on score -> min id 2 wins;
+    # {4}, {5} are singletons and survive as their own canonical
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r for r in
+           best_survivors(docs, pairs, "score").collect()}
+    assert set(got) == {2, 4, 5}
+    assert got[2]["canonical_id"] == 1  # cluster key is the component min
+    assert got[4]["canonical_id"] == 4
+    assert got[2]["score"] == 0.9  # full input schema preserved

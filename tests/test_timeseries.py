@@ -124,3 +124,70 @@ def test_gap_fill_empty_input_yields_empty_grid(spark):
     empty = spark.createDataFrame(
         [], "event_id long, key long, ts timestamp, value double")
     assert gap_fill(empty, "ts", ["key"], "value", 3600).count() == 0
+
+
+def _iv(spark, rows):
+    from pyspark.sql import functions as F
+
+    return (spark.createDataFrame(rows, ["id", "st_s", "en_s"])
+            .select("id",
+                    F.timestamp_seconds("st_s").alias("st"),
+                    F.timestamp_seconds("en_s").alias("en")))
+
+
+def test_interval_overlap_pairs_known_layout(spark):
+    from dump1090_db_stream_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    # a[0,100] overlaps b[50,150]; c[150,200] touches b at 150 (closed
+    # -> counts, overlap 0); d[300,310] overlaps nothing; e is a POINT
+    # interval inside a.
+    iv = _iv(spark, [(1, 0, 100), (2, 50, 150), (3, 150, 200),
+                     (4, 300, 310), (5, 70, 70)])
+    got = {(r["id"], r["_b_id"]): r["overlap_sec"]
+           for r in interval_overlap_pairs(
+               iv, ["id"], "st", "en", bucket_seconds=60).collect()}
+    assert got == {(1, 2): 50.0, (2, 3): 0.0, (1, 5): 0.0, (2, 5): 0.0}
+
+
+def test_interval_overlap_pairs_exactly_once_across_buckets(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    # both intervals span MANY buckets and co-occupy several of them;
+    # the later-start discipline must emit the pair exactly once
+    iv = _iv(spark, [(1, 0, 1000), (2, 10, 990)])
+    rows = interval_overlap_pairs(iv, ["id"], "st", "en",
+                                  bucket_seconds=7).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["_b_id"], r["overlap_sec"]) == (1, 2, 980.0)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_pairs(iv, ["id"], "st", "en", bucket_seconds=0)
+
+
+def test_interval_overlap_pairs_matches_bruteforce(spark):
+    import itertools
+
+    from dump1090_db_stream_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, s, s + rng.randrange(0, 500))
+            for i, s in ((i, rng.randrange(0, 5000)) for i in range(80))]
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    iv = _iv(spark, rows)
+    got = {(r["id"], r["_b_id"])
+           for r in interval_overlap_pairs(
+               iv, ["id"], "st", "en", bucket_seconds=120).collect()}
+    assert got == want
