@@ -494,3 +494,40 @@ def test_market_share_broadcasts_every_dimension(spark, sf):
     # (the literal pushed-predicate form, not just any mention of
     # PushedFilters/p_type — 7 scans print empty PushedFilters lists)
     assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf):
+    """Spark's runtime bloom-filter join pruning (on by default since
+    3.5, SPARK-32268) is part of this repo's 100 TB story: when a
+    selective dimension filter feeds a SHUFFLE join, Catalyst builds a
+    bloom filter from the creation side and injects might_contain() on
+    the fact side's join key, semi-reducing the fact relation BEFORE
+    the exchange. Pin the behavior so a config regression (it silently
+    dies if runtime filtering is disabled or thresholds drift) stays
+    visible. Thresholds are lowered to fire at test scale — the
+    defaults are sized for real clusters (10 MB creation side / 10 GB
+    application side)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        assert saved["spark.sql.optimizer.runtime.bloomFilter.enabled"] == "true"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "1KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{sf}/orders.parquet")
+                  .filter(F.col("o_totalprice") > 450000))
+        j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").count())
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
