@@ -2569,6 +2569,133 @@ def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id", "doc_id", "q_quality_score")
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way filtered join + top-k (TPC-H Q3 shape): unshipped
+    BUILDING-segment revenue per order as of a date, top 10. Both
+    date filters push to their scans; customer is broadcast; revenue
+    sums DECIMAL-exact and the top-k ORDERS ON THE EXACT DECIMAL
+    (rounding only for display) so near-ties can't reorder across
+    engines; total order via the orderkey tiebreak plans
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(
+            customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey",
+                F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+                "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue ranking (TPC-H Q10 shape): per-customer
+    lost revenue from RETURNED lineitems against one order quarter,
+    with the customer's nation, top 20. The quarter filter prunes the
+    orders scan before its join; customer and nation broadcast onto
+    the aggregated relation; ordering runs on the exact decimal with
+    the customer key as total-order tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        per_cust
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal",
+                F.col("n_name").alias("nation"),
+                F.round(F.col("_rev").cast("double"), 2)
+                 .alias("lost_revenue"))
+    )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution as a cross-family composition: fuzzy-match
+    blocking (operators.fuzzy.edit_distance_join, the oracle-proven
+    lossless Ed-Join prefix filter) produces the match-pair graph,
+    connected components (operators.graph.canonical_map) collapses
+    transitive matches, and every customer maps to a canonical entity
+    id — the classic dedupe-the-CRM pipeline, each stage individually
+    oracle-proven and here hash-checked END TO END (the DuckDB oracle
+    recomputes the n^2 levenshtein pairs and the recursive-CTE
+    closure)."""
+    from dump1090_db_stream_spark.operators.fuzzy import edit_distance_join
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3)
+    return canonical_map(cust, pairs, id_col="c_custkey",
+                         src_col="id1", dst_col="id2").select(
+        F.col("c_custkey"), F.col("canonical_id").alias("entity_id"))
+
+
+def q_quartile_stratified_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Quality-quartile stratified sampling — the curation composition
+    (score -> bucket -> cap): quality_features scores every doc, the
+    corpus quartile cutoffs come from the portable DISCRETE-quantile
+    sketch (threshold_quantiles, rate=4 — actual data values both
+    engines agree on exactly), docs bucket by cutoff comparison
+    (one-row broadcast attach), and stratified_cap keeps a
+    deterministic hash-ranked 40 per quartile. The oracle replays
+    scoring, sampling, cutoffs, bucketing, and ranking closed-form."""
+    from dump1090_db_stream_spark.operators.sampling import stratified_cap
+    from dump1090_db_stream_spark.operators.sketches import (
+        threshold_quantiles,
+    )
+    from dump1090_db_stream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs.select("doc_id", "text")).select(
+        "doc_id", "q_quality_score")
+    cuts = threshold_quantiles(scored, keys=[], value_col="q_quality_score",
+                               id_col="doc_id", qs=(0.25, 0.5, 0.75),
+                               rate=4)
+    s = F.col("q_quality_score")
+    bucketed = (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "quartile",
+            (F.lit(1) + (s > F.col("p25")).cast("int")
+             + (s > F.col("p50")).cast("int")
+             + (s > F.col("p75")).cast("int")))
+    )
+    return stratified_cap(
+        bucketed, strata=["quartile"], n_per_stratum=40,
+        id_col="doc_id", keep_rank=True,
+    ).select("quartile", "doc_id", "q_quality_score", "rk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -2598,6 +2725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "concurrent_sessions": q_concurrent_sessions,
         "quality_survivors": q_quality_survivors,
+        "entity_resolution": q_entity_resolution,
+        "quartile_stratified_sample": q_quartile_stratified_sample,
+        "shipping_priority": q_shipping_priority,
+        "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
         "event_correlations": q_event_correlations,
         "weekly_growth": q_weekly_growth,
@@ -5166,6 +5297,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.st <= b.en AND b.st <= a.en
              AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
         """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(CAST(rev AS DOUBLE), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM (
+                SELECT l_orderkey, o_orderdate, o_orderpriority,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,8))) AS rev
+                FROM customer
+                JOIN orders   ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-03-15'
+                  AND l_shipdate  > TIMESTAMP '1998-03-15'
+                GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            ORDER BY rev DESC, l_orderkey
+            LIMIT 10
+        """,
+        "returned_item_losses": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,8))) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-10-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, c_acctbal,
+                   n_name AS nation,
+                   round(CAST(rev AS DOUBLE), 2) AS lost_revenue
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            ORDER BY rev DESC, c_custkey
+            LIMIT 20
+        """,
         "customer_distribution": """
             SELECT c_count, count(*) AS custdist
             FROM (
@@ -5323,4 +5494,62 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                 PARTITION BY coalesce(reach.comp, q.doc_id)
                 ORDER BY q.q_quality_score DESC, q.doc_id) = 1
         """)
+    # entity resolution = the fuzzy pair oracle (n^2 levenshtein) fed
+    # through the same recursive-CTE transitive closure the cluster
+    # oracles use — both stages' oracles composed end to end
+    oracles["entity_resolution"] = f"""
+        WITH pairs AS ({oracles["fuzzy_name_matches"]}),
+        edges AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION
+            SELECT id2 AS a, id1 AS b FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, v) AS (
+                SELECT a AS id, a AS v FROM edges
+                UNION
+                SELECT r.id, e.b AS v
+                FROM r JOIN edges e ON r.v = e.a
+            )
+            SELECT id, min(v) AS comp FROM r GROUP BY id
+        )
+        SELECT c.c_custkey,
+               coalesce(reach.comp, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN reach ON reach.id = c.c_custkey
+    """
+    # quartile-stratified sampling = doc_quality scoring + the portable
+    # discrete-quantile cutoffs + hash-ranked per-bucket caps, all
+    # replayed closed-form
+    from dump1090_db_stream_spark.operators.sampling import (
+        portable_hash_sql as _phs,
+    )
+    from dump1090_db_stream_spark.operators.sketches import (
+        sample_threshold as _sth,
+    )
+
+    oracles["quartile_stratified_sample"] = f"""
+        WITH q AS ({oracles["doc_quality"]}),
+        scored AS (SELECT doc_id, q_quality_score FROM q),
+        arr AS (
+            SELECT list_sort(list(q_quality_score)) AS a
+            FROM scored
+            WHERE ({_phs("doc_id")}) < {_sth(4)}
+        ), cut AS (
+            SELECT a[CAST(floor(0.25 * (len(a) - 1)) AS INT) + 1] AS p25,
+                   a[CAST(floor(0.50 * (len(a) - 1)) AS INT) + 1] AS p50,
+                   a[CAST(floor(0.75 * (len(a) - 1)) AS INT) + 1] AS p75
+            FROM arr
+        ), bucketed AS (
+            SELECT s.doc_id, s.q_quality_score,
+                   1 + CAST(s.q_quality_score > cut.p25 AS INT)
+                     + CAST(s.q_quality_score > cut.p50 AS INT)
+                     + CAST(s.q_quality_score > cut.p75 AS INT) AS quartile
+            FROM scored s CROSS JOIN cut
+        )
+        SELECT quartile, doc_id, q_quality_score, rk FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY quartile
+                       ORDER BY {_phs("doc_id")}, doc_id) AS rk
+            FROM bucketed)
+        WHERE rk <= 40
+    """
     return oracles

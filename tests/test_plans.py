@@ -313,6 +313,9 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                       # cutoff attach (both broadcast)
         "idle_rich_customers",    # one-row global-avg-balance scalar
                                   # attach (TPC-H Q22 shape)
+        "quartile_stratified_sample",  # one-row quartile-cutoff attach
+                                       # (broadcast, same as logprob
+                                       # percentile filter)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
