@@ -2696,6 +2696,44 @@ def q_quartile_stratified_sample(spark: SparkSession,
     ).select("quartile", "doc_id", "q_quality_score", "rk")
 
 
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU ratio — the engagement-dashboard staple) as
+    a composition of the trailing-actives operator at two windows.
+    Scale discipline: raw events are scanned ONCE — the (user, day)
+    dedup is materialized (cache.track barrier, Catalyst has no
+    cross-branch reuse) and BOTH trailing_active_users calls run over
+    it (their internal dedup is a no-op on the pre-deduped relation);
+    the join runs on two dense O(days) grids. The ratio divides on a
+    NULL guard (an empty trailing week implies an empty day, so
+    0/0 emits NULL, not NaN — spelled identically in the oracle)."""
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.journeys import (
+        trailing_active_users,
+    )
+    from dump1090_db_stream_spark.operators.timeseries import epoch_bucket
+
+    ev = _events(spark, sf_dir)
+    act = track(
+        ev.select(
+            "user_id",
+            F.timestamp_seconds(
+                epoch_bucket(F.col("ts"), 86400) * 86400).alias("ts"))
+        .distinct())
+    dau = (trailing_active_users(act, "user_id", "ts", window_days=1,
+                                 materialize=False)
+           .withColumnRenamed("n_active", "n_dau"))
+    wau = (trailing_active_users(act, "user_id", "ts", window_days=7,
+                                 materialize=False)
+           .withColumnRenamed("n_active", "n_wau"))
+    return dau.join(wau, "day").select(
+        "day", "n_dau", "n_wau",
+        F.when(F.col("n_wau") > 0,
+               F.round(F.col("n_dau").cast("double")
+                       / F.col("n_wau").cast("double"), 6))
+         .alias("stickiness"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -2727,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_survivors": q_quality_survivors,
         "entity_resolution": q_entity_resolution,
         "quartile_stratified_sample": q_quartile_stratified_sample,
+        "dau_wau_stickiness": q_dau_wau_stickiness,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -5296,6 +5335,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b
               ON a.st <= b.en AND b.st <= a.en
              AND (a.user_id, a.session_id) < (b.user_id, b.session_id)
+        """,
+        "dau_wau_stickiness": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ), s AS (
+                SELECT min(d) AS lo, max(d) AS hi FROM a
+            ), v AS (
+                SELECT user_id,
+                       unnest(range(d, least(d + 6,
+                                             (SELECT hi FROM s)) + 1))
+                           AS w
+                FROM a
+            ), wau AS (
+                SELECT w, count(DISTINCT user_id) AS n
+                FROM v GROUP BY w
+            ), dau AS (
+                SELECT d AS w, count(DISTINCT user_id) AS n
+                FROM a GROUP BY d
+            ), g AS (
+                SELECT unnest(range(lo, hi + 1)) AS w FROM s
+            )
+            SELECT make_timestamp(w * 86400000000) AS day,
+                   coalesce(dau.n, 0) AS n_dau,
+                   coalesce(wau.n, 0) AS n_wau,
+                   CASE WHEN coalesce(wau.n, 0) > 0 THEN
+                       round(CAST(coalesce(dau.n, 0) AS DOUBLE)
+                             / CAST(wau.n AS DOUBLE), 6)
+                   END AS stickiness
+            FROM g LEFT JOIN wau USING (w) LEFT JOIN dau USING (w)
         """,
         "shipping_priority": """
             SELECT l_orderkey,

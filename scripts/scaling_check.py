@@ -36,6 +36,10 @@ DEFAULT = [
     "value_runs_scd2",        # shared-exchange window chain
     "token_budget_sample",    # hash-order running-sum prefix cut
     "capped_user_events",     # map-side WindowGroupLimit cap
+    "line_dedup_docs",        # line df + broadcast removal + rebuild
+    "concurrent_sessions",    # interval bucket-cover overlap self-join
+    "entity_resolution",      # fuzzy pair graph + connected components
+    "quartile_stratified_sample",  # score -> cutoffs -> ranked caps
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

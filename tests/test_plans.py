@@ -316,6 +316,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "quartile_stratified_sample",  # one-row quartile-cutoff attach
                                        # (broadcast, same as logprob
                                        # percentile filter)
+        "dau_wau_stickiness",     # the trailing-actives one-row span
+                                  # attach, twice (DAU + WAU tiers)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
