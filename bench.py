@@ -101,6 +101,19 @@ EXTENDED = [
     "sampled_event_counts",
     "logprob_percentile_filter",
     "sessionized_events",
+    # round-5 continuation wave (the lighter TPC-H single-join shapes
+    # are omitted — their cost profiles duplicate existing entries)
+    "line_dedup_docs",
+    "concurrent_sessions",
+    "quality_survivors",
+    "entity_resolution",
+    "quartile_stratified_sample",
+    "dau_wau_stickiness",
+    "session_funnel",
+    "customer_distribution",
+    "shipping_priority",
+    "returned_item_losses",
+    "trade_volume_pairs",
 ]
 
 
