@@ -2302,23 +2302,30 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape):
     above-average-balance customers with no order since 2000-06-01,
-    summarized per market segment. The positive-balance average is a
+    summarized per market segment. The positive-balance stats are a
     one-row aggregate broadcast as a crossJoin (documented one-row
     attach, the Q22 scalar subquery); the NOT EXISTS is a LEFT ANTI
     join against the date-pruned order keys. Customer is the only
     shuffled relation and only for the final vocabulary-sized
-    segment rollup."""
+    segment rollup. The above-average test multiplies through by the
+    count (bal * n > sum) with a DECIMAL-exact sum: a double avg() is
+    partition-order noise at the last ulp, and a balance landing
+    between two engines' noisy averages would flip the filter (the
+    same failure class top_supplier_revenue's decimal sum guards
+    against)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+    bal_stats = (customer.filter(F.col("c_acctbal") > 0)
+                 .agg(F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
+                      .cast("double").alias("_sum_bal"),
+                      F.count(F.lit(1)).alias("_n_bal")))
     recent = (orders
               .filter(F.col("o_orderdate")
                       >= F.lit("2000-06-01").cast("timestamp"))
               .select("o_custkey"))
     return (
-        customer.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        customer.crossJoin(F.broadcast(bal_stats))
+        .filter(F.col("c_acctbal") * F.col("_n_bal") > F.col("_sum_bal"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"),
               "left_anti")
         .groupBy("c_mktsegment")
@@ -2477,7 +2484,11 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user#session key). Same two-shuffle budget as the user-grain
     funnel (sessionize's key window, the funnel's key groupBy — both
     hash the same user-dominated key); the oracle replays
-    sessionization closed-form and chains per-session min-ts steps."""
+    sessionization closed-form and chains per-session min-ts steps.
+    Tie contract (same as funnel_conversions): the min-ts chain
+    compares strictly on ts, matching the fold because per-user
+    timestamps are unique in this dataset (operators.funnel docstring
+    documents the (ts, tie_col) ordering for corpora with ties)."""
     from dump1090_db_stream_spark.operators.funnel import funnel_counts
     from dump1090_db_stream_spark.operators.sessions import sessionize
 
@@ -5446,12 +5457,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
         """,
         "idle_rich_customers": """
+            WITH t AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,8)))
+                            AS DOUBLE) AS s,
+                       count(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            )
             SELECT c_mktsegment,
                    count(*) AS n_custs,
                    round(sum(c_acctbal), 2) AS total_acctbal
-            FROM customer c
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                               WHERE c_acctbal > 0)
+            FROM customer c CROSS JOIN t
+            WHERE c.c_acctbal * t.n > t.s
               AND NOT EXISTS (
                   SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey

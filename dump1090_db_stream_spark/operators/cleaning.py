@@ -108,6 +108,21 @@ def repetition_stats(
     )
 
 
+def _regex_literal(s: str) -> str:
+    """Quote a string so Java-regex consumers (F.split) match it
+    literally: \\Q...\\E quoting, split on any embedded \\E."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _split_lines(df: DataFrame, id_col: str, text_col: str,
+                 delimiter: str, id_alias: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.split(F.col(text_col), _regex_literal(delimiter)))
+         .alias("pos", "line"),
+    )
+
+
 def line_doc_frequencies(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,17 +137,14 @@ def line_doc_frequencies(
     pages while real prose lines are unique). Document frequency, not
     occurrence count: a line repeated inside ONE document is content
     (verse refrains), a line repeated across MANY documents is
-    boilerplate.
+    boilerplate. ``delimiter`` is matched LITERALLY (regex-quoted
+    before it reaches F.split).
 
     Shape: split -> posexplode -> per-(doc, line) collapse -> per-line
     count. Both aggregations combine map-side; the shuffle key is the
     line string (only this relation's rows, never full texts).
     """
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), delimiter))
-         .alias("pos", "line"),
-    )
+    lines = _split_lines(df, id_col, text_col, delimiter, "id")
     return (
         lines.select("id", "line").distinct()
         .groupBy("line")
@@ -151,44 +163,43 @@ def dedup_lines(
     remove every line appearing in MORE than ``max_df`` distinct
     documents, stitch the survivors back together in original order.
 
-    Output: df's columns with ``text_col`` REPLACED by the
+    Output: one row per input row — ``text_col`` REPLACED by the
     reconstructed text (frequent lines removed; '' when nothing
-    survives), plus audit columns ``n_lines`` (original line count)
-    and ``n_removed``. Byte-exact contract: surviving lines keep
-    their exact text and relative order, rejoined with ``delimiter``
-    — any ANSI engine replays it with split/unnest + a filtered
-    ordered string_agg.
+    survives; NULL passes through as NULL with zero counts), plus
+    audit columns ``n_lines`` (original line count) and ``n_removed``.
+    Byte-exact contract: surviving lines keep their exact text and
+    relative order, rejoined with ``delimiter`` (matched literally —
+    regex-quoted internally) — any ANSI engine replays it with
+    split/unnest + a filtered ordered string_agg.
 
-    Scale shape: the frequent-line relation is df-thresholded (true
-    boilerplate is a vanishing fraction of distinct lines) and
-    broadcast; the removal flag is a broadcast LEFT join keyed on the
-    8-byte xxhash64 of the line with string equality as the residual,
-    so the big side's shuffle-free pipeline survives hash collisions.
-    Reconstruction is ONE groupBy(doc): collect the per-doc line
-    structs (bounded by document size — the same per-key contract
-    every sessionizer has), sort by position in-memory, filter, join.
-    Nothing is ever quadratic; the only full-size shuffle carries
-    (id, pos, line) rows.
+    Scale shape: the corpus is split/exploded ONCE — the line relation
+    is materialized (cache.track barrier; Catalyst has no cross-branch
+    reuse, and both the frequency branch and the flag join consume it;
+    the caller releases via cache.release_tracked) — and the
+    frequent-line relation is df-thresholded (true boilerplate is a
+    vanishing fraction of distinct lines) and broadcast for the
+    removal flag join on the line string. Reconstruction is ONE
+    groupBy(doc): collect the per-doc line structs (bounded by
+    document size — the same per-key contract every sessionizer has),
+    sort by position in-memory, filter, join. Nothing is ever
+    quadratic; the only full-size shuffle carries (id, pos, line)
+    rows.
     """
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    lines = df.select(
-        F.col(id_col).alias("_ld_id"),
-        F.posexplode(F.split(F.col(text_col), delimiter))
-         .alias("pos", "line"),
-    )
+    from dump1090_db_stream_spark.cache import track
+
+    lines = track(_split_lines(df, id_col, text_col, delimiter, "_ld_id"))
     frequent = (
-        line_doc_frequencies(df, id_col, text_col, delimiter)
+        lines.select("_ld_id", "line").distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") > max_df)
-        .select(F.xxhash64("line").alias("_fh"),
-                F.col("line").alias("_fline"))
+        .select(F.col("line").alias("_fline"))
     )
     flagged = (
-        lines.join(
-            F.broadcast(frequent),
-            (F.xxhash64("line") == F.col("_fh"))
-            & (F.col("line") == F.col("_fline")),
-            "left")
+        lines.join(F.broadcast(frequent),
+                   F.col("line") == F.col("_fline"), "left")
         .select("_ld_id", "pos", "line",
                 F.col("_fline").isNotNull().alias("_drop"))
     )
@@ -208,11 +219,15 @@ def dedup_lines(
         )
     )
     others = [c for c in df.columns if c != text_col]
+    # LEFT join: a NULL text splits to zero line rows, so the doc never
+    # reaches `rebuilt` — it must still pass through (NULL text, zero
+    # counts), not vanish from a hygiene pass
     return (
         df.select(*others)
-        .join(rebuilt, F.col(id_col) == F.col("_ld_id"))
+        .join(rebuilt, F.col(id_col) == F.col("_ld_id"), "left")
         .select(*others, F.col("_new_text").alias(text_col),
-                "n_lines", "n_removed")
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
     )
 
 

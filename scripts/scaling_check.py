@@ -40,6 +40,7 @@ DEFAULT = [
     "concurrent_sessions",    # interval bucket-cover overlap self-join
     "entity_resolution",      # fuzzy pair graph + connected components
     "quartile_stratified_sample",  # score -> cutoffs -> ranked caps
+    "dau_wau_stickiness",     # shared dedup barrier + two vote tiers
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -183,3 +183,34 @@ def test_dedup_lines_preserves_order_and_other_columns(spark):
                                 "n_lines", "n_removed"}
     with pytest.raises(ValueError, match="max_df"):
         dedup_lines(docs, max_df=0)
+
+
+def test_dedup_lines_null_text_passes_through(spark):
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    docs = spark.createDataFrame(
+        [(1, "X\nY one"), (2, "X\nY two"), (3, None)], schema)
+    got = {r["doc_id"]: r for r in dedup_lines(docs, max_df=1).collect()}
+    assert len(got) == 3  # the NULL-text doc is NOT dropped
+    assert got[3]["text"] is None
+    assert (got[3]["n_lines"], got[3]["n_removed"]) == (0, 0)
+    assert got[1]["text"] == "Y one"
+
+
+def test_dedup_lines_regex_metachar_delimiter_is_literal(spark):
+    from dump1090_db_stream_spark.operators.cleaning import dedup_lines
+
+    # '|' is a regex metacharacter (empty alternation would split every
+    # character); the operator must treat the delimiter literally
+    docs = spark.createDataFrame(
+        [(1, "AD|BODY one"), (2, "AD|BODY two"), (3, "AD|BODY three")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           dedup_lines(docs, max_df=2, delimiter="|").collect()}
+    assert got[1]["text"] == "BODY one"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (2, 1)
