@@ -2745,6 +2745,217 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity.pq_encode/
+    pq_topk — Jegou et al.'s ADC search): the corpus compresses to m=8
+    codes/vector against FIXED deterministic codebooks (closed-form
+    integer-grid literals, the PQ analog of the LSH hyperplane
+    literals, so the oracle embeds bit-identical doubles), each query
+    precomputes its m x ksub distance table, and candidates rank by
+    the ordered sum of table lookups. Every fold is index-ascending,
+    so DuckDB's sequential list_sum replays the exact IEEE values —
+    encode argmin, LUT, ADC, and rank all hash-match. The trained-
+    codebook path (pq_train) is recall-tested against brute force in
+    test_similarity.py."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    books = pq_codebooks_fixed(dim=64, m=8, ksub=16)
+    return pq_topk(emb, queries, books, k=10)
+
+
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
+    shape): the fixed coarse quantizer (embeddings 10..17, the
+    embedding_ivf_topk index) prunes WHICH vectors are scanned via a
+    probe-cluster EQUI-join, and the fixed product quantizer
+    (pq_codebooks_fixed) compresses HOW candidates are scored (m-byte
+    codes + per-query LUT). The oracle splices both replays — cosine
+    cluster assignment/probing and the PQ encode/LUT/j-ordered ADC
+    fold — closed-form."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
+                 .orderBy("vec_id").select("embedding").collect())
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    books = pq_codebooks_fixed(dim=64, m=8, ksub=16)
+    return ivf_pq_topk(emb, queries, centroids, books, k=10, n_probes=4)
+
+
+def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
+                   k: int = 10, nq: int = 5, n_probes: int = 4) -> str:
+    """The embedding_ivf_topk assignment/probe replay spliced with the
+    embedding_pq_topk encode/LUT/ADC replay: candidates are restricted
+    to each query's probed clusters, then ranked by the j-ordered ADC
+    fold."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        pq_codebooks_fixed,
+    )
+
+    books = pq_codebooks_fixed(dim, m, ksub)
+    dsub = dim // m
+    rows = ",\n                ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
+        for j in range(m) for c in range(ksub))
+    return f"""
+            WITH cb(j, c, v) AS (VALUES
+                {rows}
+            ), cents AS (
+                SELECT vec_id - 10 AS cid, embedding AS cvec,
+                       1.0 / sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS inv_c
+                FROM embeddings WHERE vec_id >= 10 AND vec_id < 18
+            ), assign AS (
+                SELECT neighbor_id, cid FROM (
+                    SELECT e.vec_id AS neighbor_id, t.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, length(e.embedding) + 1),
+                                   i -> e.embedding[i]::DOUBLE
+                                        * t.cvec[i]::DOUBLE))
+                                   * t.inv_c DESC, t.cid) AS rn
+                    FROM embeddings e CROSS JOIN cents t)
+                WHERE rn = 1
+            ), subj AS (SELECT unnest(range(0, {m})) AS j),
+            sub AS (
+                SELECT e.vec_id, s.j,
+                       list_transform(
+                           range(s.j * {dsub} + 1, s.j * {dsub} + {dsub} + 1),
+                           i -> e.embedding[i]::DOUBLE) AS sv
+                FROM embeddings e, subj s
+            ), dists AS (
+                SELECT vec_id, s.j, cb.c,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                           i -> (sv[i] - v[i]) * (sv[i] - v[i]))) AS d
+                FROM sub s JOIN cb ON cb.j = s.j
+            ), codes AS (
+                SELECT vec_id, j, c FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                                 ORDER BY d, c) AS rn
+                    FROM dists)
+                WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < {nq}
+            ), probes AS (
+                SELECT query_id, cid FROM (
+                    SELECT q.query_id, t.cid,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, length(q.qv) + 1),
+                                   i -> q.qv[i]::DOUBLE
+                                        * t.cvec[i]::DOUBLE))
+                                   * t.inv_c DESC, t.cid) AS pr
+                    FROM q CROSS JOIN cents t)
+                WHERE pr <= {n_probes}
+            ), qlut AS (
+                SELECT q.query_id, cb.j, cb.c,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                           i -> (qv[cb.j * {dsub} + i]::DOUBLE - v[i])
+                                * (qv[cb.j * {dsub} + i]::DOUBLE - v[i])))
+                           AS d
+                FROM q, cb
+            ), adc AS (
+                SELECT p.query_id, a.neighbor_id,
+                       list_sum(list(ql.d ORDER BY ql.j)) AS dist
+                FROM assign a
+                JOIN probes p ON p.cid = a.cid
+                JOIN codes co ON co.vec_id = a.neighbor_id
+                JOIN qlut ql ON ql.query_id = p.query_id
+                            AND ql.j = co.j AND ql.c = co.c
+                WHERE a.neighbor_id <> p.query_id
+                GROUP BY p.query_id, a.neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id)
+                           AS rank
+                FROM adc
+            )
+            SELECT query_id, neighbor_id, rank,
+                   round(dist, 6) AS adc_dist
+            FROM ranked WHERE rank <= {k}
+        """
+
+
+def _pq_topk_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
+                    k: int = 10, nq: int = 3) -> str:
+    """Closed-form replay of the ENTIRE PQ pipeline: per-subspace
+    argmin encoding (raw-double distances, lower-code ties), the
+    query LUT, and the j-ordered ADC fold — codebook literals embedded
+    bit-identically from the same Python floats the Spark side uses."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        pq_codebooks_fixed,
+    )
+
+    books = pq_codebooks_fixed(dim, m, ksub)
+    dsub = dim // m
+    rows = ",\n                ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
+        for j in range(m) for c in range(ksub))
+    return f"""
+            WITH cb(j, c, v) AS (VALUES
+                {rows}
+            ), subj AS (SELECT unnest(range(0, {m})) AS j),
+            sub AS (
+                SELECT e.vec_id, s.j,
+                       list_transform(
+                           range(s.j * {dsub} + 1, s.j * {dsub} + {dsub} + 1),
+                           i -> e.embedding[i]::DOUBLE) AS sv
+                FROM embeddings e, subj s
+            ), dists AS (
+                SELECT vec_id, s.j, cb.c,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                           i -> (sv[i] - v[i]) * (sv[i] - v[i]))) AS d
+                FROM sub s JOIN cb ON cb.j = s.j
+            ), codes AS (
+                SELECT vec_id, j, c FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                                 ORDER BY d, c) AS rn
+                    FROM dists)
+                WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < {nq}
+            ), qlut AS (
+                SELECT q.query_id, cb.j, cb.c,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                           i -> (qv[cb.j * {dsub} + i]::DOUBLE - v[i])
+                                * (qv[cb.j * {dsub} + i]::DOUBLE - v[i])))
+                           AS d
+                FROM q, cb
+            ), adc AS (
+                SELECT ql.query_id, co.vec_id AS neighbor_id,
+                       list_sum(list(ql.d ORDER BY ql.j)) AS dist
+                FROM codes co JOIN qlut ql ON co.j = ql.j AND co.c = ql.c
+                WHERE co.vec_id <> ql.query_id
+                GROUP BY ql.query_id, co.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id)
+                           AS rank
+                FROM adc
+            )
+            SELECT query_id, neighbor_id, rank,
+                   round(dist, 6) AS adc_dist
+            FROM ranked WHERE rank <= {k}
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the flights band join (the reference's hardest query) at
     sf0.001; driver checks rows>0 and stable schema."""
@@ -2777,6 +2988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "quartile_stratified_sample": q_quartile_stratified_sample,
         "dau_wau_stickiness": q_dau_wau_stickiness,
+        "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -3849,6 +4062,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "embedding_ivf_trained": _ivf_trained_oracle(),
+        "embedding_pq_topk": _pq_topk_oracle(),
+        "embedding_ivfpq_topk": _ivf_pq_oracle(),
         # same trained-k-means prefix (bit-identical centroids), profile
         # tail: per-cluster source mix over the documents join
         "cluster_profiles": _ivf_trained_oracle(prefix_only=True) + """

@@ -114,6 +114,8 @@ EXTENDED = [
     "shipping_priority",
     "returned_item_losses",
     "trade_volume_pairs",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
 ]
 
 

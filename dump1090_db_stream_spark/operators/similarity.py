@@ -904,3 +904,235 @@ def assign_clusters(
         F.col(id_col).alias(id_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
     )
+
+
+# --- Product quantization (PQ) ------------------------------------------
+
+
+def pq_codebooks_fixed(
+    dim: int, m: int = 8, ksub: int = 16, seed: int = 11,
+) -> list[list[list[float]]]:
+    """Deterministic fixed PQ codebooks (m subspaces x ksub centroids x
+    dim/m components), generated by closed-form integer arithmetic so
+    an oracle can embed the IDENTICAL double literals — the PQ analog
+    of the LSH hyperplane literals (``_hyperplane``). Values are
+    i/1000 - 0.5 grid points; both engines parse the same repr."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [
+            [((j * 977 + c * 131 + t * 29 + seed) * 2654435761 % 1000)
+             / 1000.0 - 0.5
+             for t in range(dsub)]
+            for c in range(ksub)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 16384,
+) -> list[list[list[float]]]:
+    """Learned PQ codebooks: independent L2 Lloyd k-means per subspace
+    over ONE bounded md5-ranked sample (the same training contract as
+    :func:`kmeans_centroids` — one Spark job, numpy on the driver,
+    deterministic: first-ksub init, argmin ties to the lower centroid,
+    empty clusters keep their centroid)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_sample)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    sample = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lower index
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Ordered-fold squared L2 distance between two arrays, in doubles:
+    index-ascending accumulation, so any engine's sequential list-sum
+    replays the exact same IEEE value."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """m-int code array for one vector: per subspace, the argmin-L2
+    centroid index, ties to the lower code (struct ordering on
+    (distance, index), both engines' comparison)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def code_for(j: int) -> Column:
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        scored = F.transform(
+            cb, lambda c, i: F.struct(_l2sq(sub, c).alias("d"),
+                                      i.alias("idx")))
+        return F.array_min(scored)["idx"].cast("int")
+
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_lut(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The per-query ADC lookup table: m arrays of ksub exact
+    subspace-to-centroid squared-L2 distances (nested array<double>)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(*[
+        F.transform(
+            F.lit([[float(x) for x in c] for c in codebooks[j]]),
+            lambda c: _l2sq(F.slice(vec, j * dsub + 1, dsub), c))
+        for j in range(m)
+    ])
+
+
+def pq_adc(codes: Column, lut: Column) -> Column:
+    """ADC distance: the index-ascending (j = 0..m-1) fold of LUT
+    lookups — ordered so an ANSI engine's sequential list-sum replays
+    the exact IEEE value."""
+    return F.aggregate(
+        F.zip_with(codes, lut,
+                   lambda code, table: F.element_at(table, code + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """(id, codes): each vector compressed to m small ints
+    (:func:`pq_codes`). A narrow zero-shuffle projection; at
+    dim=64/m=8 the stored vector bytes drop ~32x vs float32 (the step
+    beyond int8 scalar quantization,
+    operators.similarity.quantize_embeddings)."""
+    return df.select(
+        F.col(id_col),
+        pq_codes(F.col(vec_col), codebooks).alias(code_col),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-flat approximate top-k by asymmetric distance computation
+    (ADC, Jegou et al. TPAMI'11 "Product Quantization for Nearest
+    Neighbor Search"): the corpus is scanned as m-byte codes, each
+    query precomputes an m x ksub lookup table of exact
+    subspace-to-centroid distances, and a candidate's distance is the
+    ordered sum of m table entries — no corpus floats are touched at
+    search time.
+
+    Scale shape: encode is a narrow projection (write the codes table
+    once; ~m bytes/vector of scan instead of 4*dim); the query side
+    carries its LUT as a nested array literal-free column and
+    broadcasts (documented broadcast-nested-loop over the CODES
+    relation, the same contract as brute_force_topk — compose with the
+    IVF cluster filter for sublinear scan). Ranking orders on the raw
+    ADC double with the id tiebreak; the fold is index-ascending so an
+    ANSI engine's ordered list-sum replays it exactly.
+    """
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        pq_lut(F.col(vec_col), codebooks).alias("_lut"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("_adc", pq_adc(F.col("codes"), F.col("_lut")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank",
+                F.round("_adc", 6).alias("adc_dist"))
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ — the FAISS IVFPQ shape, composed from this module's two
+    quantizers: the coarse centroids prune WHICH vectors are touched
+    (probe-cluster equi-join, sublinear scan; at scale write the codes
+    table partitioned by cluster so probes become partition pruning —
+    see write_ivf_index) and the product quantizer compresses HOW each
+    touched vector is scored (m-byte codes + per-query LUT, no corpus
+    floats at search time). Unlike pq_topk's documented full-scan
+    broadcast loop, this join is EQUI-keyed on the cluster id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+        pq_codes(F.col(vec_col), codebooks).alias("codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        pq_lut(F.col(vec_col), codebooks).alias("_lut"),
+        F.explode(
+            _probe_clusters(F.col(vec_col), centroids, n_probes)
+        ).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_adc", pq_adc(F.col("codes"), F.col("_lut")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("_adc", 6).alias("adc_dist"))
+    )

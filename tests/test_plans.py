@@ -318,6 +318,9 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                        # percentile filter)
         "dau_wau_stickiness",     # the trailing-actives one-row span
                                   # attach, twice (DAU + WAU tiers)
+        "embedding_pq_topk",      # ADC scan: broadcast query-LUT side
+                                  # over the CODES relation (same
+                                  # contract as brute_force_topk)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
