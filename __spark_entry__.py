@@ -2769,6 +2769,68 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, books, k=10)
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-nation join correlation (TPC-H Q5 shape): revenue where the
+    CUSTOMER's nation equals the SUPPLIER's nation, per EUROPE nation,
+    for one order year — the join whose defining predicate is an
+    equality between two different dimension paths
+    (c_nationkey = s_nationkey). Spark-first: the correlation rides
+    the lineitem<->supplier broadcast join as a residual after the
+    customer nation arrives through orders; region/nation prune the
+    customer side before the fact joins; revenue sums DECIMAL-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = (customer
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name") == "EUROPE")
+            .select("c_custkey", "c_nationkey", "n_name"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(28,8)")
+    return (
+        li.join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan banded filter aggregate (TPC-H Q6 shape): potential
+    revenue increase from discount-band lineitems in one ship year.
+    Every predicate pushes to the parquet scan (date range, discount
+    band, quantity cap — the PushedFilters line carries all three);
+    the aggregate is one map-side-combined row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                          .cast("decimal(28,8)")).cast("double"), 2)
+             .alias("lost_revenue"),
+        )
+    )
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -2990,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -5592,6 +5656,35 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(wau.n AS DOUBLE), 6)
                    END AS stickiness
             FROM g LEFT JOIN wau USING (w) LEFT JOIN dau USING (w)
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))) AS DOUBLE), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "forecast_revenue": """
+            SELECT count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * l_discount
+                                       AS DECIMAL(28,8))) AS DOUBLE), 2)
+                       AS lost_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "shipping_priority": """
             SELECT l_orderkey,

@@ -503,3 +503,39 @@ def test_ivf_pq_full_probe_equals_pq_flat(corpus):
     assert "BroadcastHashJoin" in plan and "cluster" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_search_equals_inline_and_prunes(spark, tmp_path):
+    """The persisted IVF+PQ index: (a) search equals the inline
+    ivf_pq_topk on the same fixed quantizers; (b) probes arrive via a
+    dynamic-pruning subquery on the ``cluster`` directory column; (c)
+    the stored index holds ONLY (vec_id, codes) — no float vectors."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivf_pq_topk, ivfpq_topk_from_index, pq_codebooks_fixed,
+        write_ivfpq_index,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    fixed = [[float(x) for x in r["embedding"]] for r in emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 18)).collect()]
+    books = pq_codebooks_fixed(dim=64, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, fixed, books)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    inline = ivf_pq_topk(emb, q, fixed, books, k=10, n_probes=2)
+    from_idx = ivfpq_topk_from_index(spark, path, q, fixed, books,
+                                     k=10, n_probes=2)
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, from_idx.collect()))
+
+    plan = from_idx._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["cluster", "codes", "vec_id"]
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("cluster="))
