@@ -1110,12 +1110,15 @@ def ivf_pq_topk(
     see write_ivf_index) and the product quantizer compresses HOW each
     touched vector is scored (m-byte codes + per-query LUT, no corpus
     floats at search time). Unlike pq_topk's documented full-scan
-    broadcast loop, this join is EQUI-keyed on the cluster id."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
-        pq_codes(F.col(vec_col), codebooks).alias("codes"),
-    )
+    broadcast loop, this join is EQUI-keyed on the cluster id.
+
+    Encode-after-prune: PQ codes are computed ONLY for vectors in a
+    probed cluster (a broadcast LEFT SEMI on the distinct probe list
+    runs before the encode projection), and once per surviving vector,
+    not once per matching query — inline search pays
+    n_probes/n_centroids of the encode cost. The persisted form
+    (:func:`write_ivfpq_index`) moves encoding to write time entirely.
+    """
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         pq_lut(F.col(vec_col), codebooks).alias("_lut"),
@@ -1123,6 +1126,14 @@ def ivf_pq_topk(
             _probe_clusters(F.col(vec_col), centroids, n_probes)
         ).alias("cluster"),
     )
+    probed = q.select("cluster").distinct()
+    c = (corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_vec"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cluster"))
+         .join(F.broadcast(probed), "cluster", "left_semi")
+         .select("neighbor_id", "cluster",
+                 pq_codes(F.col("_vec"), codebooks).alias("codes")))
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
