@@ -18,6 +18,11 @@ whole module stays JVM-side at 100 TB:
                      line-level corpus dedup (RefinedWeb-style): count
                      per-line document frequency, strip lines shared by
                      more than max_df docs, reconstruct texts byte-exact.
+- write_line_partials / read_line_frequencies / dedup_lines_vs_index
+                     the incremental form: append-only per-batch
+                     frequency partials (additive across disjoint
+                     batches; streaming-maintainable), SUM-on-read,
+                     new batches stripped against corpus history.
 
 Scale notes: normalize/scrub are stateless projections (pipelined into
 the scan, zero shuffle). repetition_stats explodes n-grams and
@@ -197,6 +202,22 @@ def dedup_lines(
         .filter(F.col("doc_freq") > max_df)
         .select(F.col("line").alias("_fline"))
     )
+    return _strip_lines_and_rebuild(df, lines, frequent, id_col,
+                                    text_col, delimiter)
+
+
+def _strip_lines_and_rebuild(
+    df: DataFrame,
+    lines: DataFrame,
+    frequent: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str,
+) -> DataFrame:
+    """Shared removal/rebuild core: flag each (id, pos, line) row
+    against the broadcast ``frequent`` set (one ``_fline`` column),
+    reconstruct per-doc text, left-join back so NULL-text rows pass
+    through with zero counts."""
     flagged = (
         lines.join(F.broadcast(frequent),
                    F.col("line") == F.col("_fline"), "left")
@@ -248,3 +269,66 @@ def repetition_filter(
         & (F.col("dup_frac") <= max_dup_frac)
     ).select(F.col(id_col))
     return df.join(F.broadcast(keep), id_col, "left_semi")
+
+
+def write_line_partials(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    mode: str = "append",
+) -> None:
+    """Append one batch's (line, doc_freq) partial counts to the
+    persisted line-frequency index — the incremental form of
+    :func:`line_doc_frequencies`, the same append-only store
+    discipline as the sketch family's day partials
+    (operators.sketches.daily_hash_samples): document frequencies are
+    ADDITIVE across batches as long as each document appears in
+    exactly ONE appended batch (the daily-batch contract; appending
+    the same documents twice double-counts them — dedupe upstream).
+    No upsert, no read-modify-write: a crashed append either landed
+    its files or didn't, and Structured Streaming's foreachBatch can
+    maintain it exactly-once from a stream."""
+    (line_doc_frequencies(df, id_col, text_col, delimiter)
+     .write.mode(mode).parquet(path))
+
+
+def read_line_frequencies(spark, path: str) -> DataFrame:
+    """(line, doc_freq) over every appended partial: one map-side-
+    combined SUM per line. Compact opportunistically by rewriting the
+    output of this function with mode='overwrite' to a new path."""
+    return (spark.read.parquet(path)
+            .groupBy("line")
+            .agg(F.sum("doc_freq").alias("doc_freq")))
+
+
+def dedup_lines_vs_index(
+    df: DataFrame,
+    spark,
+    index_path: str,
+    max_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Line-level dedup of a NEW batch against the persisted corpus
+    line-frequency index: lines whose CORPUS document frequency
+    exceeds ``max_df`` are stripped from the batch, whatever their
+    frequency within the batch — the incremental daily-batch form of
+    :func:`dedup_lines` (boilerplate learned from history is removed
+    the first time it appears in today's data). Same output contract
+    as dedup_lines. The frequent set is index-thresholded and
+    broadcast; the batch splits/explodes once."""
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    from dump1090_db_stream_spark.cache import track
+
+    lines = track(_split_lines(df, id_col, text_col, delimiter, "_ld_id"))
+    frequent = (
+        read_line_frequencies(spark, index_path)
+        .filter(F.col("doc_freq") > max_df)
+        .select(F.col("line").alias("_fline"))
+    )
+    return _strip_lines_and_rebuild(df, lines, frequent, id_col,
+                                    text_col, delimiter)
