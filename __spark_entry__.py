@@ -2831,6 +2831,20 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators.dedup.duplicate_spans
+    — the Lee et al. passage-level dedup signal the doc-level families
+    can't see): maximal token intervals covered by 4-token shingles
+    shared by >= 3 distinct docs. The oracle replays positional
+    shingling, distinct-doc frequency, the cover join, and the
+    gaps-and-islands interval merge closed-form — 1-based inclusive
+    token indices on both sides."""
+    from dump1090_db_stream_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=4, min_df=3)
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3054,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
+        "duplicate_text_spans": q_duplicate_text_spans,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -5656,6 +5671,43 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(wau.n AS DOUBLE), 6)
                    END AS stickiness
             FROM g LEFT JOIN wau USING (w) LEFT JOIN dau USING (w)
+        """,
+        "duplicate_text_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS p
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, p,
+                       array_to_string(t[p:p+3], ' ') AS s
+                FROM pos
+            ), freq AS (
+                SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+                GROUP BY s HAVING count(*) >= 3
+            ), hits AS (
+                SELECT doc_id, p FROM sh JOIN freq USING (s)
+            ), isl AS (
+                SELECT doc_id, p,
+                       CASE WHEN p - lag(p) OVER (
+                                PARTITION BY doc_id ORDER BY p) <= 4
+                            THEN 0 ELSE 1 END AS nr
+                FROM hits
+            ), runs AS (
+                SELECT doc_id, p,
+                       sum(nr) OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS UNBOUNDED PRECEDING) AS r
+                FROM isl
+            )
+            SELECT doc_id,
+                   min(p) AS span_start,
+                   max(p) + 3 AS span_end,
+                   max(p) + 3 - min(p) + 1 AS span_tokens,
+                   count(*) AS n_shingles
+            FROM runs GROUP BY doc_id, r
         """,
         "local_supplier_volume": """
             SELECT n_name,

@@ -116,6 +116,7 @@ EXTENDED = [
     "trade_volume_pairs",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "duplicate_text_spans",
 ]
 
 

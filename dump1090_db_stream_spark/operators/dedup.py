@@ -648,3 +648,75 @@ def neardup_vs_index(
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_id", "new_id", "jaccard")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the
+    exact-substring dedup signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", which removes exact
+    repeats >= 50 tokens; the doc-level families above can't see a
+    duplicated PASSAGE inside otherwise-distinct documents).
+
+    A token interval is reported when it is covered by n-token
+    shingles each appearing in >= ``min_df`` distinct documents, with
+    overlapping/adjacent covered intervals merged to maximal spans.
+    Output: (id, span_start, span_end, span_tokens, n_shingles) with
+    1-based inclusive token indices — the relation a strip/mask pass
+    or a duplication-rate audit consumes.
+
+    Spark-first shape: positional shingles (one sequence-transform
+    projection, no Python), distinct-doc frequency in one map-side-
+    combined shuffle keyed on the shingle text (the
+    ``shingle_doc_freq`` precedent; at 100 TB swap the join key for
+    the 8-byte hash exactly as the near-dup joins do), an equi join
+    marks covered positions, and interval merging is gaps-and-islands
+    over ONE per-doc window (equal-length intervals sorted by start
+    merge iff start_delta <= n — the value_runs discipline, one
+    Exchange). Docs shorter than n tokens cannot contain an n-shingle
+    and drop out naturally.
+    """
+    if n < 1 or min_df < 1:
+        raise ValueError(f"n and min_df must be >= 1, got {n}, {min_df}")
+    from pyspark.sql import Window
+
+    toks = with_tokens(df.select(F.col(id_col).alias("id"), text_col),
+                       text_col)
+    k = F.size(F.col("_toks")) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    sh = (toks.filter(k >= 1)
+          .select("id", F.explode(idx).alias("p"),
+                  F.col("_toks").alias("_t"))
+          .select("id", "p",
+                  F.concat_ws(" ", F.slice("_t", F.col("p"), n))
+                   .alias("s")))
+    freq = (sh.select("id", "s").distinct()
+            .groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("s"))
+    hits = sh.join(freq, "s").select("id", "p")
+    w = Window.partitionBy("id").orderBy("p")
+    new_run = F.when(
+        F.col("p") - F.lag("p").over(w) <= n, F.lit(0)).otherwise(F.lit(1))
+    runs = (hits.withColumn("_nr", new_run)
+            .withColumn("_run", F.sum("_nr").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (
+        runs.groupBy("id", "_run")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+             .alias("span_tokens"),
+            "n_shingles",
+        )
+    )

@@ -178,3 +178,53 @@ def test_incremental_neardup_vs_persisted_index(spark, tmp_path):
     write_minhash_index(new_docs, path, bands=16, num_hashes=32,
                         mode="append")
     assert spark.read.json(path + "/_lsh_meta").first()["bands"] == 16
+
+
+def test_duplicate_spans_finds_planted_passage(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.dedup import duplicate_spans
+
+    # the 6-token passage "p q r s t u" is planted inside three
+    # otherwise-distinct docs at DIFFERENT offsets; with n=3/min_df=3
+    # its 4 shingles merge to exactly one span per doc at the right
+    # 1-based token positions
+    passage = "p q r s t u"
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 " + passage + " c1 d1"),      # tokens 3..8
+            (2, passage + " e2 f2 g2"),              # tokens 1..6
+            (3, "h3 " + passage),                    # tokens 2..7
+            (4, "i4 j4 k4 l4 m4"),                   # clean
+            (5, "xx"),                               # shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r
+           for r in duplicate_spans(docs, n=3, min_df=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["span_start"], got[1]["span_end"]) == (3, 8)
+    assert (got[2]["span_start"], got[2]["span_end"]) == (1, 6)
+    assert (got[3]["span_start"], got[3]["span_end"]) == (2, 7)
+    assert got[1]["span_tokens"] == 6 and got[1]["n_shingles"] == 4
+    with pytest.raises(ValueError, match="min_df"):
+        duplicate_spans(docs, n=3, min_df=0)
+
+
+def test_duplicate_spans_merges_only_adjacent_covers(spark):
+    from dump1090_db_stream_spark.operators.dedup import duplicate_spans
+
+    # two SEPARATE duplicated trigrams inside one doc, far enough
+    # apart that their covers must stay two spans
+    a, b = "p q r", "x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " f1 f2 f3 f4 " + b),
+            (2, a + " g1 " + b),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, n=3, min_df=2).collect())
+    assert spans == [(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 5, 7)]
