@@ -2869,12 +2869,13 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries, centroids, books, k=10, n_probes=4)
 
 
-def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
-                   k: int = 10, nq: int = 5, n_probes: int = 4) -> str:
-    """The embedding_ivf_topk assignment/probe replay spliced with the
-    embedding_pq_topk encode/LUT/ADC replay: candidates are restricted
-    to each query's probed clusters, then ranked by the j-ordered ADC
-    fold."""
+def _pq_replay_prefix(dim: int, m: int, ksub: int, nq: int) -> str:
+    """The shared closed-form PQ replay (the _ivf_trained_oracle
+    prefix-builder pattern): codebook literals (bit-identical to the
+    Spark side's Python floats), positional subvectors, per-subspace
+    argmin encoding, the query set, and the query LUT. Both PQ oracle
+    builders compose on top of these CTEs so the replay can never
+    drift between them."""
     from dump1090_db_stream_spark.operators.similarity import (
         pq_codebooks_fixed,
     )
@@ -2884,26 +2885,8 @@ def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
     rows = ",\n                ".join(
         f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
         for j in range(m) for c in range(ksub))
-    return f"""
-            WITH cb(j, c, v) AS (VALUES
+    return f"""cb(j, c, v) AS (VALUES
                 {rows}
-            ), cents AS (
-                SELECT vec_id - 10 AS cid, embedding AS cvec,
-                       1.0 / sqrt(list_sum(list_transform(embedding,
-                            x -> x::DOUBLE * x::DOUBLE))) AS inv_c
-                FROM embeddings WHERE vec_id >= 10 AND vec_id < 18
-            ), assign AS (
-                SELECT neighbor_id, cid FROM (
-                    SELECT e.vec_id AS neighbor_id, t.cid,
-                           row_number() OVER (
-                               PARTITION BY e.vec_id
-                               ORDER BY list_sum(list_transform(
-                                   range(1, length(e.embedding) + 1),
-                                   i -> e.embedding[i]::DOUBLE
-                                        * t.cvec[i]::DOUBLE))
-                                   * t.inv_c DESC, t.cid) AS rn
-                    FROM embeddings e CROSS JOIN cents t)
-                WHERE rn = 1
             ), subj AS (SELECT unnest(range(0, {m})) AS j),
             sub AS (
                 SELECT e.vec_id, s.j,
@@ -2925,6 +2908,41 @@ def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
             ), q AS (
                 SELECT vec_id AS query_id, embedding AS qv
                 FROM embeddings WHERE vec_id < {nq}
+            ), qlut AS (
+                SELECT q.query_id, cb.j, cb.c,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                           i -> (qv[cb.j * {dsub} + i]::DOUBLE - v[i])
+                                * (qv[cb.j * {dsub} + i]::DOUBLE - v[i])))
+                           AS d
+                FROM q, cb
+            )"""
+
+
+def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
+                   k: int = 10, nq: int = 5, n_probes: int = 4) -> str:
+    """The embedding_ivf_topk assignment/probe replay spliced with the
+    shared PQ encode/LUT replay (_pq_replay_prefix): candidates are
+    restricted to each query's probed clusters, then ranked by the
+    j-ordered ADC fold."""
+    return f"""
+            WITH {_pq_replay_prefix(dim, m, ksub, nq)},
+            cents AS (
+                SELECT vec_id - 10 AS cid, embedding AS cvec,
+                       1.0 / sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS inv_c
+                FROM embeddings WHERE vec_id >= 10 AND vec_id < 18
+            ), assign AS (
+                SELECT neighbor_id, cid FROM (
+                    SELECT e.vec_id AS neighbor_id, t.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, length(e.embedding) + 1),
+                                   i -> e.embedding[i]::DOUBLE
+                                        * t.cvec[i]::DOUBLE))
+                                   * t.inv_c DESC, t.cid) AS rn
+                    FROM embeddings e CROSS JOIN cents t)
+                WHERE rn = 1
             ), probes AS (
                 SELECT query_id, cid FROM (
                     SELECT q.query_id, t.cid,
@@ -2937,13 +2955,6 @@ def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
                                    * t.inv_c DESC, t.cid) AS pr
                     FROM q CROSS JOIN cents t)
                 WHERE pr <= {n_probes}
-            ), qlut AS (
-                SELECT q.query_id, cb.j, cb.c,
-                       list_sum(list_transform(range(1, {dsub} + 1),
-                           i -> (qv[cb.j * {dsub} + i]::DOUBLE - v[i])
-                                * (qv[cb.j * {dsub} + i]::DOUBLE - v[i])))
-                           AS d
-                FROM q, cb
             ), adc AS (
                 SELECT p.query_id, a.neighbor_id,
                        list_sum(list(ql.d ORDER BY ql.j)) AS dist
@@ -2969,51 +2980,12 @@ def _ivf_pq_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
 
 def _pq_topk_oracle(dim: int = 64, m: int = 8, ksub: int = 16,
                     k: int = 10, nq: int = 3) -> str:
-    """Closed-form replay of the ENTIRE PQ pipeline: per-subspace
-    argmin encoding (raw-double distances, lower-code ties), the
-    query LUT, and the j-ordered ADC fold — codebook literals embedded
-    bit-identically from the same Python floats the Spark side uses."""
-    from dump1090_db_stream_spark.operators.similarity import (
-        pq_codebooks_fixed,
-    )
-
-    books = pq_codebooks_fixed(dim, m, ksub)
-    dsub = dim // m
-    rows = ",\n                ".join(
-        f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
-        for j in range(m) for c in range(ksub))
+    """Closed-form replay of the ENTIRE PQ-flat pipeline: the shared
+    encode/LUT prefix (_pq_replay_prefix — bit-identical codebook
+    literals) plus the unrestricted j-ordered ADC fold and rank."""
     return f"""
-            WITH cb(j, c, v) AS (VALUES
-                {rows}
-            ), subj AS (SELECT unnest(range(0, {m})) AS j),
-            sub AS (
-                SELECT e.vec_id, s.j,
-                       list_transform(
-                           range(s.j * {dsub} + 1, s.j * {dsub} + {dsub} + 1),
-                           i -> e.embedding[i]::DOUBLE) AS sv
-                FROM embeddings e, subj s
-            ), dists AS (
-                SELECT vec_id, s.j, cb.c,
-                       list_sum(list_transform(range(1, {dsub} + 1),
-                           i -> (sv[i] - v[i]) * (sv[i] - v[i]))) AS d
-                FROM sub s JOIN cb ON cb.j = s.j
-            ), codes AS (
-                SELECT vec_id, j, c FROM (
-                    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-                                                 ORDER BY d, c) AS rn
-                    FROM dists)
-                WHERE rn = 1
-            ), q AS (
-                SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id < {nq}
-            ), qlut AS (
-                SELECT q.query_id, cb.j, cb.c,
-                       list_sum(list_transform(range(1, {dsub} + 1),
-                           i -> (qv[cb.j * {dsub} + i]::DOUBLE - v[i])
-                                * (qv[cb.j * {dsub} + i]::DOUBLE - v[i])))
-                           AS d
-                FROM q, cb
-            ), adc AS (
+            WITH {_pq_replay_prefix(dim, m, ksub, nq)},
+            adc AS (
                 SELECT ql.query_id, co.vec_id AS neighbor_id,
                        list_sum(list(ql.d ORDER BY ql.j)) AS dist
                 FROM codes co JOIN qlut ql ON co.j = ql.j AND co.c = ql.c

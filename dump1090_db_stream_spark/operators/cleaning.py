@@ -287,18 +287,47 @@ def write_line_partials(
     ADDITIVE across batches as long as each document appears in
     exactly ONE appended batch (the daily-batch contract; appending
     the same documents twice double-counts them — dedupe upstream).
-    No upsert, no read-modify-write: a crashed append either landed
-    its files or didn't, and Structured Streaming's foreachBatch can
-    maintain it exactly-once from a stream."""
+    No upsert, no read-modify-write. NOTE: a bare append is
+    at-least-once under retries — for Structured Streaming
+    maintenance use :func:`line_partials_sink`, which keys each
+    micro-batch's files on its batchId so replays overwrite instead
+    of double-counting."""
     (line_doc_frequencies(df, id_col, text_col, delimiter)
      .write.mode(mode).parquet(path))
+
+
+def line_partials_sink(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+):
+    """foreachBatch sink maintaining the line-frequency store
+    EXACTLY-ONCE over at-least-once delivery: each micro-batch writes
+    its partial counts to ``<path>/batch=<batchId>`` with overwrite
+    mode, so a replay after a crash-between-write-and-checkpoint
+    rewrites the same subdirectory instead of appending a second copy
+    (the double-count would silently inflate doc_freq and over-strip
+    lines whose true corpus df is under the threshold).
+    ``read_line_frequencies`` reads the batch=N layout transparently
+    (partition-style directories; the batch column never reaches the
+    aggregate)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (line_doc_frequencies(batch_df, id_col, text_col, delimiter)
+         .write.mode("overwrite").parquet(f"{path}/batch={batch_id}"))
+
+    return sink
 
 
 def read_line_frequencies(spark, path: str) -> DataFrame:
     """(line, doc_freq) over every appended partial: one map-side-
     combined SUM per line. Compact opportunistically by rewriting the
-    output of this function with mode='overwrite' to a new path."""
+    output of this function with mode='overwrite' to a new path.
+    Reads both flat appends (write_line_partials) and the batch=N
+    layout (line_partials_sink) — any partition column is dropped
+    before the aggregate."""
     return (spark.read.parquet(path)
+            .select("line", "doc_freq")
             .groupBy("line")
             .agg(F.sum("doc_freq").alias("doc_freq")))
 
@@ -319,12 +348,13 @@ def dedup_lines_vs_index(
     :func:`dedup_lines` (boilerplate learned from history is removed
     the first time it appears in today's data). Same output contract
     as dedup_lines. The frequent set is index-thresholded and
-    broadcast; the batch splits/explodes once."""
+    broadcast; the batch splits/explodes once (a single consumer here
+    — the frequent set comes from the index, so no track barrier is
+    needed, unlike dedup_lines where the line relation feeds two
+    branches)."""
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    from dump1090_db_stream_spark.cache import track
-
-    lines = track(_split_lines(df, id_col, text_col, delimiter, "_ld_id"))
+    lines = _split_lines(df, id_col, text_col, delimiter, "_ld_id")
     frequent = (
         read_line_frequencies(spark, index_path)
         .filter(F.col("doc_freq") > max_df)

@@ -685,16 +685,23 @@ def duplicate_spans(
         raise ValueError(f"n and min_df must be >= 1, got {n}, {min_df}")
     from pyspark.sql import Window
 
+    from dump1090_db_stream_spark.cache import track
+
     toks = with_tokens(df.select(F.col(id_col).alias("id"), text_col),
                        text_col)
     k = F.size(F.col("_toks")) - (n - 1)
     idx = F.sequence(F.lit(1), k)
-    sh = (toks.filter(k >= 1)
-          .select("id", F.explode(idx).alias("p"),
-                  F.col("_toks").alias("_t"))
-          .select("id", "p",
-                  F.concat_ws(" ", F.slice("_t", F.col("p"), n))
-                   .alias("s")))
+    # sh feeds BOTH the frequency branch and the cover join; without
+    # the barrier Catalyst re-runs the tokenize+explode pipeline per
+    # branch (no cross-branch reuse) — caller releases via
+    # cache.release_tracked
+    sh = track(
+        toks.filter(k >= 1)
+        .select("id", F.explode(idx).alias("p"),
+                F.col("_toks").alias("_t"))
+        .select("id", "p",
+                F.concat_ws(" ", F.slice("_t", F.col("p"), n))
+                 .alias("s")))
     freq = (sh.select("id", "s").distinct()
             .groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") >= min_df)

@@ -986,11 +986,18 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """m-int code array for one vector: per subspace, the argmin-L2
-    centroid index, ties to the lower code (struct ordering on
-    (distance, index), both engines' comparison)."""
+    """m-BYTE code array for one vector (array<tinyint> — the "m bytes
+    per vector" PQ storage contract; ksub is capped at 128 so codes
+    fit the signed byte, same storage discipline as
+    quantize_embeddings): per subspace, the argmin-L2 centroid index,
+    ties to the lower code (struct ordering on (distance, index),
+    both engines' comparison)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    if ksub > 128:
+        raise ValueError(
+            f"ksub must be <= 128 for byte codes, got {ksub}")
 
     def code_for(j: int) -> Column:
         sub = F.slice(vec, j * dsub + 1, dsub)
@@ -998,7 +1005,7 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
         scored = F.transform(
             cb, lambda c, i: F.struct(_l2sq(sub, c).alias("d"),
                                       i.alias("idx")))
-        return F.array_min(scored)["idx"].cast("int")
+        return F.array_min(scored)["idx"].cast("tinyint")
 
     return F.array(*[code_for(j) for j in range(m)])
 

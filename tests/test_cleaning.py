@@ -267,10 +267,13 @@ def test_dedup_lines_vs_index_strips_corpus_boilerplate(spark, tmp_path):
 
 
 def test_line_index_streaming_foreachbatch_matches_batch(spark, tmp_path):
-    """The line-frequency store is maintainable append-only from a
-    Structured Streaming foreachBatch: per-micro-batch partials summed
-    on read equal the one-shot computation (docs are disjoint across
-    micro-batches — the additivity contract)."""
+    """The line-frequency store is maintainable EXACTLY-ONCE from a
+    Structured Streaming foreachBatch via the batchId-keyed sink:
+    per-micro-batch partials summed on read equal the one-shot
+    computation (docs are disjoint across micro-batches — the
+    additivity contract), and a replayed micro-batch (the
+    crash-between-write-and-checkpoint case) overwrites its own
+    subdirectory instead of double-counting."""
     import os
     import time as _time
 
@@ -279,7 +282,7 @@ def test_line_index_streaming_foreachbatch_matches_batch(spark, tmp_path):
     from pyspark.sql import types as T
 
     from dump1090_db_stream_spark.operators.cleaning import (
-        line_doc_frequencies, read_line_frequencies, write_line_partials,
+        line_doc_frequencies, line_partials_sink, read_line_frequencies,
     )
 
     rows = [(i, "AD\nbody %d" % i) for i in range(30)]
@@ -299,9 +302,7 @@ def test_line_index_streaming_foreachbatch_matches_batch(spark, tmp_path):
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(str(d)))
     store = str(tmp_path / "line_store")
-
-    def sink(batch_df, _bid):
-        write_line_partials(batch_df, store)
+    sink = line_partials_sink(store)
 
     assert (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -313,3 +314,10 @@ def test_line_index_streaming_foreachbatch_matches_batch(spark, tmp_path):
     want = {r["line"]: r["doc_freq"] for r in line_doc_frequencies(
         spark.createDataFrame(rows, schema)).collect()}
     assert got == want and got["AD"] == 30
+
+    # at-least-once replay: re-delivering micro-batch 0 must leave the
+    # store unchanged (overwrite of batch=0, not a second append)
+    sink(spark.createDataFrame(rows[:10], schema), 0)
+    replayed = {r["line"]: r["doc_freq"]
+                for r in read_line_frequencies(spark, store).collect()}
+    assert replayed == want
