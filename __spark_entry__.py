@@ -2845,6 +2845,23 @@ def q_duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, n=4, min_df=3)
 
 
+def q_stripped_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip half of exact substring dedup (operators.dedup.
+    strip_duplicate_spans): every token covered by a 4-shingle shared
+    by >= 3 docs is removed and the survivors re-joined — the corpus
+    REWRITE the span detector's audit relation drives. The oracle
+    replays hits -> covered-position set -> filtered ordered
+    string_agg; the reconstructed text itself is hash-checked for all
+    500 docs."""
+    from dump1090_db_stream_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, n=4, min_df=3).select(
+        "doc_id", "text", "n_tokens", "n_removed")
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3041,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
+        "stripped_duplicate_spans": q_stripped_duplicate_spans,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -5680,6 +5698,49 @@ def oracle_sql() -> dict[str, str]:
                    max(p) + 3 - min(p) + 1 AS span_tokens,
                    count(*) AS n_shingles
             FROM runs GROUP BY doc_id, r
+        """,
+        "stripped_duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS p
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, p,
+                       array_to_string(t[p:p+3], ' ') AS s
+                FROM pos
+            ), freq AS (
+                SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+                GROUP BY s HAVING count(*) >= 3
+            ), hits AS (
+                SELECT doc_id, p FROM sh JOIN freq USING (s)
+            ), cover AS (
+                SELECT DISTINCT doc_id, unnest(range(p, p + 4)) AS tp
+                FROM hits
+            ), tpos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) + 1)) AS tp
+                FROM toks
+            ), tokrel AS (
+                SELECT doc_id, tp, t[tp] AS tok FROM tpos
+            ), flagged AS (
+                SELECT k.doc_id, k.tp, k.tok,
+                       (c.tp IS NOT NULL) AS cov
+                FROM tokrel k LEFT JOIN cover c
+                  ON k.doc_id = c.doc_id AND k.tp = c.tp
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   coalesce(
+                       string_agg(tok, ' ' ORDER BY tp)
+                           FILTER (WHERE NOT cov),
+                       '') AS text
+            FROM flagged GROUP BY doc_id
         """,
         "local_supplier_volume": """
             SELECT n_name,

@@ -117,6 +117,7 @@ EXTENDED = [
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "duplicate_text_spans",
+    "stripped_duplicate_spans",
 ]
 
 

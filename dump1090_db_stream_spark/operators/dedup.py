@@ -685,28 +685,7 @@ def duplicate_spans(
         raise ValueError(f"n and min_df must be >= 1, got {n}, {min_df}")
     from pyspark.sql import Window
 
-    from dump1090_db_stream_spark.cache import track
-
-    toks = with_tokens(df.select(F.col(id_col).alias("id"), text_col),
-                       text_col)
-    k = F.size(F.col("_toks")) - (n - 1)
-    idx = F.sequence(F.lit(1), k)
-    # sh feeds BOTH the frequency branch and the cover join; without
-    # the barrier Catalyst re-runs the tokenize+explode pipeline per
-    # branch (no cross-branch reuse) — caller releases via
-    # cache.release_tracked
-    sh = track(
-        toks.filter(k >= 1)
-        .select("id", F.explode(idx).alias("p"),
-                F.col("_toks").alias("_t"))
-        .select("id", "p",
-                F.concat_ws(" ", F.slice("_t", F.col("p"), n))
-                 .alias("s")))
-    freq = (sh.select("id", "s").distinct()
-            .groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") >= min_df)
-            .select("s"))
-    hits = sh.join(freq, "s").select("id", "p")
+    hits = _span_hits(df, n, min_df, id_col, text_col)
     w = Window.partitionBy("id").orderBy("p")
     new_run = F.when(
         F.col("p") - F.lag("p").over(w) <= n, F.lit(0)).otherwise(F.lit(1))
@@ -726,4 +705,95 @@ def duplicate_spans(
              .alias("span_tokens"),
             "n_shingles",
         )
+    )
+
+
+def _span_hits(df: DataFrame, n: int, min_df: int,
+               id_col: str, text_col: str) -> DataFrame:
+    """(id, p): 1-based start positions of n-shingles shared by >=
+    min_df distinct docs — the common front of duplicate_spans and
+    strip_duplicate_spans. The positional shingle relation feeds BOTH
+    the frequency branch and the cover join; without the cache.track
+    barrier Catalyst re-runs the tokenize+explode pipeline per branch
+    (no cross-branch reuse) — caller releases via
+    cache.release_tracked."""
+    from dump1090_db_stream_spark.cache import track
+
+    toks = with_tokens(df.select(F.col(id_col).alias("id"), text_col),
+                       text_col)
+    k = F.size(F.col("_toks")) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    sh = track(
+        toks.filter(k >= 1)
+        .select("id", F.explode(idx).alias("p"),
+                F.col("_toks").alias("_t"))
+        .select("id", "p",
+                F.concat_ws(" ", F.slice("_t", F.col("p"), n))
+                 .alias("s")))
+    freq = (sh.select("id", "s").distinct()
+            .groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("s"))
+    return sh.join(freq, "s").select("id", "p")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the :func:`duplicate_spans` mask: remove every token
+    covered by a cross-document duplicated n-shingle and stitch the
+    survivors back together — the strip half of Lee et al.'s exact
+    substring dedup (detect tells you WHERE; this rewrites the
+    corpus). Output: (id, text', n_tokens, n_removed) — one row per
+    input row, single-space rejoin of surviving tokens in original
+    order ('' when everything was duplicated; NULL text passes
+    through; whitespace is canonicalized by the tokenizer, the same
+    normalization normalize_text applies).
+
+    Shape: the shared hit relation (_span_hits, one tracked
+    tokenize+explode), covered token positions via one bounded
+    sequence-explode (n per hit) + distinct, a LEFT join flags the
+    token relation, and reconstruction is the dedup_lines groupBy-doc
+    collect (bounded by document size)."""
+    if n < 1 or min_df < 1:
+        raise ValueError(f"n and min_df must be >= 1, got {n}, {min_df}")
+    hits = _span_hits(df, n, min_df, id_col, text_col)
+    covered = (hits.select(
+        "id", F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1)))
+        .alias("tp")).distinct()
+        .withColumn("_cov", F.lit(True)))
+    tokrel = (with_tokens(df.select(F.col(id_col).alias("id"), text_col),
+                          text_col)
+              .select("id", F.posexplode("_toks").alias("tp0", "tok"))
+              .select("id", (F.col("tp0") + 1).alias("tp"), "tok"))
+    flagged = (tokrel.join(covered, ["id", "tp"], "left")
+               .select("id", "tp", "tok",
+                       F.coalesce("_cov", F.lit(False)).alias("_drop")))
+    rebuilt = (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(
+                            F.struct("tp", "_drop", "tok"))),
+                        lambda x: ~x["_drop"]),
+                    lambda x: x["tok"]),
+                " ").alias("_new_text"),
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt,
+              F.col(id_col) == F.col("id"), "left")
+        .select(*others, F.col("_new_text").alias(text_col),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
     )

@@ -228,3 +228,40 @@ def test_duplicate_spans_merges_only_adjacent_covers(spark):
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in duplicate_spans(docs, n=3, min_df=2).collect())
     assert spans == [(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 5, 7)]
+
+
+def test_strip_duplicate_spans_rewrites_and_passes_through(spark):
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.dedup import (
+        duplicate_spans, strip_duplicate_spans,
+    )
+
+    passage = "p q r s t u"
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 " + passage + " c1 d1"),
+            (2, passage + " e2 f2 g2"),
+            (3, "h3 " + passage),
+            (4, "i4 j4 k4 l4 m4"),
+            (5, None),
+        ],
+        schema,
+    )
+    got = {r["doc_id"]: r
+           for r in strip_duplicate_spans(docs, n=3, min_df=3).collect()}
+    assert got[1]["text"] == "a1 b1 c1 d1"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (10, 6)
+    assert got[2]["text"] == "e2 f2 g2"
+    assert got[3]["text"] == "h3"
+    assert got[4]["text"] == "i4 j4 k4 l4 m4"  # clean doc untouched
+    assert got[5]["text"] is None and got[5]["n_tokens"] == 0
+    # strip removes exactly the tokens the detector reports
+    spans = duplicate_spans(docs, n=3, min_df=3).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_tokens"]
+    for d, n_rm in per_doc.items():
+        assert got[d]["n_removed"] == n_rm
