@@ -2862,6 +2862,37 @@ def q_stripped_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_tokens", "n_removed")
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gating (operators.profiling.
+    check_expectations — the Deequ/Great-Expectations primitive):
+    six rules over events evaluated in ONE aggregation pass (null
+    fraction, value bounds, accepted event types, event_id uniqueness,
+    row-count floor), emitted as (rule, metric, threshold, passed)
+    rows. The oracle recomputes every metric and verdict closed-form;
+    the value-floor rule (threshold 1.0 vs observed min 0.01)
+    genuinely FAILS, so both verdict branches are exercised."""
+    from dump1090_db_stream_spark.operators.profiling import (
+        check_expectations,
+    )
+
+    ev = _events(spark, sf_dir)
+    return check_expectations(ev, [
+        {"name": "value_not_null", "type": "not_null",
+         "column": "value", "max_null_frac": 0.02},
+        {"name": "value_min", "type": "min_value",
+         "column": "value", "threshold": 1.0},
+        {"name": "value_max", "type": "max_value",
+         "column": "value", "threshold": 1000000.0},
+        {"name": "known_types", "type": "accepted",
+         "column": "event_type", "max_other_frac": 0.0,
+         "values": ["view", "click", "purchase", "signup", "error"]},
+        {"name": "event_id_unique", "type": "unique",
+         "column": "event_id"},
+        {"name": "enough_rows", "type": "row_count_min",
+         "threshold": 1000},
+    ])
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3059,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
         "stripped_duplicate_spans": q_stripped_duplicate_spans,
+        "data_expectations": q_data_expectations,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -5698,6 +5730,51 @@ def oracle_sql() -> dict[str, str]:
                    max(p) + 3 - min(p) + 1 AS span_tokens,
                    count(*) AS n_shingles
             FROM runs GROUP BY doc_id, r
+        """,
+        "data_expectations": """
+            WITH m AS (
+                SELECT count(*) AS n_rows,
+                       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                                END) AS DOUBLE) / count(*) AS null_frac,
+                       min(value) AS vmin,
+                       max(value) AS vmax,
+                       CAST(sum(CASE WHEN event_type IS NOT NULL
+                                  AND event_type NOT IN
+                                  ('view','click','purchase',
+                                   'signup','error')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN event_type IS NOT NULL
+                             THEN 1 ELSE 0 END) AS other_frac,
+                       1.0 - CAST(count(DISTINCT event_id) AS DOUBLE)
+                           / sum(CASE WHEN event_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS dup_frac
+                FROM events
+            )
+            SELECT 'value_not_null' AS rule, 'not_null' AS rule_type,
+                   'value' AS "column",
+                   round(null_frac, 6) AS metric, CAST(0.02 AS DOUBLE) AS threshold,
+                   round(null_frac, 6) <= 0.02 AS passed
+            FROM m
+            UNION ALL
+            SELECT 'value_min', 'min_value', 'value',
+                   round(vmin, 6), CAST(1.0 AS DOUBLE), round(vmin, 6) >= 1.0 FROM m
+            UNION ALL
+            SELECT 'value_max', 'max_value', 'value',
+                   round(vmax, 6), CAST(1000000.0 AS DOUBLE),
+                   round(vmax, 6) <= 1000000.0 FROM m
+            UNION ALL
+            SELECT 'known_types', 'accepted', 'event_type',
+                   round(other_frac, 6), CAST(0.0 AS DOUBLE),
+                   round(other_frac, 6) <= 0.0 FROM m
+            UNION ALL
+            SELECT 'event_id_unique', 'unique', 'event_id',
+                   round(dup_frac, 6), CAST(0.0 AS DOUBLE),
+                   round(dup_frac, 6) <= 0.0 FROM m
+            UNION ALL
+            SELECT 'enough_rows', 'row_count_min',
+                   CAST(NULL AS VARCHAR),
+                   round(CAST(n_rows AS DOUBLE), 6), CAST(1000.0 AS DOUBLE),
+                   CAST(n_rows AS DOUBLE) >= 1000 FROM m
         """,
         "stripped_duplicate_spans": """
             WITH toks AS (

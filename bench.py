@@ -118,6 +118,7 @@ EXTENDED = [
     "embedding_ivfpq_topk",
     "duplicate_text_spans",
     "stripped_duplicate_spans",
+    "data_expectations",
 ]
 
 

@@ -197,3 +197,99 @@ def value_histogram(
             "n",
         )
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Declarative data-quality assertions in ONE aggregation pass —
+    the Deequ/Great-Expectations primitive a pipeline gates a new
+    snapshot on (table_profile describes; this PASSES or FAILS).
+
+    ``rules`` is a list of dicts, each with a unique ``name``, a
+    ``type``, and per-type keys:
+
+    - ``not_null``:    column, max_null_frac — fraction of NULLs
+    - ``min_value``:   column, threshold — observed min >= threshold
+    - ``max_value``:   column, threshold — observed max <= threshold
+    - ``accepted``:    column, values, max_other_frac — fraction of
+                       non-NULL values outside the accepted list
+    - ``unique``:      column — duplicate fraction must be 0
+                       (1 - distinct/count over non-NULLs)
+    - ``row_count_min``: threshold — table must have >= threshold rows
+
+    Output, one row per rule: (rule, rule_type, column, metric,
+    threshold, passed) with metric rounded to 6. Every rule's metric
+    is computed in the SAME single aggregation (map-side combined, one
+    row), then unpivoted — the table scans once however many rules
+    run. ``unique`` uses COUNT(DISTINCT): one such rule keeps the plan
+    Expand-free in practice (Spark plans ONE distinct aggregate
+    without Expand); many unique rules multiply scan rows like
+    table_profile's exact tier — prefer one, or the approx profile.
+    """
+    allowed = {"not_null", "min_value", "max_value", "accepted",
+               "unique", "row_count_min"}
+    names = [r["name"] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"rule names must be unique, got {names}")
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for r in rules:
+        t, nm = r["type"], r["name"]
+        if t not in allowed:
+            raise ValueError(f"unknown rule type {t!r} in {nm!r}")
+        if t == "not_null":
+            c = F.col(r["column"])
+            aggs.append((F.sum(c.isNull().cast("long"))
+                         / F.count(F.lit(1))).alias(f"_m_{nm}"))
+        elif t == "min_value":
+            aggs.append(F.min(F.col(r["column"]).cast("double"))
+                        .alias(f"_m_{nm}"))
+        elif t == "max_value":
+            aggs.append(F.max(F.col(r["column"]).cast("double"))
+                        .alias(f"_m_{nm}"))
+        elif t == "accepted":
+            c = F.col(r["column"])
+            vals = F.array(*[F.lit(v) for v in r["values"]])
+            bad = F.when(c.isNotNull() & ~F.array_contains(vals, c),
+                         F.lit(1)).otherwise(F.lit(0))
+            aggs.append((F.sum(bad)
+                         / F.sum(c.isNotNull().cast("long")))
+                        .alias(f"_m_{nm}"))
+        elif t == "unique":
+            c = F.col(r["column"])
+            aggs.append((F.lit(1.0)
+                         - F.countDistinct(c)
+                         / F.sum(c.isNotNull().cast("long")))
+                        .alias(f"_m_{nm}"))
+        elif t == "row_count_min":
+            aggs.append(F.count(F.lit(1)).cast("double")
+                        .alias(f"_m_{nm}"))
+    one = df.agg(*aggs)
+    checks = []
+    for r in rules:
+        t, nm = r["type"], r["name"]
+        metric = F.round(F.col(f"_m_{nm}").cast("double"), 6)
+        if t == "not_null":
+            thr, passed = float(r["max_null_frac"]), metric <= r["max_null_frac"]
+        elif t == "min_value":
+            thr, passed = float(r["threshold"]), metric >= r["threshold"]
+        elif t == "max_value":
+            thr, passed = float(r["threshold"]), metric <= r["threshold"]
+        elif t == "accepted":
+            thr, passed = float(r["max_other_frac"]), metric <= r["max_other_frac"]
+        elif t == "unique":
+            thr, passed = 0.0, metric <= 0.0
+        else:  # row_count_min
+            thr, passed = float(r["threshold"]), metric >= r["threshold"]
+        checks.append(F.struct(
+            F.lit(nm).alias("rule"),
+            F.lit(t).alias("rule_type"),
+            F.lit(r.get("column")).cast("string").alias("column"),
+            metric.alias("metric"),
+            F.lit(thr).alias("threshold"),
+            passed.alias("passed"),
+        ))
+    return (one.select(F.explode(F.array(*checks)).alias("_c"))
+            .select("_c.rule", "_c.rule_type", "_c.column",
+                    "_c.metric", "_c.threshold", "_c.passed"))

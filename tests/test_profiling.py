@@ -135,3 +135,51 @@ def test_histogram_per_key_extents_and_null_exclusion(spark):
     assert got[("a", 0)]["bin_hi"] == 50.0
     assert got[("b", 0)]["bin_hi"] == 0.5
     assert sum(r["n"] for (k, _), r in got.items() if k == "b") == 2
+
+
+def test_check_expectations_verdicts_and_one_scan(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.profiling import (
+        check_expectations,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType()),
+                           T.StructField("cat", T.StringType())])
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "a"), (3, None, "b"),
+         (4, 9.0, "weird"), (4, 3.0, "a")],  # duplicate id 4
+        schema)
+    rules = [
+        {"name": "v_nulls", "type": "not_null", "column": "v",
+         "max_null_frac": 0.25},
+        {"name": "v_floor", "type": "min_value", "column": "v",
+         "threshold": 0.0},
+        {"name": "v_cap", "type": "max_value", "column": "v",
+         "threshold": 5.0},
+        {"name": "cat_ok", "type": "accepted", "column": "cat",
+         "values": ["a", "b"], "max_other_frac": 0.1},
+        {"name": "id_uniq", "type": "unique", "column": "id"},
+        {"name": "rows", "type": "row_count_min", "threshold": 3},
+    ]
+    got = {r["rule"]: r for r in check_expectations(df, rules).collect()}
+    assert got["v_nulls"]["passed"] is True          # 1/5 = 0.2 <= 0.25
+    assert got["v_nulls"]["metric"] == 0.2
+    assert got["v_floor"]["passed"] is True
+    assert got["v_cap"]["passed"] is False           # max 9.0 > 5.0
+    assert got["cat_ok"]["passed"] is False          # 1/5 outside > 0.1
+    assert got["id_uniq"]["passed"] is False         # dup id 4
+    assert got["id_uniq"]["metric"] == 0.2           # 1 - 4/5
+    assert got["rows"]["passed"] is True and got["rows"]["metric"] == 5.0
+    assert got["rows"]["column"] is None
+    # single scan: exactly one aggregate over one FileScan-free local
+    # relation; the plan carries no join and one Exchange at most
+    plan = check_expectations(df, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    with pytest.raises(ValueError, match="unique"):
+        check_expectations(df, rules + [rules[0]])
+    with pytest.raises(ValueError, match="unknown rule type"):
+        check_expectations(df, [{"name": "x", "type": "nope"}])
