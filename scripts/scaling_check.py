@@ -41,6 +41,9 @@ DEFAULT = [
     "entity_resolution",      # fuzzy pair graph + connected components
     "quartile_stratified_sample",  # score -> cutoffs -> ranked caps
     "dau_wau_stickiness",     # shared dedup barrier + two vote tiers
+    "duplicate_text_spans",   # positional shingle df + island merge
+    "stripped_duplicate_spans",  # cover explode + doc reconstruction
+    "data_expectations",      # one-pass multi-rule gate
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
