@@ -2893,6 +2893,67 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_embedding_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators.similarity.
+    project_embeddings): 64-dim embeddings compressed to 8 dims
+    through the deterministic seeded-LCG plane matrix (the LSH
+    hyperplane generator) and re-normalized — the
+    dimensionality-reduction step before ANN indexing on wide
+    vectors. Emitted long-format (vec_id, d, val) so the PROJECTED
+    VALUES themselves hash-check; every component is an
+    index-ascending dot fold the oracle replays with identical plane
+    literals."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = project_embeddings(emb, out_dim=8, in_dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("d0", "_v")
+    ).select(
+        "vec_id", (F.col("d0") + 1).alias("d"),
+        F.round("_v", 6).alias("val"),
+    )
+
+
+def _projection_oracle(out_dim: int = 8, in_dim: int = 64,
+                       seed: int = 101) -> str:
+    """Closed-form replay of the JL projection: identical plane
+    literals, per-component index-ascending dot folds, guarded
+    normalization, 1-based component index."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        projection_planes,
+    )
+
+    planes = projection_planes(in_dim, out_dim, seed)
+    rows = ",\n                ".join(
+        f"({r + 1}, [{', '.join(repr(v) for v in p)}])"
+        for r, p in enumerate(planes))
+    return f"""
+            WITH pl(d, p) AS (VALUES
+                {rows}
+            ), comp AS (
+                SELECT e.vec_id, pl.d,
+                       list_sum(list_transform(
+                           range(1, {in_dim} + 1),
+                           i -> e.embedding[i]::DOUBLE * p[i])) AS c
+                FROM embeddings e CROSS JOIN pl
+            ), nrm AS (
+                -- d-ordered fold matches the Spark side's
+                -- index-ascending aggregate exactly (a plain sum()
+                -- adds in arbitrary order — last-ulp drift)
+                SELECT vec_id, sqrt(list_sum(list(c * c ORDER BY d)))
+                           AS n
+                FROM comp GROUP BY vec_id
+            )
+            SELECT comp.vec_id, comp.d,
+                   round(CASE WHEN nrm.n > 0 THEN comp.c / nrm.n
+                              ELSE comp.c END, 6) AS val
+            FROM comp JOIN nrm ON comp.vec_id = nrm.vec_id
+        """
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3134,6 +3195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
+        # -- r6-QUEUED tier 2: added after the r5 window reached its
+        #    exactly-50 new/changed/stalest composition — displacing a
+        #    tier-1a entry (3 rounds without driver verification) for
+        #    a brand-new locally-green query would undercut the
+        #    rotation promise; these lead the r6 window instead
+        "embedding_projected": q_embedding_projected,
         # -- tier 1b: r3-green, outside r04's window; the first 24 fit
         #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
@@ -4165,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_trained": _ivf_trained_oracle(),
         "embedding_pq_topk": _pq_topk_oracle(),
         "embedding_ivfpq_topk": _ivf_pq_oracle(),
+        "embedding_projected": _projection_oracle(),
         # same trained-k-means prefix (bit-identical centroids), profile
         # tail: per-cluster source mix over the documents join
         "cluster_profiles": _ivf_trained_oracle(prefix_only=True) + """

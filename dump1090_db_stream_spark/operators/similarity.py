@@ -1221,3 +1221,50 @@ def ivfpq_topk_from_index(
         .select("query_id", "neighbor_id", "rank",
                 F.round("_adc", 6).alias("adc_dist"))
     )
+
+
+def projection_planes(in_dim: int, out_dim: int,
+                      seed: int = 101) -> list[list[float]]:
+    """Deterministic random-projection matrix (out_dim x in_dim) from
+    the same seeded-LCG hyperplane generator the LSH family uses —
+    closed-form floats both engines parse identically, no numpy at
+    plan time."""
+    return [_hyperplane(in_dim, seed * 1000 + r) for r in range(out_dim)]
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    seed: int = 101,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embeddings compressed
+    to ``out_dim`` via a deterministic plane matrix, optionally
+    re-normalized to unit length (so downstream cosine search needs
+    only dot products). The dimensionality-reduction step a pipeline
+    runs before ANN indexing when vectors are wide — JL preserves
+    pairwise distances within (1 +- eps) for out_dim ~ O(log n / eps^2)
+    (Johnson & Lindenstrauss 1984; random-matrix form per Achlioptas
+    2003).
+
+    Narrow zero-shuffle projection, pure Column arithmetic: each
+    output component is an index-ascending dot-product fold, so any
+    ANSI engine replays every value exactly (the oracle hash-checks
+    the projected vectors themselves). Zero vectors stay zero under
+    normalize (guarded divide)."""
+    planes = projection_planes(in_dim, out_dim, seed)
+    vec = F.col(vec_col)
+    comps = F.array(*[
+        dot(vec, F.lit([float(x) for x in p])) for p in planes])
+    if normalize:
+        nrm = F.sqrt(F.aggregate(
+            F.transform(comps, lambda x: x * x),
+            F.lit(0.0), lambda acc, v: acc + v))
+        comps = F.when(
+            nrm > 0,
+            F.transform(comps, lambda x: x / nrm)
+        ).otherwise(comps)
+    return df.select(F.col(id_col), comps.alias("projected"))

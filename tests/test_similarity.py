@@ -539,3 +539,49 @@ def test_ivfpq_index_search_equals_inline_and_prunes(spark, tmp_path):
     assert sorted(stored.columns) == ["cluster", "codes", "vec_id"]
     import os
     assert sorted(d for d in os.listdir(path) if d.startswith("cluster="))
+
+
+def test_projection_preserves_neighborhoods(corpus):
+    """JL sanity on the planted near-duplicate: after projecting 16 ->
+    8 dims, vec 59 (a tiny perturbation of vec 0) must still be vec
+    0's nearest neighbor by cosine over the projected vectors, and
+    projections are unit-length (normalize=True)."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        brute_force_topk, project_embeddings,
+    )
+
+    proj = project_embeddings(corpus, out_dim=8, in_dim=16,
+                              vec_col="embedding")
+    rows = {r["vec_id"]: list(r["projected"]) for r in proj.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    top = brute_force_topk(
+        proj.withColumnRenamed("projected", "embedding"),
+        proj.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("projected").alias("embedding")),
+        k=1)
+    assert top.collect()[0]["neighbor_id"] == 59
+
+
+def test_projection_zero_vector_and_determinism(spark):
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, [0.0] * 16), (2, [1.0] + [0.0] * 15)], schema)
+    a = {r["vec_id"]: list(r["projected"]) for r in
+         project_embeddings(df, 4, 16).collect()}
+    b = {r["vec_id"]: list(r["projected"]) for r in
+         project_embeddings(df, 4, 16).collect()}
+    assert a == b                      # deterministic
+    assert a[1] == [0.0] * 4           # zero vector stays zero
+    assert abs(sum(x * x for x in a[2]) - 1.0) < 1e-9
