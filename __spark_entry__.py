@@ -2954,6 +2954,34 @@ def _projection_oracle(out_dim: int = 8, in_dim: int = 64,
         """
 
 
+def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (operators.sampling.
+    temperature_sample, alpha = 0.5): per-source keep rates derived
+    from observed counts so the sampled distribution follows
+    n_s^alpha — the multilingual upweight-the-rare recipe with no
+    hand-written weights. The fixture's sources are uniform (25 docs
+    each — every rate would be 1.0), so the query derives a SKEWED
+    70/20/10 domain key from doc_id (the crafted-input pattern
+    line_dedup_docs uses) to make the recipe bite: the big domain
+    keeps (7)^-0.5 ~ 38% of its rows, the rarest keeps all. The
+    oracle recomputes counts, the (n/n_min)^(alpha-1) rates (rounded
+    6 on both sides before thresholding), and the seeded-hash keep
+    predicate closed-form."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, "big")
+         .when(F.col("doc_id") % 10 < 9, "mid")
+         .otherwise("rare").alias("domain"),
+    )
+    return temperature_sample(docs, alpha=0.5, source_col="domain",
+                              seed=3).select(
+        "doc_id", "domain", "keep_rate")
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3201,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    a brand-new locally-green query would undercut the
         #    rotation promise; these lead the r6 window instead
         "embedding_projected": q_embedding_projected,
+        "temperature_mixture_docs": q_temperature_mixture_docs,
         # -- tier 1b: r3-green, outside r04's window; the first 24 fit
         #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
@@ -4233,6 +4262,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq_topk": _pq_topk_oracle(),
         "embedding_ivfpq_topk": _ivf_pq_oracle(),
         "embedding_projected": _projection_oracle(),
+        "temperature_mixture_docs": f"""
+            WITH d2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 7 THEN 'big'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'rare' END AS domain
+                FROM documents
+            ), c AS (
+                SELECT domain, count(*) AS n FROM d2 GROUP BY domain
+            ), mn AS (
+                SELECT min(n) AS n_min FROM c
+            ), r AS (
+                SELECT domain,
+                       round(pow(CAST(n AS DOUBLE) / n_min, -0.5), 6)
+                           AS keep_rate
+                FROM c CROSS JOIN mn
+            )
+            SELECT d.doc_id, d.domain, r.keep_rate
+            FROM d2 d JOIN r USING (domain)
+            WHERE ({_sampling.portable_hash_seeded_sql("d.doc_id", 3)})
+                  % 10000
+                  < CAST(round(r.keep_rate * 10000) AS BIGINT)
+        """,
         # same trained-k-means prefix (bit-identical centroids), profile
         # tail: per-cluster source mix over the documents join
         "cluster_profiles": _ivf_trained_oracle(prefix_only=True) + """

@@ -434,3 +434,45 @@ def token_budget_sample_sql(
             WHERE ({tok}) >= 0
         ) WHERE cum_tokens <= {budget_tokens}
     """
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: keep rows so the SAMPLED
+    source distribution follows p_s ∝ n_s^alpha — the multilingual/
+    multi-domain recipe (alpha < 1 upweights rare sources; XLM-R and
+    the Pile both specify mixtures this way) WITHOUT hand-writing
+    per-source weights: rates derive from the observed counts.
+
+    Per-source keep rate = (n_s / n_min)^(alpha - 1), so the RAREST
+    source keeps everything (the max-feasible mixture at this alpha)
+    and a source k times larger keeps k^(alpha-1) of its rows. The
+    rate is ROUNDED to 6 decimals before thresholding so both engines
+    compare identical values; the keep decision is the seeded portable
+    hash bucket (exact under rerun/repartition, independent of
+    hash_split — the mixture_sample discipline).
+
+    Scale shape: one vocabulary-sized count aggregate, a one-row min
+    attach, the rate relation broadcast back — the full relation never
+    shuffles and the filter pipelines into the scan. Output: surviving
+    rows plus the ``keep_rate`` audit column.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = (counts.crossJoin(F.broadcast(n_min))
+             .select(source_col,
+                     F.round(F.pow(F.col("_n").cast("double")
+                                   / F.col("_n_min"),
+                                   F.lit(alpha - 1.0)), 6)
+                      .alias("keep_rate")))
+    bucket = portable_hash_seeded(id_col, seed) % F.lit(SPLIT_BUCKETS)
+    thr = F.round(F.col("keep_rate") * SPLIT_BUCKETS).cast("long")
+    return (df.join(F.broadcast(rates), source_col)
+            .filter(bucket < thr))

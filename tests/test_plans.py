@@ -321,6 +321,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "embedding_pq_topk",      # ADC scan: broadcast query-LUT side
                                   # over the CODES relation (same
                                   # contract as brute_force_topk)
+        "temperature_mixture_docs",  # one-row n_min attach feeding
+                                     # the per-source rate relation
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

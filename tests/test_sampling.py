@@ -372,3 +372,33 @@ def test_token_budget_sample_negative_costs_excluded(spark):
         cum += toks[i]
         want.add(i)
     assert ids == want
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 400 big / 100 rare: alpha=0.5 -> big keeps (4)^-0.5 = 0.5,
+    # rare keeps 1.0
+    rows = [(i, "big" if i < 400 else "rare") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, alpha=0.5, seed=1)
+    rates = {r["source"]: r["keep_rate"]
+             for r in out.select("source", "keep_rate").distinct().collect()}
+    assert rates == {"big": 0.5, "rare": 1.0}
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 100                 # rarest keeps ALL
+    assert 140 <= counts["big"] <= 260           # ~200 expected, hash noise
+    # deterministic under rerun
+    again = temperature_sample(df, alpha=0.5, seed=1)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # alpha=1 is the identity mixture (every rate 1.0)
+    assert temperature_sample(df, alpha=1.0, seed=1).count() == 500
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, alpha=1.5)
