@@ -2982,6 +2982,21 @@ def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "domain", "keep_rate")
 
 
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling (operators.sampling.
+    negative_pairs): 2 pseudo-random non-matching partners per
+    document via bucket pairing — candidates meet anchors in a bucket
+    EQUI-join (never a cross join) and each slot's winner is a
+    closed-form hash argmin, so the pairing is exact under rerun and
+    the oracle replays buckets, the join, and the argmin
+    rank-for-rank."""
+    from dump1090_db_stream_spark.operators.sampling import negative_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_pairs(docs.select("doc_id"), k=2, n_buckets=32,
+                          seed=7)
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3230,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotation promise; these lead the r6 window instead
         "embedding_projected": q_embedding_projected,
         "temperature_mixture_docs": q_temperature_mixture_docs,
+        "contrastive_negatives": q_contrastive_negatives,
         # -- tier 1b: r3-green, outside r04's window; the first 24 fit
         #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
@@ -4449,6 +4465,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": _table_profile_oracle(),
         "table_profile_approx": _table_profile_approx_oracle(),
+        "contrastive_negatives": _sampling.negative_pairs_sql(
+            "documents", k=2, n_buckets=32, id_expr="doc_id", seed=7),
         "token_budget_sample": token_budget_sample_sql(
             "documents", budget_tokens=700, id_expr="doc_id",
             keys=["source"], seed=7,

@@ -476,3 +476,109 @@ def temperature_sample(
     thr = F.round(F.col("keep_rate") * SPLIT_BUCKETS).cast("long")
     return (df.join(F.broadcast(rates), source_col)
             .filter(bucket < thr))
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic pseudo-random negative pairing — the contrastive-
+    training staple (k "random" non-matching partners per anchor for
+    triplet/InfoNCE-style objectives) WITHOUT rand() and WITHOUT a
+    cross join: every decision is a closed-form function of the ids,
+    so the pairing is exact under rerun/repartition and
+    oracle-checkable.
+
+    Shape: every row lands ONCE in a candidate bucket
+    (portable_hash(id) % B); each anchor draws its slot-i bucket with
+    an independent seeded hash; anchors meet candidates in a bucket
+    EQUI-join (never all-pairs — join volume ~ rows x k x (rows/B)),
+    and per (anchor, slot) the winning negative is the argmin of a
+    slot-seeded hash over the bucket (self excluded, id tiebreak) —
+    one map-side-combinable min-struct aggregation. ``n_buckets``
+    defaults to ~rows/16 (one count job); at scale pass it explicitly
+    (it only changes WHICH pseudo-random partner wins, not the
+    contract). A slot whose bucket holds no other row emits no pair
+    (probability (1/B)^... negligible for B << rows; document-level
+    consumers treat negatives as best-effort draws).
+
+    Output: (anchor ids' column name, slot 1..k, neg_id).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets is None:
+        n_buckets = max(int(df.count()) // 16, 1)
+    cand = df.select(
+        (portable_hash(id_col) % F.lit(n_buckets)).alias("_bk"),
+        F.col(id_col).alias("_cand"),
+    )
+    anchors = df.select(
+        F.col(id_col).alias("_anchor"),
+        F.explode(F.array(*[F.lit(i + 1) for i in range(k)]))
+         .alias("slot"),
+    ).select(
+        "_anchor", "slot",
+        (F.pmod(portable_hash_seeded("_anchor", seed)
+                + F.col("slot") * F.lit(2654435761),
+                F.lit(n_buckets))).alias("_bk"),
+    )
+    scored = (
+        anchors.join(cand, "_bk")
+        .filter(F.col("_cand") != F.col("_anchor"))
+        .select(
+            "_anchor", "slot",
+            F.struct(
+                F.pmod(portable_hash_seeded("_cand", seed)
+                       + F.col("slot") * F.lit(40503), F.lit(_P))
+                 .alias("h"),
+                F.col("_cand").alias("c"),
+            ).alias("_sc"),
+        )
+    )
+    return (
+        scored.groupBy("_anchor", "slot")
+        .agg(F.min("_sc").alias("_w"))
+        .select(F.col("_anchor").alias(id_col), "slot",
+                F.col("_w.c").alias("neg_id"))
+    )
+
+
+def negative_pairs_sql(
+    table: str,
+    k: int,
+    n_buckets: int,
+    id_expr: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """Oracle-side closed-form replay of :func:`negative_pairs`."""
+    slots = ", ".join(str(i + 1) for i in range(k))
+    ph_cand = portable_hash_sql(id_expr)
+    phs_anchor = portable_hash_seeded_sql(id_expr, seed)
+    phs_cand = portable_hash_seeded_sql("cand", seed)
+    return f"""
+        WITH cand AS (
+            SELECT ({ph_cand}) % {n_buckets} AS bk,
+                   {id_expr} AS cand
+            FROM {table}
+        ), anch AS (
+            SELECT {id_expr} AS anchor, s.slot,
+                   (({phs_anchor}) + s.slot * 2654435761)
+                       % {n_buckets} AS bk
+            FROM {table}, (SELECT unnest([{slots}]) AS slot) s
+        ), scored AS (
+            SELECT a.anchor, a.slot, c.cand,
+                   (({phs_cand}) + a.slot * 40503) % {_P} AS h
+            FROM anch a JOIN cand c USING (bk)
+            WHERE c.cand <> a.anchor
+        ), ranked AS (
+            SELECT anchor, slot, cand,
+                   row_number() OVER (PARTITION BY anchor, slot
+                                      ORDER BY h, cand) AS rn
+            FROM scored
+        )
+        SELECT anchor AS {id_expr}, slot, cand AS neg_id
+        FROM ranked WHERE rn = 1
+    """

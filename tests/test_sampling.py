@@ -402,3 +402,31 @@ def test_temperature_sample_rates_and_determinism(spark):
     assert temperature_sample(df, alpha=1.0, seed=1).count() == 500
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, alpha=1.5)
+
+
+def test_negative_pairs_contract(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = negative_pairs(df, k=3, n_buckets=16, seed=2)
+    rows = out.collect()
+    # one winner per (anchor, slot), never self, slots in 1..3
+    assert len(rows) == 600
+    assert all(r["neg_id"] != r["doc_id"] for r in rows)
+    assert {r["slot"] for r in rows} == {1, 2, 3}
+    assert out.groupBy("doc_id", "slot").count().filter(
+        F.col("count") > 1).count() == 0
+    # deterministic; a different seed re-draws (some pairs change)
+    again = sorted(map(tuple, negative_pairs(
+        df, k=3, n_buckets=16, seed=2).collect()))
+    assert sorted(map(tuple, rows)) == again
+    other = sorted(map(tuple, negative_pairs(
+        df, k=3, n_buckets=16, seed=9).collect()))
+    assert other != again
+    # negatives are spread, not degenerate: many distinct partners
+    assert out.select("neg_id").distinct().count() >= 16
+    with pytest.raises(ValueError, match="k must"):
+        negative_pairs(df, k=0)
