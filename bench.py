@@ -119,6 +119,9 @@ EXTENDED = [
     "duplicate_text_spans",
     "stripped_duplicate_spans",
     "data_expectations",
+    "embedding_projected",
+    "temperature_mixture_docs",
+    "contrastive_negatives",
 ]
 
 
