@@ -2997,6 +2997,49 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                           seed=7)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators.dedup.
+    ngram_containment_pairs — |A∩B|/min(|A|,|B|), the Broder
+    containment measure): catches a SHORT doc embedded in a LONG one,
+    which Jaccard structurally cannot. The fixture plants 50 excerpt
+    docs (the first 12 tokens of every doc_id % 10 == 0 document,
+    replayed identically in SQL) whose containment in their source is
+    exactly 1.0; max_df=None for exact scores. The oracle replays the
+    raw-shingle inverted index, both set sizes, the min-denominator
+    score, and the contained-side pick."""
+    from dump1090_db_stream_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from dump1090_db_stream_spark.operators.text import with_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (with_tokens(docs.filter(F.col("doc_id") % 10 == 0))
+                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.concat_ws(" ", F.slice("_toks", 1, 12))
+                         .alias("text")))
+    corpus = docs.unionByName(excerpts)
+    return ngram_containment_pairs(corpus, n=3, threshold=0.9,
+                                   max_df=None)
+
+
+def q_hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    query, the top-5 most similar vectors with ROUNDED cosine inside
+    [0.2, 0.8] — informative contrastive negatives with probable
+    positives (near-dups above the band) excluded; the curated
+    complement of contrastive_negatives' uniform draws. Band and
+    ranking both use the rounded score so boundary rows resolve
+    identically in both engines."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return hard_negatives(emb, queries, k=5, lo=0.2, hi=0.8)
+
+
 def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (operators.similarity.ivf_pq_topk — the FAISS IVFPQ
     shape): the fixed coarse quantizer (embeddings 10..17, the
@@ -3246,6 +3289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_projected": q_embedding_projected,
         "temperature_mixture_docs": q_temperature_mixture_docs,
         "contrastive_negatives": q_contrastive_negatives,
+        "containment_pairs": q_containment_pairs,
+        "hard_negative_candidates": q_hard_negative_candidates,
         # -- tier 1b: r3-green, outside r04's window; the first 24 fit
         #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
         #    the rest lead the r6 rotation
@@ -4465,6 +4510,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": _table_profile_oracle(),
         "table_profile_approx": _table_profile_approx_oracle(),
+        "hard_negative_candidates": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       round(
+                       list_sum(list_transform(range(1, length(c.embedding) + 1),
+                           i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, length(qv) + 1),
+                              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(range(1, length(c.embedding) + 1),
+                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+                       , 6) AS cos
+                FROM embeddings c, q
+                WHERE c.vec_id <> q.query_id
+            ), banded AS (
+                SELECT * FROM scored
+                WHERE cos BETWEEN 0.2 AND 0.8
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM banded
+            )
+            SELECT query_id, neighbor_id, rank, cos AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "containment_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       array_to_string(
+                           (regexp_split_to_array(trim(text),
+                                                  '\\s+'))[1:12], ' ')
+                           AS text
+                FROM documents WHERE doc_id % 10 = 0
+            ), shs AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1),
+                           i -> array_to_string(
+                               (regexp_split_to_array(trim(text), '\\s+'))[i:i+2], ' ')))) AS s
+                FROM corpus
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM shs GROUP BY id
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shs a JOIN shs b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_common,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(n_common / least(sa.n_sh, sb.n_sh), 6)
+                       AS containment,
+                   CASE WHEN sa.n_sh <= sb.n_sh THEN id_a ELSE id_b END
+                       AS contained_id
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.9
+        """,
         "contrastive_negatives": _sampling.negative_pairs_sql(
             "documents", k=2, n_buckets=32, id_expr="doc_id", seed=7),
         "token_budget_sample": token_budget_sample_sql(

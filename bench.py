@@ -122,6 +122,8 @@ EXTENDED = [
     "embedding_projected",
     "temperature_mixture_docs",
     "contrastive_negatives",
+    "containment_pairs",
+    "hard_negative_candidates",
 ]
 
 

@@ -797,3 +797,63 @@ def strip_duplicate_spans(
                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                 F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment —
+    |A ∩ B| / min(|A|, |B|) — the measure that catches a SHORT
+    document embedded inside a LONG one (a quote, an excerpt, a
+    chapter republished alone), which Jaccard structurally cannot: a
+    200-token doc fully contained in a 20,000-token doc has Jaccard
+    ~0.01 but containment 1.0 (Broder 1997 distinguishes resemblance
+    from containment for exactly this case).
+
+    Same inverted-index shape and scale discipline as
+    :func:`ngram_jaccard_pairs` (8-byte hashed shingle join keys,
+    map-side-combined counts, ``max_df`` stop-phrase cap making the
+    reported score a lower bound — pass ``max_df=None`` for exact
+    containment). Output adds ``contained_id``: the smaller-shingle-
+    set doc (ties -> id_a), i.e. the one likely embedded in the other.
+    """
+    sh = (
+        with_tokens(df, text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(
+                    shingles(F.col("_toks"), n))).alias("s"))
+        .select("id", _hash64(F.col("s"), 0).alias("sh"))
+    )
+    sh = track(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        sh = sh.join(keep, "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common")
+                    / F.least(F.col("n_a"), F.col("n_b")), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", "n_common", "n_a", "n_b", "containment",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+             .otherwise(F.col("id_b")).alias("contained_id"),
+        )
+    )

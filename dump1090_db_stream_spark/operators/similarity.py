@@ -1268,3 +1268,53 @@ def project_embeddings(
             F.transform(comps, lambda x: x / nrm)
         ).otherwise(comps)
     return df.select(F.col(id_col), comps.alias("projected"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    lo: float = 0.2,
+    hi: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most similar vectors whose cosine falls INSIDE [lo, hi] —
+    close enough to be informative, excluded above ``hi`` because
+    near-duplicates are probable false negatives (the standard dense-
+    retrieval mining recipe, e.g. ANCE/DPR practice: hardest negatives
+    that are not positives). The complement of
+    :func:`~...sampling.negative_pairs`' uniform draws.
+
+    Same physical shape as brute_force_topk (broadcast query side,
+    documented nested-loop contract; swap the corpus scan for an
+    IVF/PQ probe at scale); the band filter AND the ranking both use
+    the ROUNDED cosine so boundary rows and near-ties resolve
+    identically in any engine (the mad_outliers discipline).
+    """
+    if not lo <= hi:
+        raise ValueError(f"need lo <= hi, got {lo}, {hi}")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q),
+               F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .filter(F.col("cosine").between(lo, hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -265,3 +265,26 @@ def test_strip_duplicate_spans_rewrites_and_passes_through(spark):
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_tokens"]
     for d, n_rm in per_doc.items():
         assert got[d]["n_removed"] == n_rm
+
+
+def test_containment_catches_short_in_long(spark):
+    from dump1090_db_stream_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(10, 22))  # embedded run
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text),
+         (3, " ".join(f"z{i}" for i in range(50)))],
+        ["doc_id", "text"])
+    cont = {(r["id_a"], r["id_b"]): r
+            for r in ngram_containment_pairs(
+                docs, n=3, threshold=0.9, max_df=None).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["containment"] == 1.0
+    assert cont[(1, 2)]["contained_id"] == 2   # the smaller set
+    # Jaccard misses the same pair at any near-dup threshold
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                              max_df=None).collect()
+    assert not any((r["id_a"], r["id_b"]) == (1, 2) for r in jac)

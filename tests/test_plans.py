@@ -323,6 +323,9 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # contract as brute_force_topk)
         "temperature_mixture_docs",  # one-row n_min attach feeding
                                      # the per-source rate relation
+        "hard_negative_candidates",  # broadcast query side, non-equi
+                                     # self-guard (brute-force band
+                                     # scan, same as embedding_topk)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

@@ -585,3 +585,24 @@ def test_projection_zero_vector_and_determinism(spark):
     assert a == b                      # deterministic
     assert a[1] == [0.0] * 4           # zero vector stays zero
     assert abs(sum(x * x for x in a[2]) - 1.0) < 1e-9
+
+
+def test_hard_negatives_band_and_exclusions(corpus):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = hard_negatives(corpus, queries, k=5, lo=-0.2, hi=0.6).collect()
+    assert 1 <= len(out) <= 5
+    assert all(-0.2 <= r["cosine"] <= 0.6 for r in out)
+    ids = {r["neighbor_id"] for r in out}
+    assert 59 not in ids   # the planted near-dup (cos ~ 1) is excluded
+    assert 0 not in ids    # self excluded
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == \
+        list(range(1, len(out) + 1))
+    with pytest.raises(ValueError, match="lo <= hi"):
+        hard_negatives(corpus, queries, lo=0.9, hi=0.1)
