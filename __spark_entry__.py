@@ -1888,7 +1888,12 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dump1090_db_stream_spark.operators.fuzzy import edit_distance_join
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3)
+    # max_candidate_ratio=None: TPC-H names are the documented
+    # low-alphabet case — candidate volume at q=3 is measured (521x
+    # rows at sf0.01), benched round-over-round, and verify-bound by
+    # design; the guard stays armed for unvetted inputs
+    return edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3,
+                              max_candidate_ratio=None)
 
 
 def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,7 +2669,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dump1090_db_stream_spark.operators.graph import canonical_map
 
     cust = load_table(spark, sf_dir, "customer")
-    pairs = edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3)
+    # None: measured 521x volume accepted — see q_fuzzy_name_matches
+    pairs = edit_distance_join(cust, "c_custkey", "c_name", k=1, q=3,
+                               max_candidate_ratio=None)
     return canonical_map(cust, pairs, id_col="c_custkey",
                          src_col="id1", dst_col="id2").select(
         F.col("c_custkey"), F.col("canonical_id").alias("entity_id"))

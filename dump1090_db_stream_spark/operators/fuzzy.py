@@ -106,13 +106,35 @@ def edit_distance_join(
     str_col: str,
     k: int = 1,
     q: int = 2,
+    max_candidate_ratio: float | None = 256.0,
+    on_exceed: str = "warn",
 ) -> DataFrame:
     """All pairs (id1 < id2) with levenshtein(s1, s2) <= k.
 
     Output: id1, id2, s1, s2, dist. See module docstring for the
     algorithm and its no-lost-pair argument.
+
+    CANDIDATE-VOLUME GUARDRAIL (enforcing the module docstring's
+    q-tuning note): before the expansion join runs, the exact upper
+    bound on generated candidate pairs — sum over (gram, occ) prefix
+    buckets of c*(c-1)/2 — is computed from the (already persisted)
+    prefix relation: one gram-universe-sized aggregate, NOT a dry run
+    of the join. If the bound exceeds ``max_candidate_ratio`` x input
+    rows, ``on_exceed`` decides: "warn" (default) emits a warning with
+    the measured ratio and the raise-q remedy; "raise" fails fast —
+    use it in pipelines where a low-alphabet key (zero-padded ids)
+    could otherwise detonate the verify stage. ``None`` disables the
+    check (and its two small jobs). The short-string brute-force
+    bucket is outside the estimate: it is tiny by contract and
+    broadcast, never the blowup source.
     """
+    import warnings
+
     from dump1090_db_stream_spark.cache import track
+
+    if on_exceed not in ("warn", "raise"):
+        raise ValueError(
+            f"on_exceed must be 'warn' or 'raise', got {on_exceed!r}")
 
     # |G| = len - q + 1 <= k*q  <=>  len <= k*q + q - 1: below this the
     # prefix guarantee can fail (A\B may be all of A), so brute-force
@@ -136,6 +158,28 @@ def edit_distance_join(
         .filter(F.col("rn") <= k * q + 1)
         .select("id", "s", "slen", "gram", "occ")
     )
+    if max_candidate_ratio is not None:
+        n_rows = df.count()
+        est_row = (prefix.groupBy("gram", "occ")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1)) / 2)
+                              .cast("double")).alias("est"))
+                   .collect()[0])
+        est = int(est_row["est"] or 0)
+        limit = max_candidate_ratio * max(n_rows, 1)
+        if est > limit:
+            msg = (
+                f"edit_distance_join candidate-volume guard: prefix "
+                f"buckets generate up to {est:,} candidate pairs for "
+                f"{n_rows:,} input rows ({est / max(n_rows, 1):.0f}x > "
+                f"allowed {max_candidate_ratio:.0f}x). Gram diversity "
+                f"is too low for q={q} — raise q so alphabet^q far "
+                f"exceeds n (see module docstring: q=3 cut a measured "
+                f"40x blowup 13x), or raise max_candidate_ratio / pass "
+                f"None to accept the verify cost.")
+            if on_exceed == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # EXPLICIT repartition on the join key: the index input is small
     # (k*q+1 rows/string), so AQE would coalesce the exchange to ~1
     # partition — but this join EXPANDS (bucket products), and the

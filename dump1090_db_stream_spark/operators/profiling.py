@@ -227,6 +227,15 @@ def check_expectations(
     Expand-free in practice (Spark plans ONE distinct aggregate
     without Expand); many unique rules multiply scan rows like
     table_profile's exact tier — prefer one, or the approx profile.
+
+    FAIL-CLOSED on empty populations (advisor r5 finding): on an empty
+    table or an all-NULL column the fraction metrics have a zero
+    denominator, so the metric is NULL — and a NULL verdict would make
+    the gate neither pass nor fail (misread as passing by consumers
+    checking only ``passed == false``). ``passed`` is therefore
+    coalesced to false whenever the metric comparison is NULL: a gate
+    that cannot measure its population fails it. ``metric`` stays NULL
+    in that row to signal "no data" rather than a real 0.
     """
     allowed = {"not_null", "min_value", "max_value", "accepted",
                "unique", "row_count_min"}
@@ -240,8 +249,10 @@ def check_expectations(
             raise ValueError(f"unknown rule type {t!r} in {nm!r}")
         if t == "not_null":
             c = F.col(r["column"])
-            aggs.append((F.sum(c.isNull().cast("long"))
-                         / F.count(F.lit(1))).alias(f"_m_{nm}"))
+            # try_divide: a zero denominator (empty population) must
+            # yield NULL -> fail-closed, not an ANSI DIVIDE_BY_ZERO
+            aggs.append(F.try_divide(F.sum(c.isNull().cast("long")),
+                                     F.count(F.lit(1))).alias(f"_m_{nm}"))
         elif t == "min_value":
             aggs.append(F.min(F.col(r["column"]).cast("double"))
                         .alias(f"_m_{nm}"))
@@ -253,14 +264,15 @@ def check_expectations(
             vals = F.array(*[F.lit(v) for v in r["values"]])
             bad = F.when(c.isNotNull() & ~F.array_contains(vals, c),
                          F.lit(1)).otherwise(F.lit(0))
-            aggs.append((F.sum(bad)
-                         / F.sum(c.isNotNull().cast("long")))
+            aggs.append(F.try_divide(F.sum(bad),
+                                     F.sum(c.isNotNull().cast("long")))
                         .alias(f"_m_{nm}"))
         elif t == "unique":
             c = F.col(r["column"])
             aggs.append((F.lit(1.0)
-                         - F.countDistinct(c)
-                         / F.sum(c.isNotNull().cast("long")))
+                         - F.try_divide(
+                             F.countDistinct(c),
+                             F.sum(c.isNotNull().cast("long"))))
                         .alias(f"_m_{nm}"))
         elif t == "row_count_min":
             aggs.append(F.count(F.lit(1)).cast("double")
@@ -288,7 +300,7 @@ def check_expectations(
             F.lit(r.get("column")).cast("string").alias("column"),
             metric.alias("metric"),
             F.lit(thr).alias("threshold"),
-            passed.alias("passed"),
+            F.coalesce(passed, F.lit(False)).alias("passed"),
         ))
     return (one.select(F.explode(F.array(*checks)).alias("_c"))
             .select("_c.rule", "_c.rule_type", "_c.column",

@@ -461,9 +461,17 @@ def temperature_sample(
     attach, the rate relation broadcast back — the full relation never
     shuffles and the filter pipelines into the scan. Output: surviving
     rows plus the ``keep_rate`` audit column.
+
+    NULL sources are excluded BEFORE the count aggregate (advisor r5
+    finding: counting them let a small NULL group become n_min and
+    deflate every real source's keep rate, while the inner equi-join
+    then dropped those rows anyway — they distorted rates without ever
+    appearing in the output). The count and the join now see the same
+    population; NULL-source rows are never sampled.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     n_min = counts.agg(F.min("_n").alias("_n_min"))
     rates = (counts.crossJoin(F.broadcast(n_min))

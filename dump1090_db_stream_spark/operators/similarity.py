@@ -284,20 +284,28 @@ def brute_force_topk_arrow(
 
     The query set is collected to the driver — same "small by contract"
     assumption the JVM variant's broadcast already makes.
+
+    Id types are DERIVED from the input schemas (the rh_signatures_arrow
+    discipline): any id type the JVM variant accepts — strings included —
+    works here; ids pass through numpy as object arrays, never coerced
+    to int64 (advisor r5 finding: the hardcoded bigint contract crashed
+    string-id corpora only on this variant).
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (executor-side import check)
 
     q_rows = (queries.select(F.col(query_id_col).alias("qid"),
                              F.col(vec_col).alias("qv")).collect())
-    qids = [int(r["qid"]) for r in q_rows]
     qmat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0
     qn = qmat / qnorm[:, None]
-    qid_arr = np.asarray(qids, dtype=np.int64)
+    qid_arr = np.asarray([r["qid"] for r in q_rows], dtype=object)
 
-    out_schema = ("query_id long, neighbor_id long, cosine double")
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {qid_type}, neighbor_id {nid_type}, "
+                  "cosine double")
 
     def kernel(batches):
         import pandas as pd
@@ -305,7 +313,7 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=object)
             c = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             cn = np.linalg.norm(c, axis=1)
             cn[cn == 0] = 1.0

@@ -207,6 +207,7 @@ def interval_overlap_pairs(
     start_col: str,
     end_col: str,
     bucket_seconds: int,
+    on_reversed: str = "drop",
 ) -> DataFrame:
     """Self-join of overlapping CLOSED intervals ([start, end] with
     a.start <= b.end AND b.start <= a.end) without a cross product —
@@ -233,12 +234,35 @@ def interval_overlap_pairs(
     quadratic in its interval count — for heavy wall-clock hotspots
     shrink ``bucket_seconds`` (more replicas, finer buckets), the same
     dial as the geo grid cell.
+
+    REVERSED intervals (end < start — corrupt rows) are excluded
+    before the explode under the default ``on_reversed="drop"``
+    (advisor r5 finding: Spark's ``sequence()`` generates DESCENDING
+    ranges, so a reversed interval silently exploded onto wrong
+    buckets and produced garbage/no pairs instead of surfacing the
+    corrupt row — the token_budget_sample negative-cost exclusion
+    rationale applies). ``on_reversed="raise"`` fails the job on the
+    first reversed row instead, for pipelines that gate on clean
+    inputs.
     """
     if bucket_seconds < 1:
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    if on_reversed not in ("drop", "raise"):
+        raise ValueError(
+            f"on_reversed must be 'drop' or 'raise', got {on_reversed!r}")
     b_us = F.lit(bucket_seconds * MICROS_PER_SEC)
     st = F.unix_micros(F.col(start_col).cast("timestamp"))
     en = F.unix_micros(F.col(end_col).cast("timestamp"))
+    if on_reversed == "raise":
+        # the assertion lives in a FILTER (a projected-then-dropped
+        # column would be pruned by Catalyst and never evaluated)
+        df = df.filter(
+            F.when(en >= st, F.lit(True)).otherwise(F.raise_error(F.concat(
+                F.lit("interval_overlap_pairs: reversed interval "
+                      "(end < start) at "),
+                F.to_json(F.struct(*[F.col(c) for c in id_cols]))))))
+    else:
+        df = df.filter(en >= st)
     base = df.select(
         *[F.col(c) for c in id_cols],
         st.alias("_st"), en.alias("_en"),

@@ -73,3 +73,41 @@ def test_long_path_is_an_equi_join_not_cross(spark, sf_dir):
     # a broadcast nested loop, and nothing may be a cartesian product
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_candidate_volume_guard(spark):
+    """The q-tuning note is now an enforced contract: a low-alphabet
+    key set (zero-padded numeric ids, q=2 -> at most 100 digit bigrams)
+    must trip the guard; raising q to 3 restores diversity and passes."""
+    import warnings
+
+    import pytest
+
+    strings = [f"{i:012d}" for i in range(400)]
+    df = spark.createDataFrame(list(enumerate(strings)), ["sid", "s"])
+    with pytest.raises(ValueError, match="candidate-volume guard"):
+        edit_distance_join(df, "sid", "s", k=1, q=2,
+                           max_candidate_ratio=8.0, on_exceed="raise")
+    # default policy warns (with the raise-q remedy) instead of failing
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        edit_distance_join(df, "sid", "s", k=1, q=2,
+                           max_candidate_ratio=8.0).count()
+    assert any("raise q" in str(w.message) for w in caught)
+    # a gram-diverse corpus of the same size stays under the same
+    # ratio and is silent — the guard keys on diversity, not volume
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    diverse = ["".join(rng.choice(alpha) for _ in range(12))
+               for _ in range(400)]
+    ddf = spark.createDataFrame(list(enumerate(diverse)), ["sid", "s"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {(r.id1, r.id2, r.dist) for r in edit_distance_join(
+            ddf, "sid", "s", k=1, q=2, max_candidate_ratio=8.0).collect()}
+    assert not any("candidate-volume" in str(w.message) for w in caught)
+    assert got == _brute(diverse, 1)
+    with pytest.raises(ValueError, match="on_exceed"):
+        edit_distance_join(df, "sid", "s", on_exceed="explode")

@@ -183,3 +183,43 @@ def test_check_expectations_verdicts_and_one_scan(spark):
         check_expectations(df, rules + [rules[0]])
     with pytest.raises(ValueError, match="unknown rule type"):
         check_expectations(df, [{"name": "x", "type": "nope"}])
+
+
+def test_check_expectations_fails_closed_on_empty_populations(spark):
+    from pyspark.sql import types as T
+
+    from dump1090_db_stream_spark.operators.profiling import (
+        check_expectations,
+    )
+
+    schema = T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    rules = [
+        {"name": "a_nn", "type": "not_null", "column": "a",
+         "max_null_frac": 0.5},
+        {"name": "s_acc", "type": "accepted", "column": "s",
+         "values": ["x"], "max_other_frac": 0.0},
+        {"name": "s_uni", "type": "unique", "column": "s"},
+        {"name": "a_min", "type": "min_value", "column": "a",
+         "threshold": 0},
+        {"name": "rows", "type": "row_count_min", "threshold": 1},
+    ]
+    # EMPTY table: every zero-denominator / NULL-comparison verdict is
+    # a concrete False (advisor r5: a NULL `passed` gate is misread as
+    # passing by consumers checking only passed == false)
+    empty = spark.createDataFrame([], schema)
+    got = {r["rule"]: r for r in check_expectations(empty, rules).collect()}
+    for nm in ("a_nn", "s_acc", "s_uni", "a_min", "rows"):
+        assert got[nm]["passed"] is False, nm
+    # metric stays NULL where the population was empty (signals "no
+    # data", not a real 0) — row_count_min is a real measured 0
+    assert got["a_nn"]["metric"] is None
+    assert got["rows"]["metric"] == 0.0
+    # all-NULL column, non-empty table: accepted/unique denominators
+    # are 0 -> fail; not_null measures a real 1.0 null fraction
+    nulls = spark.createDataFrame([(None, None), (None, None)], schema)
+    got = {r["rule"]: r for r in check_expectations(nulls, rules).collect()}
+    assert got["s_acc"]["passed"] is False
+    assert got["s_uni"]["passed"] is False
+    assert got["a_nn"]["passed"] is False and got["a_nn"]["metric"] == 1.0
+    assert got["rows"]["passed"] is True

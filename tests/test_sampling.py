@@ -430,3 +430,24 @@ def test_negative_pairs_contract(spark):
     assert out.select("neg_id").distinct().count() >= 16
     with pytest.raises(ValueError, match="k must"):
         negative_pairs(df, k=0)
+
+
+def test_temperature_sample_excludes_null_sources(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # advisor r5: a tiny NULL group must NOT become n_min (which would
+    # deflate every real source's keep rate) — NULLs are excluded
+    # BEFORE the count, and never appear in the output
+    rows = [(i, "big" if i < 400 else ("rare" if i < 500 else None))
+            for i in range(505)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, alpha=0.5, seed=1)
+    rates = {r["source"]: r["keep_rate"]
+             for r in out.select("source", "keep_rate").distinct().collect()}
+    # n_min = 100 (rare), NOT 5 (the NULL group): big keeps 4^-0.5
+    assert rates == {"big": 0.5, "rare": 1.0}
+    assert out.filter(F.col("source").isNull()).count() == 0

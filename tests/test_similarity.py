@@ -606,3 +606,27 @@ def test_hard_negatives_band_and_exclusions(corpus):
         list(range(1, len(out) + 1))
     with pytest.raises(ValueError, match="lo <= hi"):
         hard_negatives(corpus, queries, lo=0.9, hi=0.1)
+
+
+def test_brute_force_topk_arrow_string_ids(spark, corpus):
+    """Id types derive from the input schema (advisor r5: the Arrow
+    variant hardcoded bigint ids and crashed string-id corpora that the
+    JVM variant accepts)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = corpus.select(F.concat(F.lit("doc-"), F.col("vec_id"))
+                        .alias("vec_id"), "embedding")
+    queries = emb.filter(F.col("vec_id").isin("doc-0", "doc-3")).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    jvm = sorted(map(tuple, brute_force_topk(emb, queries, k=5).collect()))
+    arrow = sorted(map(tuple,
+                       brute_force_topk_arrow(emb, queries, k=5).collect()))
+    assert jvm == arrow and len(jvm) == 10
+    out = brute_force_topk_arrow(emb, queries, k=5)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"

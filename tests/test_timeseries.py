@@ -191,3 +191,27 @@ def test_interval_overlap_pairs_matches_bruteforce(spark):
            for r in interval_overlap_pairs(
                iv, ["id"], "st", "en", bucket_seconds=120).collect()}
     assert got == want
+
+
+def test_interval_overlap_pairs_reversed_interval_policy(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    # id=9 is REVERSED (en < st): under the default policy it is
+    # dropped before the explode (advisor r5: sequence() generates
+    # descending ranges, so it silently landed on wrong buckets);
+    # the clean rows still pair normally
+    iv = _iv(spark, [(1, 0, 100), (2, 50, 150), (9, 500, 400)])
+    got = {(r["id"], r["_b_id"])
+           for r in interval_overlap_pairs(
+               iv, ["id"], "st", "en", bucket_seconds=60).collect()}
+    assert got == {(1, 2)}
+    with pytest.raises(Exception, match="reversed interval"):
+        interval_overlap_pairs(iv, ["id"], "st", "en", bucket_seconds=60,
+                               on_reversed="raise").collect()
+    with pytest.raises(ValueError, match="on_reversed"):
+        interval_overlap_pairs(iv, ["id"], "st", "en", bucket_seconds=60,
+                               on_reversed="ignore")
