@@ -3230,12 +3230,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        rotate back in via tier 1 next round.
     """
     return {
-        # -- tier 2 first this round: new in round 5 (never driver-
-        #    verified outranks everything)
-        "line_dedup_docs": q_line_dedup_docs,
+        # -- r6 window position 1-5: the five r5-late queries, the only
+        #    registry entries with ZERO driver CORRECTNESS rows (judge
+        #    r5 ask #1: they must lead this window)
+        "embedding_projected": q_embedding_projected,
+        "temperature_mixture_docs": q_temperature_mixture_docs,
+        "contrastive_negatives": q_contrastive_negatives,
+        "containment_pairs": q_containment_pairs,
+        "hard_negative_candidates": q_hard_negative_candidates,
+        # -- tier 3: implementation changed since last driver green
+        #    (r6 review fixes: check_expectations fail-closed verdicts,
+        #    interval_overlap reversed-row filter, edit_distance_join
+        #    guardrail at both call sites)
+        "data_expectations": q_data_expectations,
         "concurrent_sessions": q_concurrent_sessions,
-        "quality_survivors": q_quality_survivors,
+        "fuzzy_name_matches": q_fuzzy_name_matches,
         "entity_resolution": q_entity_resolution,
+        # -- tier 1 core-parity rotation (judge r5 ask #2): the
+        #    reference-user queries (create_schema.sql:85-124,
+        #    README.md:210-273 parity), last driver-verified round 3
+        "callsign_sessions": q_callsign_sessions,
+        "locations_projection": q_locations_projection,
+        "flights_band_join": q_flights_band_join,
+        "window_track_lines": q_window_track_lines,
+        "like_prefix_filter": q_like_prefix_filter,
+        "equality_filter": q_equality_filter,
+        "time_range_between": q_time_range_between,
+        "dedup_by_key": q_dedup_by_key,
+        "aircraft_json_parse": q_aircraft_json_parse,
+        "track_lines_wkt": q_track_lines_wkt,
+        "points_in_radius": q_points_in_radius,
+        # -- tier 1 fill: the rest of the r3-stale rotation. The two
+        #    rows-only sketch queries sit ADJACENT to their fully-
+        #    oracled twins (judge r5 ask #6: any window catching the
+        #    HLL-internal entries re-verifies the portable counterpart
+        #    the same round)
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_normalized": q_doc_normalized,
+        "hash_split_stats": q_hash_split_stats,
+        "time_rollup_multires": q_time_rollup_multires,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "event_approx_stats": q_event_approx_stats,
+        "weekly_active_estimate": q_weekly_active_estimate,
+        "daily_distinct_rollup": q_daily_distinct_rollup,
+        "table_profile_approx": q_table_profile_approx,
+        "event_portable_distinct": q_event_portable_distinct,
+        "daily_portable_rollup": q_daily_portable_rollup,
+        "neardup_clusters_star": q_neardup_clusters_star,
+        "neardup_survivors": q_neardup_survivors,
+        "doc_entropy": q_doc_entropy,
+        "embedding_decontamination": q_embedding_decontamination,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "doc_boilerplate_share": q_doc_boilerplate_share,
+        "full_outer_balance": q_full_outer_balance,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "multimodal_features": q_multimodal_features,
+        "benchmark_decontamination": q_benchmark_decontamination,
+        "neardup_clusters": q_neardup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
+        # -- positions 51+: r7 rotation leaders. First the eight
+        #    r3-stale entries deferred to fit the 50-slot window --
+        #    chosen for the strongest independent signal (pricing_summary
+        #    is benched vs BASELINE every round; the seeded sampling and
+        #    packing families carry property tests)
+        "pricing_summary": q_pricing_summary,
+        "weighted_sample": q_weighted_sample,
+        "uniform_sample": q_uniform_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "corpus_diff": q_corpus_diff,
+        # -- tier 4 tail: r4/r5-green and untouched, in staleness order
+        #    (r4-greens rotate into r7 ahead of r5-greens)
+        "line_dedup_docs": q_line_dedup_docs,
+        "quality_survivors": q_quality_survivors,
         "quartile_stratified_sample": q_quartile_stratified_sample,
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "embedding_pq_topk": q_embedding_pq_topk,
@@ -3244,7 +3320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
         "stripped_duplicate_spans": q_stripped_duplicate_spans,
-        "data_expectations": q_data_expectations,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -3256,21 +3331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": q_idle_rich_customers,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "trade_volume_pairs": q_trade_volume_pairs,
-        "table_profile_approx": q_table_profile_approx,
         "capped_user_events": q_capped_user_events,
         "token_budget_sample": q_token_budget_sample,
         "sampled_event_counts": q_sampled_event_counts,
         "logprob_percentile_filter": q_logprob_percentile_filter,
         "sessionized_events": q_sessionized_events,
-        # -- tier 3: implementation changed since the r4 verification
-        #    (top_paths aggregation state now bounded via
-        #    cap_events_per_key; table_profile grew distinct_mode tiers;
-        #    close_encounters b-side explodes 2 time buckets, not 3)
         "top_journey_paths": q_top_journey_paths,
         "table_profile": q_table_profile,
         "close_encounters": q_close_encounters,
-        # -- tier 1a: in NEITHER r03's nor r04's window (last driver-
-        #    verified round 2 — the stalest hard signal in the registry)
         "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
@@ -3288,68 +3356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
         "revenue_by_nation": q_revenue_by_nation,
-        # -- r6-QUEUED tier 2: added after the r5 window reached its
-        #    exactly-50 new/changed/stalest composition — displacing a
-        #    tier-1a entry (3 rounds without driver verification) for
-        #    a brand-new locally-green query would undercut the
-        #    rotation promise; these lead the r6 window instead
-        "embedding_projected": q_embedding_projected,
-        "temperature_mixture_docs": q_temperature_mixture_docs,
-        "contrastive_negatives": q_contrastive_negatives,
-        "containment_pairs": q_containment_pairs,
-        "hard_negative_candidates": q_hard_negative_candidates,
-        # -- tier 1b: r3-green, outside r04's window; the first 24 fit
-        #    the 50-slot window (after 6 tier-2 + 3 tier-3 + 17 tier-1a),
-        #    the rest lead the r6 rotation
-        "uniform_sample": q_uniform_sample,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "mixture_sample_docs": q_mixture_sample_docs,
-        "pii_scrub_stats": q_pii_scrub_stats,
-        "doc_normalized": q_doc_normalized,
-        "hash_split_stats": q_hash_split_stats,
-        "stratified_sample": q_stratified_sample,
-        "time_rollup_multires": q_time_rollup_multires,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "event_approx_stats": q_event_approx_stats,
-        "daily_distinct_rollup": q_daily_distinct_rollup,
-        "event_portable_distinct": q_event_portable_distinct,
-        "daily_portable_rollup": q_daily_portable_rollup,
-        "points_in_radius": q_points_in_radius,
-        "track_lines_wkt": q_track_lines_wkt,
-        "neardup_clusters_star": q_neardup_clusters_star,
-        "neardup_survivors": q_neardup_survivors,
-        "doc_entropy": q_doc_entropy,
-        "embedding_decontamination": q_embedding_decontamination,
-        "aircraft_json_parse": q_aircraft_json_parse,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "doc_boilerplate_share": q_doc_boilerplate_share,
-        "full_outer_balance": q_full_outer_balance,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "embedding_neardup_pairs": q_embedding_neardup_pairs,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "minhash_lsh_dups": q_minhash_lsh_dups,
-        "simhash_dups": q_simhash_dups,
-        "multimodal_features": q_multimodal_features,
-        "benchmark_decontamination": q_benchmark_decontamination,
-        "corpus_diff": q_corpus_diff,
-        "neardup_clusters": q_neardup_clusters,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_scores": q_bm25_scores,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "weighted_sample": q_weighted_sample,
-        "callsign_sessions": q_callsign_sessions,
-        "locations_projection": q_locations_projection,
-        "flights_band_join": q_flights_band_join,
-        "like_prefix_filter": q_like_prefix_filter,
-        "equality_filter": q_equality_filter,
-        "time_range_between": q_time_range_between,
-        "window_track_lines": q_window_track_lines,
-        "dedup_by_key": q_dedup_by_key,
-        "pricing_summary": q_pricing_summary,
-        # -- tier 4 tail: r4-green and untouched — verified LAST round,
-        #    the only safe entries to leave outside the window
         "doc_token_stats": q_doc_token_stats,
         "sbs1_parse": q_sbs1_parse,
         "top_revenue_orders": q_top_revenue_orders,
@@ -3367,7 +3373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_sole_suppliers": q_late_sole_suppliers,
         "value_runs_scd2": q_value_runs_scd2,
         "weekly_active_users": q_weekly_active_users,
-        "weekly_active_estimate": q_weekly_active_estimate,
         "weekly_active_by_type": q_weekly_active_by_type,
         "winsorized_values": q_winsorized_values,
         "market_share": q_market_share,
@@ -3375,7 +3380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_lookup": q_scd2_point_lookup,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
-        "fuzzy_name_matches": q_fuzzy_name_matches,
         "bigram_pmi": q_bigram_pmi,
         "embedding_quantized": q_embedding_quantized,
         "embedding_quantized_topk": q_embedding_quantized_topk,

@@ -11,10 +11,12 @@ derived from the payload bytes so the Spark-side plumbing — schema,
 batch shape, partitioning — is testable without any imaging library.
 ``decode_stub=False`` runs REAL decodes for PNG images
 (``functions.png``: width/height from IHDR, Rec.601 luma from actual
-pixels) and PCM WAV audio (``functions.wav``: RIFF parse, float
-samples, duration/RMS/band energies); remaining formats (JPEG, MP3,
-MP4 — PIL/librosa/ffmpeg absent from this container) still raise at
-the same seam where a full codec would plug in.
+pixels), baseline JPEG (``functions.jpeg``: Huffman entropy decode,
+dequant, IDCT, chroma upsample — pure stdlib), and PCM WAV audio
+(``functions.wav``: RIFF parse, float samples, duration/RMS/band
+energies); remaining formats (progressive JPEG, MP3, H.264 —
+PIL/librosa/ffmpeg absent from this container) still raise at the
+same seam where a full codec would plug in.
 """
 
 from __future__ import annotations
@@ -108,15 +110,23 @@ def extract_image_features(
                         "feature": _stub_features(data, feature_dim),
                     })
                 else:
-                    # REAL decode path: pure-Python PNG codec (stdlib
-                    # zlib). Non-PNG payloads (JPEG etc.) still raise —
-                    # that part of the seam awaits a real imaging lib.
+                    # REAL decode path, dispatched on the payload
+                    # signature: pure-Python PNG (stdlib zlib) and
+                    # baseline JPEG (stdlib Huffman+IDCT) codecs. Other
+                    # formats raise — that part of the seam awaits a
+                    # real imaging lib.
+                    from dump1090_db_stream_spark.functions.jpeg import (
+                        decode_jpeg,
+                    )
                     from dump1090_db_stream_spark.functions.png import (
                         decode_png,
                         luma_stats,
                     )
 
-                    w, h, ch, px = decode_png(data)
+                    if data[:2] == b"\xff\xd8":
+                        w, h, ch, px = decode_jpeg(data)
+                    else:
+                        w, h, ch, px = decode_png(data)
                     luma, feat = luma_stats(w, h, ch, px, feature_dim)
                     rows.append({
                         "media_id": int(mid),

@@ -34,3 +34,32 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
+
+
+def test_r6_window_composition():
+    """Pins the round-6 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): the five never-driver-verified r5-late
+    queries lead, the four operators changed this round re-enter, the
+    core-parity rotation is inside the 50-slot window, and each
+    rows-only sketch query sits ADJACENT to its fully-oracled twin so
+    both land in the same driver round."""
+    order = list(entrymod.queries())
+    window = order[:50]
+    assert window[:5] == [
+        "embedding_projected", "temperature_mixture_docs",
+        "contrastive_negatives", "containment_pairs",
+        "hard_negative_candidates"]
+    for changed in ("data_expectations", "concurrent_sessions",
+                    "fuzzy_name_matches", "entity_resolution"):
+        assert changed in window, changed
+    for parity in ("callsign_sessions", "locations_projection",
+                   "flights_band_join", "window_track_lines",
+                   "like_prefix_filter", "equality_filter",
+                   "time_range_between", "dedup_by_key",
+                   "aircraft_json_parse", "track_lines_wkt",
+                   "points_in_radius"):
+        assert parity in window, parity
+    assert order.index("weekly_active_estimate") == \
+        order.index("event_approx_stats") + 1
+    assert order.index("table_profile_approx") == \
+        order.index("daily_distinct_rollup") + 1
