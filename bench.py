@@ -319,6 +319,43 @@ def bench_close_encounters_joinbound(spark, sf_dir: str) -> dict:
             "runs_sec": runs, "sec": min(runs)}
 
 
+def bench_fuzzy_candidates(spark, sf_dir: str) -> dict:
+    """Round-over-round record of edit_distance_join's candidate volume
+    on the contract key set (customer names — the documented low-
+    alphabet case both fuzzy contract queries accept explicitly). Runs
+    the guardrail's closed-form estimate (sum over prefix buckets of
+    c*(c-1)/2 — the exact upper bound on expansion-join output) at the
+    q the contract queries use and one q higher, so a drift in
+    candidate behavior (fixture regeneration, prefix-filter change)
+    shows up as a ratio change here before it shows up as
+    entity_resolution wall-clock."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.fuzzy import qgram_elements
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n_rows = cust.count()
+    out = {"n_rows": n_rows}
+    for q, k in ((3, 1), (4, 1)):
+        t0 = time.perf_counter()
+        elems = qgram_elements(cust, "c_custkey", "c_name", q=q).filter(
+            F.col("slen") > k * q + q - 1)
+        freq = elems.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("id").orderBy("gfreq", "gram", "occ")
+        est = (elems.join(F.broadcast(freq), "gram")
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k * q + 1)
+               .groupBy("gram", "occ").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1)) / 2)
+                          .cast("double")).alias("est"))
+               .collect()[0]["est"]) or 0
+        out[f"q{q}"] = {"est_candidates": int(est),
+                        "ratio": round(est / max(n_rows, 1), 1),
+                        "estimate_sec": round(time.perf_counter() - t0, 3)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -380,6 +417,7 @@ def main() -> None:
     skew = bench_skew(spark, n_rows=2_000_000 // synth_scale)
     ngram_skew = bench_ngram_skew(spark, n_docs=3000 // synth_scale)
     enc_joinbound = bench_close_encounters_joinbound(spark, sf_dir)
+    fuzzy_cands = bench_fuzzy_candidates(spark, sf_dir)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail FIRST, compact headline record LAST: the driver's tail
@@ -397,6 +435,7 @@ def main() -> None:
         "skew": skew,
         "ngram_skew": ngram_skew,
         "close_encounters_joinbound": enc_joinbound,
+        "fuzzy_candidate_volume": fuzzy_cands,
         "sf": sf_val,
     }))
     print(json.dumps({
