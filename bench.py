@@ -124,6 +124,10 @@ EXTENDED = [
     "contrastive_negatives",
     "containment_pairs",
     "hard_negative_candidates",
+    # round-6 additions (the heavier two of the seven new TPC-H
+    # shapes; the single-join ones duplicate existing cost profiles)
+    "product_profit_by_nation",
+    "excess_share_suppliers",
 ]
 
 
