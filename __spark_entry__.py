@@ -3319,6 +3319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "part_supplier_variety": q_part_supplier_variety,
         "excess_share_suppliers": q_excess_share_suppliers,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_stats": q_c4_line_stats,
+        "semantic_dedup": q_semantic_dedup,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5712,6 +5715,115 @@ def oracle_sql() -> dict[str, str]:
                 JOIN per_p b ON a.l_partkey = b.l_partkey
                 WHERE a.sq * 2 > b.tq)
         """,
+        "gopher_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       length(toks) AS n_words,
+                       length(lines) AS n_lines,
+                       CASE WHEN length(toks) > 0 THEN round(
+                           list_sum(list_transform(toks,
+                                                   t -> length(t)))
+                           / length(toks), 6) ELSE 0.0 END
+                           AS mean_word_len,
+                       CASE WHEN length(toks) > 0 THEN round(
+                           (length(text)
+                            - length(replace(text, '#', ''))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3)
+                           / length(toks), 6) ELSE 0.0 END
+                           AS symbol_word_ratio,
+                       CASE WHEN length(lines) > 0 THEN round(
+                           length(list_filter(lines, ln ->
+                               regexp_matches(trim(ln), '^[-*•]')))
+                           / length(lines), 6) ELSE 0.0 END
+                           AS bullet_line_frac,
+                       CASE WHEN length(lines) > 0 THEN round(
+                           length(list_filter(lines, ln ->
+                               trim(ln) LIKE '%...'))
+                           / length(lines), 6) ELSE 0.0 END
+                           AS ellipsis_line_frac,
+                       CASE WHEN length(toks) > 0 THEN round(
+                           length(list_filter(toks, t ->
+                               regexp_matches(t, '[a-zA-Z]')))
+                           / length(toks), 6) ELSE 0.0 END
+                           AS alpha_word_frac,
+                       (CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'the') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'be') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'to') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'of') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'and') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'that') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'have') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(list_transform(toks,
+                            t -> lower(t)), 'with') THEN 1 ELSE 0 END)
+                           AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, stop_hits,
+                   (n_words >= 40 AND n_words <= 100000) AS r_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS r_mean_word_len,
+                   (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+                   (bullet_line_frac <= 0.9) AS r_bullet_lines,
+                   (ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
+                   (alpha_word_frac >= 0.8) AS r_alpha_words,
+                   (stop_hits >= 2) AS r_stopwords,
+                   ((n_words >= 40 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stop_hits >= 2) AS gopher_pass
+            FROM feat
+        """,
+        "c4_line_stats": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(string_split(text, chr(10)), ln ->
+                           regexp_matches(trim(ln),
+                                          '[.!?]["'']?\s*$')
+                           AND length(regexp_split_to_array(trim(ln),
+                                                            '\s+')) >= 5
+                           AND NOT contains(lower(ln), 'javascript'))
+                           AS kept
+                FROM documents
+            ), verdict AS (
+                SELECT doc_id, lines, kept,
+                       CASE WHEN contains(lower(text), 'lorem ipsum')
+                                 OR contains(lower(text), '{')
+                            THEN 'marker'
+                            WHEN length(kept) < 3 THEN 'too_few_lines'
+                       END AS drop_reason
+                FROM base
+            )
+            SELECT doc_id,
+                   length(lines) AS n_lines,
+                   length(kept) AS n_kept,
+                   drop_reason IS NOT NULL AS doc_dropped,
+                   drop_reason,
+                   CASE WHEN drop_reason IS NULL
+                        THEN list_aggregate(list_transform(kept,
+                                 x -> CAST(x AS VARCHAR)),
+                                 'string_agg', chr(10)) END AS clean_text
+            FROM verdict
+        """,
+        "semantic_dedup": _semantic_dedup_oracle(),
         "winsorized_values": """
             WITH b AS (
                 SELECT event_type,
@@ -6688,3 +6800,72 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule set (operators.text.
+    gopher_rules — Rae et al. 2021 thresholds) over documents:
+    per-doc metrics, one boolean per rule, and the conjunction.
+    min_words=40 sits inside the fixture's token-count distribution so
+    the verdict is genuinely MIXED (both branches of every word-count
+    compare are exercised); the line-fraction rules are trivially true
+    on single-line fixture docs (faithful: they target list pages) and
+    carry their own multi-line unit fixtures."""
+    from dump1090_db_stream_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, min_words=40)
+
+
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (operators.cleaning.c4_line_filter —
+    Raffel et al. 2020 §2.2) over documents: line counts, drop verdict
+    + reason, and the cleaned text. Fixture docs are single-line
+    without terminal punctuation, so every doc drops as
+    too_few_lines — the hash still pins the full rule pipeline
+    (split/filter/rejoin/verdict); multi-line rule behavior is pinned
+    by tests/test_cleaning.py."""
+    from dump1090_db_stream_spark.operators.cleaning import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_line_filter(docs)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators.similarity.semantic_dedup): portable k-means
+    clustering + within-cluster rounded-cosine pairs + smallest-id
+    survivor rule, (id, cluster, kept) for every embedding. The DuckDB
+    oracle replays the ENTIRE pipeline closed-form — the md5-ranked
+    training sample, both Lloyd iterations, corpus assignment
+    (reusing the embedding_ivf_trained replay prefix), the pair
+    predicate, and the anti-join — so the hash proves training,
+    assignment, and dedup agree bit-for-bit across engines."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, threshold=0.99, n_clusters=8,
+                          n_iters=2, train_sample=64)
+
+
+def _semantic_dedup_oracle(threshold: float = 0.99) -> str:
+    """Training/assignment prefix shared with the IVF replay, then the
+    within-cluster pair predicate (rounded cosine, a.id < b.id) and the
+    smallest-id survivor anti-join."""
+    prefix = _ivf_trained_oracle(prefix_only=True)
+    rng = "range(1, 65)"
+    return prefix + f""", dup AS (
+                SELECT DISTINCT b.neighbor_id AS dup_id
+                FROM clustered a JOIN clustered b
+                  ON a.cid = b.cid AND a.neighbor_id < b.neighbor_id
+                WHERE round(list_sum(list_transform({rng},
+                          i -> a.embedding[i]::DOUBLE
+                               * b.embedding[i]::DOUBLE))
+                          / (a.nrm * b.nrm), 6) >= {threshold!r}
+            )
+            SELECT c.neighbor_id AS vec_id, c.cid AS cluster,
+                   (d.dup_id IS NULL) AS kept
+            FROM clustered c LEFT JOIN dup d
+              ON c.neighbor_id = d.dup_id
+        """

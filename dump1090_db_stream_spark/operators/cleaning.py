@@ -362,3 +362,54 @@ def dedup_lines_vs_index(
     )
     return _strip_lines_and_rebuild(df, lines, frequent, id_col,
                                     text_col, delimiter)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    drop_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
+    canonical published pre-filter next to :func:`text.gopher_rules`):
+    keep only lines that END in terminal punctuation (. ! ? or a
+    closing quote) and carry at least ``min_words_per_line`` words;
+    drop any line mentioning javascript; drop the whole document when
+    a ``drop_markers`` string appears anywhere (C4 used "lorem ipsum"
+    and the curly brace as code/placeholder tells) or when fewer than
+    ``min_kept_lines`` lines survive.
+
+    One narrow projection — lines are split, filtered, and rejoined
+    with array expressions; no explode, no shuffle, no Python. Output
+    per input doc: ``n_lines``, ``n_kept``, ``doc_dropped`` (with
+    ``drop_reason``), and ``clean_text`` (kept lines rejoined with
+    newlines; NULL when dropped). Single-line fixture documents
+    exercise the machinery end to end with n_lines=1; the multi-line
+    behavior is pinned by unit tests.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"""[.!?]["']?\s*$""")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"))
+    n_kept = F.size(kept)
+    low = F.lower(c)
+    marker_hit = None
+    for m in drop_markers:
+        hit = low.contains(m.lower())
+        marker_hit = hit if marker_hit is None else (marker_hit | hit)
+    reason = (F.when(marker_hit, F.lit("marker"))
+              .when(n_kept < min_kept_lines, F.lit("too_few_lines")))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        reason.isNotNull().alias("doc_dropped"),
+        reason.alias("drop_reason"),
+        F.when(reason.isNull(), F.array_join(kept, "\n"))
+         .alias("clean_text"),
+    )

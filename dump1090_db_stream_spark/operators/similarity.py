@@ -1326,3 +1326,66 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    train_sample: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup at corpus
+    scale by clustering FIRST so the quadratic pair search runs only
+    WITHIN clusters. This is the published recipe for semantic (not
+    just lexical) duplicate pruning of web-scale training corpora —
+    the step above MinHash in the dedup ladder: paraphrases and
+    re-renderings land in the same cluster even when they share no
+    shingles.
+
+    Composition of two already-oracled stages: the engine-portable
+    k-means trainer (:func:`kmeans_centroids_portable` — bit-identical
+    across engines, so the ENTIRE pipeline replays closed-form in SQL)
+    + max-cosine assignment, then a cluster-bucketed self-join with
+    the rounded-cosine threshold, and the deterministic survivor rule
+    this repo uses everywhere (a row is a duplicate iff a SMALLER-id
+    row sits within ``threshold`` in its cluster — one anti-join, no
+    iteration). Output: (id, cluster, kept) for EVERY input row.
+
+    Scale shape: the pair join is an equi-join on the cluster id —
+    shuffle O(rows), compare cost quadratic per cluster. ``n_clusters``
+    is the dial (the paper runs ~100k clusters at web scale so
+    clusters stay small); the train-sample collect is bounded and
+    documented, same contract as IVF training. The vectors are dropped
+    before the final projection, so the wide column never reaches the
+    output shuffle.
+    """
+    from dump1090_db_stream_spark.cache import track
+
+    cents = kmeans_centroids_portable(
+        df, dim, n_centroids=n_clusters, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, train_sample=train_sample)
+    base = track(df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+    ))
+    a, b = base.alias("a"), base.alias("b")
+    dup = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(F.round(dot(F.col("a.vec"), F.col("b.vec"))
+                        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+                >= threshold)
+        .select(F.col("b.id").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        base.join(dup, F.col("id") == F.col("_dup_id"), "left")
+        .select(F.col("id").alias(id_col), "cluster",
+                F.col("_dup_id").isNull().alias("kept"))
+    )

@@ -191,3 +191,101 @@ def char_entropy(
             - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6,
         ).alias("entropy"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, app. A1.1
+    — the published heuristics most LLM corpus pipelines apply before
+    any model-based filtering), evaluated natively in one narrow
+    projection: word-count bounds, mean-word-length bounds, symbol
+    (#/ellipsis)-to-word ratio, bullet-started and ellipsis-ended line
+    fractions, words-with-an-alphabetic-character fraction, and the
+    >=2-English-stopwords presence test. Defaults are the paper's
+    thresholds; every one is a parameter because corpus token/length
+    profiles differ.
+
+    Output: per-doc metrics (rounded to 6 before comparison, so both
+    engines threshold identical values — the portable-sampling
+    discipline), one boolean per rule, and the conjunction
+    ``gopher_pass``. Zero shuffles, zero Python: scales with input
+    bytes. Word = whitespace token (:func:`tokens`); line = newline
+    split; single-line documents make the two line-fraction rules
+    trivially true (0-fractions), which is faithful to the paper —
+    they exist to kill list/boilerplate pages.
+    """
+    df = with_tokens(df, text_col, "_g_toks")
+    c = F.col(text_col)
+    toks = F.col("_g_toks")
+    n_words = F.size(toks)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    mean_wl = F.round(
+        F.when(n_words > 0,
+               F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda a, t: a + F.length(t))
+               / n_words).otherwise(F.lit(0.0)), 6)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c)
+             - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.round(
+        F.when(n_words > 0, (n_hash + n_ell) / n_words)
+        .otherwise(F.lit(0.0)), 6)
+    bullet_frac = F.round(
+        F.when(n_lines > 0,
+               F.size(F.filter(lines, lambda ln: F.trim(ln)
+                               .rlike(r"^[-*•]"))) / n_lines)
+        .otherwise(F.lit(0.0)), 6)
+    ell_frac = F.round(
+        F.when(n_lines > 0,
+               F.size(F.filter(lines, lambda ln: F.trim(ln)
+                               .endswith("..."))) / n_lines)
+        .otherwise(F.lit(0.0)), 6)
+    alpha_frac = F.round(
+        F.when(n_words > 0,
+               F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+               / n_words).otherwise(F.lit(0.0)), 6)
+    low = F.transform(toks, F.lower)
+    stop_hits = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0))
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": sym_ratio <= max_symbol_word_ratio,
+        "r_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "r_ellipsis_lines": ell_frac <= max_ellipsis_line_frac,
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    passed = None
+    for expr in rules.values():
+        passed = expr if passed is None else (passed & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passed.alias("gopher_pass"),
+    )

@@ -321,3 +321,38 @@ def test_line_index_streaming_foreachbatch_matches_batch(spark, tmp_path):
     replayed = {r["line"]: r["doc_freq"]
                 for r in read_line_frequencies(spark, store).collect()}
     assert replayed == want
+
+
+def test_c4_line_filter_rules(spark):
+    from dump1090_db_stream_spark.operators.cleaning import c4_line_filter
+
+    docs = [
+        (0, "\n".join(["This is a good first sentence.",
+                       "Another proper sentence sits right here!",
+                       "Does this line also survive the cut?",
+                       "short.",
+                       "no terminal punctuation on this line",
+                       "This page uses javascript for tracking."])),
+        (1, "\n".join(["Only one line survives in this document.",
+                       "tiny.",
+                       "also no punct"])),
+        (2, "A fine sentence. But it mentions Lorem Ipsum somewhere."),
+        (3, "Valid sentence here with words. But then { appears."),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    # doc 0: 3 qualifying lines survive (short line, no-punct line and
+    # the javascript line are removed) -> kept
+    assert got[0]["doc_dropped"] is False
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept"] == 3
+    assert got[0]["clean_text"] == (
+        "This is a good first sentence.\n"
+        "Another proper sentence sits right here!\n"
+        "Does this line also survive the cut?")
+    # doc 1: one kept line < min_kept_lines
+    assert got[1]["doc_dropped"] is True
+    assert got[1]["drop_reason"] == "too_few_lines"
+    assert got[1]["clean_text"] is None
+    # docs 2/3: marker kill switches (case-insensitive)
+    assert got[2]["drop_reason"] == "marker"
+    assert got[3]["drop_reason"] == "marker"

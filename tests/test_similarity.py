@@ -630,3 +630,42 @@ def test_brute_force_topk_arrow_string_ids(spark, corpus):
     out = brute_force_topk_arrow(emb, queries, k=5)
     assert dict(out.dtypes)["query_id"] == "string"
     assert dict(out.dtypes)["neighbor_id"] == "string"
+
+
+def test_semantic_dedup_prunes_planted_neardups(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import semantic_dedup
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    # plant near-identical copies under HIGHER ids: the smallest-id
+    # survivor rule must keep every original and drop every copy
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, (x.cast("double") + 0.001)
+                                        .cast("float")).otherwise(x))
+        .alias("embedding"))
+    corpus = emb.union(pert)
+    out = semantic_dedup(corpus, dim=64, threshold=0.99, n_clusters=4,
+                         n_iters=2, train_sample=32)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_orig = emb.count()
+    assert len(rows) == 2 * n_orig          # every row present exactly once
+    orig_kept = sum(rows[r]["kept"] for r in rows if r < 100000)
+    assert orig_kept == n_orig              # originals all survive
+    # SemDeDup's documented recall tradeoff: a near-dup is pruned iff
+    # it lands in its partner's cluster. Every SAME-cluster copy must
+    # be pruned; a copy surviving must be a genuine cluster-boundary
+    # case (assignment flipped by the perturbation), and those must be
+    # rare (the paper's k-vs-recall dial)
+    survivors = [r for r in rows if r >= 100000 and rows[r]["kept"]]
+    for r in rows:
+        if r >= 100000 and rows[r]["cluster"] == rows[r - 100000]["cluster"]:
+            assert not rows[r]["kept"], r
+    for r in survivors:
+        assert rows[r]["cluster"] != rows[r - 100000]["cluster"], r
+    assert len(survivors) <= n_orig * 0.05

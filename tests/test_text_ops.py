@@ -112,3 +112,34 @@ def test_char_entropy_known_values(spark):
     assert got[3]["entropy"] == 1.0
     assert got[4]["n_chars"] == 1 and got[4]["entropy"] == 0.0
 
+
+
+def test_gopher_rules_each_rule_trips_on_its_own_fixture(spark):
+    from dump1090_db_stream_spark.operators.text import gopher_rules
+
+    good = ("the cat and the dog have fun with that ball " * 6).strip()
+    docs = [
+        (0, good),                                   # passes everything
+        (1, "the cat and dog with that"),            # too few words
+        (2, "\n".join("- " + good for _ in range(4))),   # all bullet lines
+        (3, ("11 22 33 44 " * 15).strip() + " the and of"),  # numeric words
+        (4, good + " " + "#" * 40),                  # symbol ratio
+        (5, ("extraordinarily " * 55).strip()),      # mean word len > 10
+        (6, ("cat dog bird fish lion wolf bear " * 8).strip()),  # no stops
+        (7, "\n".join(good + "..." for _ in range(5))),  # ellipsis lines
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=40).collect()}
+    assert got[0]["gopher_pass"] is True
+    assert got[1]["r_word_count"] is False
+    assert got[2]["r_bullet_lines"] is False and got[2]["bullet_line_frac"] == 1.0
+    assert got[3]["r_alpha_words"] is False
+    assert got[4]["r_symbol_ratio"] is False
+    assert got[5]["r_mean_word_len"] is False
+    assert got[6]["r_stopwords"] is False and got[6]["stop_hits"] == 0
+    assert got[7]["r_ellipsis_lines"] is False
+    for d in range(1, 8):
+        assert got[d]["gopher_pass"] is False, d
+    # the paper's stopword test counts DISTINCT words present
+    assert got[0]["stop_hits"] >= 2
