@@ -3322,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_stats": q_c4_line_stats,
         "semantic_dedup": q_semantic_dedup,
+        "pagerank_neardups": q_pagerank_neardups,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5824,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
+        "pagerank_neardups": _pagerank_oracle(),
         "winsorized_values": """
             WITH b AS (
                 SELECT event_type,
@@ -6868,4 +6870,74 @@ def _semantic_dedup_oracle(threshold: float = 0.99) -> str:
                    (d.dup_id IS NULL) AS kept
             FROM clustered c LEFT JOIN dup d
               ON c.neighbor_id = d.dup_id
+        """
+
+
+def q_pagerank_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (operators.graph.pagerank) over the exact
+    cosine near-dup graph — the representative-picking signal for dedup
+    clusters. Three fixed iterations, damping 0.85; contributions fold
+    in source-id order, so the DuckDB oracle replays every iteration
+    bit-for-bit (list_sum over ORDER BY src lists) on top of the same
+    n^2 pair predicate the cosine_neardup_pairs oracle uses."""
+    from dump1090_db_stream_spark.operators.graph import pagerank
+    from dump1090_db_stream_spark.operators.similarity import (
+        exact_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = exact_cosine_pairs(emb, threshold=0.35)
+    return pagerank(emb, edges, n_iters=3, damping=0.85,
+                    id_col="vec_id")
+
+
+def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
+                     threshold: float = 0.35) -> str:
+    """Unrolled PageRank replay: the symmetric rounded-cosine edge set,
+    then one CTE pair (ordered-fold contribution sum + rank update) per
+    iteration. (1-d)/N and 1/N are IEEE-identical in both engines."""
+    its = []
+    for t in range(n_iters):
+        its.append(f"""s{t} AS (
+                SELECT dst, list_sum(list(c ORDER BY src)) AS s
+                FROM (
+                    SELECT e.dst, e.src, r.rank / d.deg AS c
+                    FROM e e JOIN r{t} r ON e.src = r.id
+                    JOIN deg d ON e.src = d.src)
+                GROUP BY dst
+            ), r{t + 1} AS (
+                SELECT n.id,
+                       CAST({1.0 - damping!r} AS DOUBLE)
+                       / (SELECT nn FROM cnt)
+                       + CAST({damping!r} AS DOUBLE)
+                         * coalesce(s.s, 0.0) AS rank
+                FROM allnodes n LEFT JOIN s{t} s ON n.id = s.dst
+            )""")
+    return f"""
+            WITH nrm AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings
+            ), e AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+                WHERE round(list_sum(list_transform(
+                          range(1, length(a.embedding) + 1),
+                          i -> a.embedding[i]::DOUBLE
+                               * b.embedding[i]::DOUBLE))
+                          / (a.nrm * b.nrm), 6) >= {threshold!r}
+            ), deg AS (
+                SELECT src, count(*) AS deg FROM e GROUP BY src
+            ), cnt AS (
+                SELECT count(*) AS nn FROM embeddings
+            ), allnodes AS (
+                SELECT vec_id AS id FROM embeddings
+            ), r0 AS (
+                SELECT id, 1.0 / (SELECT nn FROM cnt) AS rank
+                FROM allnodes
+            ), {', '.join(its)}
+            SELECT id AS vec_id,
+                   floor(rank * 1e6 + 0.5) / 1e6 AS pagerank
+            FROM r{n_iters}
         """

@@ -310,3 +310,78 @@ def triangles(
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = ab.join(bc, "b")  # a < b < c by construction
     return wedges.join(ac, ["a", "c"]).select("a", "b", "c")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — the
+    centrality signal a dedup pipeline uses to pick REPRESENTATIVE
+    documents (the near-dup cluster member most linked to the rest)
+    and to weight crawl frontiers. Edges are symmetrized; every node
+    in ``nodes`` participates (isolated nodes converge to the
+    teleport mass (1-d)/N; no dangling-mass redistribution — the
+    symmetrized graph has no dangling nodes among edge endpoints).
+
+    Per iteration: one equi-join of the rank relation onto the
+    degree-annotated edge list + one aggregation — the connected-
+    components shuffle shape, keyed on node id, with lineage truncated
+    per round (localCheckpoint) exactly like ``connected_components``.
+
+    DETERMINISM: per-target contributions are folded in SOURCE-ID
+    ORDER (collect_list -> array_sort -> left fold) instead of a plain
+    float sum(), so ranks are bit-identical across partitionings,
+    reruns, AND engines — a DuckDB oracle replays every iteration with
+    ``list_sum(list(x ORDER BY src))``, the same IEEE sequence (the
+    kmeans_centroids_portable discipline). At 100 TB, where no oracle
+    rides along, swap the fold for the plain map-side-combinable sum()
+    — same join shape, one less array materialization.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    sym = (edges.select(F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"))
+           .union(edges.select(F.col(dst_col).alias("src"),
+                               F.col(src_col).alias("dst")))
+           .distinct())
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    sym_deg = track(sym.join(deg, "src"))
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = (nodes.select(F.col(id_col).alias("_pid"))
+             .withColumn("_rank", F.lit(1.0 / n))
+             .localCheckpoint(eager=True))
+    for _ in range(n_iters):
+        contrib = (sym_deg
+                   .join(ranks, F.col("src") == F.col("_pid"))
+                   .select("dst", "src",
+                           (F.col("_rank") / F.col("_deg")).alias("_c")))
+        summed = (contrib.groupBy("dst")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("src").alias("s"),
+                                   F.col("_c").alias("c")))),
+                      F.lit(0.0),
+                      lambda acc, v: acc + v["c"]).alias("_s")))
+        ranks = (nodes.select(F.col(id_col).alias("_pid"))
+                 .join(summed, F.col("_pid") == F.col("dst"), "left")
+                 .select("_pid",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("_s"), F.lit(0.0)))
+                         .alias("_rank"))
+                 .localCheckpoint(eager=True))
+    # floor-based micro-quantization instead of round(): Spark rounds
+    # via exact BigDecimal HALF_UP while other engines round after a
+    # float multiply, so a rank landing exactly on a .5e-6 boundary
+    # rounds differently per engine (observed on real fixture data).
+    # floor(x*1e6 + 0.5)/1e6 is the same IEEE sequence everywhere.
+    return ranks.select(
+        F.col("_pid").alias(id_col),
+        (F.floor(F.col("_rank") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("pagerank"))

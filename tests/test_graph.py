@@ -161,3 +161,37 @@ def test_best_survivors_keeps_highest_score(spark):
     assert got[2]["canonical_id"] == 1  # cluster key is the component min
     assert got[4]["canonical_id"] == 4
     assert got[2]["score"] == 0.9  # full input schema preserved
+
+
+def test_pagerank_known_graph_and_invariants(spark):
+    from dump1090_db_stream_spark.operators.graph import pagerank
+
+    # path graph 1-2-3 plus isolated node 4: the middle node must rank
+    # highest, the ends equal by symmetry, the isolate at teleport mass
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r["id"]: r["pagerank"]
+           for r in pagerank(nodes, edges, n_iters=3).collect()}
+    # replicate the fixed-iteration recipe in plain Python
+    n, d = 4, 0.85
+    base = (1.0 - d) / n
+    deg = {1: 1, 2: 2, 3: 1}
+    adj = {1: [2], 2: [1, 3], 3: [2], 4: []}
+    r = {i: 1.0 / n for i in (1, 2, 3, 4)}
+    for _ in range(3):
+        nxt = {}
+        for i in (1, 2, 3, 4):
+            s = 0.0
+            for j in sorted(k for k in adj if i in adj[k]):
+                s += r[j] / deg[j]
+            nxt[i] = base + d * s
+        r = nxt
+    import math
+
+    for i in (1, 2, 3, 4):
+        assert got[i] == math.floor(r[i] * 1e6 + 0.5) / 1e6, i
+    assert got[2] > got[1] == got[3] > got[4]
+    import pytest
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(nodes, edges, damping=1.5)
