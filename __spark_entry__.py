@@ -3323,6 +3323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": q_c4_line_stats,
         "semantic_dedup": q_semantic_dedup,
         "pagerank_neardups": q_pagerank_neardups,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "length_batches": q_length_batches,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5826,6 +5829,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
+        "winnow_fingerprints": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), hs AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(length(toks) - 2, 1) + 1),
+                           i -> md5(array_to_string(toks[i:i+2], ' ')))
+                           AS hs
+                FROM t
+            ), rows_ AS (
+                SELECT doc_id, length(hs) AS n,
+                       unnest(list_transform(range(1, length(hs) + 1),
+                           i -> struct_pack(p := i - 1, h := hs[i]))) AS u
+                FROM hs
+            ), wins AS (
+                SELECT doc_id, u.p AS p, u.h AS h,
+                       unnest(range(greatest(u.p - 3, 0),
+                                    least(u.p, greatest(n - 4, 0)) + 1))
+                           AS s
+                FROM rows_
+            ), picked AS (
+                SELECT doc_id, s, h, p,
+                       row_number() OVER (PARTITION BY doc_id, s
+                                          ORDER BY h, p DESC) AS rn
+                FROM wins
+            )
+            SELECT DISTINCT doc_id, p AS pos, h AS fingerprint
+            FROM picked WHERE rn = 1
+        """,
+        "length_batches": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       length(regexp_split_to_array(trim(text), '\\s+'))
+                           AS n_tok
+                FROM documents
+            ), a AS (
+                SELECT id, n_tok,
+                       CAST(floor(n_tok / 16) AS BIGINT) AS bucket,
+                       (((((((id) % 1000003 + 1000003) % 1000003) * 2654435767 + 40506) % 1000000007) % 1000003) * 2654435761 + 40503) % 1000000007 AS h
+                FROM base
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY bucket
+                                             ORDER BY h, id) AS rn
+                FROM a
+            )
+            SELECT bucket,
+                   CAST(floor((rn - 1) / 8) AS BIGINT) AS batch_index,
+                   count(*) AS n_docs,
+                   max(n_tok) AS max_tokens,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                   round(1.0 - CAST(sum(n_tok) AS BIGINT)
+                         / (max(n_tok)::DOUBLE * count(*)), 6)
+                       AS pad_frac
+            FROM r GROUP BY bucket, floor((rn - 1) / 8)
+        """,
+        "doc_bigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), uni AS (
+                SELECT term, count(*) AS cu FROM (
+                    SELECT unnest(toks) AS term FROM t) GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(cu) AS BIGINT) AS u FROM uni
+            ), bgr AS (
+                SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+                       count(*) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(length(toks) - 1, 0) + 1),
+                               i -> struct_pack(w1 := toks[i],
+                                                w2 := toks[i + 1]))) AS bg
+                    FROM t)
+                GROUP BY doc_id, bg.w1, bg.w2
+            ), cbi AS (
+                SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb
+                FROM bgr GROUP BY w1, w2
+            )
+            SELECT b.doc_id,
+                   CAST(sum(b.tf) AS BIGINT) AS n_bigrams,
+                   round(sum(b.tf * ln(0.75 * c.cb / u1.cu
+                                       + 0.25 * u2.cu
+                                         / (SELECT u FROM tot)))
+                         / sum(b.tf), 6) AS logprob
+            FROM bgr b
+            JOIN cbi c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN uni u1 ON b.w1 = u1.term
+            JOIN uni u2 ON b.w2 = u2.term
+            GROUP BY b.doc_id
+        """,
         "winsorized_values": """
             WITH b AS (
                 SELECT event_type,
@@ -6941,3 +7039,40 @@ def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
                    floor(rank * 1e6 + 0.5) / 1e6 AS pagerank
             FROM r{n_iters}
         """
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.text.winnow_fingerprints —
+    Schleimer et al. SIGMOD'03, the MOSS algorithm): positioned
+    rightmost-window-minimum selection over md5 shingle hashes, k=3
+    w=4. The oracle replays hash, window cover, and tie-break
+    closed-form."""
+    from dump1090_db_stream_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment (operators.packing.
+    length_grouped_batches): token-length buckets, seeded-hash shuffle
+    within bucket, fixed batch size, per-batch padding-waste audit.
+    Deterministic via the portable hash, replayed exactly in SQL."""
+    from dump1090_db_stream_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_grouped_batches(docs, batch_size=8, bucket_width=16,
+                                  seed=3)
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (operators.relevance.bigram_logprob,
+    Jelinek-Mercer lambda=0.75): the quality rung above
+    doc_unigram_logprob — catches shuffled-word gibberish whose
+    unigrams are all common."""
+    from dump1090_db_stream_spark.operators.relevance import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=0.75)

@@ -184,3 +184,56 @@ def pack_sequences_sql(
                CAST((c - n_tokens) % {token_budget} AS BIGINT) AS offset
         FROM cum
     """
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    batch_size: int,
+    bucket_width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Length-grouped batch assignment (the dynamic-batching recipe:
+    group sequences of similar token length so per-batch padding waste
+    stays low, but shuffle WITHIN each length bucket so batches aren't
+    sorted by length — the seeded portable hash provides the
+    deterministic shuffle). Returns BATCH-level stats, the padding
+    audit a pipeline gates on:
+
+        (bucket, batch_index, n_docs, max_tokens, sum_tokens, pad_frac)
+
+    pad_frac = 1 - sum/(max*n) — the fraction of a padded batch tensor
+    that is padding. One window (rank within bucket) + one aggregate;
+    the rank key is (seeded hash, id), so the assignment is exact
+    under rerun/repartition and closed-form replayable in SQL.
+    """
+    from dump1090_db_stream_spark.operators.sampling import (
+        portable_hash_seeded,
+    )
+    from dump1090_db_stream_spark.operators.text import token_count
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tok"))
+    bucket = F.floor(F.col("n_tok") / bucket_width).cast("long")
+    h = portable_hash_seeded("id", seed)
+    w = Window.partitionBy("bucket").orderBy("h", "id")
+    assigned = (base.select("id", "n_tok", bucket.alias("bucket"),
+                            h.alias("h"))
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("batch_index",
+                            F.floor((F.col("rn") - 1) / batch_size)
+                            .cast("long")))
+    return (assigned.groupBy("bucket", "batch_index")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("n_tok").alias("max_tokens"),
+                 F.sum(F.col("n_tok").cast("long")).alias("sum_tokens"))
+            .select("bucket", "batch_index", "n_docs", "max_tokens",
+                    "sum_tokens",
+                    F.round(F.lit(1.0)
+                            - F.col("sum_tokens")
+                            / (F.col("max_tokens").cast("double")
+                               * F.col("n_docs")), 6).alias("pad_frac")))

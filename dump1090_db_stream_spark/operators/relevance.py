@@ -241,3 +241,70 @@ def bm25_scores(
              F.round(F.sum("c"), 6).alias("score"))
         .select(F.col("id").alias(id_col), "n_matched", "score")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own counts — one rung above :func:`unigram_logprob` on
+    the LM-quality ladder (Jelinek-Mercer smoothing):
+
+        p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/U
+
+    Repetitive/templated text scores HIGH (its bigrams are corpus-
+    frequent), shuffled-word gibberish scores LOW even when every
+    unigram is common — the signal unigram_logprob cannot see.
+
+    Scale shape: the (doc, bigram, tf) relation shuffles once; bigram
+    and unigram count dimensions join at vocabulary size; U is a
+    one-row broadcast (the tfidf_terms discipline). c(w1) uses the
+    unigram count (standard approximation: exact up to doc-final
+    tokens). Documents with fewer than 2 tokens have no bigrams and
+    are absent from the output — callers union them back if needed.
+
+    Output: (id_col, n_bigrams, logprob rounded 6).
+    """
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.text import with_tokens
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    toks = with_tokens(df, text_col, "_bl_toks").select(
+        F.col(id_col).alias("id"), F.col("_bl_toks").alias("t"))
+    toks = track(toks)
+    uni = (toks.select("id", F.explode("t").alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("cu")))
+    uni = track(uni)
+    tot = uni.agg(F.sum("cu").alias("u"))
+    # bigrams via two array slices zipped (the _bigrams_of_toks shape,
+    # id retained): 1-token docs yield an empty zip, never an
+    # out-of-range element_at (sequence(1, 0) would count DOWN)
+    n1 = F.greatest(F.lit(0), F.size("t") - 1)
+    pairs = F.zip_with(
+        F.slice("t", 1, n1), F.slice("t", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = (toks.select("id", F.explode(pairs).alias("bg"))
+           .select("id", "bg.w1", "bg.w2")
+           .groupBy("id", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    big = track(big)
+    cbi = big.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    p = (F.lit(lam) * F.col("cb") / F.col("c1")
+         + F.lit(1.0 - lam) * F.col("c2") / F.col("u"))
+    return (
+        big.join(cbi, ["w1", "w2"])
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"),
+                                     F.col("cu").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"),
+                                     F.col("cu").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+             F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6)
+              .alias("logprob"))
+        .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
+    )

@@ -289,3 +289,55 @@ def gopher_rules(
         *[expr.alias(name) for name, expr in rules.items()],
         passed.alias("gopher_pass"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS plagiarism-detection algorithm): hash every word
+    ``k``-gram, slide a window of ``w`` consecutive hashes, and keep
+    the RIGHTMOST MINIMUM of each window. Guarantee: any shared run of
+    at least w+k-1 tokens between two documents shares at least one
+    fingerprint — a coverage property MinHash sampling cannot give —
+    while selecting only ~2/(w+1) of all hashes.
+
+    Spark-first shape: hashes explode with positions, each position
+    replicates onto the <= w windows covering it (sequence + explode —
+    the interval-bucket cover pattern, O(n*w) rows, no self-join), and
+    each window takes ``min(struct(hash, -pos))`` in one map-side-
+    combinable aggregate (string min: rightmost tie-break via the
+    negated position). Hashes are md5 hex strings (the
+    :func:`doc_fingerprint` portability discipline) so any ANSI engine
+    replays them. Documents with fewer than ``w`` hashes form a single
+    window (their global minimum) — the paper's boundary case.
+
+    Output: DISTINCT (id, pos, fingerprint) — pos is the 0-based
+    shingle position, so matches can be located, not just detected.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    base = with_tokens(df, text_col, "_wn_toks").select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles("_wn_toks", k), lambda s: F.md5(s))
+         .alias("hs"))
+    rows = base.select(
+        "id", F.size("hs").alias("n"),
+        F.posexplode("hs").alias("p", "h"))
+    last_start = F.greatest(F.col("n") - w, F.lit(0))
+    wins = rows.select(
+        "id", "p", "h",
+        F.explode(F.sequence(
+            F.greatest(F.col("p") - (w - 1), F.lit(0)),
+            F.least(F.col("p"), last_start))).alias("s"))
+    picked = (wins.groupBy("id", "s")
+              .agg(F.min(F.struct(F.col("h").alias("h"),
+                                  (-F.col("p")).alias("np"))).alias("m")))
+    return (picked.select("id", (-F.col("m.np")).alias("pos"),
+                          F.col("m.h").alias("fingerprint"))
+            .distinct()
+            .select(F.col("id").alias(id_col), "pos", "fingerprint"))

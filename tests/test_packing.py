@@ -98,3 +98,33 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = (pack_sequences(docs, token_budget=500, n_buckets=4)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1  # exactly the window repartition
+
+
+def test_length_grouped_batches_contract(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.packing import (
+        length_grouped_batches,
+    )
+
+    # 40 docs of 3 tokens, 20 of 20 tokens -> buckets 0 and 1
+    docs = [(i, "a b c" if i < 40 else " ".join(["w"] * 20), )
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = length_grouped_batches(df, batch_size=16, bucket_width=16,
+                                 seed=3).collect()
+    by = {(r["bucket"], r["batch_index"]): r for r in out}
+    # bucket 0: 40 docs -> batches of 16, 16, 8; bucket 1: 20 -> 16, 4
+    assert sorted((b, i, by[(b, i)]["n_docs"]) for b, i in by) == [
+        (0, 0, 16), (0, 1, 16), (0, 2, 8), (1, 0, 16), (1, 1, 4)]
+    for (b, i), r in by.items():
+        # same-length docs per bucket here -> zero padding waste
+        assert r["pad_frac"] == 0.0
+        assert r["sum_tokens"] == r["n_docs"] * r["max_tokens"]
+    # deterministic under rerun + repartition
+    again = sorted(map(tuple, length_grouped_batches(
+        df.repartition(5), batch_size=16, bucket_width=16,
+        seed=3).collect()))
+    assert sorted(map(tuple, out)) == again
+    with pytest.raises(ValueError, match="batch_size"):
+        length_grouped_batches(df, batch_size=0)

@@ -127,3 +127,43 @@ def test_unigram_logprob_known_values(spark):
     assert got[2]["logprob"] == pytest.approx(lp2, abs=1e-6)
     # the rare-token doc scores lower — the filterable signal
     assert got[2]["logprob"] < got[1]["logprob"]
+
+
+def test_bigram_logprob_orders_gibberish_below_templates(spark):
+    import math
+
+    import pytest
+
+    from dump1090_db_stream_spark.operators.relevance import bigram_logprob
+
+    # 10 templated docs share every bigram; the shuffled doc uses the
+    # SAME unigrams in an order never seen elsewhere
+    template = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, template) for i in range(10)]
+    docs.append((10, "dog the over quick lazy brown the jumps fox"))
+    docs.append((11, "solo"))  # 1 token -> no bigrams -> absent
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob(df, lam=0.75).collect()}
+    assert 11 not in got and len(got) == 11
+    assert got[0]["n_bigrams"] == 8
+    assert got[10]["logprob"] < got[0]["logprob"]
+    # closed-form check for the templated docs: every bigram occurs 10x,
+    # c(w1): 'the' 21 (10 docs x 2 + shuffled 2 -> 22? count corpus-wide)
+    # -> just verify against a hand computation of the same formula
+    from collections import Counter
+
+    toks = [d[1].split() for d in docs]
+    uni = Counter(t for ts in toks for t in ts)
+    u = sum(uni.values())
+    big = Counter((ts[i], ts[i + 1]) for ts in toks
+                  for i in range(len(ts) - 1))
+    ts = toks[0]
+    s = n = 0
+    for i in range(len(ts) - 1):
+        w1, w2 = ts[i], ts[i + 1]
+        p = 0.75 * big[(w1, w2)] / uni[w1] + 0.25 * uni[w2] / u
+        s += math.log(p)
+        n += 1
+    assert got[0]["logprob"] == pytest.approx(round(s / n, 6), abs=1e-6)
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob(df, lam=1.5)

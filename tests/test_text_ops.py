@@ -143,3 +143,43 @@ def test_gopher_rules_each_rule_trips_on_its_own_fixture(spark):
         assert got[d]["gopher_pass"] is False, d
     # the paper's stopword test counts DISTINCT words present
     assert got[0]["stop_hits"] >= 2
+
+
+def test_winnow_fingerprints_guarantee_and_tie_break(spark):
+    from dump1090_db_stream_spark.operators.text import winnow_fingerprints
+
+    import pytest
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    a_text = " ".join(words)
+    # doc B shares a 8-token run with A (>= w+k-1 = 6 tokens), so the
+    # winnowing guarantee says they MUST share a fingerprint
+    b_text = "zulu yankee " + " ".join(words[4:12]) + " xray whiskey"
+    # doc C: repeated tokens -> equal hashes in one window exercise the
+    # rightmost tie-break; doc D: fewer shingles than w -> one window
+    docs = [(0, a_text), (1, b_text), (2, "rep rep rep rep rep rep"),
+            (3, "tiny doc here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=3, w=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1]            # the coverage guarantee
+    # density: ~2/(w+1) of hashes selected, never more than n windows
+    assert 2 <= len(by_doc[0]) < len(words) - 2
+    # doc 2: all hashes identical -> every window picks its rightmost
+    # position, dedup leaves one fingerprint per distinct position set
+    assert len(by_doc[2]) == 1
+    # doc 3: 1 shingle (< w) -> exactly one fingerprint at pos 0
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["pos"] == 0
+    # determinism under repartition
+    again = {(r["doc_id"], r["pos"], r["fingerprint"])
+             for r in winnow_fingerprints(df.repartition(7), k=3,
+                                          w=4).collect()}
+    assert again == {(r["doc_id"], r["pos"], r["fingerprint"])
+                     for r in rows}
+    with pytest.raises(ValueError, match="w must"):
+        winnow_fingerprints(df, w=0)
