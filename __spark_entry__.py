@@ -5722,7 +5722,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": """
             WITH base AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
                        string_split(text, chr(10)) AS lines
                 FROM documents
             ), feat AS (
@@ -5801,9 +5801,9 @@ def oracle_sql() -> dict[str, str]:
                        string_split(text, chr(10)) AS lines,
                        list_filter(string_split(text, chr(10)), ln ->
                            regexp_matches(trim(ln),
-                                          '[.!?]["'']?\s*$')
+                                          '[.!?]["'']?\\s*$')
                            AND length(regexp_split_to_array(trim(ln),
-                                                            '\s+')) >= 5
+                                                            '\\s+')) >= 5
                            AND NOT contains(lower(ln), 'javascript'))
                            AS kept
                 FROM documents

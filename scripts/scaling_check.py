@@ -44,6 +44,12 @@ DEFAULT = [
     "duplicate_text_spans",   # positional shingle df + island merge
     "stripped_duplicate_spans",  # cover explode + doc reconstruction
     "data_expectations",      # one-pass multi-rule gate
+    # round-6 additions
+    "semantic_dedup",         # kmeans + within-cluster pair join
+    "pagerank_neardups",      # n^2-edge build + 3 fold iterations
+    "winnow_fingerprints",    # window-cover explode + min-struct agg
+    "doc_bigram_logprob",     # bigram relation + vocab joins
+    "excess_share_suppliers",  # two aggs + semi-join (TPC-H Q20 shape)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -326,6 +326,14 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "hard_negative_candidates",  # broadcast query side, non-equi
                                      # self-guard (brute-force band
                                      # scan, same as embedding_topk)
+        "top_value_parts",        # one-row (total, n_parts) scalar
+                                  # attach (TPC-H Q11 shape)
+        "doc_bigram_logprob",     # one-row U corpus-total attach
+                                  # (same as doc_unigram_logprob)
+        "pagerank_neardups",      # edge build reuses the exact
+                                  # all-pairs cosine validator
+                                  # (a.id < b.id) — at scale feed
+                                  # pagerank() LSH pairs instead
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
@@ -544,3 +552,21 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf):
+    """The SemDeDup pair search must be an equi-join on the cluster id
+    (the whole point of clustering first) — never a cartesian product —
+    and fully JVM-side."""
+    plan = plan_of(entrymod.q_semantic_dedup(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnowing_has_no_self_join(spark, sf):
+    """Winnowing's window cover is sequence+explode per row; a naive
+    formulation self-joins shingles to windows. Assert the plan has NO
+    join at all — only explodes and one aggregate."""
+    plan = plan_of(entrymod.q_winnow_fingerprints(spark, sf))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

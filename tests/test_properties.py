@@ -457,3 +457,34 @@ def test_gap_fill_invariants_vs_python_reference(spark, rows):
                 assert r["value_avg"] is None and r["n_obs"] == 0
                 assert abs(r["value_locf"] - pv) < 1e-6
                 assert abs(r["value_interp"] - want) < 1e-6
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=30),
+    st.lists(st.sampled_from("qrstuvwx"), min_size=8, max_size=30),
+    st.integers(min_value=0, max_value=6),
+)
+def test_winnowing_shared_run_guarantee(spark, a_words, b_words, cut):
+    """The winnowing GUARANTEE (Schleimer et al. thm. 1): any run of
+    >= w+k-1 shared tokens produces at least one shared fingerprint.
+    Random docs share a random slice of doc A longer than the
+    threshold; position-independence of the shared-hash content is the
+    property under test (positions differ between docs — only the
+    fingerprint VALUES must intersect)."""
+    from dump1090_db_stream_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+    run_len = w + k - 1
+    cut = min(cut, len(a_words) - run_len)
+    shared = a_words[cut:cut + run_len]
+    b_full = b_words[: len(b_words) // 2] + shared \
+        + b_words[len(b_words) // 2:]
+    df = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_full))],
+        ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1]
