@@ -3326,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "length_batches": q_length_batches,
         "doc_bigram_logprob": q_doc_bigram_logprob,
+        "dsir_weights": q_dsir_weights,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5829,6 +5830,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
+        "dsir_weights": """
+            WITH t AS (
+                SELECT doc_id, (lang = 'en') AS tgt,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), featl AS (
+                SELECT doc_id, tgt,
+                       list_concat(toks, list_transform(
+                           range(1, greatest(length(toks) - 1, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS fs
+                FROM t
+            ), feats AS (
+                SELECT doc_id, tgt,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                           AS b,
+                       count(*) AS cnt
+                FROM (SELECT doc_id, tgt, unnest(fs) AS f FROM featl)
+                GROUP BY doc_id, tgt, b
+            ), buckets AS (
+                SELECT b,
+                       CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END)
+                            AS BIGINT) AS ct,
+                       CAST(sum(cnt) AS BIGINT) AS cs
+                FROM feats GROUP BY b
+            ), tot AS (
+                SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                       CAST(sum(cs) AS BIGINT) AS ss
+                FROM buckets
+            ), dims AS (
+                SELECT b,
+                       ln((ct + CAST(1.0 AS DOUBLE))
+                          / (tt + CAST(4096.0 AS DOUBLE)))
+                       - ln((cs + CAST(1.0 AS DOUBLE))
+                            / (ss + CAST(4096.0 AS DOUBLE))) AS lr
+                FROM buckets CROSS JOIN tot
+            )
+            SELECT f.doc_id,
+                   CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+                   round(sum(f.cnt * d.lr), 6) AS log_weight
+            FROM feats f JOIN dims d ON f.b = d.b
+            GROUP BY f.doc_id
+        """,
         "winnow_fingerprints": """
             WITH t AS (
                 SELECT doc_id,
@@ -7076,3 +7119,15 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, lam=0.75)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators.sampling.dsir_logweights —
+    Xie et al. 2023): hashed unigram+bigram features, target = English
+    documents, Laplace-smoothed log importance ratio per doc. The
+    portable 60-bit md5 bucket hash lets the oracle replay feature
+    hashing, both count dimensions, and the ratio closed-form."""
+    from dump1090_db_stream_spark.operators.sampling import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, F.col("lang") == "en", n_buckets=4096)

@@ -590,3 +590,75 @@ def negative_pairs_sql(
         SELECT anchor AS {id_expr}, slot, cand AS neg_id
         FROM ranked WHERE rn = 1
     """
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every document by how much more likely its hashed
+    n-gram features are under a TARGET subcorpus (``target`` is a
+    boolean Column, e.g. ``F.col("lang") == "en"`` or a quality flag)
+    than under the full corpus. The published recipe for "select
+    pretraining data that looks like the domain you care about"
+    without training a classifier.
+
+        log_weight(d) = sum over features f of
+            c_d(f) * [ ln((ct_f + a)/(T + aB)) - ln((cs_f + a)/(S + aB)) ]
+
+    Features are word unigrams AND bigrams hashed into ``n_buckets``
+    with the engine-portable 60-bit md5 hash (the MinHash replay
+    discipline), so a SQL oracle reproduces bucket ids exactly.
+
+    Scale shape: one (doc, bucket, cnt) relation shuffled once; the
+    target/source count dimensions collapse to <= n_buckets rows each
+    and broadcast back; T/S are one-row attaches riding the same
+    broadcast. Laplace smoothing ``alpha`` keeps unseen buckets
+    finite. Output: (id, n_feats, log_weight rounded 6) for every
+    document — resample/top-k downstream (rank on the ROUNDED weight
+    with id tiebreak for cross-engine determinism).
+    """
+    from dump1090_db_stream_spark.operators.dedup import _portable_hash60
+    from dump1090_db_stream_spark.operators.text import with_tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    base = with_tokens(df, text_col, "_ds_toks").select(
+        F.col(id_col).alias("id"), target.alias("_tgt"),
+        F.col("_ds_toks").alias("t"))
+    n1 = F.greatest(F.lit(0), F.size("t") - 1)
+    bigrams = F.zip_with(F.slice("t", 1, n1), F.slice("t", 2, n1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = (base.select(
+        "id", "_tgt",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("f"))
+        .select("id", "_tgt",
+                F.pmod(_portable_hash60(F.col("f")), F.lit(n_buckets))
+                .alias("b"))
+        .groupBy("id", "_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    from dump1090_db_stream_spark.cache import track
+
+    feats = track(feats)
+    buckets = (feats.groupBy("b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0)))
+         .alias("ct"),
+        F.sum("cnt").alias("cs")))
+    totals = buckets.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ss"))
+    ratio = (F.log((F.col("ct") + alpha)
+                   / (F.col("tt") + alpha * n_buckets))
+             - F.log((F.col("cs") + alpha)
+                     / (F.col("ss") + alpha * n_buckets)))
+    dims = (buckets.crossJoin(F.broadcast(totals))
+            .select("b", ratio.alias("lr")))
+    return (feats.join(F.broadcast(dims), "b")
+            .groupBy("id")
+            .agg(F.sum("cnt").cast("long").alias("n_feats"),
+                 F.round(F.sum(F.col("cnt") * F.col("lr")), 6)
+                  .alias("log_weight"))
+            .select(F.col("id").alias(id_col), "n_feats", "log_weight"))

@@ -44,12 +44,17 @@ DEFAULT = [
     "duplicate_text_spans",   # positional shingle df + island merge
     "stripped_duplicate_spans",  # cover explode + doc reconstruction
     "data_expectations",      # one-pass multi-rule gate
-    # round-6 additions
-    "semantic_dedup",         # kmeans + within-cluster pair join
-    "pagerank_neardups",      # n^2-edge build + 3 fold iterations
+    # round-6 additions. semantic_dedup / pagerank_neardups are NOT
+    # here: their contract queries fix k=8 clusters / use the exact
+    # all-pairs validator as the edge source, so both are documented
+    # quadratic at contract params (the scale paths — n_clusters
+    # scaled with corpus, LSH pairs feeding pagerank() — are the
+    # bucketed shapes audited above).
     "winnow_fingerprints",    # window-cover explode + min-struct agg
     "doc_bigram_logprob",     # bigram relation + vocab joins
     "excess_share_suppliers",  # two aggs + semi-join (TPC-H Q20 shape)
+    "gopher_quality",         # narrow rule projection
+    "length_batches",         # one window + one aggregate
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -451,3 +451,32 @@ def test_temperature_sample_excludes_null_sources(spark):
     # n_min = 100 (rare), NOT 5 (the NULL group): big keeps 4^-0.5
     assert rates == {"big": 0.5, "rare": 1.0}
     assert out.filter(F.col("source").isNull()).count() == 0
+
+
+def test_dsir_logweights_ranks_target_like_docs_higher(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import dsir_logweights
+
+    # target docs speak "cat dog fish"; background speaks "rock sand"
+    docs = (
+        [(i, "cat dog fish cat dog", True) for i in range(20)]
+        + [(100 + i, "rock sand mud rock sand", False) for i in range(20)]
+        # candidates (non-target): one target-like, one background-like
+        + [(500, "cat dog fish dog cat", False),
+           (501, "rock sand mud sand rock", False)]
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text", "is_t"])
+    got = {r["doc_id"]: r for r in
+           dsir_logweights(df, F.col("is_t"), n_buckets=512).collect()}
+    assert len(got) == 42
+    assert got[500]["log_weight"] > got[501]["log_weight"]
+    assert got[500]["log_weight"] > 0 > got[501]["log_weight"]
+    assert got[500]["n_feats"] == 9  # 5 unigrams + 4 bigrams
+    # deterministic under repartition
+    again = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(
+        df.repartition(7), F.col("is_t"), n_buckets=512).collect()}
+    assert again == {k: v["log_weight"] for k, v in got.items()}
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_logweights(df, F.col("is_t"), n_buckets=1)
