@@ -3327,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "dsir_weights": q_dsir_weights,
+        "doc_signals": q_doc_signals,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -6651,6 +6652,22 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    # the signals table is the literal composition of four component
+    # oracles joined on the primary key
+    oracles["doc_signals"] = f"""
+        WITH q AS ({oracles['doc_quality']}),
+             e AS ({oracles['doc_entropy']}),
+             r AS ({oracles['doc_repetition_stats']}),
+             g AS ({oracles['gopher_quality']})
+        SELECT q.doc_id, q.q_n_chars, q.q_n_tokens, q.q_mean_token_len,
+               q.q_punct_ratio, q.q_upper_ratio, q.q_stopword_ratio,
+               q.q_quality_score, e.entropy, r.top_frac, r.dup_frac,
+               g.gopher_pass
+        FROM q
+        JOIN e ON q.doc_id = e.doc_id
+        JOIN r ON q.doc_id = r.doc_id
+        JOIN g ON q.doc_id = g.doc_id
+    """
     # triangles close wedges over the SAME pair graph the ngram oracle
     # defines (identical params) — semantic reuse, not duplication
     oracles["neardup_triangles"] = f"""
@@ -7131,3 +7148,28 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_logweights(docs, F.col("lang") == "en", n_buckets=4096)
+
+
+def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RedPajama-V2-style per-document QUALITY-SIGNALS table: one
+    wide row per doc joining four independently-oracled signal families
+    (quality features, char entropy, 2-gram repetition, the Gopher
+    verdict) on the primary key — the artifact downstream filtering
+    thresholds are tuned against. Each component is its own
+    map-side-combined pass; the id joins carry narrow metric rows only
+    (AQE broadcasts the small sides), and the oracle is the literal
+    composition of the four component oracles."""
+    from dump1090_db_stream_spark.operators.cleaning import repetition_stats
+    from dump1090_db_stream_spark.operators.text import (
+        char_entropy,
+        gopher_rules,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_features(docs).drop("text")
+    e = char_entropy(docs).select("doc_id", "entropy")
+    r = repetition_stats(docs, n=2).select("doc_id", "top_frac",
+                                           "dup_frac")
+    g = gopher_rules(docs, min_words=40).select("doc_id", "gopher_pass")
+    return q.join(e, "doc_id").join(r, "doc_id").join(g, "doc_id")
