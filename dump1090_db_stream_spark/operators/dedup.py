@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dump1090_db_stream_spark.cache import track
+from dump1090_db_stream_spark.cache import release_tracked, track
 from dump1090_db_stream_spark.operators.text import (
     content_hash,
     shingles,
@@ -857,3 +857,39 @@ def ngram_containment_pairs(
              .otherwise(F.col("id_b")).alias("contained_id"),
         )
     )
+
+
+def neardup_stream_sink(
+    index_path: str,
+    corpus: DataFrame,
+    out_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch sink completing the INCREMENTAL dedup story as an
+    actual stream: each arriving micro-batch of documents probes the
+    persisted MinHash index (:func:`neardup_vs_index` — batch band
+    relation broadcast, index never shuffles) and lands its flagged
+    (corpus_id, new_id, jaccard) rows under
+    ``<out_path>/batch=<batchId>`` with overwrite mode — the
+    ``line_partials_sink`` exactly-once discipline: an at-least-once
+    replay after a crash-between-write-and-checkpoint rewrites the
+    same subdirectory instead of appending duplicate flag rows.
+
+    ``corpus`` is the relation the index was built from (verification
+    texts only — candidates are LEFT-SEMI filtered before any
+    re-shingling). Read the accumulated flags with
+    ``spark.read.parquet(out_path)``; the batch column is partition
+    metadata.
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        flagged = neardup_vs_index(
+            spark, index_path, batch_df, corpus,
+            threshold=threshold, id_col=id_col, text_col=text_col)
+        (flagged.write.mode("overwrite")
+         .parquet(f"{out_path}/batch={batch_id}"))
+        release_tracked()
+
+    return sink

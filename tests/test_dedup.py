@@ -288,3 +288,67 @@ def test_containment_catches_short_in_long(spark):
     jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                               max_df=None).collect()
     assert not any((r["id_a"], r["id_b"]) == (1, 2) for r in jac)
+
+
+def test_neardup_stream_sink_exactly_once(spark, tmp_path):
+    """The incremental-dedup stream: micro-batches of new docs probe
+    the persisted MinHash index via foreachBatch; flagged pairs land
+    batchId-keyed so an at-least-once replay cannot double-flag."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.dedup import (
+        neardup_stream_sink,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over lazy dog number {i} "
+             f"with extra tail tokens {i} {i}") for i in range(30)],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx, n=3, num_hashes=32, bands=16)
+
+    # stream source: micro-batch files; batch 0 = near-copies of docs
+    # 3 and 7 (one token changed), batch 1 = novel docs
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1003, corpus.filter("doc_id=3").first()["text"]
+          .replace("quick", "quickk")),
+         (1007, corpus.filter("doc_id=7").first()["text"]
+          .replace("lazy", "lazyy"))],
+        ["doc_id", "text"]).write.json(str(src_dir / "b0"))
+    spark.createDataFrame(
+        [(2000, "completely different content nothing shared here at "
+                "all in any shingle of this text")],
+        ["doc_id", "text"]).write.json(str(src_dir / "b1"))
+
+    out = str(tmp_path / "flags")
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src_dir) + "/*"))
+    q = (stream.writeStream
+         .foreachBatch(neardup_stream_sink(idx, corpus, out,
+                                           threshold=0.4))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    flags = spark.read.parquet(out)
+    got = {(r["corpus_id"], r["new_id"]) for r in flags.collect()}
+    assert (3, 1003) in got and (7, 1007) in got
+    assert not any(n == 2000 for _, n in got)   # novel doc stays clean
+    # exactly-once: replaying a batch's write overwrites, not appends
+    batch_dirs = {r["batch"] for r in
+                  flags.select("batch").distinct().collect()}
+    assert len(batch_dirs) >= 1
+    sink = neardup_stream_sink(idx, corpus, out, threshold=0.4)
+    first = spark.read.json(str(src_dir / "b0"))
+    sink(first, 0)  # simulate the at-least-once redelivery
+    again = {(r["corpus_id"], r["new_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert again == got
