@@ -893,3 +893,48 @@ def neardup_stream_sink(
         release_tracked()
 
     return sink
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    n_bits: int = 64,
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Generic hamming-radius pairing over ANY n-bit hash column — the
+    pigeonhole LSH that backs simhash_neardup_pairs, exposed for other
+    bit-hash producers (perceptual image hashes, audio fingerprints):
+    split the hash into ``n_chunks`` chunks; any pair within
+    ``max_hamming`` <= n_chunks - 1 must share at least one exact
+    chunk, so candidates meet in a (chunk_index, chunk_value)
+    equi-join and only collisions pay the popcount verify. Shuffle
+    volume O(rows x n_chunks), never all-pairs.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole needs max_hamming <= n_chunks - 1; got "
+            f"{max_hamming} > {n_chunks - 1}")
+    chunk_bits = n_bits // n_chunks
+    chunks = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("hv"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col(hash_col), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cv"),
+            ) for i in range(n_chunks)
+        ])).alias("c"),
+    ).select("id", "hv", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.hv").bitwiseXOR(F.col("b.hv")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -87,3 +87,60 @@ def test_extract_audio_features(media):
     assert out[3].n_bytes == 1024
     assert all(len(r.mfcc) == 13 for r in out.values())
     assert all(0.0 <= r.rms <= 1.0 for r in out.values())
+
+
+def test_phash_real_decode_neardup_detection(spark):
+    """The image dedup story end to end: the SAME picture as PNG and as
+    JPEG (q=95) lands a few hamming bits apart; a different picture
+    lands far; hamming_neardup_pairs finds exactly the re-encode pair."""
+    from dump1090_db_stream_spark.functions.jpeg import encode_jpeg
+    from dump1090_db_stream_spark.functions.png import encode_png
+    from dump1090_db_stream_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.operators.multimodal import phash_images
+
+    w, h = 64, 48
+    # structured image (gradient + diagonal band) — pHash needs real
+    # spatial structure, not noise
+    px_a = bytes(
+        min(255, (x * 2 + y) % 256 if abs(x - y) > 6 else 250)
+        for y in range(h) for x in range(w) for _ in range(3))
+    px_b = bytes((x * 5 + y * y) % 256
+                 for y in range(h) for x in range(w) for _ in range(3))
+    rows = [(0, bytearray(encode_png(w, h, 3, px_a))),
+            (1, bytearray(encode_jpeg(w, h, 3, px_a, quality=95))),
+            (2, bytearray(encode_png(w, h, 3, px_b)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = phash_images(media, decode_stub=False)
+    got = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[0], got[1]) <= 6          # same picture, re-encoded
+    assert ham(got[0], got[2]) > 10          # different picture
+    pairs = hamming_neardup_pairs(hashes, "phash", max_hamming=6,
+                                  n_chunks=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    # deterministic
+    again = {r["media_id"]: r["phash"]
+             for r in phash_images(media, decode_stub=False).collect()}
+    assert again == got
+
+
+def test_phash_stub_path_and_hamming_validation(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.operators.multimodal import phash_images
+
+    media = spark.createDataFrame(
+        [(i, bytes([(i * 7 + j) % 256 for j in range(256)]))
+         for i in range(4)], "media_id long, payload binary")
+    out = phash_images(media).collect()
+    assert len(out) == 4
+    again = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    assert again == {r["media_id"]: r["phash"] for r in out}
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(phash_images(media), "phash",
+                              max_hamming=8, n_chunks=8)
