@@ -144,3 +144,45 @@ def test_phash_stub_path_and_hamming_validation(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_neardup_pairs(phash_images(media), "phash",
                               max_hamming=8, n_chunks=8)
+
+
+def test_audio_fingerprint_neardup_detection(spark):
+    """Same recording re-gained and lightly noised lands within a few
+    bits; a different recording lands far; gain invariance is exact."""
+    import math
+    import random
+
+    from dump1090_db_stream_spark.functions.wav import encode_wav
+    from dump1090_db_stream_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    rate, n = 8000, 8000
+    rng = random.Random(5)
+    # amplitude-modulated tone: real energy structure across frames
+    sig = [0.5 * math.sin(2 * math.pi * 440 * t / rate)
+           * (0.3 + 0.7 * abs(math.sin(2 * math.pi * 3 * t / rate)))
+           for t in range(n)]
+    quiet = [0.25 * s for s in sig]                      # re-gained
+    noisy = [s + rng.uniform(-0.01, 0.01) for s in sig]  # light noise
+    other = [0.5 * math.sin(2 * math.pi * (200 + 900 * t / n) * t / rate)
+             for t in range(n)]                          # chirp
+    rows = [(0, bytearray(encode_wav(rate, 1, 16, sig))),
+            (1, bytearray(encode_wav(rate, 1, 16, quiet))),
+            (2, bytearray(encode_wav(rate, 1, 16, noisy))),
+            (3, bytearray(encode_wav(rate, 1, 16, other)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["audio_fp"] for r in
+           audio_fingerprints(media, decode_stub=False).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[0], got[1]) <= 2     # gain cancels in energy ratios
+    assert ham(got[0], got[2]) <= 6     # light noise moves a few bits
+    assert ham(got[0], got[3]) > 10     # different recording
+    pairs = {(r["id_a"], r["id_b"]) for r in hamming_neardup_pairs(
+        audio_fingerprints(media, decode_stub=False), "audio_fp",
+        max_hamming=6, n_chunks=8).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
