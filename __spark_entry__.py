@@ -6869,8 +6869,10 @@ def q_urgent_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_returnflag").alias("line_class"))
-        .agg(F.sum(high.cast("long")).alias("high_line_count"),
-             F.sum((~high).cast("long")).alias("low_line_count"))
+        # when/otherwise (not a bare cast) so a NULL priority counts
+        # as low, exactly like the oracle's CASE ... ELSE 1 branch
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
     )
 
 

@@ -333,28 +333,21 @@ def bench_fuzzy_candidates(spark, sf_dir: str) -> dict:
     candidate behavior (fixture regeneration, prefix-filter change)
     shows up as a ratio change here before it shows up as
     entity_resolution wall-clock."""
-    from pyspark.sql import functions as F
-
-    from dump1090_db_stream_spark.operators.fuzzy import qgram_elements
+    from dump1090_db_stream_spark.operators.fuzzy import (
+        estimate_candidate_pairs,
+    )
 
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    n_rows = cust.count()
-    out = {"n_rows": n_rows}
+    out = {}
     for q, k in ((3, 1), (4, 1)):
         t0 = time.perf_counter()
-        elems = qgram_elements(cust, "c_custkey", "c_name", q=q).filter(
-            F.col("slen") > k * q + q - 1)
-        freq = elems.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
-        from pyspark.sql import Window
-        w = Window.partitionBy("id").orderBy("gfreq", "gram", "occ")
-        est = (elems.join(F.broadcast(freq), "gram")
-               .withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") <= k * q + 1)
-               .groupBy("gram", "occ").agg(F.count(F.lit(1)).alias("c"))
-               .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1)) / 2)
-                          .cast("double")).alias("est"))
-               .collect()[0]["est"]) or 0
-        out[f"q{q}"] = {"est_candidates": int(est),
+        # the SAME helper the in-join guard calls — the bench records
+        # exactly what the guard would measure, so they cannot drift
+        n_rows, est = estimate_candidate_pairs(
+            cust, "c_custkey", "c_name", k=k, q=q)
+        release_tracked()
+        out["n_rows"] = n_rows
+        out[f"q{q}"] = {"est_candidates": est,
                         "ratio": round(est / max(n_rows, 1), 1),
                         "estimate_sec": round(time.perf_counter() - t0, 3)}
     return out

@@ -41,3 +41,25 @@ def release_tracked() -> int:
             pass
     _TRACKED.clear()
     return n
+
+
+def tracked_mark() -> int:
+    """Position marker for :func:`release_after` — lets library code
+    that runs inside a loop (e.g. a foreachBatch sink) free ONLY the
+    intermediates its own body tracked, without touching caches an
+    application holds across the loop."""
+    return len(_TRACKED)
+
+
+def release_after(mark: int) -> int:
+    """Unpersist every intermediate tracked AFTER ``mark`` (a value
+    from :func:`tracked_mark`); returns the count released."""
+    n = 0
+    for df in _TRACKED[mark:]:
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    del _TRACKED[mark:]
+    return n

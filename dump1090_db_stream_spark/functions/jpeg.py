@@ -43,10 +43,16 @@ _ZIGZAG: list[tuple[int, int]] = []  # index -> (row, col), spec order
 
 
 def _build_zigzag() -> None:
-    order = sorted(
-        ((x + y, (y if (x + y) % 2 == 0 else x), x, y)
-         for y in range(8) for x in range(8)))
-    _ZIGZAG.extend((y, x) for _s, _k, x, y in order)
+    # T.81 Figure A.6: odd diagonals walk DOWN from (0, s), even
+    # diagonals walk UP to (0, s). (An earlier revision generated the
+    # TRANSPOSE of this order; self round-trips could not see it —
+    # encoder and decoder shared the table — so the order is pinned
+    # against the spec's flat-index sequence in tests/test_jpeg.py.)
+    for s in range(15):
+        pts = [(r, s - r) for r in range(max(0, s - 7), min(7, s) + 1)]
+        if s % 2 == 0:
+            pts.reverse()
+        _ZIGZAG.extend(pts)
 
 
 _build_zigzag()

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dump1090_db_stream_spark.cache import release_tracked, track
+from dump1090_db_stream_spark.cache import release_after, track, tracked_mark
 from dump1090_db_stream_spark.operators.text import (
     content_hash,
     shingles,
@@ -885,12 +885,17 @@ def neardup_stream_sink(
     """
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # free only the caches THIS body tracks (the candidate
+        # relation inside neardup_vs_index) — a blanket
+        # release_tracked() here would also evict caches the
+        # application holds across micro-batches
+        mark = tracked_mark()
         flagged = neardup_vs_index(
             spark, index_path, batch_df, corpus,
             threshold=threshold, id_col=id_col, text_col=text_col)
         (flagged.write.mode("overwrite")
          .parquet(f"{out_path}/batch={batch_id}"))
-        release_tracked()
+        release_after(mark)
 
     return sink
 

@@ -100,6 +100,53 @@ def qgram_elements(df: DataFrame, id_col: str, str_col: str,
     return grams.withColumn("occ", F.row_number().over(occ))
 
 
+def _prefix_relation(df: DataFrame, id_col: str, str_col: str,
+                     k: int, q: int) -> DataFrame:
+    """The frequency-ordered prefix index (id, s, slen, gram, occ) —
+    the single definition shared by :func:`edit_distance_join`, its
+    candidate-volume guard, and :func:`estimate_candidate_pairs`, so
+    the benched estimate can never drift from what the join executes."""
+    short_max = k * q + q - 1
+    elems = qgram_elements(df, id_col, str_col, q=q).filter(
+        F.col("slen") > short_max)
+    # Global gram frequency = the total order that puts rare grams in
+    # prefixes. Small relation (gram universe), broadcast back.
+    freq = elems.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+    prefix_w = (Window.partitionBy("id")
+                .orderBy("gfreq", "gram", "occ"))
+    return (elems.join(F.broadcast(freq), "gram")
+            .withColumn("rn", F.row_number().over(prefix_w))
+            .filter(F.col("rn") <= k * q + 1)
+            .select("id", "s", "slen", "gram", "occ"))
+
+
+def _estimate_from_prefix(prefix: DataFrame) -> tuple[int, int]:
+    """(n_long_rows, est_candidate_pairs) from a prefix relation: the
+    exact upper bound on expansion-join output is the sum over
+    (gram, occ) buckets of c*(c-1)/2. Two small jobs over ``prefix``
+    (persist it first — both the guard and the join reuse it)."""
+    n_rows = prefix.select("id").distinct().count()
+    est_row = (prefix.groupBy("gram", "occ")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1)) / 2)
+                          .cast("double")).alias("est"))
+               .collect()[0])
+    return n_rows, int(est_row["est"] or 0)
+
+
+def estimate_candidate_pairs(df: DataFrame, id_col: str, str_col: str,
+                             k: int = 1, q: int = 2) -> tuple[int, int]:
+    """Standalone candidate-volume probe: (long-string rows, candidate
+    pair bound) for the given (k, q) — what the in-join guard measures,
+    exposed for capacity planning and the bench's round-over-round
+    drift record. Persists the prefix internally; caller releases via
+    cache.release_tracked (the operator-intermediate contract)."""
+    from dump1090_db_stream_spark.cache import track
+
+    return _estimate_from_prefix(
+        track(_prefix_relation(df, id_col, str_col, k, q)))
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -126,7 +173,9 @@ def edit_distance_join(
     could otherwise detonate the verify stage. ``None`` disables the
     check (and its two small jobs). The short-string brute-force
     bucket is outside the estimate: it is tiny by contract and
-    broadcast, never the blowup source.
+    broadcast, never the blowup source — so the guard's ratio
+    denominator is the LONG-string row count (read off the persisted
+    prefix itself, never a rescan of the input lineage).
     """
     import warnings
 
@@ -143,35 +192,18 @@ def edit_distance_join(
                      F.col(str_col).alias("s"),
                      F.length(str_col).alias("slen"))
 
-    elems = qgram_elements(df, id_col, str_col, q=q).filter(
-        F.col("slen") > short_max)
-    # Global gram frequency = the total order that puts rare grams in
-    # prefixes. Small relation (gram universe), broadcast back.
-    freq = elems.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
-    prefix_w = (Window.partitionBy("id")
-                .orderBy("gfreq", "gram", "occ"))
     # prefix feeds both self-join sides — persist or the tokenize/
     # window pipeline runs twice (no CSE across self-join branches)
-    prefix = track(
-        elems.join(F.broadcast(freq), "gram")
-        .withColumn("rn", F.row_number().over(prefix_w))
-        .filter(F.col("rn") <= k * q + 1)
-        .select("id", "s", "slen", "gram", "occ")
-    )
+    prefix = track(_prefix_relation(df, id_col, str_col, k, q))
     if max_candidate_ratio is not None:
-        n_rows = df.count()
-        est_row = (prefix.groupBy("gram", "occ")
-                   .agg(F.count(F.lit(1)).alias("c"))
-                   .agg(F.sum((F.col("c") * (F.col("c") - F.lit(1)) / 2)
-                              .cast("double")).alias("est"))
-                   .collect()[0])
-        est = int(est_row["est"] or 0)
+        n_rows, est = _estimate_from_prefix(prefix)
         limit = max_candidate_ratio * max(n_rows, 1)
         if est > limit:
             msg = (
                 f"edit_distance_join candidate-volume guard: prefix "
                 f"buckets generate up to {est:,} candidate pairs for "
-                f"{n_rows:,} input rows ({est / max(n_rows, 1):.0f}x > "
+                f"{n_rows:,} long-string rows "
+                f"({est / max(n_rows, 1):.0f}x > "
                 f"allowed {max_candidate_ratio:.0f}x). Gram diversity "
                 f"is too low for q={q} — raise q so alphabet^q far "
                 f"exceeds n (see module docstring: q=3 cut a measured "

@@ -391,9 +391,12 @@ def phash_images(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
+                if not data:  # empty/NULL payload: NULL hash, like the
+                    rows.append({"media_id": int(mid), "phash": None})
+                    continue  # audio twin's empty-sample branch
                 if decode_stub:
                     plane = np.frombuffer(
-                        (data * (n * n // max(1, len(data)) + 1))[:n * n],
+                        (data * (n * n // len(data) + 1))[:n * n],
                         dtype=np.uint8).reshape(n, n).astype(np.float64)
                 else:
                     from dump1090_db_stream_spark.functions.jpeg import (
@@ -409,8 +412,11 @@ def phash_images(
                         w, h, ch, px = decode_png(data)
                     img = np.frombuffer(bytes(px), dtype=np.uint8)
                     img = img.reshape(h, w, ch).astype(np.float64)
+                    # any ch >= 3 (RGB, RGBA) takes Rec.601 luma of
+                    # the first three planes — an RGBA copy must hash
+                    # next to its RGB twin, not from the red channel
                     gray = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
-                            + img[:, :, 2] * 0.114) if ch == 3 \
+                            + img[:, :, 2] * 0.114) if ch >= 3 \
                         else img[:, :, 0]
                     ys = (np.arange(n) * h) // n
                     xs = (np.arange(n) * w) // n

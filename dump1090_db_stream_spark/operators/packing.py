@@ -215,6 +215,8 @@ def length_grouped_batches(
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     base = df.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("n_tok"))

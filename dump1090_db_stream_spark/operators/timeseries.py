@@ -255,9 +255,14 @@ def interval_overlap_pairs(
     en = F.unix_micros(F.col(end_col).cast("timestamp"))
     if on_reversed == "raise":
         # the assertion lives in a FILTER (a projected-then-dropped
-        # column would be pruned by Catalyst and never evaluated)
+        # column would be pruned by Catalyst and never evaluated).
+        # NULL bounds are NOT reversed intervals: they fall through to
+        # the NULL branch, which the filter drops — the same silent
+        # exclusion the pre-guard explode applied to NULL timestamps.
         df = df.filter(
-            F.when(en >= st, F.lit(True)).otherwise(F.raise_error(F.concat(
+            F.when(en.isNull() | st.isNull(), F.lit(None).cast("boolean"))
+            .when(en >= st, F.lit(True))
+            .otherwise(F.raise_error(F.concat(
                 F.lit("interval_overlap_pairs: reversed interval "
                       "(end < start) at "),
                 F.to_json(F.struct(*[F.col(c) for c in id_cols]))))))

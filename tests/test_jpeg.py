@@ -108,3 +108,19 @@ def test_real_decode_through_multimodal_seam(spark):
     diff = sum(abs(a - b) for a, b in zip(got[0]["feature"],
                                           got[1]["feature"]))
     assert diff <= 0.1
+
+
+def test_zigzag_order_matches_the_spec_sequence():
+    """Pins the zigzag table to ITU T.81 Figure A.6's canonical
+    flat-index sequence. Encoder and decoder share the table, so a
+    wrong order (e.g. the transpose) still round-trips internally —
+    only an external pin like this catches it, and it is what makes
+    files from real encoders decode with correct geometry."""
+    from dump1090_db_stream_spark.functions.jpeg import _ZIGZAG
+
+    spec = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63]
+    assert [r * 8 + c for r, c in _ZIGZAG] == spec
