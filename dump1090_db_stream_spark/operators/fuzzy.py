@@ -44,7 +44,17 @@ bigrams) even the rarest q=2 grams land in buckets of n/100-scale and
 candidates blow up ~40x past the true pairs (measured: 9.7M candidates
 for 262k pairs on 15k synthetic names). Raise q so alphabet^q far
 exceeds n (q=3 cut candidates 13x there); the short-string floor
-rises accordingly. Position-band residuals (classic Ed-Join) would
+rises accordingly. CAVEAT (bench fuzzy_candidate_volume, 15k
+Customer# names): raising q only helps when the extra gram positions
+ADD diversity — on uniform-PREFIX keys whose variation sits in a
+short numeric tail, q=4 grams are as concentrated as q=3 while the
+prefix grows to k*q+1 = 5 slots, and the measured bound got ~7x WORSE
+(739x rows at q=3 vs 5209x at q=4). For such keys the real remedies
+are a longer varying tail in the join key or blocking on an
+additional column; the guard exists to surface exactly this before
+the join runs. Candidate volume also grows superlinearly with n on
+low-diversity keys (521x at 1.5k rows -> 739x at 15k, same q=3) —
+the round-over-round bench entry tracks that drift. Position-band residuals (classic Ed-Join) would
 prune further but are UNSOUND under this module's (gram, occ) multiset
 matching — an edit that destroys an early occurrence renumbers later
 ones, so matched occurrence pairs can sit k positions apart yet the
