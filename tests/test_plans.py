@@ -334,6 +334,9 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # all-pairs cosine validator
                                   # (a.id < b.id) — at scale feed
                                   # pagerank() LSH pairs instead
+        "dsir_weights",           # one-row (T, S) corpus-totals
+                                  # attach onto the n_buckets-sized
+                                  # dimension (same as bigram_pmi)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
