@@ -3328,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "dsir_weights": q_dsir_weights,
         "doc_signals": q_doc_signals,
+        "pagerank_docs": q_pagerank_docs,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5831,6 +5832,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
+        "pagerank_docs": _pagerank_docs_oracle(),
         "dsir_weights": """
             WITH t AS (
                 SELECT doc_id, (lang = 'en') AS tgt,
@@ -7051,11 +7053,14 @@ def q_pagerank_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     id_col="vec_id")
 
 
-def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
-                     threshold: float = 0.35) -> str:
-    """Unrolled PageRank replay: the symmetric rounded-cosine edge set,
-    then one CTE pair (ordered-fold contribution sum + rank update) per
-    iteration. (1-d)/N and 1/N are IEEE-identical in both engines."""
+def _pagerank_iters_sql(n_iters: int, damping: float,
+                        out_id: str) -> str:
+    """The unrolled PageRank iteration CTEs + final select, shared by
+    every pagerank oracle. Expects CTEs ``e(src, dst)`` (symmetric),
+    ``deg(src, deg)``, ``cnt(nn)``, ``allnodes(id)``, ``r0(id, rank)``
+    in scope. One CTE pair (ordered-fold contribution sum + rank
+    update) per iteration; (1-d)/N and 1/N are IEEE-identical across
+    engines; floor-based micro-quantization on output."""
     its = []
     for t in range(n_iters):
         its.append(f"""s{t} AS (
@@ -7073,6 +7078,17 @@ def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
                          * coalesce(s.s, 0.0) AS rank
                 FROM allnodes n LEFT JOIN s{t} s ON n.id = s.dst
             )""")
+    return f""", {', '.join(its)}
+            SELECT id AS {out_id},
+                   floor(rank * 1e6 + 0.5) / 1e6 AS pagerank
+            FROM r{n_iters}
+        """
+
+
+def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
+                     threshold: float = 0.35) -> str:
+    """Unrolled PageRank replay over the symmetric rounded-cosine edge
+    set; iterations via :func:`_pagerank_iters_sql`."""
     return f"""
             WITH nrm AS (
                 SELECT vec_id, embedding,
@@ -7096,12 +7112,33 @@ def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85,
             ), r0 AS (
                 SELECT id, 1.0 / (SELECT nn FROM cnt) AS rank
                 FROM allnodes
-            ), {', '.join(its)}
-            SELECT id AS vec_id,
-                   floor(rank * 1e6 + 0.5) / 1e6 AS pagerank
-            FROM r{n_iters}
-        """
+            ){_pagerank_iters_sql(n_iters, damping, "vec_id")}"""
 
+
+def _pagerank_docs_oracle(n_iters: int = 3,
+                          damping: float = 0.85) -> str:
+    """PageRank over the MinHash-LSH near-dup DOCUMENT graph — the
+    SCALE-PATH composition: the edge set is the full minhash pipeline
+    replay (signatures, band buckets, candidates, exact-Jaccard
+    verify — the minhash_lsh_dups oracle verbatim), then the shared
+    iteration tail. Proves the bucketed pair source and the iterative
+    centrality agree with Spark end to end."""
+    return f"""
+            WITH pairs AS ({_minhash_lsh_oracle()}),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), deg AS (
+                SELECT src, count(*) AS deg FROM e GROUP BY src
+            ), cnt AS (
+                SELECT count(*) AS nn FROM documents
+            ), allnodes AS (
+                SELECT doc_id AS id FROM documents
+            ), r0 AS (
+                SELECT id, 1.0 / (SELECT nn FROM cnt) AS rank
+                FROM allnodes
+            ){_pagerank_iters_sql(n_iters, damping, "doc_id")}"""
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators.text.winnow_fingerprints —
@@ -7175,3 +7212,20 @@ def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            "dup_frac")
     g = gopher_rules(docs, min_words=40).select("doc_id", "gopher_pass")
     return q.join(e, "doc_id").join(r, "doc_id").join(g, "doc_id")
+
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-dup document graph — the
+    SCALE-PATH pairing of graph.pagerank (pagerank_neardups uses the
+    exact all-pairs validator as its edge source; this one feeds the
+    bucketed LSH pair relation, the shape that survives 100 TB). Same
+    LSH parameters as minhash_lsh_dups, so the oracle composes that
+    query's full pipeline replay with the shared iteration tail."""
+    from dump1090_db_stream_spark.operators.dedup import minhash_lsh_pairs
+    from dump1090_db_stream_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                              threshold=0.03, portable_base_hash=True)
+    return pagerank(docs, pairs.select("id_a", "id_b"), n_iters=3,
+                    id_col="doc_id")
