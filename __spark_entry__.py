@@ -3329,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "doc_signals": q_doc_signals,
         "pagerank_docs": q_pagerank_docs,
+        "event_drift": q_event_drift,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5833,6 +5834,68 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
         "pagerank_docs": _pagerank_docs_oracle(),
+        "event_drift": """
+            WITH ref AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+            ), cur AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+            ), extent AS (
+                SELECT event_type, min(v) AS lo, max(v) AS hi
+                FROM ref GROUP BY event_type
+            ), ca AS (
+                SELECT r.event_type,
+                       CAST(CASE WHEN e.hi = e.lo THEN 0 ELSE
+                           greatest(least(floor((r.v - e.lo)
+                               / (e.hi - e.lo) * 10), 9), 0)
+                       END AS INT) AS bin,
+                       count(*) AS n
+                FROM ref r JOIN extent e ON r.event_type = e.event_type
+                GROUP BY 1, 2
+            ), cb AS (
+                SELECT c.event_type,
+                       CAST(CASE WHEN e.hi = e.lo THEN 0 ELSE
+                           greatest(least(floor((c.v - e.lo)
+                               / (e.hi - e.lo) * 10), 9), 0)
+                       END AS INT) AS bin,
+                       count(*) AS n
+                FROM cur c JOIN extent e ON c.event_type = e.event_type
+                GROUP BY 1, 2
+            ), grid AS (
+                SELECT event_type, unnest(range(0, 10)) AS bin
+                FROM extent
+            ), cells AS (
+                SELECT g.event_type, g.bin,
+                       coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+                FROM grid g
+                LEFT JOIN ca a ON g.event_type = a.event_type
+                              AND g.bin = a.bin
+                LEFT JOIN cb b ON g.event_type = b.event_type
+                              AND g.bin = b.bin
+            ), tot AS (
+                SELECT event_type, CAST(sum(na) AS BIGINT) AS tna,
+                       CAST(sum(nb) AS BIGINT) AS tnb
+                FROM cells GROUP BY event_type
+            ), psi AS (
+                SELECT c.event_type, t.tna AS n_ref, t.tnb AS n_cur,
+                       round(sum(
+                           ((c.nb + 0.5) / (t.tnb + 0.5 * 10)
+                            - (c.na + 0.5) / (t.tna + 0.5 * 10))
+                           * ln(((c.nb + 0.5) / (t.tnb + 0.5 * 10))
+                                / ((c.na + 0.5) / (t.tna + 0.5 * 10)))
+                       ), 6) AS psi
+                FROM cells c JOIN tot t ON c.event_type = t.event_type
+                GROUP BY c.event_type, t.tna, t.tnb
+            )
+            SELECT event_type, n_ref, n_cur, psi,
+                   CASE WHEN psi < 0.1 THEN 'stable'
+                        WHEN psi < 0.25 THEN 'moderate'
+                        ELSE 'major' END AS verdict
+            FROM psi
+        """,
         "dsir_weights": """
             WITH t AS (
                 SELECT doc_id, (lang = 'en') AS tgt,
@@ -7229,3 +7292,17 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.03, portable_base_hash=True)
     return pagerank(docs, pairs.select("id_a", "id_b"), n_iters=3,
                     id_col="doc_id")
+
+
+def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor (operators.profiling.psi_drift): first half of
+    the event month as the reference snapshot, second half as current,
+    per event type — the retrain/alarm gate metric. Bin edges derive
+    from the reference extent; shares are Laplace-smoothed closed-form,
+    so the oracle replays the exact PSI."""
+    from dump1090_db_stream_spark.operators.profiling import psi_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("ts") < "2024-01-16")
+    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    return psi_drift(ref, cur, "value", keys=["event_type"], n_bins=10)

@@ -305,3 +305,76 @@ def check_expectations(
     return (one.select(F.explode(F.array(*checks)).alias("_c"))
             .select("_c.rule", "_c.rule_type", "_c.column",
                     "_c.metric", "_c.threshold", "_c.passed"))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one — the standard drift monitor a pipeline gates retrains
+    and schema alarms on:
+
+        PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    Bin edges are equi-width over the REFERENCE extent (per key group),
+    so the metric answers "how far has the distribution moved from
+    where it was", and current values outside the reference range
+    clamp into the edge bins. Shares are Laplace-smoothed
+    ((count + 0.5) / (n + 0.5 * bins)) — deterministic, no epsilon
+    folklore, and both engines compute the identical closed form.
+
+    Scale shape: one extent aggregate over the reference (per key,
+    broadcast back), one bin-count aggregate per side (map-side
+    combined, <= keys x bins rows), one keys-sized join. Output per
+    key group: psi (rounded 6) + the conventional verdict bands
+    (stable < 0.1 <= moderate < 0.25 <= major).
+    """
+    keys = keys or []
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    rv = ref.filter(F.col(value_col).isNotNull())
+    cv = cur.filter(F.col(value_col).isNotNull())
+    extent = rv.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        j = (df.join(F.broadcast(extent), on=keys) if keys
+             else df.crossJoin(F.broadcast(extent)))
+        raw = F.floor((F.col(value_col).cast("double") - F.col("_lo"))
+                      / (F.col("_hi") - F.col("_lo")) * n_bins)
+        idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0))
+        ).cast("int")
+        return (j.select(*keys, idx.alias("_bin"))
+                .groupBy(*keys, "_bin")
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    a = binned(rv, "_ca")
+    b = binned(cv, "_cb")
+    grid = (extent.select(
+        *keys, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1)))
+        .alias("_bin")))
+    on = [*keys, "_bin"]
+    cells = (grid.join(a, on, "left").join(b, on, "left")
+             .fillna(0, subset=["_ca", "_cb"]))
+    tot = cells.groupBy(*keys).agg(F.sum("_ca").alias("_na"),
+                                   F.sum("_cb").alias("_nb"))
+    joined = cells.join(F.broadcast(tot), on=keys) if keys else \
+        cells.crossJoin(F.broadcast(tot))
+    pa = (F.col("_ca") + 0.5) / (F.col("_na") + 0.5 * n_bins)
+    pb = (F.col("_cb") + 0.5) / (F.col("_nb") + 0.5 * n_bins)
+    psi = F.round(F.sum((pb - pa) * F.log(pb / pa)), 6)
+    out = (joined.groupBy(*keys)
+           .agg(psi.alias("psi"),
+                F.max("_na").alias("n_ref"),
+                F.max("_nb").alias("n_cur")))
+    verdict = (F.when(F.col("psi") < 0.1, "stable")
+               .when(F.col("psi") < 0.25, "moderate")
+               .otherwise("major"))
+    return out.select(*keys, "n_ref", "n_cur", "psi",
+                      verdict.alias("verdict"))

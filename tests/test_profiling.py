@@ -223,3 +223,34 @@ def test_check_expectations_fails_closed_on_empty_populations(spark):
     assert got["s_uni"]["passed"] is False
     assert got["a_nn"]["passed"] is False and got["a_nn"]["metric"] == 1.0
     assert got["rows"]["passed"] is True
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.profiling import psi_drift
+
+    # reference: N(0-ish) uniform over [0, 100); current group "a"
+    # identical (stable), group "b" shifted hard right (major)
+    ref = spark.createDataFrame(
+        [(g, float((i * 37) % 100)) for g in ("a", "b")
+         for i in range(500)], ["g", "v"])
+    cur_a = [("a", float((i * 37) % 100)) for i in range(500)]
+    cur_b = [("b", 80.0 + float((i * 13) % 20)) for i in range(500)]
+    cur = spark.createDataFrame(cur_a + cur_b, ["g", "v"])
+    got = {r["g"]: r for r in psi_drift(ref, cur, "v",
+                                        keys=["g"]).collect()}
+    assert got["a"]["verdict"] == "stable" and got["a"]["psi"] < 0.01
+    assert got["b"]["verdict"] == "major" and got["b"]["psi"] > 1.0
+    assert got["b"]["n_ref"] == 500 and got["b"]["n_cur"] == 500
+    # out-of-range current values clamp into edge bins, not vanish
+    wild = spark.createDataFrame([("a", 1e9)] * 10 + cur_a[:90],
+                                 ["g", "v"])
+    one = psi_drift(ref.filter("g='a'"), wild, "v", keys=["g"]).collect()
+    assert one[0]["n_cur"] == 100
+    # keyless global form + validation
+    g = psi_drift(ref, cur, "v").collect()
+    assert len(g) == 1 and g[0]["psi"] > 0
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(ref, cur, "v", n_bins=1)
