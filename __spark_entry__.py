@@ -3330,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_signals": q_doc_signals,
         "pagerank_docs": q_pagerank_docs,
         "event_drift": q_event_drift,
+        "embedding_standardized": q_embedding_standardized,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5834,6 +5835,39 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
         "pagerank_docs": _pagerank_docs_oracle(),
+        "embedding_standardized": """
+            WITH pos AS (
+                SELECT unnest(range(1, 65)) AS d, e.embedding
+                FROM embeddings e
+            ), moments AS (
+                SELECT d,
+                       sum(CAST(embedding[d]::DOUBLE
+                                AS DECIMAL(28,8))) AS s,
+                       sum(CAST(embedding[d]::DOUBLE
+                                * embedding[d]::DOUBLE
+                                AS DECIMAL(28,8))) AS s2,
+                       count(*) AS n
+                FROM pos GROUP BY d
+            ), stats AS (
+                SELECT d,
+                       CAST(s AS DOUBLE) / n AS m,
+                       sqrt(greatest(
+                           CAST(s2 AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+                FROM moments
+            ), arrays AS (
+                SELECT list(m ORDER BY d) AS ms,
+                       list(sd ORDER BY d) AS sds
+                FROM stats
+            )
+            SELECT e.vec_id, i.d,
+                   round((e.embedding[i.d]::DOUBLE - a.ms[i.d])
+                         / (a.sds[i.d] + CAST(1e-9 AS DOUBLE)), 6)
+                       AS std_value
+            FROM embeddings e CROSS JOIN arrays a
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS d) i
+        """,
         "event_drift": """
             WITH ref AS (
                 SELECT event_type, CAST(value AS DOUBLE) AS v
@@ -7306,3 +7340,21 @@ def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < "2024-01-16")
     cur = ev.filter(F.col("ts") >= "2024-01-16")
     return psi_drift(ref, cur, "value", keys=["event_type"], n_bins=10)
+
+
+def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (operators.similarity.
+    standardize_embeddings): decimal-exact order-independent moments,
+    IEEE-double transform — replayed closed-form by the oracle. The
+    contract output is the LONG form (vec_id, d, std_value): the
+    driver's value-hash has no array-type normalization, and the
+    exploded form hashes every element individually anyway."""
+    from dump1090_db_stream_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb, dim=64)
+    return out.select(
+        "vec_id", F.posexplode("std_embedding").alias("d", "std_value")
+    ).withColumn("d", F.col("d") + 1)

@@ -1389,3 +1389,58 @@ def semantic_dedup(
         .select(F.col("id").alias(id_col), "cluster",
                 F.col("_dup_id").isNull().alias("kept"))
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the preprocessing step before cosine/kmeans work on embeddings
+    whose dimensions carry wildly different scales (and the first half
+    of embedding whitening): out[d] = (x[d] - mean[d]) / (std[d] + eps).
+
+    DETERMINISM: the per-dimension moments accumulate as
+    DECIMAL(28,8) sums (the revenue-aggregate discipline) — exact and
+    ORDER-INDEPENDENT, unlike a double sum whose partition-order noise
+    would make the rounded outputs flicker across reruns/engines. The
+    final mean/std computations and the transform run in IEEE doubles
+    from those exact sums, so a SQL oracle replays them bit-for-bit.
+
+    Scale shape: one posexplode + one dim-sized aggregate (map-side
+    combined), the (dim x 2) moment relation folded to a ONE-ROW array
+    pair and broadcast back, the transform a narrow zip_with. Output:
+    (id, std_embedding rounded 6).
+    """
+    pos = df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+    moments = (pos.groupBy("d").agg(
+        F.sum(F.col("x").cast("double").cast("decimal(28,8)"))
+         .alias("_s"),
+        F.sum((F.col("x").cast("double") * F.col("x").cast("double"))
+              .cast("decimal(28,8)")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n")))
+    arrays = moments.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("d"), (F.col("_s").cast("double") / F.col("_n"))
+            .alias("m"),
+            F.sqrt(F.greatest(
+                F.col("_s2").cast("double") / F.col("_n")
+                - (F.col("_s").cast("double") / F.col("_n"))
+                * (F.col("_s").cast("double") / F.col("_n")),
+                F.lit(0.0))).alias("sd")))).alias("_ms"))
+    means = F.transform(F.col("_ms"), lambda s: s["m"])
+    sds = F.transform(F.col("_ms"), lambda s: s["sd"])
+    return (
+        df.crossJoin(F.broadcast(arrays))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: F.round(
+                    (x.cast("double") - F.get(means, i))
+                    / (F.get(sds, i) + F.lit(eps)), 6))
+            .alias("std_embedding"))
+    )

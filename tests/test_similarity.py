@@ -669,3 +669,30 @@ def test_semantic_dedup_prunes_planted_neardups(spark):
     for r in survivors:
         assert rows[r]["cluster"] != rows[r - 100000]["cluster"], r
     assert len(survivors) <= n_orig * 0.05
+
+
+def test_standardize_embeddings_moments_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    out = standardize_embeddings(emb, dim=64)
+    # standardized columns have ~zero mean and ~unit std per dimension
+    stats = (out.select(F.posexplode("std_embedding").alias("d", "x"))
+             .groupBy("d")
+             .agg(F.avg("x").alias("m"),
+                  F.stddev_pop("x").alias("sd")).collect())
+    assert all(abs(r["m"]) < 1e-4 for r in stats)
+    assert all(abs(r["sd"] - 1.0) < 1e-3 for r in stats)
+    # exact determinism under repartition (the decimal-sum discipline)
+    a = {r["vec_id"]: tuple(r["std_embedding"]) for r in out.collect()}
+    b = {r["vec_id"]: tuple(r["std_embedding"])
+         for r in standardize_embeddings(emb.repartition(13),
+                                         dim=64).collect()}
+    assert a == b
