@@ -3331,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "event_drift": q_event_drift,
         "embedding_standardized": q_embedding_standardized,
+        "dsir_auc": q_dsir_auc,
+        "dsir_calibration": q_dsir_calibration,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -6751,6 +6753,44 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    # the eval queries rank/bin the SAME scored relation: the dsir
+    # oracle composed with the logistic squash and the language label
+    scored = f"""
+        WITH w AS ({oracles['dsir_weights']}),
+        scored AS (
+            SELECT 1.0 / (1.0 + exp(-(w.log_weight) / 10.0)) AS s,
+                   (d.lang = 'en') AS y
+            FROM w JOIN documents d ON w.doc_id = d.doc_id
+        )"""
+    oracles["dsir_auc"] = scored + """
+        , rnk AS (
+            SELECT s, y, row_number() OVER (ORDER BY s) AS rn
+            FROM scored
+        ), tie AS (
+            SELECT s, avg(rn) AS ravg FROM rnk GROUP BY s
+        ), agg AS (
+            SELECT CAST(sum(CASE WHEN r.y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(sum(CASE WHEN r.y THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_neg,
+                   sum(CASE WHEN r.y THEN t.ravg END) AS rsum
+            FROM rnk r JOIN tie t ON r.s = t.s
+        )
+        SELECT n_pos, n_neg,
+               round((rsum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                     / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+        FROM agg
+    """
+    oracles["dsir_calibration"] = scored + """
+        SELECT CAST(CASE WHEN floor(s * 10) > 9 THEN 9
+                    ELSE floor(s * 10) END AS INT) AS bin,
+               count(*) AS n,
+               round(avg(s), 6) AS confidence,
+               round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+                   AS accuracy
+        FROM scored
+        GROUP BY 1
+    """
     # the signals table is the literal composition of four component
     # oracles joined on the primary key
     oracles["doc_signals"] = f"""
@@ -7358,3 +7398,42 @@ def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.posexplode("std_embedding").alias("d", "std_value")
     ).withColumn("d", F.col("d") + 1)
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, is_en): logistic-squashed DSIR log weight (tau=10)
+    against the English label — the eval relation both evaluation
+    contract queries rank/bin. The logistic input is the ROUNDED
+    log_weight, so both engines transform identical values."""
+    from dump1090_db_stream_spark.operators.sampling import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_logweights(docs, F.col("lang") == "en", n_buckets=4096)
+    return (w.join(docs.select("doc_id", "lang"), "doc_id")
+            .select(
+                (F.lit(1.0)
+                 / (F.lit(1.0) + F.exp(-F.col("log_weight") / 10.0)))
+                .alias("score"),
+                (F.col("lang") == "en").alias("is_en")))
+
+
+def q_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (operators.evaluation.auc_score) of the
+    DSIR importance weight as an English-document classifier — the
+    rank-sum identity with half-credit ties; every intermediate is
+    integer-or-half, so the value is bit-deterministic."""
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    return auc_score(_dsir_scored(spark, sf_dir), "score", "is_en")
+
+
+def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (operators.evaluation.calibration_bins) of the
+    logistic-squashed DSIR weight vs the English label: per-bin count,
+    mean confidence, empirical accuracy."""
+    from dump1090_db_stream_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    return calibration_bins(_dsir_scored(spark, sf_dir), "score",
+                            "is_en", n_bins=10)
