@@ -3333,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardized": q_embedding_standardized,
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
+        "survival_curve": q_survival_curve,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5837,6 +5838,45 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
         "pagerank_docs": _pagerank_docs_oracle(),
+        "survival_curve": """
+            WITH per_user AS (
+                SELECT user_id,
+                       CAST(min(ts) AS TIMESTAMP) AS f,
+                       CAST(max(ts) AS TIMESTAMP) AS l
+                FROM events GROUP BY user_id
+            ), lifted AS (
+                SELECT datediff('day', f::DATE, l::DATE) AS t_day,
+                       (datediff('day', l::DATE,
+                            (SELECT max(l) FROM per_user)::DATE) < 5)
+                           AS censored
+                FROM per_user
+            ), days AS (
+                SELECT t_day,
+                       CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END)
+                            AS BIGINT) AS churned,
+                       CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END)
+                            AS BIGINT) AS censored
+                FROM lifted GROUP BY t_day
+            ), at_risk AS (
+                SELECT t_day, churned, censored,
+                       (SELECT count(*) FROM lifted)
+                       - coalesce(sum(churned + censored) OVER (
+                             ORDER BY t_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_risk
+                FROM days
+            )
+            SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk,
+                   churned, censored,
+                   round(exp(sum(CASE WHEN churned > 0
+                             THEN ln(1.0 - CAST(churned AS DOUBLE)
+                                     / n_risk)
+                             ELSE 0.0 END) OVER (
+                         ORDER BY t_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)), 6) AS survival
+            FROM at_risk
+        """,
         "embedding_standardized": """
             WITH pos AS (
                 SELECT unnest(range(1, 65)) AS d, e.embedding
@@ -7437,3 +7477,14 @@ def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return calibration_bins(_dsir_scored(spark, sf_dir), "score",
                             "is_en", n_bins=10)
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-churn curve (operators.journeys.
+    survival_curve): censoring-aware survival over event-table
+    lifetimes, censor gap 5 days. The ordered-window KM fold replays
+    exactly in SQL (running window sums are sequential in both
+    engines)."""
+    from dump1090_db_stream_spark.operators.journeys import survival_curve
+
+    return survival_curve(_events(spark, sf_dir), censor_gap_days=5)

@@ -286,3 +286,67 @@ def event_transitions(
         F.round(F.col("n_transitions").cast("double") / out_total, 6)
          .alias("prob"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier churn/survival curve over user lifetimes — the
+    censoring-aware upgrade of cohort retention: a user whose last
+    activity sits within ``censor_gap_days`` of the observation-window
+    end is CENSORED (still plausibly active), contributing to the
+    at-risk denominator up to their observed lifetime without counting
+    as churn. Naive retention treats them as churned and biases every
+    recent cohort downward; KM is the standard estimator that does not.
+
+        S(t) = prod over churn days t_i <= t of (1 - d_i / n_i)
+
+    with d_i = churns at lifetime-day t_i and n_i = users whose
+    observed lifetime >= t_i.
+
+    Determinism: the product folds as exp(running-sum of ln terms)
+    over a WINDOW ORDERED BY day — both engines evaluate running
+    window sums sequentially in frame order, so the IEEE sequence is
+    identical and the rounded curve replays exactly in SQL.
+
+    Scale shape: one per-user aggregate (the only full-size shuffle),
+    then day-sized relations: churn/censor counts per lifetime day,
+    at-risk via one reverse-cumulative window, the KM fold via one
+    ordered window. Output, one row per day with at least one churn or
+    censoring: (t_day, n_risk, churned, censored, survival rounded 6).
+    """
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.col(ts_col).cast("timestamp")).alias("_first"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("_last"))
+    window_end = per_user.agg(F.max("_last").alias("_end"))
+    lifted = (per_user.crossJoin(F.broadcast(window_end))
+              .select(
+                  F.datediff(F.col("_last"), F.col("_first"))
+                  .alias("t_day"),
+                  (F.datediff(F.col("_end"), F.col("_last"))
+                   < censor_gap_days).alias("_censored")))
+    days = (lifted.groupBy("t_day")
+            .agg(F.sum((~F.col("_censored")).cast("long"))
+                 .alias("churned"),
+                 F.sum(F.col("_censored").cast("long"))
+                 .alias("censored")))
+    n_total = lifted.count()
+    w_prev = (Window.orderBy("t_day")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.orderBy("t_day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    at_risk = (days.withColumn(
+        "n_risk",
+        F.lit(n_total)
+        - F.coalesce(F.sum(F.col("churned") + F.col("censored"))
+                     .over(w_prev), F.lit(0))))
+    term = F.when(
+        F.col("churned") > 0,
+        F.log(F.lit(1.0) - F.col("churned").cast("double")
+              / F.col("n_risk"))).otherwise(F.lit(0.0))
+    return (at_risk.withColumn(
+        "survival", F.round(F.exp(F.sum(term).over(w_run)), 6))
+        .select("t_day", "n_risk", "churned", "censored", "survival"))

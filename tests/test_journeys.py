@@ -280,3 +280,35 @@ def test_transitions_null_types_feed_no_state(spark):
     # order 2: every 2-window containing the NULL is invalid; only
     # b>c would need a successor and has none
     assert got2 == set()
+
+
+def test_survival_curve_kaplan_meier_hand_case(spark):
+    from datetime import datetime as dt
+
+    from dump1090_db_stream_spark.operators.journeys import survival_curve
+
+    def ev(u, day):
+        return (u, dt(2024, 1, 1 + day))
+
+    # window end = Jan 21 (user D's last). censor_gap=3:
+    #   A: days 0..2  -> lifetime 2, last Jan 3  -> churned
+    #   B: days 0..5  -> lifetime 5, last Jan 6  -> churned
+    #   C: days 0..5  -> lifetime 5, last Jan 6  -> churned
+    #   D: days 0..20 -> lifetime 20, last Jan 21 -> CENSORED (gap 0)
+    rows = ([ev("A", d) for d in (0, 1, 2)]
+            + [ev("B", d) for d in (0, 3, 5)]
+            + [ev("C", d) for d in (0, 5)]
+            + [ev("D", d) for d in (0, 10, 20)])
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["t_day"]: r for r in survival_curve(
+        df, censor_gap_days=3).collect()}
+    # day 2: n_risk 4, 1 churn -> S = 3/4
+    assert (got[2]["n_risk"], got[2]["churned"]) == (4, 1)
+    assert got[2]["survival"] == 0.75
+    # day 5: n_risk 3, 2 churns -> S = 0.75 * (1 - 2/3) = 0.25
+    assert (got[5]["n_risk"], got[5]["churned"]) == (3, 2)
+    assert got[5]["survival"] == 0.25
+    # day 20: D censored, no churn -> survival UNCHANGED (the KM point:
+    # naive retention would have counted D as churned here)
+    assert (got[20]["censored"], got[20]["churned"]) == (1, 0)
+    assert got[20]["survival"] == 0.25
