@@ -3334,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
         "survival_curve": q_survival_curve,
+        "score_normalized": q_score_normalized,
         # -- tier 4 tail: r4/r5-green and untouched, in staleness order
         #    (r4-greens rotate into r7 ahead of r5-greens)
         "line_dedup_docs": q_line_dedup_docs,
@@ -5838,6 +5839,29 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "pagerank_neardups": _pagerank_oracle(),
         "pagerank_docs": _pagerank_docs_oracle(),
+        "score_normalized": """
+            WITH base AS (
+                SELECT doc_id AS id, source AS grp,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+            ), ranked AS (
+                SELECT id, grp, v,
+                       CAST(least(floor(percent_rank() OVER (
+                           PARTITION BY grp ORDER BY v, id) * 20),
+                           19) AS INT) AS q
+                FROM base
+            ), gq AS (
+                SELECT CAST(least(floor(percent_rank() OVER (
+                           ORDER BY v, id) * 20), 19) AS INT) AS gq,
+                       v
+                FROM base
+            ), global_q AS (
+                SELECT gq, max(v) AS norm_value FROM gq GROUP BY gq
+            )
+            SELECT r.id AS doc_id, r.grp AS source,
+                   r.v AS n_chars, g.norm_value
+            FROM ranked r JOIN global_q g ON r.q = g.gq
+        """,
         "survival_curve": """
             WITH per_user AS (
                 SELECT user_id,
@@ -7488,3 +7512,17 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dump1090_db_stream_spark.operators.journeys import survival_curve
 
     return survival_curve(_events(spark, sf_dir), censor_gap_days=5)
+
+
+def q_score_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (operators.sampling.
+    quantile_normalize) of document length (n_chars) across sources —
+    the batch-effect harmonization step; discrete global-value mapping
+    replays exactly (percent_rank windows + bucket join, (value, id)
+    total order)."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", "source", n_quantiles=20)

@@ -662,3 +662,58 @@ def dsir_logweights(
                  F.round(F.sum(F.col("cnt") * F.col("lr")), 6)
                   .alias("log_weight"))
             .select(F.col("id").alias(id_col), "n_feats", "log_weight"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    n_quantiles: int = 100,
+) -> DataFrame:
+    """Cross-group quantile normalization — the batch-effect fix for
+    score columns whose DISTRIBUTION differs by source (one quality
+    classifier run per crawl snapshot, perplexity from different LMs):
+    a value is replaced by the GLOBAL value at its within-group rank,
+    so every group's normalized distribution matches the pooled one
+    and a single threshold means the same thing in every group.
+
+    Discrete, closed-form recipe (the portable-quantile discipline —
+    an actual data value is returned, so comparisons are exact):
+
+        q(row)   = floor(percent_rank_within_group * n_quantiles),
+                   capped at n_quantiles - 1
+        norm(row)= the global value whose global percent_rank bucket
+                   is q — specifically the LAST value of that global
+                   bucket (max, id-tiebroken), so the mapping is a
+                   deterministic step function.
+
+    Scale shape: two rank windows (one per group, one global) and a
+    quantile-bucket-sized equi-join; ties break by (value, id) so the
+    result is total-ordered and oracle-replayable. Output: id, group,
+    the original value, and ``norm_value``.
+    """
+    from pyspark.sql import Window
+
+    if n_quantiles < 1:
+        raise ValueError(f"n_quantiles must be >= 1, got {n_quantiles}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    wa = Window.orderBy("v", "id")
+    qcol = F.least(
+        F.floor(F.percent_rank().over(wg) * n_quantiles),
+        F.lit(n_quantiles - 1)).cast("int")
+    ranked = base.withColumn("q", qcol)
+    global_q = (base.withColumn(
+        "gq", F.least(F.floor(F.percent_rank().over(wa) * n_quantiles),
+                      F.lit(n_quantiles - 1)).cast("int"))
+        .groupBy("gq").agg(F.max("v").alias("norm_value")))
+    return (ranked.join(F.broadcast(global_q),
+                        ranked["q"] == global_q["gq"])
+            .select(F.col("id").alias(id_col),
+                    F.col("grp").alias(group_col),
+                    F.col("v").alias(value_col),
+                    "norm_value"))

@@ -480,3 +480,29 @@ def test_dsir_logweights_ranks_target_like_docs_higher(spark):
     assert again == {k: v["log_weight"] for k, v in got.items()}
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_logweights(df, F.col("is_t"), n_buckets=1)
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    # group "b" is group "a" shifted +100: after normalization the two
+    # groups' value distributions must coincide exactly
+    rows = ([(i, "a", float(i)) for i in range(200)]
+            + [(1000 + i, "b", float(i + 100)) for i in range(200)])
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    out = quantile_normalize(df, "score", "src", n_quantiles=20)
+    a = sorted(r["norm_value"] for r in out.filter("src='a'").collect())
+    b = sorted(r["norm_value"] for r in out.filter("src='b'").collect())
+    assert a == b                      # batch effect removed
+    vals = {r["norm_value"] for r in out.collect()}
+    raw = {float(v) for v in list(range(200)) + list(range(100, 300))}
+    assert vals <= raw                 # outputs are actual data values
+    # normalized ordering preserves within-group ordering
+    byid = {r["doc_id"]: r["norm_value"] for r in out.collect()}
+    assert all(byid[i] <= byid[i + 1] for i in range(199))
+    with pytest.raises(ValueError, match="n_quantiles"):
+        quantile_normalize(df, "score", "src", n_quantiles=0)
