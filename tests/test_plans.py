@@ -337,6 +337,12 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "dsir_weights",           # one-row (T, S) corpus-totals
                                   # attach onto the n_buckets-sized
                                   # dimension (same as bigram_pmi)
+        "dsir_auc",               # same dsir one-row attach upstream
+        "dsir_calibration",       # same dsir one-row attach upstream
+        "embedding_standardized",  # one-row moment-ARRAY attach (the
+                                   # per-dim mean/std pair)
+        "survival_curve",         # one-row observation-window-end
+                                  # attach (the censoring anchor)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
