@@ -702,13 +702,61 @@ def write_ivf_index(
     n_probes clusters opens n_probes directories and never touches the
     rest of the corpus (plan-asserted in tests/test_plans.py). The
     assignment cost is paid once at write instead of per query batch —
-    the FAISS add()/search() split re-expressed as storage layout."""
+    the FAISS add()/search() split re-expressed as storage layout.
+
+    The quantizer is persisted in a ``_ivf_meta`` sidecar (underscore-
+    prefixed JSON, the minhash-index discipline), and ``mode="append"``
+    REFUSES centroids that differ from the stored ones: vectors
+    assigned under a different quantizer would land in the same
+    partition directories and silently corrupt every posting list —
+    the probe would prune to clusters whose membership no longer means
+    nearest-centroid. :func:`read_ivf_centroids` returns the stored
+    quantizer so daily appends and probes never re-derive it."""
+    spark = corpus.sparkSession
+    if mode == "append":
+        old = read_ivf_centroids(spark, path, missing_ok=True)
+        if old is None:
+            raise ValueError(
+                f"ivf index at {path} has no _ivf_meta sidecar; "
+                "refusing to append blind")
+        if old != [[float(x) for x in c] for c in centroids]:
+            raise ValueError(
+                f"ivf index at {path} was built with a different "
+                "quantizer; appending would corrupt its posting "
+                "lists — probe with read_ivf_centroids() or rebuild")
     (corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cluster"))
      .repartition("cluster")
      .write.mode(mode).partitionBy("cluster").parquet(path))
+    if mode != "append":
+        import json as _json
+
+        (spark.createDataFrame(
+            [(_json.dumps([[float(x) for x in c] for c in centroids]),)],
+            "centroids_json string")
+         .coalesce(1).write.mode("overwrite")
+         .json(path + "/_ivf_meta"))
+
+
+def read_ivf_centroids(spark, path: str,
+                       missing_ok: bool = False) -> list[list[float]] | None:
+    """The quantizer stored next to a :func:`write_ivf_index` table.
+    Raises on a missing sidecar unless ``missing_ok`` (pre-sidecar
+    indexes: rebuild once to adopt the guard)."""
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.json(path + "/_ivf_meta").first()
+    except AnalysisException as e:
+        if missing_ok and ("PATH_NOT_FOUND" in str(e)
+                           or "Path does not exist" in str(e)):
+            return None
+        raise
+    return _json.loads(row["centroids_json"])
 
 
 def ivf_topk_from_index(

@@ -696,3 +696,48 @@ def test_standardize_embeddings_moments_and_determinism(spark):
          for r in standardize_embeddings(emb.repartition(13),
                                          dim=64).collect()}
     assert a == b
+
+
+def test_ivf_index_append_guard_and_stored_quantizer(spark, corpus, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivf_topk_from_index,
+        kmeans_centroids_portable,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = kmeans_centroids_portable(corpus, DIM, n_centroids=4,
+                                      n_iters=1, train_sample=32)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, cents)
+    # the stored quantizer round-trips exactly
+    assert read_ivf_centroids(spark, path) == \
+        [[float(x) for x in c] for c in cents]
+    # append with the SAME quantizer extends the index
+    extra = corpus.select((F.col("vec_id") + 1000).alias("vec_id"),
+                          "embedding")
+    write_ivf_index(extra, path, cents, mode="append")
+    n = spark.read.parquet(path).count()
+    assert n == corpus.count() * 2
+    # a DIFFERENT quantizer is refused (posting-list corruption)
+    other = [[c[0] + 1.0] + c[1:] for c in cents]
+    with pytest.raises(ValueError, match="different.*quantizer"):
+        write_ivf_index(extra, path, other, mode="append")
+    # a sidecar-less dir cannot be appended to blind
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).write.partitionBy("cluster").parquet(bare)
+    with pytest.raises(ValueError, match="refusing to append blind"):
+        write_ivf_index(extra, bare, cents, mode="append")
+    # search over the appended index still prunes + ranks correctly
+    q = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk_from_index(spark, path,
+                              q, read_ivf_centroids(spark, path),
+                              k=5, n_probes=4)
+    rows = out.collect()
+    assert len(rows) == 5
+    # the appended duplicate of vector 0 is its own nearest neighbor
+    assert rows[0]["neighbor_id"] == 1000 and rows[0]["cosine"] == 1.0
