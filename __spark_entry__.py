@@ -5857,10 +5857,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             ), global_q AS (
                 SELECT gq, max(v) AS norm_value FROM gq GROUP BY gq
+            ), dense AS (
+                -- total step function: forward-fill unoccupied buckets
+                -- with a running max (norm_value is monotone in gq;
+                -- bucket 0 is always occupied)
+                SELECT gs.gq,
+                       max(g.norm_value) OVER (
+                           ORDER BY gs.gq
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS norm_value
+                FROM generate_series(0, 19) AS gs(gq)
+                LEFT JOIN global_q g ON g.gq = gs.gq
             )
             SELECT r.id AS doc_id, r.grp AS source,
-                   r.v AS n_chars, g.norm_value
-            FROM ranked r JOIN global_q g ON r.q = g.gq
+                   r.v AS n_chars, d.norm_value
+            FROM ranked r JOIN dense d ON r.q = d.gq
         """,
         "survival_curve": """
             WITH per_user AS (

@@ -398,10 +398,11 @@ def c4_line_filter(
         & ~F.lower(ln).contains("javascript"))
     n_kept = F.size(kept)
     low = F.lower(c)
-    marker_hit = None
+    # start from literal False so drop_markers=() cleanly disables the
+    # marker rule (F.when(None, ...) would raise at plan-build time)
+    marker_hit = F.lit(False)
     for m in drop_markers:
-        hit = low.contains(m.lower())
-        marker_hit = hit if marker_hit is None else (marker_hit | hit)
+        marker_hit = marker_hit | low.contains(m.lower())
     reason = (F.when(marker_hit, F.lit("marker"))
               .when(n_kept < min_kept_lines, F.lit("too_few_lines")))
     return df.select(

@@ -15,10 +15,11 @@ that Spark expresses exactly; nothing here samples or approximates.
 - expected_calibration_error
                      the one-row ECE fold over those bins.
 
-Scale shape: AUC is one global sort-order window (rank) + a
-score-group tie-average (vocabulary-of-scores-sized) + one aggregate;
-calibration is a single map-side-combined bin aggregate. No collects,
-no cross joins.
+Scale shape: AUC is one map-side-combined groupBy(score) — the ONLY
+full-size shuffle — then a rank window over the distinct-score
+relation (vocabulary-sized, the weekly_growth discipline) and one
+aggregate; calibration is a single map-side-combined bin aggregate.
+No collects, no cross joins, no input-grain global sorts.
 """
 
 from __future__ import annotations
@@ -37,38 +38,50 @@ def auc_score(
 
         AUC = (sum of positives' average ranks - P(P+1)/2) / (P * N)
 
-    Average rank over a tie group is (min_rn + max_rn) / 2, computed by
-    averaging row_numbers per distinct score — so ties contribute the
-    exact 1/2 credit the trapezoidal ROC assigns them, and every
-    intermediate stays integer-or-half (bit-deterministic; the only
-    float op is the final division). Rows with NULL score or label are
-    excluded (they carry no ranking information).
+    Average rank over a tie group of ``cnt`` rows starting after
+    ``prev`` lower-scored rows is prev + (cnt + 1) / 2 — so ties
+    contribute the exact 1/2 credit the trapezoidal ROC assigns them,
+    and every intermediate stays integer-or-half (bit-deterministic;
+    the only float op is the final division). Rows with NULL score or
+    label are excluded (they carry no ranking information).
 
-    The global rank window runs on a single ordered partition — the
-    standard exact-AUC cost; for sketched corpora, bin scores first
-    and feed the binned counts here.
+    Scale shape: AUC depends only on per-distinct-score (rows,
+    positives) counts, so the input collapses through ONE map-side-
+    combined groupBy(score) before any ordering; the cumulative-count
+    window then runs over the distinct-score relation
+    (vocabulary-sized — never input-grain rows through one task).
+
+    Single-class input (n_pos == 0 or n_neg == 0): AUC is undefined —
+    the row is emitted with ``auc = NULL`` (``try_divide``), so a
+    consumer gating on ``auc >= x`` must treat NULL as "not
+    evaluable", not as a pass.
     """
     base = df.select(
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
-    w = Window.orderBy("s")
-    rn = base.withColumn("_rn", F.row_number().over(w))
-    tie = (rn.groupBy("s")
-           .agg(F.avg(F.col("_rn").cast("double")).alias("_ravg")))
-    joined = rn.join(F.broadcast(tie), "s")
-    return (joined.agg(
-        F.sum(F.col("y").cast("long")).alias("n_pos"),
-        F.sum((~F.col("y")).cast("long")).alias("n_neg"),
-        F.sum(F.when(F.col("y"), F.col("_ravg"))).alias("_rsum"))
-        .select(
-            "n_pos", "n_neg",
-            F.round(
-                (F.col("_rsum")
-                 - F.col("n_pos").cast("double")
-                 * (F.col("n_pos") + 1) / 2)
-                / (F.col("n_pos").cast("double") * F.col("n_neg")),
-                6).alias("auc")))
+    per_score = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("y").cast("long")).alias("_pos"))
+    w_prev = (Window.orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ravg = (F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
+            .cast("double")
+            + (F.col("_cnt") + 1).cast("double") / 2)
+    return (per_score
+            .select("_cnt", "_pos", ravg.alias("_ravg"))
+            .agg(F.sum("_pos").alias("n_pos"),
+                 F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+                 F.sum(F.col("_pos") * F.col("_ravg")).alias("_rsum"))
+            .select(
+                "n_pos", "n_neg",
+                F.round(
+                    F.try_divide(
+                        F.col("_rsum")
+                        - F.col("n_pos").cast("double")
+                        * (F.col("n_pos") + 1) / 2,
+                        F.col("n_pos").cast("double") * F.col("n_neg")),
+                    6).alias("auc")))
 
 
 def calibration_bins(

@@ -352,10 +352,14 @@ def pagerank(
            .distinct())
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     sym_deg = track(sym.join(deg, "src"))
-    n = nodes.count()
+    # distinct() the ids: duplicate rows in `nodes` would inflate N and
+    # emit duplicate rank rows (teleport mass and output key on _pid)
+    ids = nodes.select(F.col(id_col).alias("_pid")).distinct()
+    n = ids.count()
+    if n == 0:
+        raise ValueError("pagerank: nodes relation is empty (N == 0)")
     base = (1.0 - damping) / n
-    ranks = (nodes.select(F.col(id_col).alias("_pid"))
-             .withColumn("_rank", F.lit(1.0 / n))
+    ranks = (ids.withColumn("_rank", F.lit(1.0 / n))
              .localCheckpoint(eager=True))
     for _ in range(n_iters):
         contrib = (sym_deg
@@ -369,7 +373,7 @@ def pagerank(
                                    F.col("_c").alias("c")))),
                       F.lit(0.0),
                       lambda acc, v: acc + v["c"]).alias("_s")))
-        ranks = (nodes.select(F.col(id_col).alias("_pid"))
+        ranks = (ids
                  .join(summed, F.col("_pid") == F.col("dst"), "left")
                  .select("_pid",
                          (F.lit(base) + F.lit(damping)

@@ -343,10 +343,17 @@ def survival_curve(
         F.lit(n_total)
         - F.coalesce(F.sum(F.col("churned") + F.col("censored"))
                      .over(w_prev), F.lit(0))))
-    term = F.when(
-        F.col("churned") > 0,
-        F.log(F.lit(1.0) - F.col("churned").cast("double")
-              / F.col("n_risk"))).otherwise(F.lit(0.0))
+    # churned == n_risk (the whole at-risk set churns on one day, the
+    # last day by construction): 1 - d/n is exactly 0 and the curve
+    # must drop to 0. Spark's F.log(0) yields NULL and window sum()
+    # SKIPS nulls (the curve would silently hold its prior value), so
+    # emit an explicit -inf — exp(-inf) = 0.0, matching SQL engines
+    # where ln(0) IS -inf.
+    term = (F.when(F.col("churned") <= 0, F.lit(0.0))
+            .when(F.col("churned") < F.col("n_risk"),
+                  F.log(F.lit(1.0) - F.col("churned").cast("double")
+                        / F.col("n_risk")))
+            .otherwise(F.lit(float("-inf"))))
     return (at_risk.withColumn(
         "survival", F.round(F.exp(F.sum(term).over(w_run)), 6))
         .select("t_day", "n_risk", "churned", "censored", "survival"))

@@ -683,15 +683,26 @@ def quantile_normalize(
 
         q(row)   = floor(percent_rank_within_group * n_quantiles),
                    capped at n_quantiles - 1
-        norm(row)= the global value whose global percent_rank bucket
-                   is q — specifically the LAST value of that global
-                   bucket (max, id-tiebroken), so the mapping is a
-                   deterministic step function.
+        norm(row)= the global value of the nearest OCCUPIED global
+                   percent_rank bucket <= q — specifically the LAST
+                   value of that bucket (max), so the mapping is a
+                   deterministic, TOTAL step function. (When total
+                   rows <= n_quantiles the global bucket grid is
+                   sparse; snapping down to the nearest occupied
+                   bucket — bucket 0 is always occupied — guarantees
+                   every non-null input row gets a norm_value.)
 
-    Scale shape: two rank windows (one per group, one global) and a
-    quantile-bucket-sized equi-join; ties break by (value, id) so the
-    result is total-ordered and oracle-replayable. Output: id, group,
-    the original value, and ``norm_value``.
+    Scale shape: NO input-grain global sort. Ranks decompose as
+    rank = (rows with smaller value) + row_number-within-tie, so the
+    only input-grain windows are row_numbers PARTITIONED on the tie
+    key ((grp, v) / (v)); cumulative counts run over the
+    distinct-value relations (per-group partitioned / global
+    vocabulary-sized — the weekly_growth discipline). The bucket
+    mapping is n_quantiles rows, forward-filled with a running max
+    (norm_value is monotone in bucket) and broadcast back. Ties break
+    by (value, id) so the result is total-ordered and
+    oracle-replayable. Output: id, group, the original value, and
+    ``norm_value``.
     """
     from pyspark.sql import Window
 
@@ -701,18 +712,67 @@ def quantile_normalize(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
-    wg = Window.partitionBy("grp").orderBy("v", "id")
-    wa = Window.orderBy("v", "id")
-    qcol = F.least(
-        F.floor(F.percent_rank().over(wg) * n_quantiles),
-        F.lit(n_quantiles - 1)).cast("int")
-    ranked = base.withColumn("q", qcol)
-    global_q = (base.withColumn(
-        "gq", F.least(F.floor(F.percent_rank().over(wa) * n_quantiles),
-                      F.lit(n_quantiles - 1)).cast("int"))
-        .groupBy("gq").agg(F.max("v").alias("norm_value")))
-    return (ranked.join(F.broadcast(global_q),
-                        ranked["q"] == global_q["gq"])
+
+    # distinct-value relations: exclusive running counts + totals
+    vg = (base.groupBy("grp", "v")
+          .agg(F.count(F.lit(1)).alias("_cg")))
+    w_g_prev = (Window.partitionBy("grp").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_g_all = (Window.partitionBy("grp").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    vg = vg.select(
+        "grp", "v",
+        F.coalesce(F.sum("_cg").over(w_g_prev), F.lit(0))
+         .alias("_prev_g"),
+        F.sum("_cg").over(w_g_all).alias("_n_g"))
+    va = base.groupBy("v").agg(F.count(F.lit(1)).alias("_ca"))
+    w_a_prev = (Window.orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_a_all = (Window.orderBy("v")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    va = va.select(
+        F.col("v").alias("_va_v"),
+        F.coalesce(F.sum("_ca").over(w_a_prev), F.lit(0))
+         .alias("_prev_a"),
+        F.sum("_ca").over(w_a_all).alias("_n_a"))
+
+    # per-row ranks: tie-key-partitioned row_numbers + the counts
+    w_tie_g = Window.partitionBy("grp", "v").orderBy("id")
+    w_tie_a = Window.partitionBy("v").orderBy("id")
+    rows = (base
+            .withColumn("_tg", F.row_number().over(w_tie_g))
+            .withColumn("_ta", F.row_number().over(w_tie_a))
+            .join(vg, ["grp", "v"])
+            .join(va, F.col("v") == F.col("_va_v")))
+
+    def _bucket(rank: F.Column, n: F.Column) -> F.Column:
+        # identical IEEE sequence to percent_rank() * n_quantiles:
+        # (rank-1)/(n-1) double division, then the integer multiply
+        pr = (rank - 1).cast("double") / (n - 1)
+        return F.when(
+            n > 1,
+            F.least(F.floor(pr * n_quantiles),
+                    F.lit(n_quantiles - 1)).cast("int")
+        ).otherwise(F.lit(0))
+
+    ranked = rows.select(
+        "id", "grp", "v",
+        _bucket(F.col("_prev_g") + F.col("_tg"), F.col("_n_g"))
+        .alias("q"),
+        _bucket(F.col("_prev_a") + F.col("_ta"), F.col("_n_a"))
+        .alias("gq"))
+    occupied = ranked.groupBy("gq").agg(F.max("v").alias("_nv"))
+    w_fill = (Window.orderBy("gq")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    dense = (df.sparkSession.range(n_quantiles)
+             .select(F.col("id").cast("int").alias("gq"))
+             .join(occupied, "gq", "left")
+             .select("gq",
+                     F.max("_nv").over(w_fill).alias("norm_value")))
+    return (ranked.join(F.broadcast(dense),
+                        ranked["q"] == dense["gq"])
             .select(F.col("id").alias(id_col),
                     F.col("grp").alias(group_col),
                     F.col("v").alias(value_col),

@@ -356,3 +356,17 @@ def test_c4_line_filter_rules(spark):
     # docs 2/3: marker kill switches (case-insensitive)
     assert got[2]["drop_reason"] == "marker"
     assert got[3]["drop_reason"] == "marker"
+
+
+def test_c4_line_filter_empty_drop_markers(spark):
+    """drop_markers=() must cleanly DISABLE the marker rule (r6
+    ADVICE: the None-seeded when-chain raised TypeError at
+    plan-build time)."""
+    from dump1090_db_stream_spark.operators.cleaning import c4_line_filter
+
+    df = spark.createDataFrame(
+        [("d1", "this line mentions lorem ipsum but ends properly "
+          "with enough words.")], ["doc_id", "text"])
+    out = c4_line_filter(df, drop_markers=(),
+                         min_kept_lines=1).collect()[0]
+    assert out["doc_dropped"] is False and out["drop_reason"] is None

@@ -59,3 +59,32 @@ def test_calibration_bins_and_ece(spark):
     assert e["ece"] == pytest.approx(want, abs=1e-6) and e["n"] == 9
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "s", "y", n_bins=0)
+
+
+def test_auc_single_class_is_null_not_silent(spark):
+    """AUC is undefined when only one class is present: the row must
+    carry an explicit NULL (try_divide), never a crash — and the
+    counts still say WHICH class is missing (r6 ADVICE)."""
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    pos_only = spark.createDataFrame(
+        [(0.9, True), (0.1, True)], ["s", "y"])
+    r = auc_score(pos_only, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+    neg_only = spark.createDataFrame(
+        [(0.9, False), (0.1, False)], ["s", "y"])
+    r = auc_score(neg_only, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (0, 2, None)
+
+
+def test_auc_plan_aggregates_before_global_sort(spark):
+    """The r7 scale fix: the ordering window must run over the
+    distinct-score relation (post-groupBy), never input-grain rows —
+    pinned by the same detector the registry-wide gate uses."""
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    df = spark.createDataFrame(
+        [(float(i % 7) / 7, i % 3 == 0) for i in range(100)], ["s", "y"])
+    assert single_partition_window_sites(plan_of(auc_score(df, "s", "y"))) == []

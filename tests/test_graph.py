@@ -195,3 +195,25 @@ def test_pagerank_known_graph_and_invariants(spark):
 
     with pytest.raises(ValueError, match="damping"):
         pagerank(nodes, edges, damping=1.5)
+
+
+def test_pagerank_empty_nodes_and_duplicate_ids(spark):
+    """r6 ADVICE: N == 0 must raise a clear error (not
+    ZeroDivisionError), and duplicate ids in `nodes` must not inflate
+    N or duplicate output rows — ids are distinct()ed."""
+    import pytest
+
+    from dump1090_db_stream_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "id string")
+    edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="N == 0"):
+        pagerank(empty, edges)
+    dup_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("b",), ("c",)], ["id"])
+    uniq_nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    got = {r["id"]: r["pagerank"]
+           for r in pagerank(dup_nodes, edges, n_iters=2).collect()}
+    want = {r["id"]: r["pagerank"]
+            for r in pagerank(uniq_nodes, edges, n_iters=2).collect()}
+    assert got == want and len(got) == 3

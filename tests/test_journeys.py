@@ -312,3 +312,30 @@ def test_survival_curve_kaplan_meier_hand_case(spark):
     # naive retention would have counted D as churned here)
     assert (got[20]["censored"], got[20]["churned"]) == (1, 0)
     assert got[20]["survival"] == 0.25
+
+
+def test_survival_curve_full_churn_day_hits_zero(spark):
+    """churned == n_risk (everyone still at risk churns the same
+    lifetime-day): 1 - d/n is exactly 0 and the curve must drop to
+    0.0 — F.log(0) is NULL in Spark and window sums skip NULLs, so
+    without the explicit -inf branch the curve silently held its
+    prior value (r6 ADVICE)."""
+    from datetime import datetime as dt
+
+    import pytest
+
+    from dump1090_db_stream_spark.operators.journeys import survival_curve
+
+    # A churns at lifetime 1; B and C both churn at lifetime 3 — at
+    # day 3 the at-risk set is exactly {B, C} and both churn.
+    # censor_gap=0 => nobody is censored.
+    rows = [("A", dt(2024, 1, 1)), ("A", dt(2024, 1, 2)),
+            ("B", dt(2024, 1, 1)), ("B", dt(2024, 1, 4)),
+            ("C", dt(2024, 1, 1)), ("C", dt(2024, 1, 4))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["t_day"]: r for r in survival_curve(
+        df, censor_gap_days=0).collect()}
+    assert (got[1]["n_risk"], got[1]["churned"]) == (3, 1)
+    assert got[1]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+    assert (got[3]["n_risk"], got[3]["churned"]) == (2, 2)
+    assert got[3]["survival"] == 0.0

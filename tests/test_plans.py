@@ -579,3 +579,87 @@ def test_winnowing_has_no_self_join(spark, sf):
     plan = plan_of(entrymod.q_winnow_fingerprints(spark, sf))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# registry-wide single-partition window/sort gate (the r6 verdict's ask):
+# an `Exchange SinglePartition` feeding a Sort/Window over INPUT-GRAIN rows
+# funnels the whole relation through one task — the auc_score/
+# quantile_normalize scale bug class. Sorting an AGGREGATED (vocabulary-
+# sized) relation is the documented discipline (weekly_growth, top_paths,
+# survival_curve's day grid) and is fine.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_SPW_AGG_RE = _re.compile(
+    r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|Range \()")
+_SPW_SCAN_RE = _re.compile(
+    r"\b(FileScan|Scan parquet|Scan ExistingRDD|BatchScan)\b")
+
+
+def _indent_of(line: str) -> int:
+    m = _re.search(r"[A-Za-z]", line)
+    return m.start() if m else len(line)
+
+
+def single_partition_window_sites(plan: str) -> list[str]:
+    """Sort/Window nodes fed by an `Exchange SinglePartition` whose
+    subtree reaches a raw scan BEFORE any aggregate/Range — i.e. global
+    sorts at input grain. Returns the offending parent lines (empty =
+    plan is scale-safe for this property)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        my = _indent_of(ln)
+        parent = None
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and _indent_of(lines[j]) < my:
+                parent = lines[j]
+                break
+        if parent is None or not _re.search(
+                r"\b(Sort|Window|WindowGroupLimit)\b", parent):
+            continue  # single-partition agg/limit exchanges are fine
+        reduced = False
+        for k in range(i + 1, len(lines)):
+            if _indent_of(lines[k]) <= my:
+                break  # left the exchange's subtree
+            if _SPW_AGG_RE.search(lines[k]):
+                reduced = True  # grain collapsed before the sort
+                break
+            if _SPW_SCAN_RE.search(lines[k]):
+                break  # raw rows reach the single-partition sort
+        if not reduced:
+            out.append(parent.strip())
+    return out
+
+
+def test_single_partition_gate_catches_regressed_fixture(spark, sf):
+    """The gate itself must detect a deliberately-bad plan (an
+    input-grain global row_number) and pass the aggregate-then-rank
+    discipline — otherwise the registry sweep below proves nothing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    assert single_partition_window_sites(plan_of(bad)), \
+        "gate failed to flag an input-grain global window"
+    good = (df.groupBy("user_id").count()
+            .withColumn("r", F.row_number().over(
+                Window.orderBy(F.desc("count"), "user_id"))))
+    assert single_partition_window_sites(plan_of(good)) == []
+
+
+def test_no_query_plans_a_single_partition_input_grain_sort(spark, sf):
+    """Blanket gate over EVERY contract query: no plan may sort
+    input-grain rows into one partition. As of r7 the registry is
+    clean with NO allowlist — keep it that way; if a new operator
+    genuinely needs a documented exception, add it here with the
+    docstring pointer, the cross-product gate's discipline."""
+    for name, fn in entrymod.queries().items():
+        bad = single_partition_window_sites(plan_of(fn(spark, sf)))
+        assert bad == [], f"{name}: single-partition input-grain sort: {bad}"

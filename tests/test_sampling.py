@@ -506,3 +506,94 @@ def test_quantile_normalize_aligns_shifted_groups(spark):
     assert all(byid[i] <= byid[i + 1] for i in range(199))
     with pytest.raises(ValueError, match="n_quantiles"):
         quantile_normalize(df, "score", "src", n_quantiles=0)
+
+
+def test_quantile_normalize_total_mapping_small_n(spark):
+    """r6 ADVICE bug: with total non-null rows <= n_quantiles the
+    global bucket grid is sparse and the old inner join silently
+    dropped every row whose within-group bucket was unoccupied
+    globally. The mapping is now TOTAL: every non-null row gets a
+    norm_value (the nearest occupied bucket at or below its own)."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    # 5 rows, 100 quantiles: occupied global buckets are {0,25,50,75,99}
+    # but group "b"'s two rows rank to buckets {0, 99} and group "a"'s
+    # three to {0, 50, 99} — intermediate q values must still resolve
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 15.0), (5, "b", 25.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    out = quantile_normalize(df, "score", "src", n_quantiles=100)
+    got = {r["doc_id"]: r["norm_value"] for r in out.collect()}
+    assert len(got) == 5                      # NO dropped rows
+    assert set(got.values()) <= {10.0, 15.0, 20.0, 25.0, 30.0}
+    # monotone within each group
+    assert got[1] <= got[2] <= got[3] and got[4] <= got[5]
+    # extremes map to the global extremes
+    assert got[1] == 10.0 and got[3] == 30.0 and got[5] == 30.0
+
+
+def test_quantile_normalize_matches_rowgrain_reference(spark):
+    """The r7 scale rewrite (tie-partitioned row_numbers + distinct-
+    value cumulative counts) must reproduce the row-grain
+    percent_rank recipe bit-for-bit — checked against an inline
+    reference implementation on data with heavy ties, a hot group,
+    and a single-row group."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, "hot", float(rng.randint(0, 12))) for i in range(400)]
+    rows += [(1000 + i, "mid", float(rng.randint(0, 40)))
+             for i in range(60)]
+    rows += [(2000, "solo", 5.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    nq = 20
+    base = df.select(
+        F.col("doc_id").alias("id"), F.col("src").alias("grp"),
+        F.col("score").cast("double").alias("v"))
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    wa = Window.orderBy("v", "id")
+    ranked = base.withColumn(
+        "q", F.least(F.floor(F.percent_rank().over(wg) * nq),
+                     F.lit(nq - 1)).cast("int"))
+    occupied = (base.withColumn(
+        "gq", F.least(F.floor(F.percent_rank().over(wa) * nq),
+                      F.lit(nq - 1)).cast("int"))
+        .groupBy("gq").agg(F.max("v").alias("_nv")))
+    w_fill = (Window.orderBy("gq")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    dense = (df.sparkSession.range(nq)
+             .select(F.col("id").cast("int").alias("gq"))
+             .join(occupied, "gq", "left")
+             .select("gq", F.max("_nv").over(w_fill).alias("norm_value")))
+    ref = {(r["id"], r["grp"]): r["norm_value"]
+           for r in ranked.join(dense, ranked["q"] == dense["gq"])
+           .select("id", "grp", "norm_value").collect()}
+    got = {(r["doc_id"], r["src"]): r["norm_value"]
+           for r in quantile_normalize(
+               df, "score", "src", n_quantiles=nq).collect()}
+    assert got == ref
+
+
+def test_quantile_normalize_plan_has_no_input_grain_global_sort(spark):
+    """The scale contract of the r7 rewrite, pinned with the
+    registry-wide gate's detector."""
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i % 17)) for i in range(100)],
+        ["doc_id", "src", "score"])
+    out = quantile_normalize(df, "score", "src", n_quantiles=10)
+    assert single_partition_window_sites(plan_of(out)) == []
