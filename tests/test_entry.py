@@ -36,29 +36,38 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
     assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
 
 
-def test_r6_window_composition():
-    """Pins the round-6 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): the five never-driver-verified r5-late
-    queries lead, the four operators changed this round re-enter, the
-    core-parity rotation is inside the 50-slot window, and each
-    rows-only sketch query sits ADJACENT to its fully-oracled twin so
-    both land in the same driver round."""
+def test_r7_window_composition():
+    """Pins the round-7 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): ALL 31 never-driver-verified queries lead
+    (the eight r3-stale entries deferred from the r6 window, the seven
+    r6 TPC-H shapes, the sixteen r6-new operator queries — including
+    every operator whose implementation changed in r7), the remaining
+    19 slots are the stalest r4-greens, and each rows-only sketch
+    query stays ADJACENT to its fully-oracled twin so both land in the
+    same driver round whenever they rotate back in."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:5] == [
-        "embedding_projected", "temperature_mixture_docs",
-        "contrastive_negatives", "containment_pairs",
-        "hard_negative_candidates"]
-    for changed in ("data_expectations", "concurrent_sessions",
-                    "fuzzy_name_matches", "entity_resolution"):
+    assert window[:8] == [
+        "pricing_summary", "weighted_sample", "uniform_sample",
+        "stratified_sample", "mixture_sample_docs", "doc_chunks",
+        "pack_sequences", "corpus_diff"]
+    never_verified = {
+        "late_shipment_priority", "product_profit_by_nation",
+        "top_value_parts", "urgent_shipping_counts",
+        "promo_revenue_share", "part_supplier_variety",
+        "excess_share_suppliers", "gopher_quality", "c4_line_stats",
+        "semantic_dedup", "pagerank_neardups", "winnow_fingerprints",
+        "length_batches", "doc_bigram_logprob", "dsir_weights",
+        "doc_signals", "pagerank_docs", "event_drift",
+        "embedding_standardized", "dsir_auc", "dsir_calibration",
+        "survival_curve", "score_normalized"}
+    assert never_verified <= set(window[:31])
+    # tier 2: operators changed in r7 (auc_score, quantile_normalize,
+    # survival_curve, c4_line_filter, pagerank) re-enter this window
+    for changed in ("dsir_auc", "dsir_calibration", "score_normalized",
+                    "survival_curve", "c4_line_stats",
+                    "pagerank_neardups", "pagerank_docs"):
         assert changed in window, changed
-    for parity in ("callsign_sessions", "locations_projection",
-                   "flights_band_join", "window_track_lines",
-                   "like_prefix_filter", "equality_filter",
-                   "time_range_between", "dedup_by_key",
-                   "aircraft_json_parse", "track_lines_wkt",
-                   "points_in_radius"):
-        assert parity in window, parity
     assert order.index("weekly_active_estimate") == \
         order.index("event_approx_stats") + 1
     assert order.index("table_profile_approx") == \
