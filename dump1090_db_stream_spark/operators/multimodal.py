@@ -12,11 +12,15 @@ batch shape, partitioning — is testable without any imaging library.
 ``decode_stub=False`` runs REAL decodes for PNG images
 (``functions.png``: width/height from IHDR, Rec.601 luma from actual
 pixels), baseline JPEG (``functions.jpeg``: Huffman entropy decode,
-dequant, IDCT, chroma upsample — pure stdlib), and PCM WAV audio
+dequant, IDCT, chroma upsample — pure stdlib), PCM WAV audio
 (``functions.wav``: RIFF parse, float samples, duration/RMS/band
-energies); remaining formats (progressive JPEG, MP3, H.264 —
-PIL/librosa/ffmpeg absent from this container) still raise at the
-same seam where a full codec would plug in.
+energies), and the MPEG audio FRAME layer (``functions.mp3``:
+header/bitrate tables, ID3/Xing handling, exact frame-walk duration —
+sample-level fields are NULL because PCM synthesis sits behind the
+documented ``functions.mp3.decode_frames`` seam); remaining formats
+(progressive JPEG, ogg, H.264 — PIL/librosa/ffmpeg absent from this
+container) still raise at the same seam where a full codec would
+plug in.
 """
 
 from __future__ import annotations
@@ -326,14 +330,33 @@ def extract_audio_features(
                         "mfcc": _stub_features(data, n_mfcc),
                     })
                 else:
-                    # REAL decode path: pure-Python RIFF/PCM parser
-                    # (functions.wav). Non-WAV payloads (mp3, ogg…)
-                    # still raise — that seam awaits a real audio lib.
+                    # REAL decode path, signature-dispatched:
+                    # RIFF/WAVE -> full PCM decode (functions.wav);
+                    # MPEG audio (mp3/mp2/mp1) -> REAL frame-walk
+                    # stats (functions.mp3): exact duration from
+                    # per-frame sample counts, rms/mfcc NULL — PCM
+                    # synthesis is the remaining documented seam
+                    # (functions.mp3.decode_frames). Other formats
+                    # (ogg, flac…) still raise there.
+                    from dump1090_db_stream_spark.functions.mp3 import (
+                        looks_like_mpeg_audio,
+                        mp3_stats,
+                    )
                     from dump1090_db_stream_spark.functions.wav import (
                         audio_stats,
                         decode_wav,
                     )
 
+                    if data[:4] != b"RIFF" and looks_like_mpeg_audio(data):
+                        st = mp3_stats(data)
+                        rows.append({
+                            "media_id": int(mid),
+                            "n_bytes": len(data),
+                            "duration_ms": st["duration_ms"],
+                            "rms": None,
+                            "mfcc": None,
+                        })
+                        continue
                     rate, ch, _bits, samples = decode_wav(data)
                     dur, rms, bands = audio_stats(rate, ch, samples,
                                                   n_mfcc)
@@ -483,10 +506,22 @@ def audio_fingerprints(
                         [:N_FRAMES * 16], dtype=np.uint8)
                     x = x.astype(np.float64) / 255.0 - 0.5
                 else:
+                    from dump1090_db_stream_spark.functions.mp3 import (
+                        looks_like_mpeg_audio,
+                    )
                     from dump1090_db_stream_spark.functions.wav import (
                         decode_wav,
                     )
 
+                    if data[:4] != b"RIFF" and looks_like_mpeg_audio(data):
+                        # MPEG audio: frame layer is real (functions.
+                        # mp3) but the fingerprint needs PCM, which
+                        # sits behind the documented synthesis seam —
+                        # emit the NULL the schema declares, like the
+                        # empty-sample branch below.
+                        rows.append({"media_id": int(mid),
+                                     "audio_fp": None})
+                        continue
                     rate, ch, bits, samples = decode_wav(data)
                     x = np.asarray(samples, dtype=np.float64)
                     if ch > 1:  # mono fold

@@ -1,0 +1,139 @@
+"""MPEG audio frame parser (functions.mp3): spec-constant table pins
+(ISO/IEC 11172-3 / 13818-3), frame-length formulas, ID3 skipping,
+Xing detection, resync, and exact frame-walk durations."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from dump1090_db_stream_spark.functions.mp3 import (
+    BITRATES_KBPS,
+    SAMPLE_RATES,
+    encode_cbr_stream,
+    looks_like_mpeg_audio,
+    mp3_stats,
+    parse_frame_header,
+    parse_xing,
+    samples_per_frame,
+    skip_id3v2,
+    walk_frames,
+)
+
+
+def test_bitrate_and_samplerate_tables_match_spec():
+    # ISO/IEC 11172-3 Table B.1 (MPEG1) — full rows, not spot checks
+    assert BITRATES_KBPS[("1", 1)] == (
+        32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    assert BITRATES_KBPS[("1", 2)] == (
+        32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    assert BITRATES_KBPS[("1", 3)] == (
+        32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    # ISO/IEC 13818-3 (MPEG2 / LSF)
+    assert BITRATES_KBPS[("2", 1)] == (
+        32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    assert BITRATES_KBPS[("2", 3)] == (
+        8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    assert SAMPLE_RATES == {"1": (44100, 48000, 32000),
+                            "2": (22050, 24000, 16000),
+                            "2.5": (11025, 12000, 8000)}
+    # samples per frame: 384 Layer I, 1152 Layer II, 1152/576 Layer III
+    assert samples_per_frame("1", 1) == 384
+    assert samples_per_frame("2.5", 2) == 1152
+    assert samples_per_frame("1", 3) == 1152
+    assert samples_per_frame("2", 3) == 576
+    assert samples_per_frame("2.5", 3) == 576
+
+
+def test_frame_length_formulas():
+    # canonical worked examples: 144 * bitrate / rate (+ padding) for
+    # MPEG1 Layer III; 4-byte slots for Layer I; 72 * br / rate for LSF
+    s = encode_cbr_stream("1", 3, 128, 44100, n_frames=1)
+    assert parse_frame_header(s).frame_bytes == 144 * 128000 // 44100  # 417
+    s = encode_cbr_stream("1", 3, 128, 44100, n_frames=1,
+                          pad_pattern=(1,))
+    assert parse_frame_header(s).frame_bytes == 418
+    s = encode_cbr_stream("1", 1, 448, 44100, n_frames=1)
+    assert parse_frame_header(s).frame_bytes == \
+        (12 * 448000 // 44100) * 4                                     # 484
+    s = encode_cbr_stream("2.5", 3, 8, 8000, n_frames=1)
+    assert parse_frame_header(s).frame_bytes == 72 * 8000 // 8000      # 72
+    h = parse_frame_header(encode_cbr_stream("1", 3, 320, 48000,
+                                             n_frames=1))
+    assert (h.bitrate_kbps, h.sample_rate, h.layer, h.version) == \
+        (320, 48000, 3, "1")
+
+
+def test_header_rejects_reserved_and_invalid():
+    assert parse_frame_header(b"\x00\x00\x00\x00") is None    # no sync
+    assert parse_frame_header(b"\xff\xeb\x90\x40") is None    # version 01
+    assert parse_frame_header(b"\xff\xf9\x90\x40") is None    # layer 00
+    assert parse_frame_header(b"\xff\xfb\xf0\x40") is None    # bitrate 15
+    assert parse_frame_header(b"\xff\xfb\x9c\x40") is None    # rate idx 3
+    assert parse_frame_header(b"\xff\xfb\x00\x40") is None    # free format
+
+
+def test_walk_resync_id3_and_truncation():
+    body = encode_cbr_stream("1", 3, 128, 44100, n_frames=5,
+                             pad_pattern=(0, 1))
+    # ID3v2 prefix with syncsafe size 257, plus leading garbage after it,
+    # plus an ID3v1 trailer; final frame truncated by 10 bytes
+    id3v2 = b"ID3\x04\x00\x00" + bytes((0, 0, 0x02, 0x01)) + b"\x00" * 257
+    assert skip_id3v2(id3v2) == 267
+    stream = id3v2 + b"\xffgarbage\xff\xe0" + body[:-10] + b"TAG" + b"\x00" * 125
+    frames = walk_frames(stream)
+    assert len(frames) == 4                  # truncated 5th dropped
+    assert frames[0][0] == 267 + 10          # resync skipped the junk
+    # back-to-back offsets follow the per-frame padding lengths
+    assert frames[1][0] - frames[0][0] == 417
+    assert frames[2][0] - frames[1][0] == 418
+
+
+def test_mp3_stats_exact_duration_and_vbr():
+    s = encode_cbr_stream("1", 3, 128, 44100, n_frames=38)
+    st = mp3_stats(s)
+    assert st["n_frames"] == 38
+    # exact: 38 * 1152 / 44100 s = 992.65... ms
+    assert st["duration_ms"] == round(38 * 1152 * 1000 / 44100)
+    assert (st["bitrate_kbps"], st["vbr"]) == (128, False)
+    assert (st["sample_rate"], st["channels"]) == (44100, 1)
+    # hand-built VBR: alternate 128/160 kbps frames
+    a = encode_cbr_stream("1", 3, 128, 44100, n_frames=1)
+    b = encode_cbr_stream("1", 3, 160, 44100, n_frames=1)
+    st = mp3_stats(a + b + a + b)
+    assert st["vbr"] is True and st["bitrate_kbps"] == 144
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        mp3_stats(b"RIFF not mpeg at all")
+
+
+def test_xing_header_detection():
+    s = bytearray(encode_cbr_stream("1", 3, 128, 44100, n_frames=3,
+                                    mode="mono"))
+    # MPEG1 mono side info = 17 bytes; Xing sits at 4 + 17
+    p = 4 + 17
+    s[p:p + 4] = b"Xing"
+    s[p + 4:p + 8] = struct.pack(">I", 0x3)        # frames + bytes
+    s[p + 8:p + 12] = struct.pack(">I", 1234)
+    s[p + 12:p + 16] = struct.pack(">I", len(s))
+    frames = walk_frames(bytes(s))
+    x = parse_xing(bytes(s), frames[0][0], frames[0][1])
+    assert x == {"tag": "Xing", "frames": 1234, "bytes": len(s)}
+    st = mp3_stats(bytes(s))
+    assert st["xing_frames"] == 1234 and st["vbr"] is True
+
+
+def test_signature_dispatch():
+    assert looks_like_mpeg_audio(
+        encode_cbr_stream("1", 3, 128, 44100, n_frames=1))
+    assert looks_like_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    assert not looks_like_mpeg_audio(b"RIFF1234WAVEfmt ")
+    assert not looks_like_mpeg_audio(b"\x89PNG\r\n\x1a\n")
+    assert not looks_like_mpeg_audio(b"")
+
+
+def test_decode_seam_still_honest():
+    from dump1090_db_stream_spark.functions.mp3 import decode_frames
+
+    with pytest.raises(NotImplementedError, match="filterbank window"):
+        decode_frames(b"\xff\xfb\x90\x40")

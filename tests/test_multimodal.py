@@ -186,3 +186,73 @@ def test_audio_fingerprint_neardup_detection(spark):
         max_hamming=6, n_chunks=8).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_audio_real_path_mp3_frame_stats(spark):
+    """The MPEG-audio seam now yields REAL frame-level values (r6
+    verdict ask #7): duration_ms comes from an exact frame walk
+    (functions.mp3), not a byte-size guess; the sample-level fields
+    (rms/mfcc) are NULL because PCM synthesis remains the documented
+    decode_frames seam. WAV payloads in the same batch keep full
+    decode — signature dispatch, like the PNG/JPEG image twin."""
+    import math
+
+    from dump1090_db_stream_spark.functions.mp3 import encode_cbr_stream
+    from dump1090_db_stream_spark.functions.wav import encode_wav
+    from dump1090_db_stream_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate = 8000
+    wav = encode_wav(rate, 1, 16,
+                     [0.4 * math.sin(2 * math.pi * 440 * t / rate)
+                      for t in range(4000)])
+    mp3 = encode_cbr_stream("1", 3, 128, 44100, n_frames=38)
+    # MP3 with an ID3v2 prefix must dispatch the same way
+    id3 = (b"ID3\x04\x00\x00" + bytes((0, 0, 0, 64)) + b"\x00" * 64
+           + encode_cbr_stream("2.5", 3, 16, 8000, n_frames=10))
+    media = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(mp3)), (2, bytearray(id3))],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_audio_features(
+        media, decode_stub=False).collect()}
+    assert out[0].duration_ms == 500 and out[0].rms is not None
+    assert out[1].duration_ms == round(38 * 1152 * 1000 / 44100)
+    assert out[1].rms is None and out[1].mfcc is None
+    # MPEG2.5 Layer III: 576 samples/frame at 8 kHz -> 72 ms/frame
+    assert out[2].duration_ms == round(10 * 576 * 1000 / 8000)
+
+
+def test_audio_fingerprint_mp3_e2e(spark):
+    """audio_fingerprints on a mixed WAV+MP3 corpus: WAV rows carry
+    real fingerprints, MPEG rows flow through as NULL (PCM seam), and
+    hamming_neardup_pairs over the mixed output neither errors nor
+    pairs the NULL rows."""
+    import math
+
+    from dump1090_db_stream_spark.functions.mp3 import encode_cbr_stream
+    from dump1090_db_stream_spark.functions.wav import encode_wav
+    from dump1090_db_stream_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from dump1090_db_stream_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    rate, n = 8000, 8000
+    sig = [0.5 * math.sin(2 * math.pi * 440 * t / rate)
+           * (0.3 + 0.7 * abs(math.sin(2 * math.pi * 3 * t / rate)))
+           for t in range(n)]
+    quiet = [0.25 * s for s in sig]
+    rows = [(0, bytearray(encode_wav(rate, 1, 16, sig))),
+            (1, bytearray(encode_wav(rate, 1, 16, quiet))),
+            (2, bytearray(encode_cbr_stream("1", 3, 128, 44100,
+                                            n_frames=20)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = audio_fingerprints(media, decode_stub=False)
+    got = {r["media_id"]: r["audio_fp"] for r in fps.collect()}
+    assert got[2] is None and got[0] is not None
+    pairs = {(r["id_a"], r["id_b"]) for r in hamming_neardup_pairs(
+        fps, "audio_fp", max_hamming=6, n_chunks=8).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
