@@ -136,12 +136,16 @@ def parse_frame_header(data: bytes, pos: int = 0) -> FrameHeader | None:
 
 def skip_id3v2(data: bytes) -> int:
     """Byte offset of the first post-ID3v2 byte (0 if no ID3v2 tag).
-    Size is 4 syncsafe bytes; flag 0x10 adds a 10-byte footer."""
+    Size is 4 syncsafe bytes; flag 0x10 adds a 10-byte footer. A
+    corrupt syncsafe size still skips the 10-byte tag header (never 0:
+    resyncing through raw tag content — which often embeds album art
+    full of spurious 0xFF sync patterns — would count phantom
+    frames)."""
     if len(data) < 10 or data[:3] != b"ID3":
         return 0
     flags = data[5]
     if any(b & 0x80 for b in data[6:10]):
-        return 0                              # corrupt syncsafe size
+        return 10                             # corrupt syncsafe size
     size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
     return 10 + size + (10 if flags & 0x10 else 0)
 
@@ -183,27 +187,47 @@ def parse_xing(data: bytes, offset: int, h: FrameHeader) -> dict | None:
     tag = data[p:p + 4]
     if tag not in (b"Xing", b"Info"):
         return None
+    if len(data) < p + 8:
+        return None                # tag at end-of-buffer, flags cut off
     (flags,) = struct.unpack(">I", data[p + 4:p + 8])
     p += 8
+    # each flagged field is bounds-checked: a truncated buffer yields
+    # a partial dict (field stays None), never a raw struct.error
     out = {"tag": tag.decode(), "frames": None, "bytes": None}
     if flags & 0x1:
+        if len(data) < p + 4:
+            return out
         (out["frames"],) = struct.unpack(">I", data[p:p + 4])
         p += 4
     if flags & 0x2:
+        if len(data) < p + 4:
+            return out
         (out["bytes"],) = struct.unpack(">I", data[p:p + 4])
         p += 4
     return out
 
 
 def looks_like_mpeg_audio(data: bytes) -> bool:
-    """Cheap signature dispatch: an ID3v2 prefix, or a valid frame
-    header within the first 4 KiB (real streams often carry a little
-    leading junk)."""
+    """Signature dispatch, tightened against random-bytes false
+    positives (any 4-byte window has ~2^-14 odds of parsing as a lone
+    header, so 'any header in 4 KiB' matched arbitrary binary): an
+    ID3v2 prefix, or a valid frame header within the first 4 KiB that
+    is CHAINED — the next header sits exactly ``frame_bytes`` later,
+    or the frame ends the stream (single-frame clip). A random blob
+    passing BOTH independent header checks at spec-linked offsets is
+    ~2^-28 per position."""
     if data[:3] == b"ID3":
         return True
-    horizon = min(len(data), 4096)
+    end = _id3v1_start(data)
+    horizon = min(end, 4096)
     for pos in range(horizon - 3):
-        if data[pos] == 0xFF and parse_frame_header(data, pos):
+        if data[pos] != 0xFF:
+            continue
+        h = parse_frame_header(data, pos)
+        if h is None or pos + h.frame_bytes > end:
+            continue
+        nxt = pos + h.frame_bytes
+        if nxt == end or parse_frame_header(data, nxt) is not None:
             return True
     return False
 
@@ -215,7 +239,12 @@ def mp3_stats(data: bytes) -> dict:
     sample_rate, channels, layer, version, bitrate_kbps (mean over
     frames, rounded), vbr (True iff bitrate varies or a Xing tag with
     a frame count is present), xing_frames (tag value, for
-    cross-checking against the walked count).
+    cross-checking against the walked count), and coverage — the
+    fraction of the audio span (first frame to stream end, tags
+    excluded) the walked frames actually occupy. Callers should
+    distrust stats with low coverage: it means the walk mostly
+    resynced over non-frame bytes, the signature of a false-positive
+    dispatch or a badly corrupt stream.
 
     Raises ValueError if no complete frame is found.
     """
@@ -225,11 +254,15 @@ def mp3_stats(data: bytes) -> dict:
     first_off, first = frames[0]
     dur_ms = 0.0
     bitrates = []
+    walked_bytes = 0
     for _, h in frames:
         dur_ms += h.n_samples * 1000.0 / h.sample_rate
         bitrates.append(h.bitrate_kbps)
+        walked_bytes += h.frame_bytes
+    span = _id3v1_start(data) - first_off
     xing = parse_xing(data, first_off, first)
     return {
+        "coverage": round(walked_bytes / span, 6) if span > 0 else 0.0,
         "n_frames": len(frames),
         "duration_ms": int(round(dur_ms)),
         "sample_rate": first.sample_rate,

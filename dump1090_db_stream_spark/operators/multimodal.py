@@ -337,7 +337,13 @@ def extract_audio_features(
                     # per-frame sample counts, rms/mfcc NULL — PCM
                     # synthesis is the remaining documented seam
                     # (functions.mp3.decode_frames). Other formats
-                    # (ogg, flac…) still raise there.
+                    # (ogg, flac…) still raise there. The sniff
+                    # requires chained frames (no lone-header false
+                    # positives); a sniffed stream whose walk finds no
+                    # complete frame or covers <half the audio span is
+                    # a CORRUPT stream — dead-lettered as an all-NULL
+                    # feature row (the sbs1 reject discipline), never
+                    # fabricated stats, never a whole-batch raise.
                     from dump1090_db_stream_spark.functions.mp3 import (
                         looks_like_mpeg_audio,
                         mp3_stats,
@@ -348,11 +354,17 @@ def extract_audio_features(
                     )
 
                     if data[:4] != b"RIFF" and looks_like_mpeg_audio(data):
-                        st = mp3_stats(data)
+                        try:
+                            st = mp3_stats(data)
+                        except ValueError:
+                            st = None
+                        if st is not None and st["coverage"] < 0.5:
+                            st = None
                         rows.append({
                             "media_id": int(mid),
                             "n_bytes": len(data),
-                            "duration_ms": st["duration_ms"],
+                            "duration_ms": (None if st is None
+                                            else st["duration_ms"]),
                             "rms": None,
                             "mfcc": None,
                         })

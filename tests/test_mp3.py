@@ -126,10 +126,92 @@ def test_xing_header_detection():
 def test_signature_dispatch():
     assert looks_like_mpeg_audio(
         encode_cbr_stream("1", 3, 128, 44100, n_frames=1))
+    assert looks_like_mpeg_audio(
+        encode_cbr_stream("1", 3, 128, 44100, n_frames=3))
     assert looks_like_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00")
     assert not looks_like_mpeg_audio(b"RIFF1234WAVEfmt ")
     assert not looks_like_mpeg_audio(b"\x89PNG\r\n\x1a\n")
     assert not looks_like_mpeg_audio(b"")
+
+
+def _pseudo_random_blob(n: int, seed: int = 0x2545F4914F6CDD1D) -> bytes:
+    """Deterministic xorshift64* byte stream — the ADVICE repro class:
+    arbitrary non-MPEG binary with plenty of 0xFF bytes."""
+    x = seed
+    out = bytearray()
+    while len(out) < n:
+        x ^= (x >> 12) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x << 25)) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        out += ((x * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) \
+            .to_bytes(8, "big")
+    return bytes(out[:n])
+
+
+def test_signature_rejects_random_binary():
+    """ADVICE r7: a pseudo-random 6.4 KB blob used to pass the sniff
+    (any lone 4-byte header match) and mp3_stats then fabricated
+    stats. The chained-frame rule must reject it — and a sweep of
+    seeds keeps the guard honest beyond one lucky blob."""
+    for seed in range(1, 33):
+        assert not looks_like_mpeg_audio(
+            _pseudo_random_blob(6400, seed=seed * 0x9E3779B97F4A7C15))
+
+
+def test_signature_requires_chained_or_single_exact_frame():
+    # one valid frame followed by garbage is NOT enough (a lone header
+    # in junk is exactly the false-positive mode); the same frame
+    # ending the stream (single-frame clip) IS
+    one = encode_cbr_stream("1", 3, 128, 44100, n_frames=1)
+    assert looks_like_mpeg_audio(one)
+    assert not looks_like_mpeg_audio(one + b"\x00garbage tail" * 3)
+
+
+def test_xing_truncation_never_raises_struct_error():
+    """ADVICE r7: Xing tag near end-of-buffer with truncated fields
+    raised raw struct.error out of mp3_stats."""
+    s = bytearray(encode_cbr_stream("1", 3, 128, 44100, n_frames=1,
+                                    mode="mono"))
+    p = 4 + 17
+    s[p:p + 4] = b"Xing"
+    h = parse_frame_header(bytes(s))
+    # flags cut off entirely -> None
+    assert parse_xing(bytes(s[:p + 5]), 0, h) is None
+    # flags say frames+bytes but the buffer ends mid-field -> partial
+    s[p + 4:p + 8] = struct.pack(">I", 0x3)
+    assert parse_xing(bytes(s[:p + 10]), 0, h) == {
+        "tag": "Xing", "frames": None, "bytes": None}
+    s[p + 8:p + 12] = struct.pack(">I", 77)
+    assert parse_xing(bytes(s[:p + 14]), 0, h) == {
+        "tag": "Xing", "frames": 77, "bytes": None}
+
+
+def test_corrupt_syncsafe_skips_tag_header_not_zero():
+    """ADVICE r7: a corrupt syncsafe size returned 0, so the walk
+    resynced through raw ID3v2 tag bytes (album art is full of 0xFF
+    sync patterns). Now the 10-byte header is still skipped."""
+    corrupt = b"ID3\x04\x00\x00" + bytes((0x80, 0, 0, 0))
+    assert skip_id3v2(corrupt) == 10
+    # an embedded fake frame header INSIDE the (undersized-claim) tag
+    # body must not be walked when the size bytes are corrupt: build
+    # tag whose body starts with a valid frame header but belongs to
+    # the tag; with corrupt size we at least clear the header and
+    # resync from byte 10 — identical frames after it still parse
+    frame = encode_cbr_stream("1", 3, 128, 44100, n_frames=2)
+    stream = corrupt + frame
+    assert [off for off, _ in walk_frames(stream)] == [10, 10 + 417]
+
+
+def test_mp3_stats_coverage_field():
+    clean = encode_cbr_stream("1", 3, 128, 44100, n_frames=10)
+    assert mp3_stats(clean)["coverage"] == 1.0
+    # two real frames then a long junk tail: frames walk fine but the
+    # span coverage collapses — the distrust signal
+    dirty = encode_cbr_stream("1", 3, 128, 44100, n_frames=2) \
+        + b"\x00" * 4000
+    st = mp3_stats(dirty)
+    assert st["n_frames"] == 2
+    assert st["coverage"] < 0.5
 
 
 def test_decode_seam_still_honest():

@@ -223,6 +223,54 @@ def test_audio_real_path_mp3_frame_stats(spark):
     assert out[2].duration_ms == round(10 * 576 * 1000 / 8000)
 
 
+def test_audio_real_path_rejects_random_binary_and_dead_letters(spark):
+    """ADVICE r7: a pseudo-random blob used to sniff as MPEG and
+    yield FABRICATED stats (2 frames, 56 ms). Now: (a) random binary
+    no longer sniffs as MPEG — it raises at the documented codec seam
+    like any unknown format; (b) an MPEG stream that IS signatured
+    (ID3 prefix) but has no walkable frames dead-letters to a
+    NULL-duration row instead of failing the whole Arrow batch."""
+    import pytest as _pytest
+
+    from dump1090_db_stream_spark.functions.mp3 import (
+        encode_cbr_stream,
+        looks_like_mpeg_audio,
+    )
+    from dump1090_db_stream_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    x = 0x9E3779B97F4A7C15
+    blob = bytearray()
+    while len(blob) < 6400:
+        x = (x ^ (x >> 12)) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x << 25)) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) & 0xFFFFFFFFFFFFFFFF
+        blob += ((x * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) \
+            .to_bytes(8, "big")
+    assert not looks_like_mpeg_audio(bytes(blob))
+    media = spark.createDataFrame([(0, bytearray(blob))],
+                                  "media_id long, payload binary")
+    with _pytest.raises(Exception, match="RIFF|WAV"):
+        extract_audio_features(media, decode_stub=False).collect()
+
+    # ID3-signatured but frameless / junk-tailed: NULL dead-letter rows
+    # alongside a healthy stream in the SAME batch
+    frameless = b"ID3\x04\x00\x00" + bytes((0, 0, 0, 10)) + b"\x00" * 10
+    junk_tail = encode_cbr_stream("1", 3, 128, 44100, n_frames=2) \
+        + b"\x00" * 4000          # coverage < 0.5 -> distrusted
+    ok = encode_cbr_stream("1", 3, 128, 44100, n_frames=38)
+    media = spark.createDataFrame(
+        [(0, bytearray(frameless)), (1, bytearray(junk_tail)),
+         (2, bytearray(ok))],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_audio_features(
+        media, decode_stub=False).collect()}
+    assert out[0].duration_ms is None and out[0].n_bytes == len(frameless)
+    assert out[1].duration_ms is None
+    assert out[2].duration_ms == round(38 * 1152 * 1000 / 44100)
+
+
 def test_audio_fingerprint_mp3_e2e(spark):
     """audio_fingerprints on a mixed WAV+MP3 corpus: WAV rows carry
     real fingerprints, MPEG rows flow through as NULL (PCM seam), and
