@@ -133,11 +133,79 @@ EXTENDED = [
     # for the scale fix; both were sub-second pre-fix at sf0.1)
     "dsir_auc",
     "score_normalized",
+    # round-8 addition: the per-group AUC (embarrassingly parallel form)
+    "dsir_auc_by_source",
 ]
 
 
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def bench_calibration(spark, sf_dir: str) -> dict:
+    """Box-speed probe (r7 verdict ask #2): a PINNED, code-frozen
+    parquet scan-aggregate timed alongside the headline set. Its code
+    must NEVER change across rounds, so the ratio
+
+        calibration_sec / CALIBRATION_R8_BASELINE_SEC
+
+    measures pure environment drift, and headline comparisons can be
+    read NET of it (r7's 17.07 s looked like a regression until a
+    same-box re-measure proved the sandbox had slowed; this makes that
+    adjudication mechanical). Reference value and the drift formula
+    live in BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def q():
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").alias("sq"),
+                     F.sum("l_extendedprice").alias("se"),
+                     F.avg("l_discount").alias("ad"),
+                     F.count(F.lit(1)).alias("n")))
+
+    run_one(q())  # codegen warmup, untimed
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_one(q())
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"sec": min(runs), "runs_sec": runs,
+            "workload": "lineitem_scan_agg_frozen_r8"}
+
+
+def bench_auc_hicard(spark, n_rows: int = 5_000_000) -> dict:
+    """Continuous-score AUC at high cardinality (r7 verdict ask #1's
+    done-criterion): a synthetic score column with ~n distinct doubles
+    — the exact shape where the pre-r8 plan funneled the whole
+    distinct-score relation through ONE ordered task. Records wall
+    time AND the count of input-grain single-partition sort sites in
+    the executed plan (must stay 0)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    df = spark.range(n_rows).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000_007)).cast("double")
+         / 1_000_000_007).alias("score"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(3)) == 0).alias("y"))
+    q = auc_score(df, "score", "y")
+    # plan audit with the SAME detector the registry gate uses
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_plans import single_partition_window_sites
+    sites = single_partition_window_sites(plan)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_one(auc_score(df, "score", "y"))
+        release_tracked()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"rows": n_rows, "distinct_scores": "~n (continuous)",
+            "sec": min(runs), "runs_sec": runs,
+            "single_partition_input_grain_sorts": len(sites)}
 
 
 def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
@@ -415,11 +483,22 @@ def main() -> None:
         runs_detail[n] = timed_runs(lambda: qs[n](spark, sf_dir))
         extended[n] = min(runs_detail[n])
 
+    calibration = bench_calibration(spark, sf_dir)
     ingest = bench_ingest(spark, n_msgs=2_000_000 // synth_scale)
     skew = bench_skew(spark, n_rows=2_000_000 // synth_scale)
     ngram_skew = bench_ngram_skew(spark, n_docs=3000 // synth_scale)
     enc_joinbound = bench_close_encounters_joinbound(spark, sf_dir)
     fuzzy_cands = bench_fuzzy_candidates(spark, sf_dir)
+    auc_hicard = bench_auc_hicard(spark, n_rows=5_000_000 // synth_scale)
+    # the r8 same-box ingest A/B (HEAD vs the r5 snapshot commit) is a
+    # committed one-off measurement; surface it in the round record if
+    # present so the BENCH file carries both arrays (r7 verdict ask #3)
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scripts", "ingest_ab_r08.json")
+    ingest_ab = None
+    if os.path.exists(ab_path):
+        with open(ab_path) as fh:
+            ingest_ab = json.load(fh)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail FIRST, compact headline record LAST: the driver's tail
@@ -433,11 +512,14 @@ def main() -> None:
         "queries_runs": runs_detail,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "calibration": calibration,
         "ingest": ingest,
+        "ingest_ab_r08": ingest_ab,
         "skew": skew,
         "ngram_skew": ngram_skew,
         "close_encounters_joinbound": enc_joinbound,
         "fuzzy_candidate_volume": fuzzy_cands,
+        "auc_hicard": auc_hicard,
         "sf": sf_val,
     }))
     print(json.dumps({
@@ -445,6 +527,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "calibration_sec": calibration["sec"],
         "sf": sf_val,
     }))
 

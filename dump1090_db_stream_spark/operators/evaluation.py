@@ -10,16 +10,21 @@ that Spark expresses exactly; nothing here samples or approximates.
                      (Mann-Whitney U): average ranks make ties exact,
                      every intermediate is integer-or-half, so the
                      result is deterministic to the last bit.
+- auc_score_by       the per-group variant (AUC per language / source /
+                     domain) — the form a corpus eval actually runs.
 - calibration_bins   equal-width reliability bins over [0, 1] scores:
                      per-bin count, mean confidence, empirical accuracy.
 - expected_calibration_error
                      the one-row ECE fold over those bins.
 
 Scale shape: AUC is one map-side-combined groupBy(score) — the ONLY
-full-size shuffle — then a rank window over the distinct-score
-relation (vocabulary-sized, the weekly_growth discipline) and one
-aggregate; calibration is a single map-side-combined bin aggregate.
-No collects, no cross joins, no input-grain global sorts.
+full-size shuffle — then a DISTRIBUTED prefix-sum over the distinct-
+score relation (range-bucket the scores by broadcast quantile bounds,
+rank within each bucket in parallel, offset by the bucket-count
+running total — a bounded ``n_range_buckets``-row relation). No
+collects, no cross joins, and no single-partition sort at ANY score
+cardinality: continuous scores (|distinct| ~ n) funnel at most
+n / n_range_buckets rows through one task, never ~n.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ def auc_score(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    n_range_buckets: int = 64,
 ) -> DataFrame:
     """One row: (n_pos, n_neg, auc rounded 6) — the exact tie-aware ROC
     AUC via the rank-sum identity
@@ -47,15 +53,23 @@ def auc_score(
 
     Scale shape: AUC depends only on per-distinct-score (rows,
     positives) counts, so the input collapses through ONE map-side-
-    combined groupBy(score) before any ordering; the cumulative-count
-    window then runs over the distinct-score relation
-    (vocabulary-sized — never input-grain rows through one task).
+    combined groupBy(score); the exclusive cumulative count then comes
+    from the :func:`operators.prefix_sum.distributed_prev_counts`
+    prefix-sum — a quantile-bucketed rank with broadcast bucket
+    offsets — so even a CONTINUOUS score (|distinct| ~ n, where the
+    r7 plan still funneled the whole relation through one ordered
+    task) sorts at most ~n / ``n_range_buckets`` rows per task. The
+    only single-partition ordered window left runs over the
+    ``n_range_buckets``-row bucket totals.
 
     Single-class input (n_pos == 0 or n_neg == 0): AUC is undefined —
     the row is emitted with ``auc = NULL`` (``try_divide``), so a
     consumer gating on ``auc >= x`` must treat NULL as "not
     evaluable", not as a pass.
     """
+    if n_range_buckets < 1:
+        raise ValueError(
+            f"n_range_buckets must be >= 1, got {n_range_buckets}")
     base = df.select(
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
@@ -63,18 +77,86 @@ def auc_score(
     per_score = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(F.col("y").cast("long")).alias("_pos"))
-    w_prev = (Window.orderBy("s")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    ravg = (F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
-            .cast("double")
+    # the distinct-score relation feeds three branches (quantile
+    # bounds, bucket totals, the rank itself); persist it once (three
+    # narrow columns — spills to disk if a continuous score makes it
+    # input-sized) instead of re-scanning the input per branch.
+    # Caller releases via cache.release_tracked (bench/test discipline).
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    per_score = track(per_score)
+    ranked = distributed_prev_counts(per_score, "s", "_cnt",
+                                     n_range_buckets,
+                                     extra_cols=("_pos",))
+    ravg = (F.col("_prev").cast("double")
             + (F.col("_cnt") + 1).cast("double") / 2)
-    return (per_score
+    return (ranked
             .select("_cnt", "_pos", ravg.alias("_ravg"))
             .agg(F.sum("_pos").alias("n_pos"),
                  F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
                  F.sum(F.col("_pos") * F.col("_ravg")).alias("_rsum"))
             .select(
                 "n_pos", "n_neg",
+                F.round(
+                    F.try_divide(
+                        F.col("_rsum")
+                        - F.col("n_pos").cast("double")
+                        * (F.col("n_pos") + 1) / 2,
+                        F.col("n_pos").cast("double") * F.col("n_neg")),
+                    6).alias("auc")))
+
+
+def auc_score_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group exact tie-aware ROC AUC — one row per ``group_col``
+    value with (group, n_pos, n_neg, auc rounded 6): does the score
+    rank positives above negatives WITHIN each language / source /
+    domain slice? The aggregate AUC hides per-slice inversions (a
+    score can look fine pooled while anti-ranking one source), so a
+    corpus eval runs this form.
+
+    Same rank-sum identity and NULL handling as :func:`auc_score`;
+    single-class groups emit ``auc = NULL``. Rows with a NULL group
+    are excluded (no slice to attribute them to).
+
+    Scale shape: embarrassingly parallel — ranks only ever compare
+    scores within a group, so the cumulative window is PARTITIONED by
+    group and groups spread across the cluster; no global ordering
+    exists anywhere in the plan. One group's distinct scores do pass
+    through one task — the per-group funnel only matters when a
+    single group dominates a 100 TB corpus AND its score is
+    continuous; route such a group through :func:`auc_score` (filter
+    + the bucketed prefix-sum) if it appears.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull()
+             & F.col("g").isNotNull())
+    per_score = base.groupBy("g", "s").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("y").cast("long")).alias("_pos"))
+    w_prev = (Window.partitionBy("g").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ravg = (F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0))
+            .cast("double")
+            + (F.col("_cnt") + 1).cast("double") / 2)
+    return (per_score
+            .select("g", "_cnt", "_pos", ravg.alias("_ravg"))
+            .groupBy("g")
+            .agg(F.sum("_pos").alias("n_pos"),
+                 F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+                 F.sum(F.col("_pos") * F.col("_ravg")).alias("_rsum"))
+            .select(
+                F.col("g").alias(group_col), "n_pos", "n_neg",
                 F.round(
                     F.try_divide(
                         F.col("_rsum")

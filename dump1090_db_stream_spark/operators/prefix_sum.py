@@ -1,0 +1,84 @@
+"""Distributed exclusive prefix-sum over an ordered relation.
+
+The one plan shape Spark's Window API cannot express scale-safely on
+its own: a cumulative sum in GLOBAL value order (``Window.orderBy(v)``
+with no partitionBy plans an ``Exchange SinglePartition`` — the whole
+relation through one task). The classic parallel fix decomposes it:
+
+    1. bucket rows by broadcast quantile bounds of the order column
+       (monotone bucketing — bucket i holds values strictly between
+       bounds, so cross-bucket order is total);
+    2. run the cumulative window PARTITIONED by bucket (parallel);
+    3. per-bucket totals — a bounded ``n_range_buckets``-row relation —
+       take the only remaining global ordered window, and their
+       exclusive running totals broadcast back as bucket offsets.
+
+Every intermediate is an integer sum, so the decomposition is
+bit-identical to the single global window it replaces; the approximate
+bounds only shift LOAD between buckets, never values. Used by
+``operators.evaluation.auc_score`` (continuous-score ranks) and
+``operators.sampling.quantile_normalize`` (global distinct-value
+grid) — the two operator classes the r7 round identified as still
+funneling ~input-grain rows through one task when the ordered column
+is continuous.
+
+No reference-repo counterpart (the reference delegates ordering to
+PostgreSQL, ``create_schema.sql`` end-to-end); this is engine-level
+machinery for the 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_prev_counts(
+    rel: DataFrame,
+    order_col: str,
+    cnt_col: str,
+    n_range_buckets: int = 64,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Add ``_prev`` — the exclusive running sum of ``cnt_col`` in
+    ``order_col`` order — to ``rel`` (one row per distinct
+    ``order_col`` value) without a single-partition sort.
+
+    ``rel`` feeds three branches (quantile bounds, bucket totals, the
+    ranked output); callers that read it from an expensive upstream
+    should persist it first (``cache.track`` discipline). Output
+    columns: ``order_col, cnt_col, *extra_cols, _prev``.
+    """
+    if n_range_buckets < 1:
+        raise ValueError(
+            f"n_range_buckets must be >= 1, got {n_range_buckets}")
+    probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    if not probs:                       # n_range_buckets == 1: degenerate
+        bucketed = rel.withColumn("_b", F.lit(0))
+    else:
+        # accuracy 1000 is plenty: bounds only BALANCE the buckets —
+        # the prefix sums are exact under any monotone bucketing
+        bounds = rel.agg(
+            F.percentile_approx(order_col, probs, 1_000).alias("_bnds"))
+        bucket = F.aggregate(
+            "_bnds", F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) >= b,
+                                        F.lit(1)).otherwise(F.lit(0)))
+        bucketed = (rel.crossJoin(F.broadcast(bounds))
+                    .withColumn("_b", bucket)
+                    .drop("_bnds"))
+    w_local = (Window.partitionBy("_b").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    btot = bucketed.groupBy("_b").agg(F.sum(cnt_col).alias("_btot"))
+    w_off = (Window.orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = btot.select(
+        "_b", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+               .alias("_off"))
+    return (bucketed
+            .withColumn("_loc",
+                        F.coalesce(F.sum(cnt_col).over(w_local),
+                                   F.lit(0)))
+            .join(F.broadcast(offsets), "_b")
+            .select(order_col, cnt_col, *extra_cols,
+                    (F.col("_off") + F.col("_loc")).alias("_prev")))

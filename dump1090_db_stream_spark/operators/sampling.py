@@ -670,6 +670,8 @@ def quantile_normalize(
     group_col: str,
     id_col: str = "doc_id",
     n_quantiles: int = 100,
+    n_range_buckets: int = 64,
+    tie_salt: int = 8,
 ) -> DataFrame:
     """Cross-group quantile normalization — the batch-effect fix for
     score columns whose DISTRIBUTION differs by source (one quality
@@ -692,30 +694,58 @@ def quantile_normalize(
                    bucket — bucket 0 is always occupied — guarantees
                    every non-null input row gets a norm_value.)
 
-    Scale shape: NO input-grain global sort. Ranks decompose as
-    rank = (rows with smaller value) + row_number-within-tie, so the
-    only input-grain windows are row_numbers PARTITIONED on the tie
-    key ((grp, v) / (v)); cumulative counts run over the
-    distinct-value relations (per-group partitioned / global
-    vocabulary-sized — the weekly_growth discipline). The bucket
-    mapping is n_quantiles rows, forward-filled with a running max
-    (norm_value is monotone in bucket) and broadcast back. Ties break
-    by (value, id) so the result is total-ordered and
-    oracle-replayable. Output: id, group, the original value, and
-    ``norm_value``.
+    Scale shape: NO input-grain global sort ANYWHERE, at any value
+    cardinality or tie multiplicity. Ranks decompose twice:
+
+    - rank = (rows with smaller value) + row_number-within-tie. The
+      per-group cumulative counts run PARTITIONED by group; the
+      GLOBAL distinct-value cumulative uses the
+      :func:`operators.prefix_sum.distributed_prev_counts`
+      quantile-bucketed prefix-sum, so a continuous value column
+      (|distinct| ~ n — where the r7 plan still sorted the whole
+      distinct relation in one task) never funnels one partition.
+    - within-tie row_number = row_number within (tie key, salt) +
+      the running count of earlier salt buckets — ``tie_salt``-way
+      two-level numbering, so a DEGENERATE input (all rows one value,
+      every row in one tie group) splits its row_number across
+      ``tie_salt`` tasks instead of one. The salt is the portable
+      60-bit md5 of the id (the MinHash replay discipline), so ties
+      break by (value, salt, id) — still a deterministic TOTAL order
+      any ANSI engine replays exactly.
+
+    One input-grain aggregate — groupBy(grp, v, salt) — feeds every
+    count relation (per-group, global, and both salt-offset maps) by
+    further tiny rollups. The bucket mapping is n_quantiles rows,
+    forward-filled with a running max (norm_value is monotone in
+    bucket) and broadcast back. Output: id, group, the original
+    value, and ``norm_value``.
     """
     from pyspark.sql import Window
 
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.dedup import _portable_hash60
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
     if n_quantiles < 1:
         raise ValueError(f"n_quantiles must be >= 1, got {n_quantiles}")
+    if tie_salt < 1:
+        raise ValueError(f"tie_salt must be >= 1, got {tie_salt}")
     base = df.select(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
-        F.col(value_col).cast("double").alias("v")
+        F.col(value_col).cast("double").alias("v"),
+        F.pmod(_portable_hash60(F.col(id_col).cast("string")),
+               F.lit(tie_salt)).alias("_sl"),
     ).filter(F.col("v").isNotNull())
 
+    # ONE input-grain aggregate; every count relation below is a
+    # rollup of it (persisted: it feeds four consumers)
+    gsl = track(base.groupBy("grp", "v", "_sl")
+                .agg(F.count(F.lit(1)).alias("_c")))
+
     # distinct-value relations: exclusive running counts + totals
-    vg = (base.groupBy("grp", "v")
-          .agg(F.count(F.lit(1)).alias("_cg")))
+    vg = gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg"))
     w_g_prev = (Window.partitionBy("grp").orderBy("v")
                 .rowsBetween(Window.unboundedPreceding, -1))
     w_g_all = (Window.partitionBy("grp").orderBy("v")
@@ -726,24 +756,37 @@ def quantile_normalize(
         F.coalesce(F.sum("_cg").over(w_g_prev), F.lit(0))
          .alias("_prev_g"),
         F.sum("_cg").over(w_g_all).alias("_n_g"))
-    va = base.groupBy("v").agg(F.count(F.lit(1)).alias("_ca"))
-    w_a_prev = (Window.orderBy("v")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    w_a_all = (Window.orderBy("v")
-               .rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing))
-    va = va.select(
-        F.col("v").alias("_va_v"),
-        F.coalesce(F.sum("_ca").over(w_a_prev), F.lit(0))
-         .alias("_prev_a"),
-        F.sum("_ca").over(w_a_all).alias("_n_a"))
+    va = gsl.groupBy("v").agg(F.sum("_c").alias("_ca"))
+    n_a = va.agg(F.sum("_ca").alias("_n_a"))
+    va = (distributed_prev_counts(va, "v", "_ca", n_range_buckets)
+          .crossJoin(F.broadcast(n_a))
+          .select(F.col("v").alias("_va_v"),
+                  F.col("_prev").alias("_prev_a"), "_n_a"))
 
-    # per-row ranks: tie-key-partitioned row_numbers + the counts
-    w_tie_g = Window.partitionBy("grp", "v").orderBy("id")
-    w_tie_a = Window.partitionBy("v").orderBy("id")
+    # salt-bucket offsets: rows of the SAME tie key in EARLIER salt
+    # buckets (bounded windows — at most tie_salt rows per tie key)
+    w_sg = (Window.partitionBy("grp", "v").orderBy("_sl")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    goff = gsl.select(
+        "grp", "v", "_sl",
+        F.coalesce(F.sum("_c").over(w_sg), F.lit(0)).alias("_goff"))
+    asl = gsl.groupBy("v", "_sl").agg(F.sum("_c").alias("_c"))
+    w_sa = (Window.partitionBy("v").orderBy("_sl")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    aoff = asl.select(
+        "v", "_sl",
+        F.coalesce(F.sum("_c").over(w_sa), F.lit(0)).alias("_aoff"))
+
+    # per-row ranks: (tie key, salt)-partitioned row_numbers + offsets
+    w_tie_g = Window.partitionBy("grp", "v", "_sl").orderBy("id")
+    w_tie_a = Window.partitionBy("v", "_sl").orderBy("id")
     rows = (base
-            .withColumn("_tg", F.row_number().over(w_tie_g))
-            .withColumn("_ta", F.row_number().over(w_tie_a))
+            .withColumn("_tgl", F.row_number().over(w_tie_g))
+            .withColumn("_tal", F.row_number().over(w_tie_a))
+            .join(goff, ["grp", "v", "_sl"])
+            .join(aoff, ["v", "_sl"])
+            .withColumn("_tg", F.col("_goff") + F.col("_tgl"))
+            .withColumn("_ta", F.col("_aoff") + F.col("_tal"))
             .join(vg, ["grp", "v"])
             .join(va, F.col("v") == F.col("_va_v")))
 

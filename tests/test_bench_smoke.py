@@ -48,3 +48,14 @@ def test_bench_end_to_end_smoke():
     assert detail["ingest"]["sec"] == min(detail["ingest"]["runs_sec"])
     assert detail["skew"]["salted_sec"] > 0
     assert len(detail["extended"]) >= 20
+    # r8: the pinned box-speed calibration probe rides every BENCH
+    # record (headline drift is read NET of it — BASELINE.md formula)
+    assert detail["calibration"]["sec"] > 0
+    assert len(detail["calibration"]["runs_sec"]) == 5
+    assert detail["calibration"]["workload"] == \
+        "lineitem_scan_agg_frozen_r8"
+    assert out["calibration_sec"] == detail["calibration"]["sec"]
+    # r8: continuous-score AUC stress — the plan must never regress to
+    # an input-grain single-partition sort
+    assert detail["auc_hicard"]["single_partition_input_grain_sorts"] == 0
+    assert detail["auc_hicard"]["sec"] > 0

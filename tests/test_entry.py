@@ -36,38 +36,31 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
     assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
 
 
-def test_r7_window_composition():
-    """Pins the round-7 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): ALL 31 never-driver-verified queries lead
-    (the eight r3-stale entries deferred from the r6 window, the seven
-    r6 TPC-H shapes, the sixteen r6-new operator queries — including
-    every operator whose implementation changed in r7), the remaining
-    19 slots are the stalest r4-greens, and each rows-only sketch
-    query stays ADJACENT to its fully-oracled twin so both land in the
+def test_r8_window_composition():
+    """Pins the round-8 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): the NEW query leads (tier 1), then every
+    operator whose implementation changed in r8 (tier 2 — auc_score's
+    distributed prefix-sum, quantile_normalize's salted ties with the
+    lockstep oracle change, the MPEG sniff hardening), then the
+    judge-named r7 re-confirmations, then 41 stalest r4/r5-greens
+    (the r7 rotation-leader queue, in order). Rows-only sketch queries
+    stay ADJACENT to their fully-oracled twins so both land in the
     same driver round whenever they rotate back in."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:8] == [
-        "pricing_summary", "weighted_sample", "uniform_sample",
-        "stratified_sample", "mixture_sample_docs", "doc_chunks",
-        "pack_sequences", "corpus_diff"]
-    never_verified = {
-        "late_shipment_priority", "product_profit_by_nation",
-        "top_value_parts", "urgent_shipping_counts",
-        "promo_revenue_share", "part_supplier_variety",
-        "excess_share_suppliers", "gopher_quality", "c4_line_stats",
-        "semantic_dedup", "pagerank_neardups", "winnow_fingerprints",
-        "length_batches", "doc_bigram_logprob", "dsir_weights",
-        "doc_signals", "pagerank_docs", "event_drift",
-        "embedding_standardized", "dsir_auc", "dsir_calibration",
-        "survival_curve", "score_normalized"}
-    assert never_verified <= set(window[:31])
-    # tier 2: operators changed in r7 (auc_score, quantile_normalize,
-    # survival_curve, c4_line_filter, pagerank) re-enter this window
-    for changed in ("dsir_auc", "dsir_calibration", "score_normalized",
-                    "survival_curve", "c4_line_stats",
-                    "pagerank_neardups", "pagerank_docs"):
-        assert changed in window, changed
+    assert window[0] == "dsir_auc_by_source"          # tier 1: new
+    assert window[1:5] == [                           # tier 2: changed
+        "dsir_auc", "dsir_calibration", "score_normalized",
+        "multimodal_features"]
+    assert window[5:9] == [                           # r7 verdict ask #5
+        "survival_curve", "pagerank_neardups", "pagerank_docs",
+        "c4_line_stats"]
+    # tier 3 fill: staleness order, starting with the r7 queue's head
+    assert window[9] == "cheapest_supplier_per_part"
+    assert window[-1] == "disjunctive_revenue"
+    # the freshest greens (r7 window, untouched) sit at the very tail
+    assert order[-1] == "idle_rich_customers"
+    assert order.index("pricing_summary") > order.index("bm25_scores")
     assert order.index("weekly_active_estimate") == \
         order.index("event_approx_stats") + 1
     assert order.index("table_profile_approx") == \

@@ -88,3 +88,80 @@ def test_auc_plan_aggregates_before_global_sort(spark):
     df = spark.createDataFrame(
         [(float(i % 7) / 7, i % 3 == 0) for i in range(100)], ["s", "y"])
     assert single_partition_window_sites(plan_of(auc_score(df, "s", "y"))) == []
+
+
+def _sklearn_free_auc(pairs):
+    """Exact reference AUC via the rank-sum identity, in plain Python."""
+    from collections import Counter
+
+    per = Counter()
+    pos = Counter()
+    for s, y in pairs:
+        per[s] += 1
+        pos[s] += 1 if y else 0
+    prev, rsum, n_pos, n = 0, 0.0, 0, 0
+    for s in sorted(per):
+        ravg = prev + (per[s] + 1) / 2
+        rsum += pos[s] * ravg
+        prev += per[s]
+        n_pos += pos[s]
+        n += per[s]
+    n_neg = n - n_pos
+    return round((rsum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
+
+
+def test_auc_continuous_scores_distributed_prefix_sum(spark):
+    """The r8 fix for the r7 residual: a CONTINUOUS score
+    (|distinct| == n) must produce the exact AUC through the
+    quantile-bucketed prefix-sum, with NO input-grain single-partition
+    sort in the plan — including scores landing exactly ON bucket
+    boundaries, and at n_range_buckets=1 (degenerate single bucket)."""
+    import random
+
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    rng = random.Random(42)
+    pairs = [(rng.random(), rng.random() < 0.4) for _ in range(5000)]
+    want = _sklearn_free_auc(pairs)
+    df = spark.createDataFrame(pairs, ["s", "y"])
+    for buckets in (1, 7, 64):
+        q = auc_score(df, "s", "y", n_range_buckets=buckets)
+        assert single_partition_window_sites(plan_of(q)) == []
+        r = q.collect()[0]
+        assert (r["n_pos"] + r["n_neg"], r["auc"]) == (5000, want), buckets
+    with pytest.raises(ValueError, match="n_range_buckets"):
+        auc_score(df, "s", "y", n_range_buckets=0)
+
+
+def test_auc_score_by_groups(spark):
+    """Per-group AUC: each group's value equals the global auc_score
+    of that slice; single-class groups carry NULL; NULL groups drop."""
+    import random
+
+    from dump1090_db_stream_spark.operators.evaluation import (
+        auc_score,
+        auc_score_by,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g, sep in (("en", 0.8), ("de", 0.2), ("fr", 0.5)):
+        for _ in range(200):
+            y = rng.random() < 0.5
+            s = rng.random() * (1 - sep) + (sep if y else 0.0) \
+                * rng.random()
+            rows.append((g, s, y))
+    rows.append(("one_class", 0.9, True))
+    rows.append((None, 0.5, True))
+    df = spark.createDataFrame(rows, ["lang", "s", "y"])
+    got = {r["lang"]: r for r in
+           auc_score_by(df, "s", "y", "lang").collect()}
+    assert set(got) == {"en", "de", "fr", "one_class"}
+    assert got["one_class"]["auc"] is None
+    for g in ("en", "de", "fr"):
+        solo = auc_score(df.filter(df.lang == g), "s", "y").collect()[0]
+        assert got[g]["auc"] == solo["auc"]
+        assert (got[g]["n_pos"], got[g]["n_neg"]) == \
+            (solo["n_pos"], solo["n_neg"])

@@ -337,8 +337,14 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "dsir_weights",           # one-row (T, S) corpus-totals
                                   # attach onto the n_buckets-sized
                                   # dimension (same as bigram_pmi)
-        "dsir_auc",               # same dsir one-row attach upstream
+        "dsir_auc",               # same dsir one-row attach upstream,
+                                  # plus the r8 prefix-sum's one-row
+                                  # quantile-bounds attach
+        "dsir_auc_by_source",     # same dsir one-row attach upstream
         "dsir_calibration",       # same dsir one-row attach upstream
+        "score_normalized",       # r8 prefix-sum one-row bounds +
+                                  # grand-total attaches (both
+                                  # broadcast, operators.prefix_sum)
         "embedding_standardized",  # one-row moment-ARRAY attach (the
                                    # per-dim mean/std pair)
         "survival_curve",         # one-row observation-window-end
@@ -663,3 +669,54 @@ def test_no_query_plans_a_single_partition_input_grain_sort(spark, sf):
     for name, fn in entrymod.queries().items():
         bad = single_partition_window_sites(plan_of(fn(spark, sf)))
         assert bad == [], f"{name}: single-partition input-grain sort: {bad}"
+
+
+def test_continuous_key_gate_catches_non_reducing_aggregate(spark, sf):
+    """Self-test for the r8 hardened gate (r7 verdict ask #4): the
+    textual gate trusts ANY aggregate between scan and the global
+    window, but an aggregate keyed on a continuous double reduces
+    nothing — exactly the pre-r8 auc_score plan. The type-aware
+    logical-plan detector must flag that fixture and pass the
+    legitimate vocabulary shapes (int/date/string keys, Range)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.plans.audit import (
+        continuous_key_global_windows,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # the blind spot: groupBy(continuous) THEN a global window — the
+    # textual gate passes this (there IS an aggregate), the type gate
+    # must not
+    bad = (ev.groupBy(F.col("value").cast("double").alias("v"))
+           .count()
+           .withColumn("r", F.row_number().over(Window.orderBy("v"))))
+    assert single_partition_window_sites(plan_of(bad)) == [], \
+        "precondition: the textual gate is blind to this fixture"
+    assert continuous_key_global_windows(bad), \
+        "type gate failed to flag a continuous-key aggregate"
+    # legitimate vocabulary disciplines stay unflagged
+    good_int = (ev.groupBy((F.col("value") * 0).cast("int").alias("b"))
+                .count()
+                .withColumn("r", F.row_number().over(Window.orderBy("b"))))
+    assert continuous_key_global_windows(good_int) == []
+    good_date = (ev.groupBy(F.to_date("ts").alias("d")).count()
+                 .withColumn("r", F.row_number().over(Window.orderBy("d"))))
+    assert continuous_key_global_windows(good_date) == []
+
+
+def test_no_query_plans_a_global_window_over_continuous_key_aggregate(
+        spark, sf):
+    """Registry-wide sweep of the hardened gate: no contract query may
+    run a globally-ordered Sort/Window whose first upstream aggregate
+    is keyed on a float/double — on continuous data that relation is
+    input-sized and still funnels one task (the r7 dsir_auc residual,
+    fixed in r8 by the distributed prefix-sum). NO allowlist."""
+    from dump1090_db_stream_spark.plans.audit import (
+        continuous_key_global_windows,
+    )
+
+    for name, fn in entrymod.queries().items():
+        bad = continuous_key_global_windows(fn(spark, sf))
+        assert bad == [], f"{name}: {bad}"

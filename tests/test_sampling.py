@@ -535,16 +535,18 @@ def test_quantile_normalize_total_mapping_small_n(spark):
 
 
 def test_quantile_normalize_matches_rowgrain_reference(spark):
-    """The r7 scale rewrite (tie-partitioned row_numbers + distinct-
-    value cumulative counts) must reproduce the row-grain
+    """The r7/r8 scale rewrite (salted tie row_numbers + distributed
+    distinct-value prefix-sum) must reproduce the row-grain
     percent_rank recipe bit-for-bit — checked against an inline
     reference implementation on data with heavy ties, a hot group,
-    and a single-row group."""
+    and a single-row group. Tie order is (value, salt, id) with the
+    portable md5 salt (tie_salt=8), the r8 degenerate-skew guard."""
     import random
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from dump1090_db_stream_spark.operators.dedup import _portable_hash60
     from dump1090_db_stream_spark.operators.sampling import (
         quantile_normalize,
     )
@@ -558,9 +560,11 @@ def test_quantile_normalize_matches_rowgrain_reference(spark):
     nq = 20
     base = df.select(
         F.col("doc_id").alias("id"), F.col("src").alias("grp"),
-        F.col("score").cast("double").alias("v"))
-    wg = Window.partitionBy("grp").orderBy("v", "id")
-    wa = Window.orderBy("v", "id")
+        F.col("score").cast("double").alias("v"),
+        F.pmod(_portable_hash60(F.col("doc_id").cast("string")),
+               F.lit(8)).alias("sl"))
+    wg = Window.partitionBy("grp").orderBy("v", "sl", "id")
+    wa = Window.orderBy("v", "sl", "id")
     ranked = base.withColumn(
         "q", F.least(F.floor(F.percent_rank().over(wg) * nq),
                      F.lit(nq - 1)).cast("int"))
@@ -597,3 +601,79 @@ def test_quantile_normalize_plan_has_no_input_grain_global_sort(spark):
         ["doc_id", "src", "score"])
     out = quantile_normalize(df, "score", "src", n_quantiles=10)
     assert single_partition_window_sites(plan_of(out)) == []
+
+
+def test_quantile_normalize_degenerate_all_ties_is_salted(spark):
+    """The r8 degenerate-skew guard (r7 verdict ask #6): an all-equal
+    value column used to send every row through ONE row_number
+    partition. Now every input-grain row_number is partitioned on the
+    salt too (plan-asserted), and a 1M-identical-value input completes
+    with the correct (trivial) normalization."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+        F.lit(5.0).alias("score"))
+    out = quantile_normalize(df, "score", "src", n_quantiles=10)
+    # plan: every row_number window spec carries the salt column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rn_specs = [ln for ln in plan.splitlines()
+                if "row_number()" in ln]
+    assert rn_specs and all("_sl" in ln for ln in rn_specs)
+    agg = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("norm_value").alias("lo"),
+                  F.max("norm_value").alias("hi")).collect()[0]
+    assert (agg["n"], agg["lo"], agg["hi"]) == (1_000_000, 5.0, 5.0)
+
+
+def test_quantile_normalize_continuous_values_no_global_funnel(spark):
+    """The r8 global-grid fix (r7 verdict ask #1 second half): a
+    CONTINUOUS value column (all distinct) routes the global
+    cumulative through the bucketed prefix-sum — plan stays clean —
+    and the result still matches the row-grain percent_rank recipe."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, "s" + str(i % 4), rng.random()) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    out = quantile_normalize(df, "score", "src", n_quantiles=25)
+    assert single_partition_window_sites(plan_of(out)) == []
+    # all-distinct values: tie row_numbers are all 1, so the salted
+    # order equals plain (v, id) order and percent_rank replays it
+    nq = 25
+    base = df.select(F.col("doc_id").alias("id"),
+                     F.col("src").alias("grp"),
+                     F.col("score").cast("double").alias("v"))
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    wa = Window.orderBy("v", "id")
+    ranked = base.withColumn(
+        "q", F.least(F.floor(F.percent_rank().over(wg) * nq),
+                     F.lit(nq - 1)).cast("int"))
+    occupied = (base.withColumn(
+        "gq", F.least(F.floor(F.percent_rank().over(wa) * nq),
+                      F.lit(nq - 1)).cast("int"))
+        .groupBy("gq").agg(F.max("v").alias("_nv")))
+    w_fill = (Window.orderBy("gq")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    dense = (df.sparkSession.range(nq)
+             .select(F.col("id").cast("int").alias("gq"))
+             .join(occupied, "gq", "left")
+             .select("gq", F.max("_nv").over(w_fill).alias("norm_value")))
+    ref = {r["id"]: r["norm_value"]
+           for r in ranked.join(dense, ranked["q"] == dense["gq"])
+           .select("id", "norm_value").collect()}
+    got = {r["doc_id"]: r["norm_value"] for r in out.collect()}
+    assert got == ref
