@@ -10,6 +10,7 @@ to the driver — the realistic pattern for a 100 TB sink)."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -490,14 +491,16 @@ def main() -> None:
     enc_joinbound = bench_close_encounters_joinbound(spark, sf_dir)
     fuzzy_cands = bench_fuzzy_candidates(spark, sf_dir)
     auc_hicard = bench_auc_hicard(spark, n_rows=5_000_000 // synth_scale)
-    # the r8 same-box ingest A/B (HEAD vs the r5 snapshot commit) is a
-    # committed one-off measurement; surface it in the round record if
-    # present so the BENCH file carries both arrays (r7 verdict ask #3)
-    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "scripts", "ingest_ab_r08.json")
+    # the same-box ingest A/B (HEAD vs the r5 snapshot commit) is a
+    # committed one-off measurement; surface the NEWEST one in the
+    # round record so the BENCH file carries both arrays (r7 verdict
+    # ask #3; measured for real in r9)
+    ab_glob = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts", "ingest_ab_r*.json")))
     ingest_ab = None
-    if os.path.exists(ab_path):
-        with open(ab_path) as fh:
+    if ab_glob:
+        with open(ab_glob[-1]) as fh:
             ingest_ab = json.load(fh)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -514,7 +517,7 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "calibration": calibration,
         "ingest": ingest,
-        "ingest_ab_r08": ingest_ab,
+        "ingest_ab": ingest_ab,
         "skew": skew,
         "ngram_skew": ngram_skew,
         "close_encounters_joinbound": enc_joinbound,

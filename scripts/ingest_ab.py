@@ -2,10 +2,11 @@
 """Same-box ingest A/B (r7 verdict ask #3): run ``bench.bench_ingest``
 at HEAD and at the r5 snapshot commit (the 871k msg/s best), back to
 back in the same session on an idle box, and write the paired arrays
-to ``scripts/ingest_ab_r08.json`` (bench.py folds the file into the
-round's BENCH record). If HEAD is within noise of the r5 code on the
-same box, the three-round ingest "decline" (871k -> 690k -> 644k) was
-box drift, not a code regression — closing the r6 ask with data.
+to ``scripts/ingest_ab_r09.json`` (bench.py folds the newest
+``ingest_ab_r*.json`` into the round's BENCH record). If HEAD is
+within noise of the r5 code on the same box, the three-round ingest
+"decline" (871k -> 690k -> 644k) was box drift, not a code
+regression — closing the r6 ask with data.
 
 Usage: python scripts/ingest_ab.py <r5_checkout_dir> [n_msgs]
 """
@@ -40,7 +41,10 @@ def run_at(checkout: str, spark, n_msgs: int) -> dict:
 
 
 def main() -> None:
-    r5_dir = sys.argv[1]
+    # abspath: run_at asserts the imported module's __file__ (always
+    # absolute) startswith the checkout dir — a relative argv[1] would
+    # fail that spuriously (r8 ADVICE).
+    r5_dir = os.path.abspath(sys.argv[1])
     n_msgs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     sys.path.insert(0, REPO)
     from dump1090_db_stream_spark import get_spark
@@ -74,7 +78,7 @@ def main() -> None:
     out["r5_best_msgs_per_sec"] = round(n_msgs / min(out["r5_runs_sec"]))
     out["head_over_r5"] = round(
         out["head_best_msgs_per_sec"] / out["r5_best_msgs_per_sec"], 3)
-    path = os.path.join(REPO, "scripts", "ingest_ab_r08.json")
+    path = os.path.join(REPO, "scripts", "ingest_ab_r09.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
         fh.write("\n")
