@@ -209,6 +209,52 @@ def bench_auc_hicard(spark, n_rows: int = 5_000_000) -> dict:
             "single_partition_input_grain_sorts": len(sites)}
 
 
+def bench_auc_by_hicard(spark, n_rows: int = 5_000_000) -> dict:
+    """Grouped continuous-score AUC under group SKEW (r8 verdict ask
+    #3's done-criterion): 5M rows, ONE group holding 80% of them,
+    scores ~all-distinct doubles — the shape where the pre-r9
+    auc_score_by funneled the dominant group's whole distinct-score
+    relation through one per-group ordered task. Records wall time
+    plus BOTH plan-gate counters (textual single-partition sorts and
+    the r9 grouped-continuous-funnel sites — each must stay 0)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score_by
+    from dump1090_db_stream_spark.plans.audit import (
+        grouped_continuous_window_funnels,
+    )
+
+    # group 0 takes 8/10 of the hash range -> ~80% of rows
+    df = spark.range(n_rows).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)) < 8,
+               F.lit("dominant"))
+         .otherwise(F.concat(F.lit("src_"),
+                             F.pmod(F.xxhash64("id", F.lit(5)),
+                                    F.lit(19)).cast("string")))
+         .alias("src"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000_007)).cast("double")
+         / 1_000_000_007).alias("score"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(3)) == 0).alias("y"))
+    q = auc_score_by(df, "score", "y", "src")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_plans import single_partition_window_sites
+    sites = single_partition_window_sites(plan)
+    funnels = grouped_continuous_window_funnels(q)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_one(auc_score_by(df, "score", "y", "src"))
+        release_tracked()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"rows": n_rows, "dominant_group_share": 0.8,
+            "distinct_scores": "~n (continuous)",
+            "sec": min(runs), "runs_sec": runs,
+            "single_partition_input_grain_sorts": len(sites),
+            "grouped_continuous_funnels": len(funnels)}
+
+
 def bench_ingest(spark, n_msgs: int = 2_000_000) -> dict:
     """Parse-pipeline throughput: n synthetic SBS-1 wire lines (the
     golden fixture lines cycled) through the full parser
@@ -491,6 +537,8 @@ def main() -> None:
     enc_joinbound = bench_close_encounters_joinbound(spark, sf_dir)
     fuzzy_cands = bench_fuzzy_candidates(spark, sf_dir)
     auc_hicard = bench_auc_hicard(spark, n_rows=5_000_000 // synth_scale)
+    auc_by_hicard = bench_auc_by_hicard(
+        spark, n_rows=5_000_000 // synth_scale)
     # the same-box ingest A/B (HEAD vs the r5 snapshot commit) is a
     # committed one-off measurement; surface the NEWEST one in the
     # round record so the BENCH file carries both arrays (r7 verdict
@@ -523,6 +571,7 @@ def main() -> None:
         "close_encounters_joinbound": enc_joinbound,
         "fuzzy_candidate_volume": fuzzy_cands,
         "auc_hicard": auc_hicard,
+        "auc_by_hicard": auc_by_hicard,
         "sf": sf_val,
     }))
     print(json.dumps({

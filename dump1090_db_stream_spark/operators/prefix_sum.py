@@ -16,11 +16,12 @@ relation through one task). The classic parallel fix decomposes it:
 Every intermediate is an integer sum, so the decomposition is
 bit-identical to the single global window it replaces; the approximate
 bounds only shift LOAD between buckets, never values. Used by
-``operators.evaluation.auc_score`` (continuous-score ranks) and
-``operators.sampling.quantile_normalize`` (global distinct-value
-grid) — the two operator classes the r7 round identified as still
-funneling ~input-grain rows through one task when the ordered column
-is continuous.
+``operators.evaluation.auc_score`` (continuous-score ranks),
+``operators.evaluation.auc_score_by`` (the grouped form, via
+``partition_cols``) and ``operators.sampling.quantile_normalize``
+(global distinct-value grid) — the operator classes the r7/r8 rounds
+identified as funneling ~input-grain rows through one task when the
+ordered column is continuous.
 
 No reference-repo counterpart (the reference delegates ordering to
 PostgreSQL, ``create_schema.sql`` end-to-end); this is engine-level
@@ -39,46 +40,84 @@ def distributed_prev_counts(
     cnt_col: str,
     n_range_buckets: int = 64,
     extra_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add ``_prev`` — the exclusive running sum of ``cnt_col`` in
     ``order_col`` order — to ``rel`` (one row per distinct
-    ``order_col`` value) without a single-partition sort.
+    ``(*partition_cols, order_col)`` value) without an input-grain
+    single-task sort.
+
+    With ``partition_cols`` (the r8 verdict ask: the grouped form),
+    the running sum restarts per partition-key combination and EVERY
+    stage is keyed by the partition columns too: quantile bounds come
+    from a grouped ``percentile_approx`` (one bounded row per group),
+    the cumulative window runs over (group, bucket), and the offsets
+    window over the (group, bucket) totals is PARTITIONED by group —
+    so even a group holding 80% of a corpus of continuous values sorts
+    at most ~its-share / ``n_range_buckets`` rows per task, and no
+    unpartitioned ordered window exists anywhere in the plan.
+    Partition columns must be non-null (filter upstream: a NULL group
+    key would drop at the bounds join).
 
     ``rel`` feeds three branches (quantile bounds, bucket totals, the
     ranked output); callers that read it from an expensive upstream
     should persist it first (``cache.track`` discipline). Output
-    columns: ``order_col, cnt_col, *extra_cols, _prev``.
+    columns: ``*partition_cols, order_col, cnt_col, *extra_cols,
+    _prev``.
+
+    Degenerate ``n_range_buckets=1`` (caller opt-in, exercised by the
+    exactness tests): the bucket column collapses to a constant, so
+    the "local" cumulative window is partitioned only by
+    ``partition_cols`` — with NO partition cols that routes the whole
+    distinct relation through one task via a hash exchange on a
+    constant key, exactly the funnel this module exists to avoid (the
+    textual single-partition plan gate does not flag hash exchanges).
+    Scale-path entry points keep the default 64.
     """
     if n_range_buckets < 1:
         raise ValueError(
             f"n_range_buckets must be >= 1, got {n_range_buckets}")
+    pcols = list(partition_cols)
     probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
     if not probs:                       # n_range_buckets == 1: degenerate
         bucketed = rel.withColumn("_b", F.lit(0))
     else:
         # accuracy 1000 is plenty: bounds only BALANCE the buckets —
-        # the prefix sums are exact under any monotone bucketing
-        bounds = rel.agg(
-            F.percentile_approx(order_col, probs, 1_000).alias("_bnds"))
+        # the prefix sums are exact under any monotone bucketing.
+        # Grouped: one bounds row per partition-key combination (a
+        # bounded vocabulary — languages/sources/domains), broadcast
+        # back onto the relation.
+        bnds = F.percentile_approx(order_col, probs, 1_000).alias("_bnds")
         bucket = F.aggregate(
             "_bnds", F.lit(0),
             lambda acc, b: acc + F.when(F.col(order_col) >= b,
                                         F.lit(1)).otherwise(F.lit(0)))
-        bucketed = (rel.crossJoin(F.broadcast(bounds))
-                    .withColumn("_b", bucket)
-                    .drop("_bnds"))
-    w_local = (Window.partitionBy("_b").orderBy(order_col)
+        if pcols:
+            bounds = rel.groupBy(*pcols).agg(bnds)
+            bucketed = (rel.join(F.broadcast(bounds), pcols)
+                        .withColumn("_b", bucket)
+                        .drop("_bnds"))
+        else:
+            bounds = rel.agg(bnds)
+            bucketed = (rel.crossJoin(F.broadcast(bounds))
+                        .withColumn("_b", bucket)
+                        .drop("_bnds"))
+    w_local = (Window.partitionBy(*pcols, "_b").orderBy(order_col)
                .rowsBetween(Window.unboundedPreceding, -1))
-    btot = bucketed.groupBy("_b").agg(F.sum(cnt_col).alias("_btot"))
-    w_off = (Window.orderBy("_b")
+    btot = bucketed.groupBy(*pcols, "_b").agg(
+        F.sum(cnt_col).alias("_btot"))
+    # the only ordered window over bucket TOTALS: global when
+    # ungrouped (<= n_range_buckets rows), per-group otherwise
+    # (<= n_range_buckets rows per group, spread across groups)
+    w_off = (Window.partitionBy(*pcols).orderBy("_b")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = btot.select(
-        "_b", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
-               .alias("_off"))
+        *pcols, "_b",
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"))
     return (bucketed
             .withColumn("_loc",
                         F.coalesce(F.sum(cnt_col).over(w_local),
                                    F.lit(0)))
-            .join(F.broadcast(offsets), "_b")
-            .select(order_col, cnt_col, *extra_cols,
+            .join(F.broadcast(offsets), pcols + ["_b"])
+            .select(*pcols, order_col, cnt_col, *extra_cols,
                     (F.col("_off") + F.col("_loc")).alias("_prev")))

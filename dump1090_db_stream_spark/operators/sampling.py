@@ -697,13 +697,14 @@ def quantile_normalize(
     Scale shape: NO input-grain global sort ANYWHERE, at any value
     cardinality or tie multiplicity. Ranks decompose twice:
 
-    - rank = (rows with smaller value) + row_number-within-tie. The
-      per-group cumulative counts run PARTITIONED by group; the
-      GLOBAL distinct-value cumulative uses the
+    - rank = (rows with smaller value) + row_number-within-tie. BOTH
+      cumulative counts — global AND per-group — use the
       :func:`operators.prefix_sum.distributed_prev_counts`
-      quantile-bucketed prefix-sum, so a continuous value column
-      (|distinct| ~ n — where the r7 plan still sorted the whole
-      distinct relation in one task) never funnels one partition.
+      quantile-bucketed prefix-sum (the per-group one grouped via
+      ``partition_cols``, r9), so a continuous value column
+      (|distinct| ~ n) never funnels one partition — not even when
+      one group dominates the corpus. Per-group totals are a bounded
+      rollup broadcast back.
     - within-tie row_number = row_number within (tie key, salt) +
       the running count of earlier salt buckets — ``tie_salt``-way
       two-level numbering, so a DEGENERATE input (all rows one value,
@@ -744,24 +745,25 @@ def quantile_normalize(
     gsl = track(base.groupBy("grp", "v", "_sl")
                 .agg(F.count(F.lit(1)).alias("_c")))
 
-    # distinct-value relations: exclusive running counts + totals
-    vg = gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg"))
-    w_g_prev = (Window.partitionBy("grp").orderBy("v")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    w_g_all = (Window.partitionBy("grp").orderBy("v")
-               .rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing))
-    vg = vg.select(
-        "grp", "v",
-        F.coalesce(F.sum("_cg").over(w_g_prev), F.lit(0))
-         .alias("_prev_g"),
-        F.sum("_cg").over(w_g_all).alias("_n_g"))
-    va = gsl.groupBy("v").agg(F.sum("_c").alias("_ca"))
+    # distinct-value relations: exclusive running counts + totals.
+    # BOTH cumulative counts — global and per-group — go through the
+    # bucketed prefix-sum (the per-group one via ``partition_cols``,
+    # r9: a dominant group's distinct continuous values previously
+    # funneled one task through Window.partitionBy(grp).orderBy(v) —
+    # the same shape auc_score_by fixed, flagged by the
+    # plans.audit.grouped_continuous_window_funnels gate). Per-group
+    # totals are a bounded rollup broadcast back, not a window.
+    vg = track(gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg")))
+    ng = vg.groupBy("grp").agg(F.sum("_cg").alias("_n_g"))
+    pg = (distributed_prev_counts(vg, "v", "_cg", n_range_buckets,
+                                  partition_cols=("grp",))
+          .select("grp", "v", F.col("_prev").alias("_prev_g"))
+          .join(F.broadcast(ng), "grp"))
+    va = track(gsl.groupBy("v").agg(F.sum("_c").alias("_ca")))
     n_a = va.agg(F.sum("_ca").alias("_n_a"))
-    va = (distributed_prev_counts(va, "v", "_ca", n_range_buckets)
+    pa = (distributed_prev_counts(va, "v", "_ca", n_range_buckets)
           .crossJoin(F.broadcast(n_a))
-          .select(F.col("v").alias("_va_v"),
-                  F.col("_prev").alias("_prev_a"), "_n_a"))
+          .select("v", F.col("_prev").alias("_prev_a"), "_n_a"))
 
     # salt-bucket offsets: rows of the SAME tie key in EARLIER salt
     # buckets (bounded windows — at most tie_salt rows per tie key)
@@ -777,18 +779,24 @@ def quantile_normalize(
         "v", "_sl",
         F.coalesce(F.sum("_c").over(w_sa), F.lit(0)).alias("_aoff"))
 
-    # per-row ranks: (tie key, salt)-partitioned row_numbers + offsets
+    # per-row ranks: (tie key, salt)-partitioned row_numbers + offsets.
+    # The salt offset, exclusive prefix count and total for each side
+    # pre-join at DISTINCT grain (gmap / amap — tiny relations), so the
+    # input-grain ``base`` shuffles only twice: once per tie-window,
+    # with the immediately-following join keyed identically so the
+    # window's hash partitioning is reused (r9 trim: the r8 plan
+    # joined the input-grain relation four times).
+    gmap = goff.join(pg, ["grp", "v"])
+    amap = aoff.join(pa, ["v"])
     w_tie_g = Window.partitionBy("grp", "v", "_sl").orderBy("id")
     w_tie_a = Window.partitionBy("v", "_sl").orderBy("id")
     rows = (base
             .withColumn("_tgl", F.row_number().over(w_tie_g))
+            .join(gmap, ["grp", "v", "_sl"])
             .withColumn("_tal", F.row_number().over(w_tie_a))
-            .join(goff, ["grp", "v", "_sl"])
-            .join(aoff, ["v", "_sl"])
+            .join(amap, ["v", "_sl"])
             .withColumn("_tg", F.col("_goff") + F.col("_tgl"))
-            .withColumn("_ta", F.col("_aoff") + F.col("_tal"))
-            .join(vg, ["grp", "v"])
-            .join(va, F.col("v") == F.col("_va_v")))
+            .withColumn("_ta", F.col("_aoff") + F.col("_tal")))
 
     def _bucket(rank: F.Column, n: F.Column) -> F.Column:
         # identical IEEE sequence to percent_rank() * n_quantiles:

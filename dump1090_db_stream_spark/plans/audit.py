@@ -80,6 +80,78 @@ def _first_reducers(node) -> list:
     return out
 
 
+def _seq(exprs) -> list:
+    return [exprs.apply(i) for i in range(exprs.size())]
+
+
+def _semantically_in(expr, exprs) -> bool:
+    for e in exprs:
+        try:
+            if expr.semanticEquals(e):
+                return True
+        except Exception:
+            if expr.toString() == e.toString():
+                return True
+    return False
+
+
+def grouped_continuous_window_funnels(df: DataFrame) -> list[str]:
+    """Offending sites in ``df``'s optimized logical plan: PARTITIONED
+    ordered Windows whose first upstream Aggregate groups on the
+    window's partition keys PLUS a continuous (float/double) key that
+    is NOT in the partition spec (r8 verdict ask #4 — the shape
+    :func:`continuous_key_global_windows` is blind to because the
+    window has a partitionSpec).
+
+    Why this is a funnel: the aggregate's grain within one window
+    partition is per-distinct-continuous-value — input-sized on real
+    score columns — so one partition's rows all sort in ONE task, and
+    partition keys like language/source are fixed vocabularies that
+    do not grow with the corpus (per-task work grows linearly with
+    input: pre-r9 ``auc_score_by``). The grouped
+    ``operators.prefix_sum.distributed_prev_counts`` decomposition
+    passes this gate structurally: its cumulative window partitions by
+    (group, bucket) where the bucket column is INJECTED (not a
+    grouping key of the upstream aggregate), so the
+    every-partition-key-is-a-grouping-key premise fails.
+
+    Not flagged (by construction): windows whose partition spec
+    CONTAINS the continuous key (the per-tie-key shapes — the
+    continuous key then spreads partitions rather than filling one);
+    windows over non-aggregate inputs (the textual raw-grain gate owns
+    those); aggregates whose non-partition keys are all discrete
+    (vocabulary grids).
+    """
+    findings = []
+    root = df._jdf.queryExecution().optimizedPlan()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        stack.extend(_children(node))
+        if _node_name(node) != "Window":
+            continue
+        if node.partitionSpec().size() == 0 \
+                or node.orderSpec().size() == 0:
+            continue  # unpartitioned windows: continuous_key gate
+        part = _seq(node.partitionSpec())
+        for red in _first_reducers(node):
+            if _node_name(red) != "Aggregate":
+                continue
+            grouping = _seq(red.groupingExpressions())
+            if not all(_semantically_in(p, grouping) for p in part):
+                continue  # injected partition key (bucketed prefix-sum)
+            hidden = [g for g in grouping
+                      if g.dataType().typeName() in _CONTINUOUS
+                      and not _semantically_in(g, part)]
+            if hidden:
+                findings.append(
+                    "partitioned Window over Aggregate with "
+                    f"non-partition {'/'.join(g.dataType().typeName() for g in hidden)} "
+                    "grouping key(s) — per-partition grain is "
+                    "per-distinct-continuous-value")
+    return findings
+
+
 def continuous_key_global_windows(df: DataFrame) -> list[str]:
     """Offending sites in ``df``'s optimized logical plan: each is a
     one-line description of a globally-ordered Sort/Window whose first

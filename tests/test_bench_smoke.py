@@ -59,3 +59,13 @@ def test_bench_end_to_end_smoke():
     # an input-grain single-partition sort
     assert detail["auc_hicard"]["single_partition_input_grain_sorts"] == 0
     assert detail["auc_hicard"]["sec"] > 0
+    # r9: grouped AUC under group skew (one dominant group, continuous
+    # scores) — neither gate may ever see a funnel in the plan
+    assert detail["auc_by_hicard"]["single_partition_input_grain_sorts"] \
+        == 0
+    assert detail["auc_by_hicard"]["grouped_continuous_funnels"] == 0
+    assert detail["auc_by_hicard"]["sec"] > 0
+    assert detail["auc_by_hicard"]["dominant_group_share"] == 0.8
+    # r9: the same-box ingest A/B is committed and folded in
+    assert detail["ingest_ab"]["head_over_r5"] > 0
+    assert detail["ingest_ab"]["measured_code_identical"] is True

@@ -165,3 +165,39 @@ def test_auc_score_by_groups(spark):
         assert got[g]["auc"] == solo["auc"]
         assert (got[g]["n_pos"], got[g]["n_neg"]) == \
             (solo["n_pos"], solo["n_neg"])
+
+
+def test_auc_score_by_dominant_group_grouped_prefix_sum(spark):
+    """The r9 fix for the r8 residual: one group holding ~80% of the
+    corpus with CONTINUOUS scores must produce exact per-group AUCs
+    through the GROUPED prefix-sum — no per-group input-grain ordered
+    window over the dominant group (pinned by the grouped plan gate),
+    exact at buckets 1/7/64 including the degenerate single bucket."""
+    import random
+
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score_by
+    from dump1090_db_stream_spark.plans.audit import (
+        grouped_continuous_window_funnels,
+    )
+
+    rng = random.Random(9)
+    rows = [("big", rng.random(), rng.random() < 0.4)
+            for _ in range(4000)]
+    rows += [("small", rng.random(), rng.random() < 0.6)
+             for _ in range(500)]
+    rows += [("tiny", rng.random(), rng.random() < 0.5)
+             for _ in range(500)]
+    want = {g: _sklearn_free_auc([(s, y) for gg, s, y in rows
+                                  if gg == g])
+            for g in ("big", "small", "tiny")}
+    df = spark.createDataFrame(rows, ["src", "s", "y"])
+    for buckets in (1, 7, 64):
+        q = auc_score_by(df, "s", "y", "src", n_range_buckets=buckets)
+        assert single_partition_window_sites(plan_of(q)) == [], buckets
+        assert grouped_continuous_window_funnels(q) == [], buckets
+        got = {r["src"]: r for r in q.collect()}
+        for g, auc in want.items():
+            assert got[g]["auc"] == auc, (g, buckets)
+        assert got["big"]["n_pos"] + got["big"]["n_neg"] == 4000

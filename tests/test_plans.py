@@ -720,3 +720,69 @@ def test_no_query_plans_a_global_window_over_continuous_key_aggregate(
     for name, fn in entrymod.queries().items():
         bad = continuous_key_global_windows(fn(spark, sf))
         assert bad == [], f"{name}: {bad}"
+
+
+def test_grouped_funnel_gate_catches_pre_r9_auc_score_by_shape(spark, sf):
+    """Self-test for the r9 gate (r8 verdict ask #4): a PARTITIONED
+    ordered window is invisible to both earlier gates, but when its
+    partition keys all come from the upstream aggregate's grouping
+    keys while a continuous grouping key stays outside the partition
+    spec, one partition's grain is per-distinct-continuous-value —
+    the pre-r9 auc_score_by / quantile_normalize per-group funnel.
+    The fixed operators pass STRUCTURALLY (their cumulative windows
+    partition by an injected bucket key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.evaluation import auc_score_by
+    from dump1090_db_stream_spark.plans.audit import (
+        continuous_key_global_windows,
+        grouped_continuous_window_funnels,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    base = ev.select(F.col("event_type").alias("g"),
+                     F.col("value").cast("double").alias("s"))
+    per = base.groupBy("g", "s").count()
+    # the pre-r9 shape: per-group cumulative count over distinct
+    # (group, continuous) — both earlier gates are blind to it
+    pre_fix = per.withColumn(
+        "prev", F.coalesce(F.sum("count").over(
+            Window.partitionBy("g").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    assert single_partition_window_sites(plan_of(pre_fix)) == [], \
+        "precondition: the textual gate is blind to this fixture"
+    assert continuous_key_global_windows(pre_fix) == [], \
+        "precondition: the unpartitioned-window gate is blind too"
+    assert grouped_continuous_window_funnels(pre_fix), \
+        "grouped gate failed to flag the pre-r9 per-group funnel"
+    # the r9 fix passes structurally, not via an allowlist
+    fixed = auc_score_by(ev.withColumn("y", F.col("value") > 50),
+                         "value", "y", "event_type")
+    assert grouped_continuous_window_funnels(fixed) == []
+    # per-tie-key windows (continuous key IN the partition spec)
+    # spread partitions rather than filling one — must stay clean
+    tie = per.withColumn("rn", F.row_number().over(
+        Window.partitionBy("g", "s").orderBy("count")))
+    assert grouped_continuous_window_funnels(tie) == []
+    # vocabulary grids (discrete non-partition keys) stay clean
+    voc = (ev.groupBy("event_type", F.month("ts").alias("m")).count()
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("event_type").orderBy("m"))))
+    assert grouped_continuous_window_funnels(voc) == []
+
+
+def test_no_query_plans_a_grouped_continuous_window_funnel(spark, sf):
+    """Registry-wide sweep of the r9 gate: no contract query may run a
+    partitioned ordered window whose per-partition grain is
+    per-distinct-continuous-value (a dominant group funnels one task
+    while the group vocabulary stays fixed as the corpus grows). NO
+    allowlist — auc_score_by and quantile_normalize were rewired onto
+    the grouped prefix-sum to make this sweep pass structurally."""
+    from dump1090_db_stream_spark.plans.audit import (
+        grouped_continuous_window_funnels,
+    )
+
+    for name, fn in entrymod.queries().items():
+        bad = grouped_continuous_window_funnels(fn(spark, sf))
+        assert bad == [], f"{name}: {bad}"
