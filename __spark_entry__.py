@@ -3229,71 +3229,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r8 window 1: NEW this round, zero driver rows (tier 1)
+        # -- r9 window 1-4: operators whose implementation
+        #    changed in r9 (tier 2): dsir_auc_by_source
+        #    (auc_score_by rewired onto the GROUPED prefix-sum —
+        #    the r8 verdict's one weak spot), dsir_auc /
+        #    dsir_calibration (shared prefix_sum module rewritten;
+        #    ungrouped plan unchanged, re-pinned anyway),
+        #    score_normalized (per-group cumulative moved onto the
+        #    grouped prefix-sum + distinct-grain join merge; the
+        #    oracle is UNCHANGED — the decomposition is exact)
         "dsir_auc_by_source": q_dsir_auc_by_source,
-        # -- r8 window 2-5: operators whose implementation changed in
-        #    r8 (tier 2): dsir_auc/dsir_calibration (auc_score
-        #    distributed prefix-sum + _dsir_scored carries source),
-        #    score_normalized (quantile_normalize salted tie windows +
-        #    bucketed global grid — ORACLE tie order changed in
-        #    lockstep), multimodal_features (MPEG sniff hardening)
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
         "score_normalized": q_score_normalized,
-        "multimodal_features": q_multimodal_features,
-        # -- r8 window 6-9: the judge's named re-confirmations (r7
-        #    verdict ask #5) — operators whose code changed in r7,
-        #    already green on post-fix code, cheap to re-pin
-        "survival_curve": q_survival_curve,
-        "pagerank_neardups": q_pagerank_neardups,
-        "pagerank_docs": q_pagerank_docs,
-        "c4_line_stats": q_c4_line_stats,
-        # -- r8 window 10-50: tier-3 rotation fill — the stalest 41 of
-        #    the r4/r5-green tail (the r7 "rotation leaders"), in the
-        #    staleness order r7 queued them
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "trade_volume_pairs": q_trade_volume_pairs,
-        "capped_user_events": q_capped_user_events,
-        "token_budget_sample": q_token_budget_sample,
-        "sampled_event_counts": q_sampled_event_counts,
-        "logprob_percentile_filter": q_logprob_percentile_filter,
-        "sessionized_events": q_sessionized_events,
-        "top_journey_paths": q_top_journey_paths,
-        "table_profile": q_table_profile,
-        "close_encounters": q_close_encounters,
-        "stateful_sessions": q_stateful_sessions,
-        "json_extract": q_json_extract,
-        "sales_rollup": q_sales_rollup,
-        "cube_order_stats": q_cube_order_stats,
-        "window_running_stats": q_window_running_stats,
-        "customers_without_orders": q_customers_without_orders,
-        "segment_order_activity": q_segment_order_activity,
-        "customer_order_counts": q_customer_order_counts,
-        "streaming_window_counts": q_streaming_window_counts,
-        "set_ops_segments": q_set_ops_segments,
-        "cosine_neardup_pairs": q_cosine_neardup_pairs,
-        "doc_quality": q_doc_quality,
-        "lang_id_counts": q_lang_id_counts,
-        "doc_fingerprints": q_doc_fingerprints,
-        "exact_dup_docs": q_exact_dup_docs,
-        "embedding_topk": q_embedding_topk,
-        "revenue_by_nation": q_revenue_by_nation,
-        "doc_token_stats": q_doc_token_stats,
-        "sbs1_parse": q_sbs1_parse,
-        "top_revenue_orders": q_top_revenue_orders,
-        "session_windows": q_session_windows,
-        "event_stats": q_event_stats,
-        "event_type_pivot": q_event_type_pivot,
-        "asof_join": q_asof_join,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "gap_fill_locf": q_gap_fill_locf,
-        "cohort_retention": q_cohort_retention,
-        "event_transitions": q_event_transitions,
-        "event_type_extremes": q_event_type_extremes,
-        "value_histograms": q_value_histograms,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        # -- positions 51+: r9 rotation leaders — the rest of the
-        #    r4/r5-green tail (stalest remaining), in staleness order
+        # -- r9 window 5-35: tier-3 rotation — the 31 stalest
+        #    r4/r5 greens (the recorded r9 rotation-leader queue,
+        #    in order)
         "late_sole_suppliers": q_late_sole_suppliers,
         "value_runs_scd2": q_value_runs_scd2,
         "weekly_active_users": q_weekly_active_users,
@@ -3325,11 +3276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbs1_rejects": q_sbs1_rejects,
         "event_value_quantiles": q_event_value_quantiles,
         "daily_quantile_rollup": q_daily_quantile_rollup,
-        # -- tier 4 tail: the entire r6 driver window, green in
-        #    CORRECTNESS_r06 and untouched since. The two rows-only
-        #    sketch queries keep their oracled twins ADJACENT
-        #    (event_approx_stats/weekly_active_estimate,
-        #    daily_distinct_rollup/table_profile_approx)
+        # -- r9 window 36-50: tier-3 rotation — the head of the
+        #    r6-window tail (green in CORRECTNESS_r06, stalest
+        #    remaining)
         "embedding_projected": q_embedding_projected,
         "temperature_mixture_docs": q_temperature_mixture_docs,
         "contrastive_negatives": q_contrastive_negatives,
@@ -3345,6 +3294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_track_lines": q_window_track_lines,
         "like_prefix_filter": q_like_prefix_filter,
         "equality_filter": q_equality_filter,
+        # -- positions 51+: r10 rotation leaders — the rest of
+        #    the r6-window tail in its recorded order (the two
+        #    rows-only sketch queries stay ADJACENT to their
+        #    oracled twins)
         "time_range_between": q_time_range_between,
         "dedup_by_key": q_dedup_by_key,
         "aircraft_json_parse": q_aircraft_json_parse,
@@ -3379,10 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_scores": q_bm25_scores,
-        # -- the r7 driver window, green in CORRECTNESS_r07 and
-        #    untouched since — the freshest greens, so last in the
-        #    rotation (queries the r8 window re-verifies are omitted:
-        #    they moved to the top)
+        # -- tier 4: the r7 driver window, green in
+        #    CORRECTNESS_r07 and untouched since
         "pricing_summary": q_pricing_summary,
         "weighted_sample": q_weighted_sample,
         "uniform_sample": q_uniform_sample,
@@ -3426,6 +3377,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
+        # -- tier 4 tail: the r8 driver window, green in
+        #    CORRECTNESS_r08 and untouched since (except the four
+        #    tier-2 entries above, which moved to the top) — the
+        #    freshest greens close the registry
+        "multimodal_features": q_multimodal_features,
+        "survival_curve": q_survival_curve,
+        "pagerank_neardups": q_pagerank_neardups,
+        "pagerank_docs": q_pagerank_docs,
+        "c4_line_stats": q_c4_line_stats,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "trade_volume_pairs": q_trade_volume_pairs,
+        "capped_user_events": q_capped_user_events,
+        "token_budget_sample": q_token_budget_sample,
+        "sampled_event_counts": q_sampled_event_counts,
+        "logprob_percentile_filter": q_logprob_percentile_filter,
+        "sessionized_events": q_sessionized_events,
+        "top_journey_paths": q_top_journey_paths,
+        "table_profile": q_table_profile,
+        "close_encounters": q_close_encounters,
+        "stateful_sessions": q_stateful_sessions,
+        "json_extract": q_json_extract,
+        "sales_rollup": q_sales_rollup,
+        "cube_order_stats": q_cube_order_stats,
+        "window_running_stats": q_window_running_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "segment_order_activity": q_segment_order_activity,
+        "customer_order_counts": q_customer_order_counts,
+        "streaming_window_counts": q_streaming_window_counts,
+        "set_ops_segments": q_set_ops_segments,
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "doc_quality": q_doc_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_docs": q_exact_dup_docs,
+        "embedding_topk": q_embedding_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "doc_token_stats": q_doc_token_stats,
+        "sbs1_parse": q_sbs1_parse,
+        "top_revenue_orders": q_top_revenue_orders,
+        "session_windows": q_session_windows,
+        "event_stats": q_event_stats,
+        "event_type_pivot": q_event_type_pivot,
+        "asof_join": q_asof_join,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "gap_fill_locf": q_gap_fill_locf,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "event_type_extremes": q_event_type_extremes,
+        "value_histograms": q_value_histograms,
+        "disjunctive_revenue": q_disjunctive_revenue,
     }
 
 
@@ -6837,7 +6838,8 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     scored = f"""
         WITH w AS ({oracles['dsir_weights']}),
         scored AS (
-            SELECT 1.0 / (1.0 + exp(-(w.log_weight) / 10.0)) AS s,
+            SELECT d.source AS source,
+                   1.0 / (1.0 + exp(-(w.log_weight) / 10.0)) AS s,
                    (d.lang = 'en') AS y
             FROM w JOIN documents d ON w.doc_id = d.doc_id
         )"""
@@ -6862,14 +6864,10 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """
     # per-source AUC: the identical rank-sum replay, PARTITIONED by
     # the crawl source (single-class sources -> NULL, like try_divide)
-    oracles["dsir_auc_by_source"] = f"""
-        WITH w AS ({oracles['dsir_weights']}),
-        scored AS (
-            SELECT d.source AS source,
-                   1.0 / (1.0 + exp(-(w.log_weight) / 10.0)) AS s,
-                   (d.lang = 'en') AS y
-            FROM w JOIN documents d ON w.doc_id = d.doc_id
-        ), rnk AS (
+    # — composed from the SAME scored CTE as dsir_auc/dsir_calibration
+    # (r8 verdict ask #7: the r8 oracle duplicated the whole chain)
+    oracles["dsir_auc_by_source"] = scored + """
+        , rnk AS (
             SELECT source, s, y,
                    row_number() OVER (PARTITION BY source ORDER BY s)
                        AS rn

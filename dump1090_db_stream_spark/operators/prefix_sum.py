@@ -41,6 +41,7 @@ def distributed_prev_counts(
     n_range_buckets: int = 64,
     extra_cols: tuple[str, ...] = (),
     partition_cols: tuple[str, ...] = (),
+    with_totals: bool = False,
 ) -> DataFrame:
     """Add ``_prev`` — the exclusive running sum of ``cnt_col`` in
     ``order_col`` order — to ``rel`` (one row per distinct
@@ -63,7 +64,11 @@ def distributed_prev_counts(
     ranked output); callers that read it from an expensive upstream
     should persist it first (``cache.track`` discipline). Output
     columns: ``*partition_cols, order_col, cnt_col, *extra_cols,
-    _prev``.
+    _prev`` — plus ``_total`` (the per-partition-group sum of
+    ``cnt_col``; the grand total when ungrouped) when ``with_totals``:
+    it rides the bounds aggregate/broadcast that already exists, so
+    callers that need group sizes (quantile grids: rank AND n) get
+    them without a separate aggregate job + join (r9 trim).
 
     Degenerate ``n_range_buckets=1`` (caller opt-in, exercised by the
     exactness tests): the bucket column collapses to a constant, so
@@ -79,29 +84,28 @@ def distributed_prev_counts(
             f"n_range_buckets must be >= 1, got {n_range_buckets}")
     pcols = list(partition_cols)
     probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    tot = [F.sum(cnt_col).alias("_total")] if with_totals else []
+
+    def _attach(small: DataFrame) -> DataFrame:
+        # one bounded row per partition-key combination (a bounded
+        # vocabulary — languages/sources/domains), broadcast back
+        return (rel.join(F.broadcast(small), pcols) if pcols
+                else rel.crossJoin(F.broadcast(small)))
+
     if not probs:                       # n_range_buckets == 1: degenerate
-        bucketed = rel.withColumn("_b", F.lit(0))
+        bucketed = (_attach(rel.groupBy(*pcols).agg(*tot)) if tot
+                    else rel).withColumn("_b", F.lit(0))
     else:
         # accuracy 1000 is plenty: bounds only BALANCE the buckets —
-        # the prefix sums are exact under any monotone bucketing.
-        # Grouped: one bounds row per partition-key combination (a
-        # bounded vocabulary — languages/sources/domains), broadcast
-        # back onto the relation.
+        # the prefix sums are exact under any monotone bucketing
         bnds = F.percentile_approx(order_col, probs, 1_000).alias("_bnds")
         bucket = F.aggregate(
             "_bnds", F.lit(0),
             lambda acc, b: acc + F.when(F.col(order_col) >= b,
                                         F.lit(1)).otherwise(F.lit(0)))
-        if pcols:
-            bounds = rel.groupBy(*pcols).agg(bnds)
-            bucketed = (rel.join(F.broadcast(bounds), pcols)
-                        .withColumn("_b", bucket)
-                        .drop("_bnds"))
-        else:
-            bounds = rel.agg(bnds)
-            bucketed = (rel.crossJoin(F.broadcast(bounds))
-                        .withColumn("_b", bucket)
-                        .drop("_bnds"))
+        bucketed = (_attach(rel.groupBy(*pcols).agg(bnds, *tot))
+                    .withColumn("_b", bucket)
+                    .drop("_bnds"))
     w_local = (Window.partitionBy(*pcols, "_b").orderBy(order_col)
                .rowsBetween(Window.unboundedPreceding, -1))
     btot = bucketed.groupBy(*pcols, "_b").agg(
@@ -120,4 +124,5 @@ def distributed_prev_counts(
                                    F.lit(0)))
             .join(F.broadcast(offsets), pcols + ["_b"])
             .select(*pcols, order_col, cnt_col, *extra_cols,
-                    (F.col("_off") + F.col("_loc")).alias("_prev")))
+                    (F.col("_off") + F.col("_loc")).alias("_prev"),
+                    *(["_total"] if with_totals else [])))

@@ -703,8 +703,9 @@ def quantile_normalize(
       quantile-bucketed prefix-sum (the per-group one grouped via
       ``partition_cols``, r9), so a continuous value column
       (|distinct| ~ n) never funnels one partition — not even when
-      one group dominates the corpus. Per-group totals are a bounded
-      rollup broadcast back.
+      one group dominates the corpus. Group totals ride the
+      prefix-sum's bounds broadcast (``with_totals``) — no separate
+      aggregate job or join.
     - within-tie row_number = row_number within (tie key, salt) +
       the running count of earlier salt buckets — ``tie_salt``-way
       two-level numbering, so a DEGENERATE input (all rows one value,
@@ -752,18 +753,19 @@ def quantile_normalize(
     # funneled one task through Window.partitionBy(grp).orderBy(v) —
     # the same shape auc_score_by fixed, flagged by the
     # plans.audit.grouped_continuous_window_funnels gate). Per-group
-    # totals are a bounded rollup broadcast back, not a window.
-    vg = track(gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg")))
-    ng = vg.groupBy("grp").agg(F.sum("_cg").alias("_n_g"))
+    # totals ride the prefix-sum's bounds broadcast (with_totals),
+    # not a window or a separate aggregate job + join.
+    vg = gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg"))
     pg = (distributed_prev_counts(vg, "v", "_cg", n_range_buckets,
-                                  partition_cols=("grp",))
-          .select("grp", "v", F.col("_prev").alias("_prev_g"))
-          .join(F.broadcast(ng), "grp"))
-    va = track(gsl.groupBy("v").agg(F.sum("_c").alias("_ca")))
-    n_a = va.agg(F.sum("_ca").alias("_n_a"))
-    pa = (distributed_prev_counts(va, "v", "_ca", n_range_buckets)
-          .crossJoin(F.broadcast(n_a))
-          .select("v", F.col("_prev").alias("_prev_a"), "_n_a"))
+                                  partition_cols=("grp",),
+                                  with_totals=True)
+          .select("grp", "v", F.col("_prev").alias("_prev_g"),
+                  F.col("_total").alias("_n_g")))
+    va = gsl.groupBy("v").agg(F.sum("_c").alias("_ca"))
+    pa = (distributed_prev_counts(va, "v", "_ca", n_range_buckets,
+                                  with_totals=True)
+          .select("v", F.col("_prev").alias("_prev_a"),
+                  F.col("_total").alias("_n_a")))
 
     # salt-bucket offsets: rows of the SAME tie key in EARLIER salt
     # buckets (bounded windows — at most tie_salt rows per tie key)

@@ -36,30 +36,35 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
     assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
 
 
-def test_r8_window_composition():
-    """Pins the round-8 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): the NEW query leads (tier 1), then every
-    operator whose implementation changed in r8 (tier 2 — auc_score's
-    distributed prefix-sum, quantile_normalize's salted ties with the
-    lockstep oracle change, the MPEG sniff hardening), then the
-    judge-named r7 re-confirmations, then 41 stalest r4/r5-greens
-    (the r7 rotation-leader queue, in order). Rows-only sketch queries
-    stay ADJACENT to their fully-oracled twins so both land in the
-    same driver round whenever they rotate back in."""
+def test_r9_window_composition():
+    """Pins the round-9 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): no new queries this round, so tier 2 leads —
+    the four queries whose operators changed in r9 (auc_score_by and
+    quantile_normalize rewired onto the GROUPED prefix-sum;
+    dsir_auc/dsir_calibration re-pinned because the shared prefix_sum
+    module was rewritten) — then the 31 stalest r4/r5 greens (the
+    recorded r9 rotation-leader queue), then the head of the r6-window
+    tail fills to 50. Rows-only sketch queries stay ADJACENT to their
+    fully-oracled twins so both land in the same driver round whenever
+    they rotate back in; the r8-window greens (freshest) close the
+    registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[0] == "dsir_auc_by_source"          # tier 1: new
-    assert window[1:5] == [                           # tier 2: changed
-        "dsir_auc", "dsir_calibration", "score_normalized",
-        "multimodal_features"]
-    assert window[5:9] == [                           # r7 verdict ask #5
-        "survival_curve", "pagerank_neardups", "pagerank_docs",
-        "c4_line_stats"]
-    # tier 3 fill: staleness order, starting with the r7 queue's head
-    assert window[9] == "cheapest_supplier_per_part"
-    assert window[-1] == "disjunctive_revenue"
-    # the freshest greens (r7 window, untouched) sit at the very tail
-    assert order[-1] == "idle_rich_customers"
+    assert window[:4] == [                            # tier 2: changed
+        "dsir_auc_by_source", "dsir_auc", "dsir_calibration",
+        "score_normalized"]
+    # tier 3 fill: the 31 r4/r5 greens in recorded staleness order
+    assert window[4] == "late_sole_suppliers"
+    assert window[34] == "daily_quantile_rollup"
+    # then the r6-tail head
+    assert window[35] == "embedding_projected"
+    assert window[-1] == "equality_filter"
+    # positions 51+: the rest of the r6 tail leads the r10 rotation
+    assert order[50] == "time_range_between"
+    # the freshest greens (r8 window, untouched) sit at the very tail
+    assert order[-1] == "disjunctive_revenue"
+    assert order.index("multimodal_features") > \
+        order.index("idle_rich_customers")
     assert order.index("pricing_summary") > order.index("bm25_scores")
     assert order.index("weekly_active_estimate") == \
         order.index("event_approx_stats") + 1
