@@ -3229,7 +3229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r9 window 1-4: operators whose implementation
+        # -- r9 window 1: NEW this round, zero driver rows (tier 1):
+        #    per-source nDCG@10 / MRR@10 / hit@10 (operators.
+        #    evaluation.ranking_metrics — the top-heavy retrieval-eval
+        #    complement to the AUC family)
+        "retrieval_metrics": q_retrieval_metrics,
+        # -- r9 window 2-5: operators whose implementation
         #    changed in r9 (tier 2): dsir_auc_by_source
         #    (auc_score_by rewired onto the GROUPED prefix-sum —
         #    the r8 verdict's one weak spot), dsir_auc /
@@ -3293,11 +3298,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flights_band_join": q_flights_band_join,
         "window_track_lines": q_window_track_lines,
         "like_prefix_filter": q_like_prefix_filter,
-        "equality_filter": q_equality_filter,
         # -- positions 51+: r10 rotation leaders — the rest of
         #    the r6-window tail in its recorded order (the two
         #    rows-only sketch queries stay ADJACENT to their
-        #    oracled twins)
+        #    oracled twins; equality_filter slipped out of the
+        #    50-slot window when retrieval_metrics took tier 1)
+        "equality_filter": q_equality_filter,
         "time_range_between": q_time_range_between,
         "dedup_by_key": q_dedup_by_key,
         "aircraft_json_parse": q_aircraft_json_parse,
@@ -6012,6 +6018,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'major' END AS verdict
             FROM psi
         """,
+        "retrieval_metrics": """
+            WITH cand AS (
+                SELECT source AS q, doc_id AS d,
+                       CAST(n_chars AS DOUBLE) / 997 AS s,
+                       CASE WHEN lang = 'en' THEN 2
+                            WHEN n_chars >= 350 THEN 1
+                            ELSE 0 END AS rel
+                FROM documents
+            ), ranked AS (
+                SELECT q, d, rel,
+                       row_number() OVER (PARTITION BY q
+                                          ORDER BY s DESC, d) AS pos,
+                       row_number() OVER (PARTITION BY q
+                                          ORDER BY rel DESC, d) AS ipos
+                FROM cand
+            ), agg AS (
+                SELECT q,
+                       list_sum(list((power(2.0, rel) - 1)
+                                     / log2(pos + 1) ORDER BY pos)
+                                FILTER (pos <= 10)) AS dcg,
+                       list_sum(list((power(2.0, rel) - 1)
+                                     / log2(ipos + 1) ORDER BY ipos)
+                                FILTER (ipos <= 10)) AS idcg,
+                       min(pos) FILTER (pos <= 10 AND rel > 0) AS fr
+                FROM ranked
+                WHERE pos <= 10 OR ipos <= 10
+                GROUP BY q
+            )
+            SELECT q AS source,
+                   CASE WHEN idcg > 0
+                        THEN round(dcg / idcg, 6) END AS ndcg,
+                   coalesce(round(1.0 / fr, 6), 0.0) AS mrr,
+                   CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM agg
+        """,
         "dsir_weights": """
             WITH t AS (
                 SELECT doc_id, (lang = 'en') AS tgt,
@@ -7552,6 +7593,32 @@ def q_dsir_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return auc_score_by(_dsir_scored(spark, sf_dir), "score", "is_en",
                         "source")
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval-ranking eval (operators.evaluation.
+    ranking_metrics): nDCG@10 / MRR@10 / hit@10 per crawl source over
+    a deterministic candidate scoring — each source is one "query",
+    its documents the candidate list, score = n_chars/997 (doc_id
+    tiebreak), graded relevance 2 = English, 1 = long (n_chars >=
+    350), 0 = rest. The top-heavy complement to dsir_auc_by_source:
+    AUC measures global pair ordering, nDCG@k weights the head of the
+    list where a retriever is actually read. Both DCG folds run in
+    position order (ordered-fold discipline) so the oracle replays
+    them bit-for-bit."""
+    from dump1090_db_stream_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.select(
+        "source", "doc_id",
+        (F.col("n_chars").cast("double") / 997).alias("score"),
+        F.when(F.col("lang") == "en", 2)
+         .when(F.col("n_chars") >= 350, 1)
+         .otherwise(0).alias("rel"))
+    return ranking_metrics(cand, "source", "doc_id", "score", "rel",
+                           k=10)
 
 
 def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

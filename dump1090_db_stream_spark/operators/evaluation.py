@@ -14,6 +14,9 @@ that Spark expresses exactly; nothing here samples or approximates.
                      domain) — the form a corpus eval actually runs;
                      same prefix-sum decomposition, grouped, so a
                      dominant group never funnels one task.
+- ranking_metrics    per-query nDCG@k / MRR@k / hit@k — the top-heavy
+                     retrieval-eval form (embedding search quality),
+                     exact, with ordered-fold DCG sums.
 - calibration_bins   equal-width reliability bins over [0, 1] scores:
                      per-bin count, mean confidence, empirical accuracy.
 - expected_calibration_error
@@ -180,6 +183,91 @@ def auc_score_by(
                         * (F.col("n_pos") + 1) / 2,
                         F.col("n_pos").cast("double") * F.col("n_neg")),
                     6).alias("auc")))
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-ranking metrics — one row per ``query_col``
+    value with (query, ndcg rounded 6, mrr rounded 6, hit): does the
+    score put RELEVANT candidates at the TOP of each query's list?
+    AUC measures global ranking power; a retrieval/embedding eval
+    needs the top-heavy form — position 1 vs 2 matters, position 401
+    vs 402 does not:
+
+    - ndcg@k  graded: DCG@k / ideal-DCG@k with gain 2^rel - 1 and the
+              standard log2(pos + 1) discount (Jarvelin & Kekalainen);
+              NULL when the query has no relevant candidate at all
+              (IDCG = 0 — "not evaluable", the try_divide discipline).
+    - mrr@k   1 / position of the first relevant candidate in the
+              top k; 0.0 when none lands there.
+    - hit@k   1 if any relevant candidate is in the top k, else 0.
+
+    Candidates rank by (score DESC, doc_col ASC) and the ideal list by
+    (rel DESC, doc_col ASC) — deterministic total orders any ANSI
+    engine replays. Rows with a NULL query/doc/score/rel are excluded.
+    Both DCG folds run in POSITION order over the <= k collected
+    terms (sort_array + F.aggregate), so the float sums are
+    bit-identical across engines (the ordered-fold discipline).
+
+    Scale shape: both rank windows PARTITION by the query — a
+    high-cardinality key that grows with the eval set, so tasks
+    spread; per-task work is one sort of ONE query's candidate list,
+    which a retrieval eval bounds by construction (candidate lists
+    are top-N retriever outputs, not the corpus). One Exchange feeds
+    both window sorts; the post-window filter keeps <= 2k rows per
+    query, so the final per-query aggregate collects bounded arrays.
+    No reference-repo counterpart (SURVEY.md §2 has no eval surface);
+    extension operator for the training-data pipeline.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(rel_col).cast("int").alias("rel"),
+    ).filter(F.col("q").isNotNull() & F.col("d").isNotNull()
+             & F.col("s").isNotNull() & F.col("rel").isNotNull())
+    pos = F.row_number().over(
+        Window.partitionBy("q").orderBy(F.desc("s"), F.asc("d")))
+    ipos = F.row_number().over(
+        Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d")))
+    ranked = (base.withColumn("pos", pos).withColumn("ipos", ipos)
+              .filter((F.col("pos") <= k) | (F.col("ipos") <= k)))
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1
+
+    def dcg_fold(pos_col: str) -> F.Column:
+        term = F.when(
+            F.col(pos_col) <= k,
+            F.struct(F.col(pos_col).alias("p"),
+                     (gain / F.log2(F.col(pos_col) + 1)).alias("g")))
+        return F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda acc, x: acc + x["g"])
+
+    first_rel = F.min(F.when((F.col("pos") <= k) & (F.col("rel") > 0),
+                             F.col("pos")))
+    return (ranked.groupBy("q")
+            .agg(dcg_fold("pos").alias("_dcg"),
+                 dcg_fold("ipos").alias("_idcg"),
+                 first_rel.alias("_fr"))
+            .select(
+                F.col("q").alias(query_col),
+                F.when(F.col("_idcg") > 0,
+                       F.round(F.col("_dcg") / F.col("_idcg"), 6))
+                 .alias("ndcg"),
+                F.coalesce(F.round(1.0 / F.col("_fr"), 6), F.lit(0.0))
+                 .alias("mrr"),
+                F.when(F.col("_fr").isNotNull(), F.lit(1))
+                 .otherwise(F.lit(0)).alias("hit")))
 
 
 def calibration_bins(

@@ -201,3 +201,68 @@ def test_auc_score_by_dominant_group_grouped_prefix_sum(spark):
         for g, auc in want.items():
             assert got[g]["auc"] == auc, (g, buckets)
         assert got["big"]["n_pos"] + got["big"]["n_neg"] == 4000
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """nDCG/MRR/hit@k against closed-form hand computations: a
+    perfectly-ranked query, an inverted one, a no-relevant one (NULL
+    ndcg, 0 mrr), and graded relevance with a tie broken by doc id."""
+    import math
+
+    from dump1090_db_stream_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    rows = [
+        # q1: perfect ranking, binary relevance -> ndcg 1, mrr 1
+        ("q1", "a", 0.9, 1), ("q1", "b", 0.8, 1), ("q1", "c", 0.7, 0),
+        # q2: single relevant at rank 3 of 3
+        ("q2", "a", 0.9, 0), ("q2", "b", 0.8, 0), ("q2", "c", 0.7, 1),
+        # q3: nothing relevant -> ndcg NULL, mrr 0, hit 0
+        ("q3", "a", 0.9, 0), ("q3", "b", 0.8, 0),
+        # q4: graded rels 2,1 ranked worst-first
+        ("q4", "a", 0.9, 1), ("q4", "b", 0.8, 2),
+    ]
+    got = {r["q"]: r for r in ranking_metrics(
+        spark.createDataFrame(rows, ["q", "d", "s", "rel"]),
+        "q", "d", "s", "rel", k=10).collect()}
+    assert got["q1"]["ndcg"] == 1.0 and got["q1"]["mrr"] == 1.0 \
+        and got["q1"]["hit"] == 1
+    # q2: dcg = 1/log2(4); idcg = 1/log2(2) = 1
+    assert got["q2"]["ndcg"] == round(1 / math.log2(4), 6)
+    assert got["q2"]["mrr"] == round(1 / 3, 6) and got["q2"]["hit"] == 1
+    assert got["q3"]["ndcg"] is None and got["q3"]["mrr"] == 0.0 \
+        and got["q3"]["hit"] == 0
+    # q4: dcg = 1/1 + 3/log2(3); idcg = 3/1 + 1/log2(3)
+    dcg = 1.0 + 3.0 / math.log2(3)
+    idcg = 3.0 + 1.0 / math.log2(3)
+    assert got["q4"]["ndcg"] == round(dcg / idcg, 6)
+    assert got["q4"]["mrr"] == 1.0
+
+
+def test_ranking_metrics_k_cutoff_and_nulls(spark):
+    """k cuts BOTH lists (a relevant doc below rank k contributes to
+    neither DCG nor MRR), NULL rows are excluded, k validates, and
+    the rank windows stay partitioned (no global funnel)."""
+    import pytest as _pytest
+
+    from test_plans import plan_of, single_partition_window_sites
+
+    from dump1090_db_stream_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    rows = [("q", chr(97 + i), 1.0 - i / 10.0, 0) for i in range(5)]
+    rows.append(("q", "z", 0.1, 1))        # relevant, ranked 6th
+    rows.append((None, "x", 0.5, 1))
+    rows.append(("q", None, 0.5, 1))
+    df = spark.createDataFrame(rows, "q string, d string, s double, rel int")
+    q = ranking_metrics(df, "q", "d", "s", "rel", k=5)
+    assert single_partition_window_sites(plan_of(q)) == []
+    r = q.collect()
+    assert len(r) == 1
+    assert r[0]["mrr"] == 0.0 and r[0]["hit"] == 0
+    # ideal list HAS a relevant doc in its top-5 -> idcg > 0, dcg 0
+    assert r[0]["ndcg"] == 0.0
+    with _pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(df, "q", "d", "s", "rel", k=0)
