@@ -3234,7 +3234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    evaluation.ranking_metrics — the top-heavy retrieval-eval
         #    complement to the AUC family)
         "retrieval_metrics": q_retrieval_metrics,
-        # -- r9 window 2-5: operators whose implementation
+        #    ... and recall@10 of the fixed-quantizer IVF index vs the
+        #    brute-force exact top-k (operators.similarity.ann_recall)
+        "ann_recall_ivf": q_ann_recall_ivf,
+        # -- r9 window 3-6: operators whose implementation
         #    changed in r9 (tier 2): dsir_auc_by_source
         #    (auc_score_by rewired onto the GROUPED prefix-sum —
         #    the r8 verdict's one weak spot), dsir_auc /
@@ -3297,12 +3300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locations_projection": q_locations_projection,
         "flights_band_join": q_flights_band_join,
         "window_track_lines": q_window_track_lines,
-        "like_prefix_filter": q_like_prefix_filter,
         # -- positions 51+: r10 rotation leaders — the rest of
         #    the r6-window tail in its recorded order (the two
         #    rows-only sketch queries stay ADJACENT to their
-        #    oracled twins; equality_filter slipped out of the
-        #    50-slot window when retrieval_metrics took tier 1)
+        #    oracled twins; like_prefix_filter and equality_filter
+        #    slipped out of the 50-slot window when the two new
+        #    tier-1 queries took the head)
+        "like_prefix_filter": q_like_prefix_filter,
         "equality_filter": q_equality_filter,
         "time_range_between": q_time_range_between,
         "dedup_by_key": q_dedup_by_key,
@@ -6874,6 +6878,28 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
+    # ANN recall: |approx ∩ exact| / |exact| per query, composed from
+    # the two neighbor-list oracles it grades (both closed-form)
+    oracles["ann_recall_ivf"] = f"""
+        WITH exact_nb AS ({oracles['embedding_topk']}),
+        approx_nb AS ({oracles['embedding_ivf_topk']}),
+        ne AS (
+            SELECT query_id, count(*) AS n_exact
+            FROM exact_nb GROUP BY query_id
+        ), nc AS (
+            SELECT e.query_id, count(*) AS n_common
+            FROM exact_nb e
+            JOIN approx_nb a
+              ON e.query_id = a.query_id
+             AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT ne.query_id, ne.n_exact,
+               coalesce(nc.n_common, 0) AS n_common,
+               round(coalesce(nc.n_common, 0)
+                     / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+        FROM ne LEFT JOIN nc ON ne.query_id = nc.query_id
+    """
     # the eval queries rank/bin the SAME scored relation: the dsir
     # oracle composed with the logistic squash and the language label
     scored = f"""
@@ -7619,6 +7645,21 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(0).alias("rel"))
     return ranking_metrics(cand, "source", "doc_id", "score", "rel",
                            k=10)
+
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the fixed-quantizer IVF index against the
+    brute-force exact top-k (operators.similarity.ann_recall) — the
+    index-quality number an ANN deployment monitors per probe-count
+    dial. Composes the two existing contract queries; the oracle
+    composes their two oracle CTEs and replays the count join, so the
+    recall values are closed-form. n_probes=4 of 8 cells means the
+    IVF list legitimately misses some exact neighbors — recall < 1 is
+    the honest, non-degenerate signal being measured."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    return ann_recall(q_embedding_topk(spark, sf_dir),
+                      q_embedding_ivf_topk(spark, sf_dir))
 
 
 def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1492,3 +1492,43 @@ def standardize_embeddings(
                     / (F.get(sds, i) + F.lit(eps)), 6))
             .alias("std_embedding"))
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate neighbor list against the
+    exact one — the index-quality number an ANN deployment monitors
+    (IVF probe counts, LSH band counts and PQ bit budgets are all
+    recall/cost dials; this is the recall side of that dial): one row
+    per query in ``exact`` with (query, n_exact, n_common, recall
+    rounded 6) where recall = |approx ∩ exact| / |exact|.
+
+    Queries with no approx rows at all still emit a row (recall 0.0 —
+    a silently-empty posting list must read as a recall failure, not
+    vanish). Queries present only in ``approx`` are ignored: recall
+    is defined against the exact reference set.
+
+    Scale shape: one equi-join on (query, neighbor) + one rollup per
+    side, both keyed by the query — a high-cardinality key that grows
+    with the eval set, so tasks spread; nothing is ever collected and
+    no per-query list materializes (counts only). Composes any two
+    operators of the ANN ladder (brute/LSH/IVF/PQ/IVFPQ share the
+    (query_id, neighbor_id, rank, cosine) output contract).
+    """
+    e = exact.select(F.col(query_id_col).alias("_q"),
+                     F.col(neighbor_id_col).alias("_n"))
+    a = approx.select(F.col(query_id_col).alias("_q"),
+                      F.col(neighbor_id_col).alias("_n"))
+    n_exact = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_common = (e.join(a, ["_q", "_n"])
+                .groupBy("_q").agg(F.count(F.lit(1)).alias("n_common")))
+    return (n_exact.join(n_common, "_q", "left")
+            .select(F.col("_q").alias(query_id_col),
+                    "n_exact",
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    F.round(F.coalesce("n_common", F.lit(0))
+                            / F.col("n_exact"), 6).alias("recall")))

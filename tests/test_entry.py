@@ -38,8 +38,9 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
 
 def test_r9_window_composition():
     """Pins the round-9 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): the one NEW query leads (tier 1 —
-    retrieval_metrics, the nDCG/MRR retrieval eval), then tier 2 —
+    correctness window"): the two NEW queries lead (tier 1 —
+    retrieval_metrics, the nDCG/MRR retrieval eval, and
+    ann_recall_ivf, the ANN index recall harness), then tier 2 —
     the four queries whose operators changed in r9 (auc_score_by and
     quantile_normalize rewired onto the GROUPED prefix-sum;
     dsir_auc/dsir_calibration re-pinned because the shared prefix_sum
@@ -51,18 +52,20 @@ def test_r9_window_composition():
     registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[0] == "retrieval_metrics"           # tier 1: new
-    assert window[1:5] == [                           # tier 2: changed
+    assert window[:2] == [                            # tier 1: new
+        "retrieval_metrics", "ann_recall_ivf"]
+    assert window[2:6] == [                           # tier 2: changed
         "dsir_auc_by_source", "dsir_auc", "dsir_calibration",
         "score_normalized"]
     # tier 3 fill: the 31 r4/r5 greens in recorded staleness order
-    assert window[5] == "late_sole_suppliers"
-    assert window[35] == "daily_quantile_rollup"
+    assert window[6] == "late_sole_suppliers"
+    assert window[36] == "daily_quantile_rollup"
     # then the r6-tail head
-    assert window[36] == "embedding_projected"
-    assert window[-1] == "like_prefix_filter"
+    assert window[37] == "embedding_projected"
+    assert window[-1] == "window_track_lines"
     # positions 51+: the rest of the r6 tail leads the r10 rotation
-    assert order[50] == "equality_filter"
+    assert order[50] == "like_prefix_filter"
+    assert order[51] == "equality_filter"
     # the freshest greens (r8 window, untouched) sit at the very tail
     assert order[-1] == "disjunctive_revenue"
     assert order.index("multimodal_features") > \

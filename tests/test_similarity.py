@@ -741,3 +741,62 @@ def test_ivf_index_append_guard_and_stored_quantizer(spark, corpus, tmp_path):
     assert len(rows) == 5
     # the appended duplicate of vector 0 is its own nearest neighbor
     assert rows[0]["neighbor_id"] == 1000 and rows[0]["cosine"] == 1.0
+
+
+def test_ann_recall_counts_and_edge_cases(spark):
+    """Recall against hand-built neighbor lists: full overlap -> 1.0,
+    partial -> fraction, approx-empty query -> 0.0 row (not dropped),
+    approx-only query ignored (recall is defined against exact)."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"),
+         ("q2", "a"), ("q2", "b"),
+         ("q3", "x")],
+        ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"),   # q1: all 3
+         ("q2", "a"), ("q2", "z"),                # q2: 1 of 2
+         ("q9", "a")],                            # q9: not in exact
+        ["query_id", "neighbor_id"])
+    got = {r["query_id"]: r for r in
+           ann_recall(exact, approx).collect()}
+    assert set(got) == {"q1", "q2", "q3"}
+    assert got["q1"]["recall"] == 1.0 and got["q1"]["n_common"] == 3
+    assert got["q2"]["recall"] == 0.5
+    assert got["q3"]["recall"] == 0.0 and got["q3"]["n_common"] == 0
+    assert got["q3"]["n_exact"] == 1
+
+
+def test_ann_recall_ivf_full_probe_is_exact(spark, sf_dir):
+    """Sanity: IVF probing ALL cells returns the brute-force list, so
+    recall must be exactly 1.0 for every query; the contract query's
+    n_probes=4 of 8 keeps recall < 1 for at least one query (the
+    non-degenerate signal)."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 10)
+                            & (F.col("vec_id") < 18))
+                 .orderBy("vec_id").select("embedding").collect())
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=10)
+    full = ivf_topk(emb, queries, dim=64, k=10, n_probes=8,
+                    centroids=centroids)
+    r_full = ann_recall(exact, full).collect()
+    assert all(r["recall"] == 1.0 for r in r_full) and len(r_full) == 5
+    part = ivf_topk(emb, queries, dim=64, k=10, n_probes=4,
+                    centroids=centroids)
+    r_part = {r["query_id"]: r["recall"]
+              for r in ann_recall(exact, part).collect()}
+    assert all(0.0 <= v <= 1.0 for v in r_part.values())
+    assert any(v < 1.0 for v in r_part.values())
