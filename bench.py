@@ -136,6 +136,10 @@ EXTENDED = [
     "score_normalized",
     # round-8 addition: the per-group AUC (embarrassingly parallel form)
     "dsir_auc_by_source",
+    # round-9 additions: the retrieval-eval pair (per-query ranked
+    # windows + ordered folds; IVF recall composition)
+    "retrieval_metrics",
+    "ann_recall_ivf",
 ]
 
 
