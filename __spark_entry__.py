@@ -3229,83 +3229,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r9 window 1: NEW this round, zero driver rows (tier 1):
-        #    per-source nDCG@10 / MRR@10 / hit@10 (operators.
-        #    evaluation.ranking_metrics — the top-heavy retrieval-eval
-        #    complement to the AUC family)
-        "retrieval_metrics": q_retrieval_metrics,
-        #    ... and recall@10 of the fixed-quantizer IVF index vs the
-        #    brute-force exact top-k (operators.similarity.ann_recall)
+        # -- r10 window 1-2: NEW this round, zero driver rows
+        #    (tier 1): recall@10 of the LSH and IVF+PQ ladder arms vs
+        #    the brute-force exact top-k (operators.similarity.
+        #    ann_recall) — r9 verdict ask #4: every ANN index arm's
+        #    recall now lands a driver hash
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_recall_ivfpq": q_ann_recall_ivfpq,
+        # -- r10 window 3-6 (tier 2): ann_recall_ivf re-verifies
+        #    after its BroadcastNestedLoopJoin was adjudicated into
+        #    the cross-product gate allowlist (the r9 red test —
+        #    marked weak until this round's driver hash);
+        #    dsir_auc / dsir_auc_by_source / score_normalized
+        #    re-pin the prefix-sum family after the r10 NaN filter
+        #    + grouped-vocabulary runtime guard (oracles UNCHANGED —
+        #    the test data carries no NaNs and the contract group
+        #    keys are bounded)
         "ann_recall_ivf": q_ann_recall_ivf,
-        # -- r9 window 3-6: operators whose implementation
-        #    changed in r9 (tier 2): dsir_auc_by_source
-        #    (auc_score_by rewired onto the GROUPED prefix-sum —
-        #    the r8 verdict's one weak spot), dsir_auc /
-        #    dsir_calibration (shared prefix_sum module rewritten;
-        #    ungrouped plan unchanged, re-pinned anyway),
-        #    score_normalized (per-group cumulative moved onto the
-        #    grouped prefix-sum + distinct-grain join merge; the
-        #    oracle is UNCHANGED — the decomposition is exact)
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "dsir_auc": q_dsir_auc,
-        "dsir_calibration": q_dsir_calibration,
         "score_normalized": q_score_normalized,
-        # -- r9 window 5-35: tier-3 rotation — the 31 stalest
-        #    r4/r5 greens (the recorded r9 rotation-leader queue,
-        #    in order)
-        "late_sole_suppliers": q_late_sole_suppliers,
-        "value_runs_scd2": q_value_runs_scd2,
-        "weekly_active_users": q_weekly_active_users,
-        "weekly_active_by_type": q_weekly_active_by_type,
-        "winsorized_values": q_winsorized_values,
-        "market_share": q_market_share,
-        "event_transitions_k2": q_event_transitions_k2,
-        "scd2_point_lookup": q_scd2_point_lookup,
-        "track_lines_wkb": q_track_lines_wkb,
-        "embedding_ivf_trained": q_embedding_ivf_trained,
-        "bigram_pmi": q_bigram_pmi,
-        "embedding_quantized": q_embedding_quantized,
-        "embedding_quantized_topk": q_embedding_quantized_topk,
-        "funnel_conversions": q_funnel_conversions,
-        "event_mad_outliers": q_event_mad_outliers,
-        "event_zscore_outliers": q_event_zscore_outliers,
-        "sliding_window_counts": q_sliding_window_counts,
-        "event_trailing_stats": q_event_trailing_stats,
-        "corpus_merge": q_corpus_merge,
-        "attribution_join": q_attribution_join,
-        "weighted_fixed_sample": q_weighted_fixed_sample,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "cluster_profiles": q_cluster_profiles,
-        "neardup_triangles": q_neardup_triangles,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "null_safe_join": q_null_safe_join,
-        "order_value_ranks": q_order_value_ranks,
-        "tolerant_arithmetic": q_tolerant_arithmetic,
-        "sbs1_rejects": q_sbs1_rejects,
-        "event_value_quantiles": q_event_value_quantiles,
-        "daily_quantile_rollup": q_daily_quantile_rollup,
-        # -- r9 window 36-50: tier-3 rotation — the head of the
-        #    r6-window tail (green in CORRECTNESS_r06, stalest
-        #    remaining)
-        "embedding_projected": q_embedding_projected,
-        "temperature_mixture_docs": q_temperature_mixture_docs,
-        "contrastive_negatives": q_contrastive_negatives,
-        "containment_pairs": q_containment_pairs,
-        "hard_negative_candidates": q_hard_negative_candidates,
-        "data_expectations": q_data_expectations,
-        "concurrent_sessions": q_concurrent_sessions,
-        "fuzzy_name_matches": q_fuzzy_name_matches,
-        "entity_resolution": q_entity_resolution,
-        "callsign_sessions": q_callsign_sessions,
-        "locations_projection": q_locations_projection,
-        "flights_band_join": q_flights_band_join,
-        "window_track_lines": q_window_track_lines,
-        # -- positions 51+: r10 rotation leaders — the rest of
-        #    the r6-window tail in its recorded order (the two
-        #    rows-only sketch queries stay ADJACENT to their
-        #    oracled twins; like_prefix_filter and equality_filter
-        #    slipped out of the 50-slot window when the two new
-        #    tier-1 queries took the head)
+        # -- r10 window 7-42: tier-3 rotation — the rest of the
+        #    r6-window tail in its recorded order (the recorded r10
+        #    rotation-leader queue, green in CORRECTNESS_r06, stalest
+        #    remaining; the two rows-only sketch queries stay ADJACENT
+        #    to their oracled twins)
         "like_prefix_filter": q_like_prefix_filter,
         "equality_filter": q_equality_filter,
         "time_range_between": q_time_range_between,
@@ -3342,8 +3290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_scores": q_bm25_scores,
-        # -- tier 4: the r7 driver window, green in
-        #    CORRECTNESS_r07 and untouched since
+        # -- r10 window 43-50: tier-3 rotation — the head of the
+        #    r7 driver window (green in CORRECTNESS_r07, next
+        #    stalest) fills to 50
         "pricing_summary": q_pricing_summary,
         "weighted_sample": q_weighted_sample,
         "uniform_sample": q_uniform_sample,
@@ -3352,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "corpus_diff": q_corpus_diff,
+        # -- positions 51+: r11 rotation leaders — the rest of the
+        #    r7 driver window in its recorded order
         "late_shipment_priority": q_late_shipment_priority,
         "product_profit_by_nation": q_product_profit_by_nation,
         "top_value_parts": q_top_value_parts,
@@ -3437,6 +3388,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_extremes": q_event_type_extremes,
         "value_histograms": q_value_histograms,
         "disjunctive_revenue": q_disjunctive_revenue,
+        # -- tier 4 close: the r9 driver window, green in
+        #    CORRECTNESS_r09 and untouched since (except the four
+        #    tier-2 entries above, which moved to the top) — the
+        #    freshest greens close the registry
+        "retrieval_metrics": q_retrieval_metrics,
+        "dsir_calibration": q_dsir_calibration,
+        "late_sole_suppliers": q_late_sole_suppliers,
+        "value_runs_scd2": q_value_runs_scd2,
+        "weekly_active_users": q_weekly_active_users,
+        "weekly_active_by_type": q_weekly_active_by_type,
+        "winsorized_values": q_winsorized_values,
+        "market_share": q_market_share,
+        "event_transitions_k2": q_event_transitions_k2,
+        "scd2_point_lookup": q_scd2_point_lookup,
+        "track_lines_wkb": q_track_lines_wkb,
+        "embedding_ivf_trained": q_embedding_ivf_trained,
+        "bigram_pmi": q_bigram_pmi,
+        "embedding_quantized": q_embedding_quantized,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
+        "funnel_conversions": q_funnel_conversions,
+        "event_mad_outliers": q_event_mad_outliers,
+        "event_zscore_outliers": q_event_zscore_outliers,
+        "sliding_window_counts": q_sliding_window_counts,
+        "event_trailing_stats": q_event_trailing_stats,
+        "corpus_merge": q_corpus_merge,
+        "attribution_join": q_attribution_join,
+        "weighted_fixed_sample": q_weighted_fixed_sample,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "cluster_profiles": q_cluster_profiles,
+        "neardup_triangles": q_neardup_triangles,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "null_safe_join": q_null_safe_join,
+        "order_value_ranks": q_order_value_ranks,
+        "tolerant_arithmetic": q_tolerant_arithmetic,
+        "sbs1_rejects": q_sbs1_rejects,
+        "event_value_quantiles": q_event_value_quantiles,
+        "daily_quantile_rollup": q_daily_quantile_rollup,
+        "embedding_projected": q_embedding_projected,
+        "temperature_mixture_docs": q_temperature_mixture_docs,
+        "contrastive_negatives": q_contrastive_negatives,
+        "containment_pairs": q_containment_pairs,
+        "hard_negative_candidates": q_hard_negative_candidates,
+        "data_expectations": q_data_expectations,
+        "concurrent_sessions": q_concurrent_sessions,
+        "fuzzy_name_matches": q_fuzzy_name_matches,
+        "entity_resolution": q_entity_resolution,
+        "callsign_sessions": q_callsign_sessions,
+        "locations_projection": q_locations_projection,
+        "flights_band_join": q_flights_band_join,
+        "window_track_lines": q_window_track_lines,
     }
 
 
@@ -6878,11 +6879,14 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """Queries that re-compute another contract by a different physical
     algorithm share its oracle verbatim (same answer is the point)."""
     oracles["neardup_clusters_star"] = oracles["neardup_clusters"]
-    # ANN recall: |approx ∩ exact| / |exact| per query, composed from
-    # the two neighbor-list oracles it grades (both closed-form)
-    oracles["ann_recall_ivf"] = f"""
+    # ANN recall family: |approx ∩ exact| / |exact| per query,
+    # composed from the two neighbor-list oracles each arm grades
+    # (all closed-form) — one recall contract per ladder dial so a
+    # regression in ANY index arm lands a driver hash
+    def recall_oracle(approx_key: str) -> str:
+        return f"""
         WITH exact_nb AS ({oracles['embedding_topk']}),
-        approx_nb AS ({oracles['embedding_ivf_topk']}),
+        approx_nb AS ({oracles[approx_key]}),
         ne AS (
             SELECT query_id, count(*) AS n_exact
             FROM exact_nb GROUP BY query_id
@@ -6900,6 +6904,10 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                      / CAST(ne.n_exact AS DOUBLE), 6) AS recall
         FROM ne LEFT JOIN nc ON ne.query_id = nc.query_id
     """
+
+    oracles["ann_recall_ivf"] = recall_oracle("embedding_ivf_topk")
+    oracles["ann_recall_lsh"] = recall_oracle("embedding_lsh_topk")
+    oracles["ann_recall_ivfpq"] = recall_oracle("embedding_ivfpq_topk")
     # the eval queries rank/bin the SAME scored relation: the dsir
     # oracle composed with the logistic squash and the language label
     scored = f"""
@@ -7660,6 +7668,34 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann_recall(q_embedding_topk(spark, sf_dir),
                       q_embedding_ivf_topk(spark, sf_dir))
+
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the random-hyperplane LSH index against the
+    brute-force exact top-k — the band-count dial's recall side
+    (operators.similarity.ann_recall over the embedding_lsh_topk and
+    embedding_topk contract queries; oracle composed from their two
+    closed-form CTEs). 8 planes x 6 tables means bucket collisions
+    legitimately miss some exact neighbors; a regression in the
+    signature or collision logic now lands a driver hash, not just a
+    unit test (r9 verdict ask #4)."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    return ann_recall(q_embedding_topk(spark, sf_dir),
+                      q_embedding_lsh_topk(spark, sf_dir))
+
+
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF+PQ index (coarse probe pruning + ADC
+    scoring) against the brute-force exact top-k — the compound
+    probes x bit-budget dial's recall side. Composes the
+    embedding_ivfpq_topk and embedding_topk contract queries; the
+    oracle composes their two closed-form replays (r9 verdict ask #4:
+    every ANN ladder arm's recall is now driver-hashed)."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    return ann_recall(q_embedding_topk(spark, sf_dir),
+                      q_embedding_ivfpq_topk(spark, sf_dir))
 
 
 def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

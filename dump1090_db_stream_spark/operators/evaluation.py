@@ -53,8 +53,12 @@ def auc_score(
     ``prev`` lower-scored rows is prev + (cnt + 1) / 2 — so ties
     contribute the exact 1/2 credit the trapezoidal ROC assigns them,
     and every intermediate stays integer-or-half (bit-deterministic;
-    the only float op is the final division). Rows with NULL score or
-    label are excluded (they carry no ranking information).
+    the only float op is the final division). Rows with NULL or NaN
+    score, or NULL label, are excluded (they carry no ranking
+    information; NaN additionally breaks the prefix-sum's monotone
+    bucketing — ``NaN >= bound`` is false so NaN rows would land in
+    bucket 0 while the within-bucket window sorts NaN LAST, skewing
+    their _prev counts — so it is filtered, not ranked).
 
     Scale shape: AUC depends only on per-distinct-score (rows,
     positives) counts, so the input collapses through ONE map-side-
@@ -78,7 +82,8 @@ def auc_score(
     base = df.select(
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
-    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    ).filter(F.col("s").isNotNull() & ~F.isnan("s")
+             & F.col("y").isNotNull())
     per_score = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(F.col("y").cast("long")).alias("_pos"))
@@ -128,7 +133,7 @@ def auc_score_by(
     score can look fine pooled while anti-ranking one source), so a
     corpus eval runs this form.
 
-    Same rank-sum identity and NULL handling as :func:`auc_score`;
+    Same rank-sum identity and NULL/NaN handling as :func:`auc_score`;
     single-class groups emit ``auc = NULL``. Rows with a NULL group
     are excluded (no slice to attribute them to).
 
@@ -148,8 +153,8 @@ def auc_score_by(
         F.col(group_col).alias("g"),
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("boolean").alias("y"),
-    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull()
-             & F.col("g").isNotNull())
+    ).filter(F.col("s").isNotNull() & ~F.isnan("s")
+             & F.col("y").isNotNull() & F.col("g").isNotNull())
     per_score = base.groupBy("g", "s").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(F.col("y").cast("long")).alias("_pos"))

@@ -42,6 +42,7 @@ def distributed_prev_counts(
     extra_cols: tuple[str, ...] = (),
     partition_cols: tuple[str, ...] = (),
     with_totals: bool = False,
+    max_partition_groups: int | None = 65_536,
 ) -> DataFrame:
     """Add ``_prev`` — the exclusive running sum of ``cnt_col`` in
     ``order_col`` order — to ``rel`` (one row per distinct
@@ -78,6 +79,23 @@ def distributed_prev_counts(
     constant key, exactly the funnel this module exists to avoid (the
     textual single-partition plan gate does not flag hash exchanges).
     Scale-path entry points keep the default 64.
+
+    GUARD (r9 verdict ask #5): the grouped bounds relation broadcasts
+    one ~``n_range_buckets``-double row per partition-key combination,
+    so ``partition_cols`` must be a bounded vocabulary (languages,
+    crawl sources, shards) — NOT an unbounded key (domain, user id).
+    When grouped, the bounds relation is persisted and counted before
+    the plan is built (the fuzzy-join candidate-volume discipline,
+    ``operators.fuzzy``): above ``max_partition_groups`` the call
+    raises with routing advice instead of letting an unbounded
+    broadcast take down the driver at scale. The count only ever
+    RAISES — it never changes the plan — so oracle determinism holds.
+    Pass ``max_partition_groups=None`` to skip the probe job (callers
+    that know their vocabulary). At the default 65,536 groups the
+    broadcast is ~64 MB of bounds doubles — the sensible ceiling for a
+    per-executor table; above that, route per-group windows through a
+    non-broadcast equi-join instead (not implemented here: every
+    current caller's group key is an enum-like column).
     """
     if n_range_buckets < 1:
         raise ValueError(
@@ -86,10 +104,29 @@ def distributed_prev_counts(
     probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
     tot = [F.sum(cnt_col).alias("_total")] if with_totals else []
 
+    def _guard(small: DataFrame) -> DataFrame:
+        if not pcols or max_partition_groups is None:
+            return small
+        from dump1090_db_stream_spark.cache import track
+
+        small = track(small)       # the count and the join reuse it
+        n_groups = small.count()
+        if n_groups > max_partition_groups:
+            raise ValueError(
+                f"distributed_prev_counts vocabulary guard: "
+                f"partition_cols {pcols} has {n_groups} distinct "
+                f"combinations (allowed {max_partition_groups}); the "
+                f"per-group quantile bounds are BROADCAST, so the "
+                f"group key must be a bounded vocabulary. Group by an "
+                f"enum-like column (language/source/shard), bucket the "
+                f"key upstream, or raise max_partition_groups / pass "
+                f"None if the broadcast genuinely fits.")
+        return small
+
     def _attach(small: DataFrame) -> DataFrame:
         # one bounded row per partition-key combination (a bounded
         # vocabulary — languages/sources/domains), broadcast back
-        return (rel.join(F.broadcast(small), pcols) if pcols
+        return (rel.join(F.broadcast(_guard(small)), pcols) if pcols
                 else rel.crossJoin(F.broadcast(small)))
 
     if not probs:                       # n_range_buckets == 1: degenerate

@@ -720,7 +720,9 @@ def quantile_normalize(
     further tiny rollups. The bucket mapping is n_quantiles rows,
     forward-filled with a running max (norm_value is monotone in
     bucket) and broadcast back. Output: id, group, the original
-    value, and ``norm_value``.
+    value, and ``norm_value``. Rows with NULL or NaN value are
+    excluded (NaN has no quantile; it would also break the
+    prefix-sum's monotone bucketing — see ``auc_score``).
     """
     from pyspark.sql import Window
 
@@ -739,7 +741,7 @@ def quantile_normalize(
         F.col(value_col).cast("double").alias("v"),
         F.pmod(_portable_hash60(F.col(id_col).cast("string")),
                F.lit(tie_salt)).alias("_sl"),
-    ).filter(F.col("v").isNotNull())
+    ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
 
     # ONE input-grain aggregate; every count relation below is a
     # rollup of it (persisted: it feeds four consumers)

@@ -36,41 +36,44 @@ def test_rows_only_exceptions_are_exactly_the_documented_two():
     assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
 
 
-def test_r9_window_composition():
-    """Pins the round-9 driver-window invariants (COVERAGE.md "Driver
+def test_r10_window_composition():
+    """Pins the round-10 driver-window invariants (COVERAGE.md "Driver
     correctness window"): the two NEW queries lead (tier 1 —
-    retrieval_metrics, the nDCG/MRR retrieval eval, and
-    ann_recall_ivf, the ANN index recall harness), then tier 2 —
-    the four queries whose operators changed in r9 (auc_score_by and
-    quantile_normalize rewired onto the GROUPED prefix-sum;
-    dsir_auc/dsir_calibration re-pinned because the shared prefix_sum
-    module was rewritten) — then the 31 stalest r4/r5 greens (the
-    recorded r9 rotation-leader queue), then the head of the r6-window
-    tail fills to 50. Rows-only sketch queries stay ADJACENT to their
-    fully-oracled twins so both land in the same driver round whenever
-    they rotate back in; the r8-window greens (freshest) close the
-    registry."""
+    ann_recall_lsh / ann_recall_ivfpq, completing recall contracts
+    across the ANN ladder), then tier 2 — ann_recall_ivf (re-verifies
+    after its BNLJ was adjudicated into the cross-product gate
+    allowlist, the r9 red test) and the three prefix-sum-family
+    queries re-pinned after the r10 NaN filter + grouped-vocabulary
+    guard — then the recorded r10 rotation: the rest of the r6-window
+    tail (36 queries, like_prefix_filter .. bm25_scores) and the head
+    of the r7 window (pricing_summary .. corpus_diff) fill to exactly
+    50. Rows-only sketch queries stay ADJACENT to their fully-oracled
+    twins; positions 51+ lead with the rest of the r7 window (the r11
+    rotation queue), then the r8 greens, then the r9 greens (freshest)
+    close the registry."""
     order = list(entrymod.queries())
     window = order[:50]
     assert window[:2] == [                            # tier 1: new
-        "retrieval_metrics", "ann_recall_ivf"]
+        "ann_recall_lsh", "ann_recall_ivfpq"]
     assert window[2:6] == [                           # tier 2: changed
-        "dsir_auc_by_source", "dsir_auc", "dsir_calibration",
+        "ann_recall_ivf", "dsir_auc_by_source", "dsir_auc",
         "score_normalized"]
-    # tier 3 fill: the 31 r4/r5 greens in recorded staleness order
-    assert window[6] == "late_sole_suppliers"
-    assert window[36] == "daily_quantile_rollup"
-    # then the r6-tail head
-    assert window[37] == "embedding_projected"
-    assert window[-1] == "window_track_lines"
-    # positions 51+: the rest of the r6 tail leads the r10 rotation
-    assert order[50] == "like_prefix_filter"
-    assert order[51] == "equality_filter"
-    # the freshest greens (r8 window, untouched) sit at the very tail
-    assert order[-1] == "disjunctive_revenue"
+    # tier 3 fill: the r6-window tail in recorded staleness order
+    assert window[6] == "like_prefix_filter"
+    assert window[7] == "equality_filter"
+    assert window[41] == "bm25_scores"
+    # ... then the r7-window head completes the 50
+    assert window[42] == "pricing_summary"
+    assert window[-1] == "corpus_diff"
+    # positions 51+: the rest of the r7 window leads the r11 rotation
+    assert order[50] == "late_shipment_priority"
+    # the r8 then r9 greens (freshest, untouched) close the registry
     assert order.index("multimodal_features") > \
         order.index("idle_rich_customers")
-    assert order.index("pricing_summary") > order.index("bm25_scores")
+    assert order.index("retrieval_metrics") > \
+        order.index("disjunctive_revenue")
+    assert order[-1] == "window_track_lines"
+    # rows-only sketch queries adjacent to their oracled twins
     assert order.index("weekly_active_estimate") == \
         order.index("event_approx_stats") + 1
     assert order.index("table_profile_approx") == \

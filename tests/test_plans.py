@@ -349,6 +349,16 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                    # per-dim mean/std pair)
         "survival_curve",         # one-row observation-window-end
                                   # attach (the censoring anchor)
+        # recall harness family: each grades an ANN arm against the
+        # brute-force exact top-k, so the plan INHERITS the exact
+        # arm's broadcast-query-side band scan (the same adjudicated
+        # BNLJ as embedding_topk). A recall harness computes an exact
+        # reference over a bounded eval query set by definition — the
+        # broadcast side is the query set, never the corpus.
+        "ann_recall_ivf",
+        "ann_recall_lsh",         # also inherits the LSH arm's
+                                  # hyperplane-literal one-row attach
+        "ann_recall_ivfpq",
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))

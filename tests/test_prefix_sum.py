@@ -1,0 +1,109 @@
+"""Direct contracts of operators.prefix_sum.distributed_prev_counts:
+the r10 grouped-vocabulary runtime guard and the NaN exclusion the
+prefix-sum's monotone bucketing requires of its callers (r9 ADVICE:
+``NaN >= bound`` is false so NaN rows land in bucket 0, but the
+within-bucket window sorts NaN LAST — their _prev would count only
+bucket-0 rows)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _prev_counts(spark, rows, **kw):
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    rel = spark.createDataFrame(rows, ["g", "v", "c"])
+    return distributed_prev_counts(rel, "v", "c", partition_cols=("g",),
+                                   **kw)
+
+
+def test_vocabulary_guard_raises_on_unbounded_group_key(spark):
+    """A high-cardinality partition key must fail fast with routing
+    advice, not build a plan that broadcasts an unbounded bounds
+    relation (one ~64-double row per group) at scale."""
+    rows = [(f"domain_{i}", float(i % 97), 1) for i in range(300)]
+    with pytest.raises(ValueError) as ei:
+        _prev_counts(spark, rows, max_partition_groups=256).collect()
+    msg = str(ei.value)
+    assert "vocabulary guard" in msg
+    assert "300" in msg and "256" in msg
+    assert "BROADCAST" in msg
+
+
+def test_vocabulary_guard_none_skips_probe(spark):
+    """max_partition_groups=None is the caller's I-know-my-vocabulary
+    opt-out: same 300-group input builds and computes fine."""
+    rows = [(f"domain_{i}", float(i % 97), 1) for i in range(300)]
+    out = _prev_counts(spark, rows, max_partition_groups=None)
+    assert out.count() == 300
+
+
+def test_vocabulary_guard_passes_bounded_vocabulary(spark):
+    """Under the limit the guard is invisible — values match the
+    closed-form exclusive prefix sum per group."""
+    rows = [("en", 1.0, 2), ("en", 2.0, 3), ("en", 3.0, 5),
+            ("de", 1.5, 7), ("de", 2.5, 11)]
+    got = {(r["g"], r["v"]): r["_prev"]
+           for r in _prev_counts(spark, rows,
+                                 max_partition_groups=16).collect()}
+    assert got == {("en", 1.0): 0, ("en", 2.0): 2, ("en", 3.0): 5,
+                   ("de", 1.5): 0, ("de", 2.5): 7}
+
+
+def test_auc_score_excludes_nan_scores(spark):
+    """AUC with NaN-scored rows == AUC of the clean slice (NaN carries
+    no ranking information and would skew bucket-0 _prev counts)."""
+    from dump1090_db_stream_spark.operators.evaluation import auc_score
+
+    clean = [(0.1, False), (0.2, True), (0.3, False), (0.3, True),
+             (0.4, True)]
+    dirty = clean + [(math.nan, True), (math.nan, False)]
+    want = auc_score(spark.createDataFrame(clean, ["s", "y"]),
+                     "s", "y").collect()[0]
+    got = auc_score(spark.createDataFrame(dirty, ["s", "y"]),
+                    "s", "y").collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == \
+        (want["n_pos"], want["n_neg"], want["auc"]) == (3, 2, 0.75)
+
+
+def test_auc_score_by_excludes_nan_scores(spark):
+    from dump1090_db_stream_spark.operators.evaluation import (
+        auc_score_by,
+    )
+
+    rows = [("en", 0.1, False), ("en", 0.9, True),
+            ("en", math.nan, False),
+            ("de", 0.5, True), ("de", 0.5, False),
+            ("de", math.nan, True)]
+    got = {r["g"]: r for r in
+           auc_score_by(spark.createDataFrame(rows, ["g", "s", "y"]),
+                        "s", "y", "g").collect()}
+    assert (got["en"]["n_pos"], got["en"]["n_neg"],
+            got["en"]["auc"]) == (1, 1, 1.0)
+    assert (got["de"]["n_pos"], got["de"]["n_neg"],
+            got["de"]["auc"]) == (1, 1, 0.5)
+
+
+def test_quantile_normalize_excludes_nan_values(spark):
+    """NaN values have no quantile: they neither receive a norm_value
+    row nor perturb other rows' ranks."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    clean = [(f"d{i}", "a" if i % 2 else "b", float(i))
+             for i in range(10)]
+    dirty = clean + [("dn1", "a", math.nan), ("dn2", "b", math.nan)]
+    want = {r["doc_id"]: r["norm_value"] for r in quantile_normalize(
+        spark.createDataFrame(clean, ["doc_id", "grp", "v"]),
+        "v", "grp").collect()}
+    got = {r["doc_id"]: r["norm_value"] for r in quantile_normalize(
+        spark.createDataFrame(dirty, ["doc_id", "grp", "v"]),
+        "v", "grp").collect()}
+    assert got == want
+    assert "dn1" not in got and "dn2" not in got
