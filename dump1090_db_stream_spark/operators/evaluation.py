@@ -125,6 +125,7 @@ def auc_score_by(
     label_col: str,
     group_col: str,
     n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
 ) -> DataFrame:
     """Per-group exact tie-aware ROC AUC — one row per ``group_col``
     value with (group, n_pos, n_neg, auc rounded 6): does the score
@@ -148,6 +149,12 @@ def auc_score_by(
     rows per task instead of funneling all its distinct scores
     through one; groups still spread across the cluster, and no
     unpartitioned ordered window exists anywhere in the plan.
+
+    ``group_col`` must be a bounded vocabulary under the default
+    ``bounds_join="broadcast"`` (the per-group quantile bounds are
+    broadcast; a runtime guard raises above 65,536 groups) — pass
+    ``bounds_join="shuffle"`` for an unbounded key (domain, user id):
+    plain equi-joins, any cardinality, bit-identical results.
     """
     base = df.select(
         F.col(group_col).alias("g"),
@@ -170,7 +177,8 @@ def auc_score_by(
     ranked = distributed_prev_counts(per_score, "s", "_cnt",
                                      n_range_buckets,
                                      extra_cols=("_pos",),
-                                     partition_cols=("g",))
+                                     partition_cols=("g",),
+                                     bounds_join=bounds_join)
     ravg = (F.col("_prev").cast("double")
             + (F.col("_cnt") + 1).cast("double") / 2)
     return (ranked

@@ -43,6 +43,7 @@ def distributed_prev_counts(
     partition_cols: tuple[str, ...] = (),
     with_totals: bool = False,
     max_partition_groups: int | None = 65_536,
+    bounds_join: str = "broadcast",
 ) -> DataFrame:
     """Add ``_prev`` — the exclusive running sum of ``cnt_col`` in
     ``order_col`` order — to ``rel`` (one row per distinct
@@ -93,10 +94,22 @@ def distributed_prev_counts(
     Pass ``max_partition_groups=None`` to skip the probe job (callers
     that know their vocabulary). At the default 65,536 groups the
     broadcast is ~64 MB of bounds doubles — the sensible ceiling for a
-    per-executor table; above that, route per-group windows through a
-    non-broadcast equi-join instead (not implemented here: every
-    current caller's group key is an enum-like column).
+    per-executor table. Above that, pass ``bounds_join="shuffle"``:
+    the bounds and offset relations then attach through plain
+    equi-joins on the partition key (sort-merge / shuffled-hash,
+    Catalyst's pick), which scales to ANY group cardinality — both
+    sides shuffle on the same key the downstream windows already
+    partition by, so the exchanges coalesce. The broadcast default
+    stays right for enum-like vocabularies (no shuffle of the
+    input-grain side at all); shuffle mode skips the guard probe
+    entirely (there is no broadcast left to protect). The two modes
+    are bit-identical (the decomposition does not depend on the join
+    strategy).
     """
+    if bounds_join not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"bounds_join must be 'broadcast' or 'shuffle', "
+            f"got {bounds_join!r}")
     if n_range_buckets < 1:
         raise ValueError(
             f"n_range_buckets must be >= 1, got {n_range_buckets}")
@@ -119,14 +132,23 @@ def distributed_prev_counts(
                 f"per-group quantile bounds are BROADCAST, so the "
                 f"group key must be a bounded vocabulary. Group by an "
                 f"enum-like column (language/source/shard), bucket the "
-                f"key upstream, or raise max_partition_groups / pass "
-                f"None if the broadcast genuinely fits.")
+                f"key upstream, pass bounds_join='shuffle' (plain "
+                f"equi-joins — scales to any cardinality), or raise "
+                f"max_partition_groups / pass None if the broadcast "
+                f"genuinely fits.")
         return small
+
+    def _keyed(small: DataFrame):
+        # grouped attach: broadcast for bounded vocabularies (guarded),
+        # plain equi-join for unbounded keys (shuffles coalesce with
+        # the downstream (group, bucket) window exchanges)
+        return (F.broadcast(_guard(small)) if bounds_join == "broadcast"
+                else small)
 
     def _attach(small: DataFrame) -> DataFrame:
         # one bounded row per partition-key combination (a bounded
         # vocabulary — languages/sources/domains), broadcast back
-        return (rel.join(F.broadcast(_guard(small)), pcols) if pcols
+        return (rel.join(_keyed(small), pcols) if pcols
                 else rel.crossJoin(F.broadcast(small)))
 
     if not probs:                       # n_range_buckets == 1: degenerate
@@ -155,11 +177,13 @@ def distributed_prev_counts(
     offsets = btot.select(
         *pcols, "_b",
         F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"))
+    offsets = (F.broadcast(offsets)
+               if not pcols or bounds_join == "broadcast" else offsets)
     return (bucketed
             .withColumn("_loc",
                         F.coalesce(F.sum(cnt_col).over(w_local),
                                    F.lit(0)))
-            .join(F.broadcast(offsets), pcols + ["_b"])
+            .join(offsets, pcols + ["_b"])
             .select(*pcols, order_col, cnt_col, *extra_cols,
                     (F.col("_off") + F.col("_loc")).alias("_prev"),
                     *(["_total"] if with_totals else [])))

@@ -672,6 +672,7 @@ def quantile_normalize(
     n_quantiles: int = 100,
     n_range_buckets: int = 64,
     tie_salt: int = 8,
+    bounds_join: str = "broadcast",
 ) -> DataFrame:
     """Cross-group quantile normalization — the batch-effect fix for
     score columns whose DISTRIBUTION differs by source (one quality
@@ -723,6 +724,10 @@ def quantile_normalize(
     value, and ``norm_value``. Rows with NULL or NaN value are
     excluded (NaN has no quantile; it would also break the
     prefix-sum's monotone bucketing — see ``auc_score``).
+    ``group_col`` must be a bounded vocabulary under the default
+    ``bounds_join="broadcast"`` (guarded at 65,536 groups); pass
+    ``bounds_join="shuffle"`` for an unbounded key — plain
+    equi-joins, any cardinality, bit-identical results.
     """
     from pyspark.sql import Window
 
@@ -760,7 +765,8 @@ def quantile_normalize(
     vg = gsl.groupBy("grp", "v").agg(F.sum("_c").alias("_cg"))
     pg = (distributed_prev_counts(vg, "v", "_cg", n_range_buckets,
                                   partition_cols=("grp",),
-                                  with_totals=True)
+                                  with_totals=True,
+                                  bounds_join=bounds_join)
           .select("grp", "v", F.col("_prev").alias("_prev_g"),
                   F.col("_total").alias("_n_g")))
     va = gsl.groupBy("v").agg(F.sum("_c").alias("_ca"))

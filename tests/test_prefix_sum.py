@@ -43,6 +43,54 @@ def test_vocabulary_guard_none_skips_probe(spark):
     assert out.count() == 300
 
 
+def test_shuffle_bounds_join_matches_broadcast_exactly(spark):
+    """bounds_join='shuffle' — the unbounded-vocabulary scale path the
+    guard routes to — is bit-identical to the broadcast default (the
+    decomposition does not depend on the join strategy), skips the
+    guard probe entirely, and its plan carries no broadcast HINT on
+    the grouped bounds or offsets (AQE may still choose a broadcast
+    join at runtime when a side turns out tiny — that is the point of
+    leaving the strategy to Catalyst)."""
+    import random
+
+    rng = random.Random(10)
+    rows = [(f"g{i % 7}", rng.random(), 1 + i % 3) for i in range(500)]
+    want = {(r["g"], r["v"]): (r["_prev"], r["_total"])
+            for r in _prev_counts(spark, rows,
+                                  with_totals=True).collect()}
+    shuffled = _prev_counts(spark, rows, with_totals=True,
+                            bounds_join="shuffle",
+                            max_partition_groups=1)  # probe skipped
+    got = {(r["g"], r["v"]): (r["_prev"], r["_total"])
+           for r in shuffled.collect()}
+    assert got == want
+    optimized = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    # the broadcast default DOES hint both grouped attaches
+    pinned = _prev_counts(spark, rows, with_totals=True,
+                          max_partition_groups=None)
+    assert "strategy=broadcast" in \
+        pinned._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_shuffle_bounds_join_handles_unbounded_group_key(spark):
+    """A group cardinality far above any broadcast guard computes the
+    exact per-group exclusive prefix sums through plain equi-joins."""
+    rows = [(f"domain_{i}", float(v), 1)
+            for i in range(2_000) for v in (1, 2)]
+    got = _prev_counts(spark, rows, bounds_join="shuffle")
+    assert got.count() == 4_000
+    sample = {(r["g"], r["v"]): r["_prev"] for r in
+              got.filter(got.g == "domain_7").collect()}
+    assert sample == {("domain_7", 1.0): 0, ("domain_7", 2.0): 1}
+
+
+def test_bounds_join_invalid_value_raises(spark):
+    rows = [("en", 1.0, 1)]
+    with pytest.raises(ValueError, match="bounds_join"):
+        _prev_counts(spark, rows, bounds_join="hash")
+
+
 def test_vocabulary_guard_passes_bounded_vocabulary(spark):
     """Under the limit the guard is invisible — values match the
     closed-form exclusive prefix sum per group."""
