@@ -3301,8 +3301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "corpus_diff": q_corpus_diff,
-        # -- positions 51+: r11 rotation leaders — the rest of the
-        #    r7 driver window in its recorded order
+        # -- positions 51+: queries added AFTER the r10 window was
+        #    composed are r11-QUEUED tier-2 (the r5 late-arrival
+        #    rule: they do not evict recorded-rotation entries)
+        "unimax_allocation": q_unimax_allocation,
+        "quality_funnel": q_quality_funnel,
+        # -- then the r11 rotation leaders — the rest of the r7
+        #    driver window in its recorded order
         "late_shipment_priority": q_late_shipment_priority,
         "product_profit_by_nation": q_product_profit_by_nation,
         "top_value_parts": q_top_value_parts,
@@ -3892,6 +3897,104 @@ def oracle_sql() -> dict[str, str]:
     _qsel = """a[CAST(floor(0.5 * (len(a) - 1)) AS INT) + 1] AS p50,
                    a[CAST(floor(0.95 * (len(a) - 1)) AS INT) + 1] AS p95"""
     return _alias_oracles({
+        "unimax_allocation": """
+            WITH per AS (
+                SELECT source,
+                       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                           AS n_tokens
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY source
+            ), cap AS (
+                SELECT source, n_tokens,
+                       CAST(n_tokens AS DECIMAL(28,6))
+                           * CAST('1.5' AS DECIMAL(10,6)) AS k
+                FROM per
+            ), staged AS (
+                SELECT source, n_tokens, k,
+                       row_number() OVER ord AS i,
+                       count(*) OVER () AS n,
+                       coalesce(sum(k) OVER (
+                           ORDER BY k, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                           CAST(0 AS DECIMAL(28,6))) AS p
+                FROM cap
+                WINDOW ord AS (ORDER BY k, source)
+            ), flagged AS (
+                SELECT *,
+                       (CAST(k AS DOUBLE)
+                        <= CAST(CAST(210000 AS DECIMAL(28,6)) - p
+                                AS DOUBLE) / (n - i + 1)) AS capped
+                FROM staged
+            ), solved AS (
+                SELECT *,
+                       sum(CASE WHEN capped THEN k
+                                ELSE CAST(0 AS DECIMAL(28,6)) END)
+                           OVER () AS capsum,
+                       sum(CASE WHEN capped THEN 1 ELSE 0 END)
+                           OVER () AS ncap,
+                       CASE WHEN capped THEN CAST(k AS DOUBLE)
+                            ELSE CAST(CAST(210000 AS DECIMAL(28,6))
+                                      - sum(CASE WHEN capped THEN k
+                                            ELSE CAST(0 AS
+                                                 DECIMAL(28,6)) END)
+                                        OVER () AS DOUBLE)
+                                 / (n - sum(CASE WHEN capped THEN 1
+                                            ELSE 0 END) OVER ())
+                       END AS alloc
+                FROM flagged
+            )
+            SELECT source, n_tokens,
+                   CAST(k AS DOUBLE) AS capacity,
+                   alloc AS alloc_tokens,
+                   CASE WHEN n_tokens = 0 THEN NULL
+                        ELSE alloc / CAST(n_tokens AS DOUBLE)
+                   END AS epochs
+            FROM solved
+        """,
+        "quality_funnel": """
+            WITH staged AS (
+                SELECT *, count(*) OVER (PARTITION BY md5(text)) AS dupn
+                FROM documents
+            ), flags AS (
+                SELECT
+                  coalesce(text IS NOT NULL AND n_chars > 0, FALSE)
+                      AS p1,
+                  coalesce(n_chars BETWEEN 100 AND 450, FALSE) AS p2,
+                  coalesce(lang = 'en', FALSE) AS p3,
+                  coalesce(NOT regexp_matches(text, '\\bslow\\b'),
+                           FALSE) AS p4,
+                  coalesce(dupn = 1, FALSE) AS p5
+                FROM staged
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS s_in,
+                  CAST(coalesce(sum(CASE WHEN p1
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS s1,
+                  CAST(coalesce(sum(CASE WHEN p1 AND p2
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS s2,
+                  CAST(coalesce(sum(CASE WHEN p1 AND p2 AND p3
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3,
+                  CAST(coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND p4
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS s4,
+                  CAST(coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS s5
+                FROM flags
+            ), rows_out AS (
+                SELECT 1 AS stage_idx, 'nonempty' AS stage,
+                       s_in AS n_in, s1 AS n_out FROM agg
+                UNION ALL SELECT 2, 'length_100_450', s1, s2 FROM agg
+                UNION ALL SELECT 3, 'english', s2, s3 FROM agg
+                UNION ALL SELECT 4, 'no_blocklist_term', s3, s4
+                    FROM agg
+                UNION ALL SELECT 5, 'unique_text', s4, s5 FROM agg
+            )
+            SELECT stage_idx, stage, n_in, n_out,
+                   n_in - n_out AS n_dropped,
+                   CASE WHEN n_in = 0 THEN NULL
+                        ELSE CAST(n_out AS DOUBLE) / n_in
+                   END AS survival_rate
+            FROM rows_out
+        """,
         "minhash_lsh_dups": _minhash_lsh_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
@@ -7696,6 +7799,50 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann_recall(q_embedding_topk(spark, sf_dir),
                       q_embedding_ivfpq_topk(spark, sf_dir))
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax training-budget allocation (operators.sampling.
+    unimax_allocation — Chung et al., ICLR 2023): water-fill a
+    210k-char budget across crawl sources with a 1.5-epoch cap, chars
+    as the token proxy. At sf0.01 the parameters land in the MIXED
+    regime (small sources capped at full capacity, large ones at the
+    common water level) — the regime where the closed-form actually
+    decides something; the oracle replays the sorted-prefix capping
+    test and the full-frame theta windows over exact DECIMALs."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, budget_tokens=210_000,
+                             max_epochs="1.5", source_col="source",
+                             token_col="n_chars")
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-stage corpus-filter funnel (operators.cleaning.
+    filter_funnel): nonempty -> length gate -> English -> no
+    blocklist term (the C4 bad-words rule; 'slow' stands in for the
+    list) -> exact-text unique (the duplicate count precomputed as a
+    window over md5(text) — the row-local-predicate contract).
+    Cumulative conjunction, fail-closed NULLs; one aggregate over the
+    corpus, five rows out."""
+    from pyspark.sql import Window
+
+    from dump1090_db_stream_spark.operators.cleaning import filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "_dupn", F.count(F.lit(1)).over(
+            Window.partitionBy(F.md5(F.col("text")))))
+    return filter_funnel(staged, [
+        ("nonempty", F.col("text").isNotNull() & (F.col("n_chars") > 0)),
+        ("length_100_450", F.col("n_chars").between(100, 450)),
+        ("english", F.col("lang") == "en"),
+        ("no_blocklist_term", ~F.col("text").rlike(r"\bslow\b")),
+        ("unique_text", F.col("_dupn") == 1),
+    ])
 
 
 def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -414,3 +414,59 @@ def c4_line_filter(
         F.when(reason.isNull(), F.array_join(kept, "\n"))
          .alias("clean_text"),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Per-stage survival report for a quality-filter pipeline — the
+    number corpus engineers actually stare at ("which filter kills how
+    many documents"): given ordered (name, predicate) stages, one row
+    per stage with how many documents entered it, survived it, and the
+    survival rate, under CUMULATIVE conjunction (a document reaches
+    stage k only by passing stages 1..k-1 — the order filters run in a
+    real pipeline, where each stage only sees its predecessors'
+    survivors).
+
+    NULL predicates FAIL the stage (fail-closed, the
+    check_expectations discipline): a document whose signal could not
+    be computed must not sail through a gate that exists to inspect
+    that signal.
+
+    Scale shape: the entire funnel is ONE map-side-combined aggregate
+    over the corpus (k conditional sums; no shuffle beyond the
+    single-row agg), then a k-row stack. Predicates must be row-local
+    Column expressions — precompute corpus-level signals (e.g. a
+    duplicate count via a window) as columns first, as
+    ``q_quality_funnel`` does.
+
+    Output: (stage_idx 1-based, stage, n_in, n_out, n_dropped,
+    survival_rate = n_out/n_in, NULL when n_in = 0 via try_divide).
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    acc = F.lit(True)
+    sums = []
+    for i, (_, pred) in enumerate(stages):
+        acc = acc & F.coalesce(pred, F.lit(False))
+        # coalesce: sum over ZERO rows is NULL — an empty corpus must
+        # report 0-count stages, not a NULL funnel
+        sums.append(F.coalesce(F.sum(acc.cast("long")), F.lit(0))
+                    .alias(f"_s{i}"))
+    row = df.agg(F.count(F.lit(1)).alias("_s_in"), *sums)
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+    triples = ", ".join(
+        f"{i + 1}, {q(name)}, {'_s_in' if i == 0 else f'_s{i - 1}'}, _s{i}"
+        for i, name in enumerate(names))
+    return (row.selectExpr(
+        f"stack({len(names)}, {triples}) "
+        f"AS (stage_idx, stage, n_in, n_out)")
+        .select("stage_idx", "stage", "n_in", "n_out",
+                (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+                F.try_divide(F.col("n_out"), F.col("n_in"))
+                .alias("survival_rate")))

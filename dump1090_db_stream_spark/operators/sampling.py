@@ -838,3 +838,98 @@ def quantile_normalize(
                     F.col("grp").alias(group_col),
                     F.col("v").alias(value_col),
                     "norm_value"))
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: str = "4.0",
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a
+    total training-token budget across sources as UNIFORMLY as
+    possible subject to a per-source epoch cap — the closed-form
+    alternative to hand-tuned temperature mixtures (UniMax's headline
+    result: uniform-with-caps beats every temperature at equal scale).
+    Each source's capacity is ``n_tokens * max_epochs``; the optimum
+    is water-filling: a common level theta with
+    sum(min(capacity_s, theta)) = budget, every source allocated
+    min(capacity_s, theta). Small sources are CAPPED at full capacity
+    (never over-repeated past the epoch limit); large sources all
+    receive the same theta tokens.
+
+    The greedy in the paper (ascending capacity, fair share of the
+    remaining budget per step) equals water-filling, which makes it
+    window-expressible: sort sources ascending by capacity, take the
+    exclusive prefix sum P_i, and source i is capped iff
+    capacity_i <= (budget - P_i) / (n - i + 1) — the raw-prefix test
+    is exact because an uncapped source's successors are all uncapped
+    (capacities ascend while the candidate level cannot rise past the
+    first uncapped row). Theta then comes from full-frame window sums
+    over the capped set. If total capacity <= budget every source is
+    capped (the budget is undersubscribed; the surplus is unallocated
+    by design — allocating it would break the epoch cap).
+
+    DETERMINISM: capacities and prefix sums are exact DECIMALs
+    (``max_epochs`` is a decimal STRING so the literal never takes a
+    float detour), divisions and comparisons happen in IEEE doubles
+    from those exact values, and nothing is rounded — both engines
+    produce bit-identical doubles, the quantile-normalize discipline.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to the source vocabulary; every window after it runs over that
+    bounded relation (the prefix_sum bucket-totals discipline — the
+    single ordered exchange carries |sources| rows, never the input).
+    NULL sources are excluded (no source to budget). Output: (source,
+    n_tokens, capacity, alloc_tokens, epochs), epochs NULL for an
+    empty source via try_divide.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            f"budget_tokens must be >= 0, got {budget_tokens}")
+    from decimal import Decimal
+    from pyspark.sql import Window
+
+    Decimal(max_epochs)  # validates the string early, engine-neutrally
+    per = (df.filter(F.col(source_col).isNotNull())
+           .groupBy(source_col)
+           .agg(F.sum(F.col(token_col).cast("long")).alias("n_tokens")))
+    me = F.lit(max_epochs).cast("decimal(10,6)")
+    b = F.lit(int(budget_tokens)).cast("decimal(28,6)")
+    cap = per.withColumn(
+        "_k", F.col("n_tokens").cast("decimal(28,6)") * me)
+    w_ord = Window.orderBy("_k", source_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    staged = (cap
+              .withColumn("_i", F.row_number().over(w_ord))
+              .withColumn("_n", F.count(F.lit(1)).over(w_full))
+              .withColumn("_p", F.coalesce(
+                  F.sum("_k").over(w_prev),
+                  F.lit(0).cast("decimal(28,6)")))
+              .withColumn("_level",
+                          (b - F.col("_p")).cast("double")
+                          / (F.col("_n") - F.col("_i") + 1))
+              .withColumn("_capped",
+                          F.col("_k").cast("double") <= F.col("_level")))
+    solved = (staged
+              .withColumn("_capsum", F.sum(
+                  F.when(F.col("_capped"), F.col("_k"))
+                  .otherwise(F.lit(0).cast("decimal(28,6)"))).over(w_full))
+              .withColumn("_ncap", F.sum(
+                  F.col("_capped").cast("long")).over(w_full))
+              .withColumn("_theta", F.when(
+                  F.col("_ncap") < F.col("_n"),
+                  (b - F.col("_capsum")).cast("double")
+                  / (F.col("_n") - F.col("_ncap")))))
+    return solved.select(
+        source_col, "n_tokens",
+        F.col("_k").cast("double").alias("capacity"),
+        F.when(F.col("_capped"), F.col("_k").cast("double"))
+         .otherwise(F.col("_theta")).alias("alloc_tokens"),
+        F.try_divide(
+            F.when(F.col("_capped"), F.col("_k").cast("double"))
+             .otherwise(F.col("_theta")),
+            F.col("n_tokens").cast("double")).alias("epochs"))

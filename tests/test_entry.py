@@ -65,8 +65,11 @@ def test_r10_window_composition():
     # ... then the r7-window head completes the 50
     assert window[42] == "pricing_summary"
     assert window[-1] == "corpus_diff"
-    # positions 51+: the rest of the r7 window leads the r11 rotation
-    assert order[50] == "late_shipment_priority"
+    # positions 51+: late r10 additions are r11-queued (the r5
+    # late-arrival rule), then the rest of the r7 window leads the
+    # r11 rotation
+    assert order[50] == "unimax_allocation"
+    assert order[51] == "late_shipment_priority"
     # the r8 then r9 greens (freshest, untouched) close the registry
     assert order.index("multimodal_features") > \
         order.index("idle_rich_customers")
