@@ -3306,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rule: they do not evict recorded-rotation entries)
         "unimax_allocation": q_unimax_allocation,
         "quality_funnel": q_quality_funnel,
+        "ann_recall_int8": q_ann_recall_int8,
+        "ann_recall_pq": q_ann_recall_pq,
         # -- then the r11 rotation leaders — the rest of the r7
         #    driver window in its recorded order
         "late_shipment_priority": q_late_shipment_priority,
@@ -6986,9 +6988,10 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # composed from the two neighbor-list oracles each arm grades
     # (all closed-form) — one recall contract per ladder dial so a
     # regression in ANY index arm lands a driver hash
-    def recall_oracle(approx_key: str) -> str:
+    def recall_oracle(approx_key: str, exact_where: str = "") -> str:
         return f"""
-        WITH exact_nb AS ({oracles['embedding_topk']}),
+        WITH exact_all AS ({oracles['embedding_topk']}),
+        exact_nb AS (SELECT * FROM exact_all {exact_where}),
         approx_nb AS ({oracles[approx_key]}),
         ne AS (
             SELECT query_id, count(*) AS n_exact
@@ -7011,6 +7014,12 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     oracles["ann_recall_ivf"] = recall_oracle("embedding_ivf_topk")
     oracles["ann_recall_lsh"] = recall_oracle("embedding_lsh_topk")
     oracles["ann_recall_ivfpq"] = recall_oracle("embedding_ivfpq_topk")
+    oracles["ann_recall_int8"] = recall_oracle("embedding_quantized_topk")
+    # the PQ arm's contract query evals 3 queries where the others
+    # eval 5 — the exact arm filters to the same set (recall is only
+    # defined for queries the approximate arm searched)
+    oracles["ann_recall_pq"] = recall_oracle(
+        "embedding_pq_topk", "WHERE query_id < 3")
     # the eval queries rank/bin the SAME scored relation: the dsir
     # oracle composed with the logistic squash and the language label
     scored = f"""
@@ -7799,6 +7808,28 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann_recall(q_embedding_topk(spark, sf_dir),
                       q_embedding_ivfpq_topk(spark, sf_dir))
+
+
+def q_ann_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-quantized cosine arm against the
+    brute-force float exact top-k — the quantization-loss dial (how
+    many true neighbors does 8-bit scale-cancelled cosine drop)."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    return ann_recall(q_embedding_topk(spark, sf_dir),
+                      q_embedding_quantized_topk(spark, sf_dir))
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the pure-PQ ADC arm (fixed codebooks, m=8 codes)
+    against the brute-force exact top-k. The PQ contract query runs a
+    3-query eval set (vec_id < 3) where the other arms run 5, so the
+    exact arm is FILTERED to the same queries — recall must only be
+    scored for queries the approximate arm actually searched."""
+    from dump1090_db_stream_spark.operators.similarity import ann_recall
+
+    exact = q_embedding_topk(spark, sf_dir).filter(F.col("query_id") < 3)
+    return ann_recall(exact, q_embedding_pq_topk(spark, sf_dir))
 
 
 def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,14 @@ EXTENDED = [
     # windows + ordered folds; IVF recall composition)
     "retrieval_metrics",
     "ann_recall_ivf",
+    # round-10 additions: the remaining ANN recall arms, the UniMax
+    # water-fill (vocabulary windows), the one-aggregate funnel
+    "ann_recall_lsh",
+    "ann_recall_ivfpq",
+    "ann_recall_int8",
+    "ann_recall_pq",
+    "unimax_allocation",
+    "quality_funnel",
 ]
 
 

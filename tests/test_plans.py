@@ -359,6 +359,10 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
         "ann_recall_lsh",         # also inherits the LSH arm's
                                   # hyperplane-literal one-row attach
         "ann_recall_ivfpq",
+        "ann_recall_int8",        # int8 arm is itself a broadcast
+                                  # band scan (same as embedding_topk)
+        "ann_recall_pq",          # PQ ADC arm: broadcast query-LUT
+                                  # side (same as embedding_pq_topk)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
