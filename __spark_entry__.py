@@ -3308,6 +3308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
+        "vocab_coverage": q_vocab_coverage,
+        "source_divergence": q_source_divergence,
         # -- then the r11 rotation leaders — the rest of the r7
         #    driver window in its recorded order
         "late_shipment_priority": q_late_shipment_priority,
@@ -3899,6 +3901,102 @@ def oracle_sql() -> dict[str, str]:
     _qsel = """a[CAST(floor(0.5 * (len(a) - 1)) AS INT) + 1] AS p50,
                    a[CAST(floor(0.95 * (len(a) - 1)) AS INT) + 1] AS p95"""
     return _alias_oracles({
+        "vocab_coverage": """
+            WITH toks AS (
+                SELECT source,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE source IS NOT NULL
+            ), units AS (
+                SELECT source AS g, t[i] || ' ' || t[i+1] AS term
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+            ), gt AS (
+                SELECT g, term, count(*) AS c
+                FROM units GROUP BY g, term
+            )
+            SELECT g AS source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_singletons,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_doubletons,
+                   round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / sum(c), 6) AS unseen_mass,
+                   round(count(*)
+                         + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                AS DOUBLE)
+                         * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                         / (2.0 * (sum(CASE WHEN c = 2 THEN 1
+                                       ELSE 0 END) + 1)), 6)
+                       AS chao1_richness
+            FROM gt GROUP BY g
+        """,
+        "source_divergence": """
+            WITH toks AS (
+                SELECT source,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE source IS NOT NULL
+            ), units AS (
+                SELECT source AS g, t[i] || ' ' || t[i+1] AS term
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+            ), gt AS (
+                SELECT g, term, count(*) AS c
+                FROM units GROUP BY g, term
+            ), corpus AS (
+                SELECT term, CAST(sum(c) AS BIGINT) AS C
+                FROM gt GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(C) AS BIGINT) AS N, count(*) AS V
+                FROM corpus
+            ), sall AS (
+                SELECT CAST(sum(CAST(floor(
+                           ln((C + CAST(0.5 AS DOUBLE))
+                              / (N + CAST(0.5 AS DOUBLE) * V))
+                           * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                       / 1e9 AS S_all
+                FROM corpus, tot
+            ), gstat AS (
+                SELECT g, CAST(sum(c) AS BIGINT) AS Ng,
+                       count(*) AS Vg
+                FROM gt GROUP BY g
+            ), pq AS (
+                SELECT gt.g,
+                       (gt.c + CAST(0.5 AS DOUBLE))
+                           / (gstat.Ng + CAST(0.5 AS DOUBLE) * tot.V)
+                           AS p,
+                       (corpus.C + CAST(0.5 AS DOUBLE))
+                           / (tot.N + CAST(0.5 AS DOUBLE) * tot.V)
+                           AS q
+                FROM gt
+                JOIN corpus USING (term)
+                JOIN gstat ON gt.g = gstat.g
+                CROSS JOIN tot
+            ), obs AS (
+                SELECT g,
+                       CAST(sum(CAST(floor(p * ln(p / q) * 1e9 + 0.5)
+                                AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                           AS kl_obs,
+                       CAST(sum(CAST(floor(ln(q) * 1e9 + 0.5)
+                                AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                           AS S_g
+                FROM pq GROUP BY g
+            )
+            SELECT gstat.g AS source,
+                   gstat.Ng AS n_tokens,
+                   CAST(gstat.Vg AS BIGINT) AS n_types,
+                   round(obs.kl_obs
+                         + (CAST(0.5 AS DOUBLE)
+                            / (gstat.Ng + CAST(0.5 AS DOUBLE) * tot.V))
+                           * ((tot.V - gstat.Vg)
+                              * ln(CAST(0.5 AS DOUBLE)
+                                   / (gstat.Ng
+                                      + CAST(0.5 AS DOUBLE) * tot.V))
+                              - (sall.S_all - obs.S_g)), 6)
+                       AS kl_to_corpus
+            FROM gstat
+            JOIN obs USING (g)
+            CROSS JOIN tot CROSS JOIN sall
+        """,
         "unimax_allocation": """
             WITH per AS (
                 SELECT source,
@@ -7830,6 +7928,38 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = q_embedding_topk(spark, sf_dir).filter(F.col("query_id") < 3)
     return ann_recall(exact, q_embedding_pq_topk(spark, sf_dir))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage over BIGRAM units (operators.
+    relevance.vocabulary_coverage): Good-Turing unseen mass n1/N and
+    bias-corrected Chao1 richness — the is-more-of-this-source-novel
+    report. Bigrams because the synthetic corpus's unigram vocabulary
+    saturates (~31 types everywhere); the bigram grid (~700 types,
+    ~300 singletons per source at sf0.01) gives the estimators real
+    structure. Exact integer aggregates end-to-end."""
+    from dump1090_db_stream_spark.operators.relevance import (
+        vocabulary_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary_coverage(docs, "source", "text", unit="bigram")
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source smoothed KL divergence to the pooled corpus over
+    bigram units (operators.relevance.corpus_divergence, alpha=0.5) —
+    the domain-shift ranking data-mixing work reweights by. The
+    unobserved tail is closed-form off two scalars; per-term double
+    contributions are 1e-9-quantized and summed as exact decimals, so
+    the oracle replays the sums order-independently."""
+    from dump1090_db_stream_spark.operators.relevance import (
+        corpus_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_divergence(docs, "source", "text", unit="bigram",
+                             alpha=0.5)
 
 
 def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,6 +149,8 @@ EXTENDED = [
     "ann_recall_pq",
     "unimax_allocation",
     "quality_funnel",
+    "vocab_coverage",
+    "source_divergence",
 ]
 
 

@@ -308,3 +308,164 @@ def bigram_logprob(
               .alias("logprob"))
         .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
     )
+
+
+def _group_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    unit: str,
+) -> DataFrame:
+    """(g, term, c) — per-group unit counts, unit = 'token' (whitespace
+    terms) or 'bigram' (adjacent pairs joined with one space, the
+    _bigrams_of_toks zip_with shape). NULL groups are excluded (no
+    group to attribute the mass to). One map-side-combined aggregate;
+    the relation is vocabulary x groups sized, never corpus sized."""
+    if unit not in ("token", "bigram"):
+        raise ValueError(f"unit must be 'token' or 'bigram', got {unit!r}")
+    toks = (with_tokens(df.filter(F.col(group_col).isNotNull()),
+                        text_col, "_vc_toks")
+            .select(F.col(group_col).alias("g"),
+                    F.col("_vc_toks").alias("t")))
+    if unit == "token":
+        units = toks.select("g", F.explode("t").alias("term"))
+    else:
+        n1 = F.greatest(F.lit(0), F.size("t") - 1)
+        pairs = F.zip_with(
+            F.slice("t", 1, n1), F.slice("t", 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b))
+        units = toks.select("g", F.explode(pairs).alias("term"))
+    return units.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "bigram",
+) -> DataFrame:
+    """Per-group vocabulary coverage / richness report — how much of a
+    source's unit distribution the corpus has actually SEEN, the
+    question behind "is more of this source worth crawling":
+
+    - ``unseen_mass`` — the Good-Turing estimate of the probability
+      that the NEXT unit drawn from the source is novel, P0 = n1 / N
+      (Gale & Sampson 1995): the singleton share of the token mass.
+    - ``chao1_richness`` — the bias-corrected Chao1 species-richness
+      estimate of the TRUE vocabulary size, V + n1*(n1-1)/(2*(n2+1))
+      (Chao 1984): how many unit types the source would reveal at
+      infinite sampling.
+
+    Everything upstream of the two final divisions is an exact
+    integer aggregate, so both engines replay the doubles
+    bit-for-bit. Scale shape: one (group, unit) aggregate (map-side
+    combined), then a per-group rollup of it — vocabulary-sized
+    relations only. Output: (group, n_tokens, n_types, n_singletons,
+    n_doubletons, unseen_mass rounded 6, chao1_richness rounded 6).
+    """
+    gt = _group_terms(df, group_col, text_col, unit)
+    return (gt.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+         .cast("long").alias("n_singletons"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+         .cast("long").alias("n_doubletons"))
+        .select(F.col("g").alias(group_col),
+                "n_tokens", "n_types", "n_singletons", "n_doubletons",
+                F.round(F.col("n_singletons").cast("double")
+                        / F.col("n_tokens"), 6).alias("unseen_mass"),
+                F.round(F.col("n_types")
+                        + F.col("n_singletons").cast("double")
+                        * (F.col("n_singletons") - 1)
+                        / (2.0 * (F.col("n_doubletons") + 1)), 6)
+                .alias("chao1_richness")))
+
+
+def _quantized(x):
+    """Order-independent float summation discipline for per-term
+    contributions: quantize each double to 1e-9 with floor(x*1e9+0.5)
+    (NOT round() — Spark rounds HALF_UP via BigDecimal where DuckDB
+    multiplies floats, so they diverge on exact .5e-9 ties; floor of
+    the shifted value is the identical IEEE sequence in both), then
+    sum the scaled integers as DECIMAL(38,0) — exact and
+    order-independent where a raw double sum would carry
+    partition-order noise across engines."""
+    return F.floor(x * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+
+
+def corpus_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "bigram",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group smoothed KL divergence from the group's unit
+    distribution to the POOLED corpus distribution — the domain-shift
+    number data-mixing work ranks sources by (a source whose
+    distribution sits far from the mixture is the one reweighting
+    actually moves): KL(P_g || Q) with add-alpha smoothing over the
+    GLOBAL vocabulary V, so every term is in both supports and the
+    divergence is always finite.
+
+    The unobserved-term tail is closed-form, never materialized: for
+    every term the group lacks, p_g is the SAME constant
+    p0 = alpha / (N_g + alpha*V), so the tail contribution is
+    p0 * ((V - V_g) * ln(p0) - (S_all - S_g)) where
+    S_all = sum over the vocabulary of ln(q(t)) (ONE global scalar)
+    and S_g its restriction to the group's observed terms — the plan
+    joins only observed (group, term) rows (vocabulary-sized), plus
+    one broadcast row of corpus totals.
+
+    DETERMINISM: per-term double contributions are quantized to 1e-9
+    and summed as exact DECIMAL scaled integers (see ``_quantized`` —
+    the pagerank ordered-fold discipline, applied groupwise), so the
+    result is independent of partition order and replayable by the
+    SQL oracle; the quantization bias is bounded by 5e-10 * terms.
+
+    Output: (group, n_tokens, n_types, kl_to_corpus rounded 6),
+    ascending kl = "looks like the corpus", large kl = outlier domain.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from dump1090_db_stream_spark.cache import track
+
+    gt = track(_group_terms(df, group_col, text_col, unit))
+    glob = track(gt.groupBy("term").agg(F.sum("c").alias("c_all")))
+    a = F.lit(float(alpha))
+    # one-row corpus totals: N, V, S_all = sum_t ln(q(t)) (quantized)
+    tot0 = glob.agg(F.sum("c_all").alias("N"),
+                    F.count(F.lit(1)).alias("V"))
+    qden = F.col("N") + a * F.col("V")
+    s_all = (glob.crossJoin(F.broadcast(tot0))
+             .select(_quantized(F.log((F.col("c_all") + a) / qden))
+                     .alias("_lq"))
+             .agg((F.sum("_lq").cast("double") / 1e9).alias("S_all")))
+    totals = tot0.crossJoin(F.broadcast(s_all))
+    # per-group N_g, V_g
+    gstat = gt.groupBy("g").agg(F.sum("c").alias("Ng"),
+                                F.count(F.lit(1)).alias("Vg"))
+    # observed-term contributions + S_g, both quantized-decimal sums
+    joined = (gt.join(glob, "term")
+              .join(F.broadcast(gstat), "g")
+              .crossJoin(F.broadcast(totals)))
+    p = (F.col("c") + a) / (F.col("Ng") + a * F.col("V"))
+    q = (F.col("c_all") + a) / (F.col("N") + a * F.col("V"))
+    obs = (joined
+           .select("g", _quantized(p * F.log(p / q)).alias("_kl"),
+                   _quantized(F.log(q)).alias("_lq"))
+           .groupBy("g")
+           .agg((F.sum("_kl").cast("double") / 1e9).alias("kl_obs"),
+                (F.sum("_lq").cast("double") / 1e9).alias("S_g")))
+    p0 = a / (F.col("Ng") + a * F.col("V"))
+    return (gstat.join(obs, "g")
+            .crossJoin(F.broadcast(totals))
+            .select(F.col("g").alias(group_col),
+                    F.col("Ng").cast("long").alias("n_tokens"),
+                    F.col("Vg").cast("long").alias("n_types"),
+                    F.round(F.col("kl_obs")
+                            + p0 * ((F.col("V") - F.col("Vg"))
+                                    * F.log(p0)
+                                    - (F.col("S_all") - F.col("S_g"))),
+                            6).alias("kl_to_corpus")))

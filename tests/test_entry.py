@@ -68,9 +68,10 @@ def test_r10_window_composition():
     # positions 51+: late r10 additions are r11-queued (the r5
     # late-arrival rule), then the rest of the r7 window leads the
     # r11 rotation
-    assert order[50:54] == ["unimax_allocation", "quality_funnel",
-                            "ann_recall_int8", "ann_recall_pq"]
-    assert order[54] == "late_shipment_priority"
+    assert order[50:56] == ["unimax_allocation", "quality_funnel",
+                            "ann_recall_int8", "ann_recall_pq",
+                            "vocab_coverage", "source_divergence"]
+    assert order[56] == "late_shipment_priority"
     # the r8 then r9 greens (freshest, untouched) close the registry
     assert order.index("multimodal_features") > \
         order.index("idle_rich_customers")

@@ -363,6 +363,10 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # band scan (same as embedding_topk)
         "ann_recall_pq",          # PQ ADC arm: broadcast query-LUT
                                   # side (same as embedding_pq_topk)
+        "source_divergence",      # one-row (N, V, S_all) corpus-
+                                  # totals attach onto vocabulary-
+                                  # sized relations (same class as
+                                  # bigram_pmi / dsir_weights)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
