@@ -562,8 +562,12 @@ def main() -> None:
     # measured at an older HEAD is only trusted if the measured code
     # path is still byte-identical — otherwise it's marked stale.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    ab_glob = glob.glob(os.path.join(
+    # keep only canonical round-numbered records: a stray artifact
+    # like ingest_ab_r10_retry.json matches the glob but must not
+    # crash the sort key or masquerade as the newest round
+    ab_glob = [p for p in glob.glob(os.path.join(
         repo_dir, "scripts", "ingest_ab_r*.json"))
+        if re.search(r"ingest_ab_r(\d+)\.json$", p)]
     ab_glob.sort(key=lambda p: int(
         re.search(r"ingest_ab_r(\d+)\.json$", p).group(1)))
     ingest_ab = None
@@ -586,7 +590,12 @@ def main() -> None:
                  f"{ingest_ab['head_commit']}..HEAD", "--",
                  *measured_paths],
                 cwd=repo_dir, capture_output=True).returncode
-            ingest_ab["measured_path_unchanged_vs_head"] = (rc == 0)
+            # git diff --quiet: 0 = identical, 1 = paths differ,
+            # anything else (128 = unknown commit after a rewrite /
+            # shallow clone) = COULD NOT DETERMINE — record None, not
+            # a false "the measured code changed"
+            ingest_ab["measured_path_unchanged_vs_head"] = (
+                True if rc == 0 else False if rc == 1 else None)
         except Exception:
             ingest_ab["measured_path_unchanged_vs_head"] = None
 

@@ -34,6 +34,8 @@ count or length.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -449,6 +451,14 @@ def filter_funnel(
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
+    # stage names are embedded in a generated stack() expression;
+    # restricting them to identifier-ish text closes the quote/
+    # backslash escaping hazards of Spark SQL string literals
+    # (names are developer-written labels, not data)
+    bad = [n for n in names if not re.fullmatch(r"[A-Za-z0-9_. -]+", n)]
+    if bad:
+        raise ValueError(
+            f"stage names must match [A-Za-z0-9_. -]+, got {bad}")
     acc = F.lit(True)
     sums = []
     for i, (_, pred) in enumerate(stages):
@@ -458,10 +468,8 @@ def filter_funnel(
         sums.append(F.coalesce(F.sum(acc.cast("long")), F.lit(0))
                     .alias(f"_s{i}"))
     row = df.agg(F.count(F.lit(1)).alias("_s_in"), *sums)
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
     triples = ", ".join(
-        f"{i + 1}, {q(name)}, {'_s_in' if i == 0 else f'_s{i - 1}'}, _s{i}"
+        f"{i + 1}, '{name}', {'_s_in' if i == 0 else f'_s{i - 1}'}, _s{i}"
         for i, name in enumerate(names))
     return (row.selectExpr(
         f"stack({len(names)}, {triples}) "

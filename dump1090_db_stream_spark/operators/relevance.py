@@ -24,7 +24,7 @@ uses the plain ``ln(N / df)``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.cache import track
@@ -74,20 +74,24 @@ def tfidf_terms(
     )
 
 
-def _bigrams_of_toks(toks: DataFrame) -> DataFrame:
-    """(w1, w2, c_xy) from a DataFrame carrying a ``_toks`` array.
-
-    Bigrams are built NARROW (zip_with over two array slices — no
-    shuffle, no Python), exploded, then hash-aggregated once with
-    map-side partial counts. 1-token documents contribute nothing
-    (slice length 0 -> empty zip).
-    """
-    n1 = F.greatest(F.lit(0), F.size("_toks") - 1)
-    pairs = F.zip_with(
-        F.slice("_toks", 1, n1), F.slice("_toks", 2, n1),
+def _adjacent_pairs(arr) -> Column:
+    """Adjacent-token pair structs (w1, w2) from a token array column —
+    built NARROW (zip_with over two array slices — no shuffle, no
+    Python). 1-token documents yield an EMPTY array, never an
+    out-of-range element (sequence(1, 0) would count DOWN). The single
+    construction shared by every bigram consumer in this module."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    n1 = F.greatest(F.lit(0), F.size(c) - 1)
+    return F.zip_with(
+        F.slice(c, 1, n1), F.slice(c, 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+
+def _bigrams_of_toks(toks: DataFrame) -> DataFrame:
+    """(w1, w2, c_xy) from a DataFrame carrying a ``_toks`` array,
+    exploded then hash-aggregated once with map-side partial counts."""
     return (
-        toks.select(F.explode(pairs).alias("bg"))
+        toks.select(F.explode(_adjacent_pairs("_toks")).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
@@ -280,14 +284,8 @@ def bigram_logprob(
            .groupBy("term").agg(F.count(F.lit(1)).alias("cu")))
     uni = track(uni)
     tot = uni.agg(F.sum("cu").alias("u"))
-    # bigrams via two array slices zipped (the _bigrams_of_toks shape,
-    # id retained): 1-token docs yield an empty zip, never an
-    # out-of-range element_at (sequence(1, 0) would count DOWN)
-    n1 = F.greatest(F.lit(0), F.size("t") - 1)
-    pairs = F.zip_with(
-        F.slice("t", 1, n1), F.slice("t", 2, n1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-    big = (toks.select("id", F.explode(pairs).alias("bg"))
+    # bigrams via the shared _adjacent_pairs construction, id retained
+    big = (toks.select("id", F.explode(_adjacent_pairs("t")).alias("bg"))
            .select("id", "bg.w1", "bg.w2")
            .groupBy("id", "w1", "w2")
            .agg(F.count(F.lit(1)).alias("tf")))
@@ -330,11 +328,9 @@ def _group_terms(
     if unit == "token":
         units = toks.select("g", F.explode("t").alias("term"))
     else:
-        n1 = F.greatest(F.lit(0), F.size("t") - 1)
-        pairs = F.zip_with(
-            F.slice("t", 1, n1), F.slice("t", 2, n1),
-            lambda a, b: F.concat_ws(" ", a, b))
-        units = toks.select("g", F.explode(pairs).alias("term"))
+        units = toks.select(
+            "g", F.explode(_adjacent_pairs("t")).alias("bg")).select(
+            "g", F.concat_ws(" ", "bg.w1", "bg.w2").alias("term"))
     return units.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
 
 

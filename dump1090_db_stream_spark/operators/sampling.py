@@ -892,9 +892,15 @@ def unimax_allocation(
     from pyspark.sql import Window
 
     Decimal(max_epochs)  # validates the string early, engine-neutrally
+    # a source whose token column is entirely NULL sums to a NULL
+    # capacity — it carries no countable mass, so it is EXCLUDED
+    # rather than silently handed the water level (a NULL `_k` would
+    # make `_capped` NULL -> otherwise(theta), and NULL sort order
+    # differs between engines besides)
     per = (df.filter(F.col(source_col).isNotNull())
            .groupBy(source_col)
-           .agg(F.sum(F.col(token_col).cast("long")).alias("n_tokens")))
+           .agg(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+           .filter(F.col("n_tokens").isNotNull()))
     me = F.lit(max_epochs).cast("decimal(10,6)")
     b = F.lit(int(budget_tokens)).cast("decimal(28,6)")
     cap = per.withColumn(

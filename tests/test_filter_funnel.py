@@ -53,6 +53,13 @@ def test_stage_validation(spark):
         filter_funnel(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(True))])
+    # names are embedded in a generated stack() expression: quotes,
+    # backslashes and injection-shaped names must be REFUSED, not
+    # escaped-and-hoped (Spark string literals treat backslash as an
+    # escape, so 'win\\loss' would silently rename the stage)
+    for bad in ("win\\loss", "it's", "x', 9, _s_in, _s0 --"):
+        with pytest.raises(ValueError, match="stage names"):
+            filter_funnel(df, [(bad, F.lit(True))])
 
 
 def test_single_aggregate_plan(spark):

@@ -58,6 +58,26 @@ def test_zero_budget_and_null_sources(spark):
         _alloc(spark, rows, -1)
 
 
+def test_all_null_token_source_is_excluded(spark):
+    """A source whose token column is entirely NULL has no countable
+    capacity: it must be EXCLUDED, not handed the water level (a NULL
+    capacity would sort differently across engines and fall through
+    the capped test to theta)."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("ghost", None), ("b", 80)],
+        "source string, n_tokens int")
+    got = {r["source"]: r for r in unimax_allocation(
+        df, budget_tokens=100, max_epochs="2.0",
+        token_col="n_tokens").collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["alloc_tokens"] == 40.0   # capped at 2 epochs
+    assert got["b"]["alloc_tokens"] == 60.0   # the rest of the budget
+
+
 def test_matches_sequential_greedy_reference(spark):
     """Property vs an independent implementation: the paper's greedy
     (ascending capacity, fair share of the remaining budget) on 40
