@@ -631,10 +631,14 @@ def main() -> None:
     # truncation-proof copy: the driver keeps only the last ~2000
     # chars of stdout, which BENCH_r09 proved can evict the detail
     # record — so every run also writes it to a committed file
-    # (overwritten per run; the per-round history is git)
+    # (overwritten per run; the per-round history is git).
+    # SPARK_GRAFT_DETAIL_OUT reroutes it so smoke/test runs never
+    # clobber the committed real-SF record.
+    detail_out = os.environ.get(
+        "SPARK_GRAFT_DETAIL_OUT",
+        os.path.join(repo_dir, "BENCH_DETAIL_LAST.json"))
     try:
-        with open(os.path.join(repo_dir, "BENCH_DETAIL_LAST.json"),
-                  "w") as fh:
+        with open(detail_out, "w") as fh:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
     except OSError:

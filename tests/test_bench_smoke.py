@@ -12,13 +12,16 @@ import subprocess
 import sys
 
 
-def test_bench_end_to_end_smoke():
+def test_bench_end_to_end_smoke(tmp_path):
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
         "SPARK_GRAFT_BENCH_RUNS": "1",
         "SPARK_GRAFT_BENCH_SYNTH": "100",
         "SPARK_GRAFT_CPUS": "4",
+        # reroute the detail mirror: a smoke run must never clobber
+        # the committed real-SF BENCH_DETAIL_LAST.json
+        "SPARK_GRAFT_DETAIL_OUT": str(tmp_path / "detail.json"),
     })
     proc = subprocess.run(
         [sys.executable, "bench.py"], cwd="/root/repo", env=env,
@@ -69,3 +72,25 @@ def test_bench_end_to_end_smoke():
     # r9: the same-box ingest A/B is committed and folded in
     assert detail["ingest_ab"]["head_over_r5"] > 0
     assert detail["ingest_ab"]["measured_code_identical"] is True
+    # r10: record-survival gates for the driver's ~2000-char stdout
+    # tail (BENCH_r09 lost the whole extended set to the inlined
+    # ingest-A/B verdict prose):
+    # (a) the folded A/B record carries numbers only — the prose
+    #     stays in the committed scripts/ artifact
+    assert "verdict" not in detail["ingest_ab"]
+    assert detail["ingest_ab"]["measured_path_unchanged_vs_head"] \
+        in (True, False, None)
+    # (b) detail keys end with the extended set so the tail window
+    #     cuts per-run arrays first, extended timings last
+    assert list(detail)[-3:] == ["extended", "extended_total", "sf"]
+    # (c) the compact line is bounded (headline map + scalars only)
+    #     and carries the extended TOTAL itself
+    assert out["extended_total"] == detail["extended_total"]
+    assert len(lines[-1]) < 1500
+    # (d) the full detail record is mirrored to a file (committed as
+    #     BENCH_DETAIL_LAST.json on real runs; rerouted here),
+    #     immune to stdout truncation entirely
+    with open(tmp_path / "detail.json") as fh:
+        mirrored = json.load(fh)
+    assert mirrored["metric"] == "headline_queries_detail"
+    assert mirrored["extended_total"] == detail["extended_total"]
