@@ -4004,6 +4004,12 @@ def oracle_sql() -> dict[str, str]:
                            AS n_tokens
                 FROM documents WHERE source IS NOT NULL
                 GROUP BY source
+                -- mirror the Spark side's n_tokens IS NOT NULL filter
+                -- (sampling.unimax_allocation): an all-NULL-token
+                -- source must be EXCLUDED in both engines, else its
+                -- NULL capacity both emits an extra row and
+                -- NULL-poisons every later row's sum(k) OVER prefix
+                HAVING sum(CAST(n_chars AS BIGINT)) IS NOT NULL
             ), cap AS (
                 SELECT source, n_tokens,
                        CAST(n_tokens AS DECIMAL(28,6))

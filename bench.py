@@ -579,25 +579,31 @@ def main() -> None:
         # driver's stdout-tail window can never evict the extended
         # set again (the BENCH_r09 regression)
         ingest_ab.pop("verdict", None)
-        measured_paths = ["dump1090_db_stream_spark/functions/parser.py",
-                          "dump1090_db_stream_spark/schema.py",
-                          "dump1090_db_stream_spark/session.py",
-                          "tests/fixtures.py"]
-        try:
-            import subprocess
-            rc = subprocess.run(
-                ["git", "diff", "--quiet",
-                 f"{ingest_ab['head_commit']}..HEAD", "--",
-                 *measured_paths],
-                cwd=repo_dir, capture_output=True).returncode
-            # git diff --quiet: 0 = identical, 1 = paths differ,
-            # anything else (128 = unknown commit after a rewrite /
-            # shallow clone) = COULD NOT DETERMINE — record None, not
-            # a false "the measured code changed"
-            ingest_ab["measured_path_unchanged_vs_head"] = (
-                True if rc == 0 else False if rc == 1 else None)
-        except Exception:
+        # the measured-path list is read from the artifact itself
+        # (recorded at measurement time by scripts/ingest_ab.py) — a
+        # list hardcoded HERE goes stale if the measured code is later
+        # moved/split, and a stale list diffs clean and falsely marks
+        # the record fresh (r10 ADVICE). Key absent -> None ("could
+        # not determine"), never True.
+        measured_paths = ingest_ab.get("measured_paths")
+        if not measured_paths:
             ingest_ab["measured_path_unchanged_vs_head"] = None
+        else:
+            try:
+                import subprocess
+                rc = subprocess.run(
+                    ["git", "diff", "--quiet",
+                     f"{ingest_ab['head_commit']}..HEAD", "--",
+                     *measured_paths],
+                    cwd=repo_dir, capture_output=True).returncode
+                # git diff --quiet: 0 = identical, 1 = paths differ,
+                # anything else (128 = unknown commit after a rewrite
+                # / shallow clone) = COULD NOT DETERMINE — record
+                # None, not a false "the measured code changed"
+                ingest_ab["measured_path_unchanged_vs_head"] = (
+                    True if rc == 0 else False if rc == 1 else None)
+            except Exception:
+                ingest_ab["measured_path_unchanged_vs_head"] = None
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail FIRST, compact headline record LAST: the driver's tail

@@ -33,6 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Row budget for the grouped OFFSETS broadcast (groups x buckets rows
+# of (key, bucket, offset)): 2**20 rows ~= 60-80 MB as a hash
+# relation — the per-executor ceiling the vocabulary guard enforces.
+_OFFSET_ROW_BUDGET = 1 << 20
+
 
 def distributed_prev_counts(
     rel: DataFrame,
@@ -92,9 +97,15 @@ def distributed_prev_counts(
     broadcast take down the driver at scale. The count only ever
     RAISES — it never changes the plan — so oracle determinism holds.
     Pass ``max_partition_groups=None`` to skip the probe job (callers
-    that know their vocabulary). At the default 65,536 groups the
-    broadcast is ~64 MB of bounds doubles — the sensible ceiling for a
-    per-executor table. Above that, pass ``bounds_join="shuffle"``:
+    that know their vocabulary). The ceiling accounts for BOTH grouped
+    broadcasts (r10 ADVICE: the bounds relation is one
+    ~``n_range_buckets``-double row per group, but the OFFSETS relation
+    broadcast further down is ``groups x n_range_buckets`` ROWS — the
+    larger of the two at any bucket count): the effective group ceiling
+    is ``min(max_partition_groups, 2**20 // n_range_buckets)``, so at
+    the default 64 buckets at most ~16,384 groups broadcast — ~1M
+    offset rows (~60-80 MB as a hash relation) plus ~8 MB of bounds
+    doubles per executor. Above that, pass ``bounds_join="shuffle"``:
     the bounds and offset relations then attach through plain
     equi-joins on the partition key (sort-merge / shuffled-hash,
     Catalyst's pick), which scales to ANY group cardinality — both
@@ -122,17 +133,28 @@ def distributed_prev_counts(
             return small
         from dump1090_db_stream_spark.cache import track
 
+        # the ceiling protects the LARGER grouped broadcast: the
+        # offsets relation is groups x n_range_buckets rows (r10
+        # ADVICE — it dwarfs the one-bounds-row-per-group relation the
+        # guard originally sized for), so cap total offset rows at
+        # 2**20 (~60-80 MB as a broadcast hash relation)
+        allowed = min(max_partition_groups,
+                      max(1, _OFFSET_ROW_BUDGET // n_range_buckets))
         small = track(small)       # the count and the join reuse it
         n_groups = small.count()
-        if n_groups > max_partition_groups:
+        if n_groups > allowed:
             raise ValueError(
                 f"distributed_prev_counts vocabulary guard: "
                 f"partition_cols {pcols} has {n_groups} distinct "
-                f"combinations (allowed {max_partition_groups}); the "
-                f"per-group quantile bounds are BROADCAST, so the "
-                f"group key must be a bounded vocabulary. Group by an "
-                f"enum-like column (language/source/shard), bucket the "
-                f"key upstream, pass bounds_join='shuffle' (plain "
+                f"combinations (allowed {allowed} = "
+                f"min(max_partition_groups={max_partition_groups}, "
+                f"{_OFFSET_ROW_BUDGET}//n_range_buckets="
+                f"{n_range_buckets} — the offsets relation BROADCAST "
+                f"back is groups x buckets rows)); the per-group "
+                f"quantile bounds and bucket offsets are BROADCAST, so "
+                f"the group key must be a bounded vocabulary. Group by "
+                f"an enum-like column (language/source/shard), bucket "
+                f"the key upstream, pass bounds_join='shuffle' (plain "
                 f"equi-joins — scales to any cardinality), or raise "
                 f"max_partition_groups / pass None if the broadcast "
                 f"genuinely fits.")

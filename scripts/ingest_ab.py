@@ -20,6 +20,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Every module on the measured ingest path, repo-relative. Recorded
+# INSIDE the artifact at measurement time so bench.py's freshness
+# check (git diff over these paths vs the artifact's head_commit)
+# can never run against a stale hardcoded list (r10 ADVICE).
+MEASURED_PATHS = [
+    "dump1090_db_stream_spark/functions/parser.py",
+    "dump1090_db_stream_spark/schema.py",
+    "dump1090_db_stream_spark/session.py",
+    "tests/fixtures.py",
+    "scripts/ingest_ab.py",
+    "bench.py",
+]
+
 
 def run_at(checkout: str, spark, n_msgs: int) -> dict:
     """Import that checkout's bench + parser modules fresh and run its
@@ -68,6 +81,7 @@ def main() -> None:
         "n_msgs": n_msgs,
         "head_commit": head,
         "r5_commit": r5,
+        "measured_paths": MEASURED_PATHS,
         "head_runs_sec": [s for r in results["head"]
                           for s in r["runs_sec"]],
         "r5_runs_sec": [s for r in results["r5"]

@@ -35,6 +35,25 @@ def test_vocabulary_guard_raises_on_unbounded_group_key(spark):
     assert "BROADCAST" in msg
 
 
+def test_vocabulary_guard_accounts_for_offsets_broadcast(spark):
+    """r10 ADVICE: the grouped OFFSETS broadcast is groups x
+    n_range_buckets rows — several times the bounds relation — so the
+    effective ceiling is min(max_partition_groups,
+    2**20 // n_range_buckets): a generous max_partition_groups does
+    NOT let a huge bucket count push the offsets broadcast past the
+    row budget."""
+    rows = [(f"domain_{i}", float(i % 97), 1) for i in range(300)]
+    # 2**20 // 4096 = 256 < 300 groups -> raises even though
+    # max_partition_groups (default 65,536) allows 300
+    with pytest.raises(ValueError) as ei:
+        _prev_counts(spark, rows, n_range_buckets=4096).collect()
+    msg = str(ei.value)
+    assert "vocabulary guard" in msg
+    assert "300" in msg and "256" in msg and "4096" in msg
+    # same data under the default 64 buckets (ceiling 16,384) is fine
+    assert _prev_counts(spark, rows).count() == 300
+
+
 def test_vocabulary_guard_none_skips_probe(spark):
     """max_partition_groups=None is the caller's I-know-my-vocabulary
     opt-out: same 300-group input builds and computes fine."""
