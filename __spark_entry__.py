@@ -1059,18 +1059,39 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch approximations (operators.sketches.approx_group_stats):
     HLL++ distinct users + approximate median per event type — constant
-    state per group vs the O(distinct) exact path. Deterministic for a
-    given input but sketch-implementation-specific, so rows-only check;
-    accuracy vs exact is asserted in tests/test_sketches.py."""
+    state per group vs the O(distinct) exact path. The raw estimates
+    are sketch-implementation-specific (no engine-neutral oracle), so
+    the contract emitted here is the PROPERTY the sketches document
+    (r10 verdict ask #3): the same query computes the exact distinct
+    count and exact percentile band, and outputs booleans asserting the
+    HLL estimate lands within 3x its configured rsd (0.01 -> 3%) and
+    the approx median within the exact [p45, p55] value band (rank
+    error 1/accuracy = 1e-4, band 500x that — holds under ANY summary
+    merge order). The oracle reproduces the exact columns and emits
+    literal TRUE for the bands, so a band violation is a DRIVER HASH
+    MISMATCH, not an unverifiable rows-only pass."""
     from dump1090_db_stream_spark.operators.sketches import (
         approx_group_stats,
     )
 
-    return approx_group_stats(
-        _events(spark, sf_dir), keys=["event_type"],
-        distinct_col="user_id", value_col="value",
-    ).select("event_type", "n", "approx_distinct",
-             F.round("approx_median", 6).alias("approx_median"))
+    ev = _events(spark, sf_dir)
+    approx = approx_group_stats(
+        ev, keys=["event_type"], distinct_col="user_id",
+        value_col="value")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"))
+    return (approx.join(exact, "event_type")
+            .select(
+                "event_type", "n", "exact_distinct",
+                (F.abs(F.col("approx_distinct")
+                       - F.col("exact_distinct"))
+                 <= 0.03 * F.col("exact_distinct"))
+                .alias("distinct_within_band"),
+                F.col("approx_median").between(
+                    F.col("_p45"), F.col("_p55"))
+                .alias("median_within_band")))
 
 
 def q_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,16 +1099,32 @@ def q_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL sketches of user_id, then a union per event_type — distinct
     counts over arbitrary spans from stored sketch bytes, never a raw
     rescan (the continuous-aggregate pattern for a non-decomposable
-    aggregate). Rows-only check; merge-losslessness is asserted in
-    tests/test_sketches.py."""
+    aggregate). The union estimate is sketch-implementation-specific,
+    so the contract emitted is the documented PROPERTY (r10 verdict
+    ask #3): lg_k=12 -> ~1.6% standard error; the same query computes
+    the exact distinct count from the raw rows and outputs a boolean
+    asserting the merged-sketch estimate lands within 3 standard
+    errors (5%). The oracle reproduces the exact column and emits
+    literal TRUE, so a band violation hash-mismatches at the driver.
+    Merge-losslessness stays asserted in tests/test_sketches.py."""
     from dump1090_db_stream_spark.operators.sketches import (
         daily_sketches,
         union_estimate,
     )
 
-    sk = daily_sketches(_events(spark, sf_dir), ts="ts",
+    ev = _events(spark, sf_dir)
+    sk = daily_sketches(ev, ts="ts",
                         keys=["event_type"], distinct_col="user_id")
-    return union_estimate(sk, keys=["event_type"])
+    est = union_estimate(sk, keys=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return (est.join(exact, "event_type")
+            .select(
+                "event_type", "exact_distinct",
+                (F.abs(F.col("distinct_estimate")
+                       - F.col("exact_distinct"))
+                 <= 0.05 * F.col("exact_distinct"))
+                .alias("estimate_within_band")))
 
 
 def q_event_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,96 +3259,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 172 queries / 50 slots a query re-enters about every
-       3 rounds — the honest bound; scripts/check_correctness.py covers
-       the full registry locally every round as CORRECTNESS_LOCAL_r*).
+       slots (at 184 queries / 50 slots a query re-enters about every
+       4 rounds — the honest bound; scripts/check_correctness.py covers
+       the full registry locally every round as CORRECTNESS_LOCAL_r*,
+       a committed end-of-round contract, COVERAGE.md checklist #2).
     4. Tail: queries driver-verified green in the PREVIOUS round and
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r10 window 1-2: NEW this round, zero driver rows
-        #    (tier 1): recall@10 of the LSH and IVF+PQ ladder arms vs
-        #    the brute-force exact top-k (operators.similarity.
-        #    ann_recall) — r9 verdict ask #4: every ANN index arm's
-        #    recall now lands a driver hash
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_recall_ivfpq": q_ann_recall_ivfpq,
-        # -- r10 window 3-6 (tier 2): ann_recall_ivf re-verifies
-        #    after its BroadcastNestedLoopJoin was adjudicated into
-        #    the cross-product gate allowlist (the r9 red test —
-        #    marked weak until this round's driver hash);
-        #    dsir_auc / dsir_auc_by_source / score_normalized
-        #    re-pin the prefix-sum family after the r10 NaN filter
-        #    + grouped-vocabulary runtime guard (oracles UNCHANGED —
-        #    the test data carries no NaNs and the contract group
-        #    keys are bounded)
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "dsir_auc_by_source": q_dsir_auc_by_source,
-        "dsir_auc": q_dsir_auc,
-        "score_normalized": q_score_normalized,
-        # -- r10 window 7-42: tier-3 rotation — the rest of the
-        #    r6-window tail in its recorded order (the recorded r10
-        #    rotation-leader queue, green in CORRECTNESS_r06, stalest
-        #    remaining; the two rows-only sketch queries stay ADJACENT
-        #    to their oracled twins)
-        "like_prefix_filter": q_like_prefix_filter,
-        "equality_filter": q_equality_filter,
-        "time_range_between": q_time_range_between,
-        "dedup_by_key": q_dedup_by_key,
-        "aircraft_json_parse": q_aircraft_json_parse,
-        "track_lines_wkt": q_track_lines_wkt,
-        "points_in_radius": q_points_in_radius,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "pii_scrub_stats": q_pii_scrub_stats,
-        "doc_normalized": q_doc_normalized,
-        "hash_split_stats": q_hash_split_stats,
-        "time_rollup_multires": q_time_rollup_multires,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "event_approx_stats": q_event_approx_stats,
-        "weekly_active_estimate": q_weekly_active_estimate,
-        "daily_distinct_rollup": q_daily_distinct_rollup,
-        "table_profile_approx": q_table_profile_approx,
-        "event_portable_distinct": q_event_portable_distinct,
-        "daily_portable_rollup": q_daily_portable_rollup,
-        "neardup_clusters_star": q_neardup_clusters_star,
-        "neardup_survivors": q_neardup_survivors,
-        "doc_entropy": q_doc_entropy,
-        "embedding_decontamination": q_embedding_decontamination,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "doc_boilerplate_share": q_doc_boilerplate_share,
-        "full_outer_balance": q_full_outer_balance,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "embedding_neardup_pairs": q_embedding_neardup_pairs,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "minhash_lsh_dups": q_minhash_lsh_dups,
-        "simhash_dups": q_simhash_dups,
-        "benchmark_decontamination": q_benchmark_decontamination,
-        "neardup_clusters": q_neardup_clusters,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_scores": q_bm25_scores,
-        # -- r10 window 43-50: tier-3 rotation — the head of the
-        #    r7 driver window (green in CORRECTNESS_r07, next
-        #    stalest) fills to 50
-        "pricing_summary": q_pricing_summary,
-        "weighted_sample": q_weighted_sample,
-        "uniform_sample": q_uniform_sample,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample_docs": q_mixture_sample_docs,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "corpus_diff": q_corpus_diff,
-        # -- positions 51+: queries added AFTER the r10 window was
-        #    composed are r11-QUEUED tier-2 (the r5 late-arrival
-        #    rule: they do not evict recorded-rotation entries)
+        # -- r11 window 1-7 (tier 1, ZERO driver rows): the six late
+        #    r10 additions (the r10 verdict's #1 ask) plus the new
+        #    non-default-tokenizer contract (word_token_stats — the
+        #    r10 ask #5 seam's oracle-checked non-default arm)
+        "word_token_stats": q_word_token_stats,
         "unimax_allocation": q_unimax_allocation,
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- then the r11 rotation leaders — the rest of the r7
-        #    driver window in its recorded order
+        # -- r11 window 8-15 (tier 2, implementation changed since
+        #    last driver green): the two sketch queries reshaped into
+        #    band-gated oracle contracts (r10 ask #3);
+        #    bigram_pmi / doc_bigram_logprob re-pin after the r10
+        #    _adjacent_pairs refactor (r10 ask #1's tier-2 set);
+        #    tfidf_top_terms / bm25_scores re-pin the tokenizer seam's
+        #    DEFAULT arm (with_tokens signature changed; the default
+        #    expression is test-pinned bit-identical and the full
+        #    local sweep covers every other with_tokens consumer —
+        #    these two, named by the verdict, carry the driver
+        #    signal for the family);
+        #    dsir_auc_by_source / score_normalized re-pin the GROUPED
+        #    prefix-sum after the r11 offsets-aware guard ceiling
+        #    (dsir_auc is ungrouped — the guard is not on its path)
+        "event_approx_stats": q_event_approx_stats,
+        "daily_distinct_rollup": q_daily_distinct_rollup,
+        "bigram_pmi": q_bigram_pmi,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
+        "dsir_auc_by_source": q_dsir_auc_by_source,
+        "score_normalized": q_score_normalized,
+        # -- r11 window 16-49 (tier 3 rotation): the recorded r11
+        #    rotation-leader queue — the rest of the r7 driver window
+        #    in its recorded order (green in CORRECTNESS_r07, stalest
+        #    remaining; doc_bigram_logprob moved to tier 2 above)
         "late_shipment_priority": q_late_shipment_priority,
         "product_profit_by_nation": q_product_profit_by_nation,
         "top_value_parts": q_top_value_parts,
@@ -3323,7 +3315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "length_batches": q_length_batches,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
         "dsir_weights": q_dsir_weights,
         "doc_signals": q_doc_signals,
         "event_drift": q_event_drift,
@@ -3347,11 +3338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
-        # -- tier 4 tail: the r8 driver window, green in
-        #    CORRECTNESS_r08 and untouched since (except the four
-        #    tier-2 entries above, which moved to the top) — the
-        #    freshest greens close the registry
+        # -- r11 window 50: the head of the r8 greens fills to 50
         "multimodal_features": q_multimodal_features,
+        # -- positions 51+: the rest of the r8 greens lead the r12
+        #    rotation, then the r9 greens, then the r10-window greens
+        #    (freshest; minus the six tier-2 re-pins above) close the
+        #    registry. NOTE for r12: every with_tokens consumer in
+        #    this tail (minhash_lsh_dups, simhash_dups, doc_entropy,
+        #    ngram_jaccard_dups, ...) carries a post-seam local sweep
+        #    green but a PRE-seam driver hash — rotate them with
+        #    ordinary staleness priority, the seam default is
+        #    test-pinned bit-identical.
         "survival_curve": q_survival_curve,
         "pagerank_neardups": q_pagerank_neardups,
         "pagerank_docs": q_pagerank_docs,
@@ -3397,10 +3394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_extremes": q_event_type_extremes,
         "value_histograms": q_value_histograms,
         "disjunctive_revenue": q_disjunctive_revenue,
-        # -- tier 4 close: the r9 driver window, green in
-        #    CORRECTNESS_r09 and untouched since (except the four
-        #    tier-2 entries above, which moved to the top) — the
-        #    freshest greens close the registry
         "retrieval_metrics": q_retrieval_metrics,
         "dsir_calibration": q_dsir_calibration,
         "late_sole_suppliers": q_late_sole_suppliers,
@@ -3413,7 +3406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_lookup": q_scd2_point_lookup,
         "track_lines_wkb": q_track_lines_wkb,
         "embedding_ivf_trained": q_embedding_ivf_trained,
-        "bigram_pmi": q_bigram_pmi,
         "embedding_quantized": q_embedding_quantized,
         "embedding_quantized_topk": q_embedding_quantized_topk,
         "funnel_conversions": q_funnel_conversions,
@@ -3447,6 +3439,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locations_projection": q_locations_projection,
         "flights_band_join": q_flights_band_join,
         "window_track_lines": q_window_track_lines,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_recall_ivfpq": q_ann_recall_ivfpq,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "dsir_auc": q_dsir_auc,
+        "like_prefix_filter": q_like_prefix_filter,
+        "equality_filter": q_equality_filter,
+        "time_range_between": q_time_range_between,
+        "dedup_by_key": q_dedup_by_key,
+        "aircraft_json_parse": q_aircraft_json_parse,
+        "track_lines_wkt": q_track_lines_wkt,
+        "points_in_radius": q_points_in_radius,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_normalized": q_doc_normalized,
+        "hash_split_stats": q_hash_split_stats,
+        "time_rollup_multires": q_time_rollup_multires,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "weekly_active_estimate": q_weekly_active_estimate,
+        "table_profile_approx": q_table_profile_approx,
+        "event_portable_distinct": q_event_portable_distinct,
+        "daily_portable_rollup": q_daily_portable_rollup,
+        "neardup_clusters_star": q_neardup_clusters_star,
+        "neardup_survivors": q_neardup_survivors,
+        "doc_entropy": q_doc_entropy,
+        "embedding_decontamination": q_embedding_decontamination,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "doc_boilerplate_share": q_doc_boilerplate_share,
+        "full_outer_balance": q_full_outer_balance,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "benchmark_decontamination": q_benchmark_decontamination,
+        "neardup_clusters": q_neardup_clusters,
+        "pricing_summary": q_pricing_summary,
+        "weighted_sample": q_weighted_sample,
+        "uniform_sample": q_uniform_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "corpus_diff": q_corpus_diff,
+
     }
 
 
@@ -3996,6 +4033,24 @@ def oracle_sql() -> dict[str, str]:
             FROM gstat
             JOIN obs USING (g)
             CROSS JOIN tot CROSS JOIN sall
+        """,
+        # Non-default tokenizer arm of the with_tokens seam: RE2 and
+        # Java regex agree on \\p{L}/\\p{N} general categories, so the
+        # token arrays replay exactly (prototype-verified on the
+        # unicode probe string).
+        "word_token_stats": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(
+                           replace(text, ' value ', ', value; ')
+                               || ' — café №42 (naïve)',
+                           '[\p{L}\p{N}]+')) AS tok
+                FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_types,
+                   CAST(sum(length(tok)) AS BIGINT) AS n_chars
+            FROM toks GROUP BY source
         """,
         "unimax_allocation": """
             WITH per AS (
@@ -5374,6 +5429,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6),
                    min(value), max(value)
             FROM events GROUP BY 2, 3
+        """,
+        # HLL property gates (r10 verdict ask #3): the sketch ESTIMATES
+        # are engine-specific, so the Spark side emits the documented
+        # accuracy CONTRACT — exact columns both engines reproduce plus
+        # within-band booleans computed from the live estimate. The
+        # oracle emits literal TRUE: an estimate outside the band is a
+        # driver hash mismatch, not an unverifiable rows-only pass.
+        "event_approx_stats": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS distinct_within_band,
+                   TRUE AS median_within_band
+            FROM events GROUP BY event_type
+        """,
+        "daily_distinct_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS estimate_within_band
+            FROM events GROUP BY event_type
         """,
         # Threshold-sketch twins: the SAME closed-form hash arithmetic as
         # operators.sketches.threshold_distinct, so the approximate
@@ -7966,6 +8040,35 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus_divergence(docs, "source", "text", unit="bigram",
                              alpha=0.5)
+
+
+def q_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Non-default tokenizer contract (r10 verdict ask #5): the
+    unicode-category "word" tokenizer ([\p{L}\p{N}]+ — the same
+    general-category classes in Java regex and RE2) through the
+    text.with_tokens seam, over a DERIVED text that makes the
+    tokenizers genuinely differ on this ASCII corpus: punctuation
+    injected around 'value' and a unicode suffix appended (accented
+    letters kept as letters, dashes/symbols dropped). Per-source token
+    count, distinct types, and character mass; hash-equality with the
+    DuckDB replay proves the seam's non-default arm engine-faithful,
+    while every pre-seam oracle (unchanged) pins the default arm
+    bit-identical."""
+    from dump1090_db_stream_spark.operators.text import with_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.select(
+        "source",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" value "),
+                      F.lit(", value; ")),
+            F.lit(" — café №42 (naïve)")).alias("txt"))
+    toked = with_tokens(derived, "txt", "_toks", tokenizer="word")
+    return (toked.select("source", F.explode("_toks").alias("tok"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("tok").alias("n_types"),
+                 F.sum(F.length("tok")).cast("long").alias("n_chars")))
 
 
 def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

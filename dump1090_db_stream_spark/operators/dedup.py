@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    tokenizer=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -116,7 +117,7 @@ def ngram_jaccard_pairs(
       corpus.
     """
     sh = (
-        with_tokens(df, text_col)
+        with_tokens(df, text_col, tokenizer=tokenizer)
         .select(F.col(id_col).alias("id"),
                 F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"))
         .select("id", _hash64(F.col("s"), 0).alias("sh"))
@@ -172,6 +173,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     portable_base_hash: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """MinHash signatures as one row per doc with columns mh0..mh{k-1}.
 
@@ -189,7 +191,7 @@ def minhash_signatures(
     tokenize+shingle+hash k times — Catalyst does not CSE through
     higher-order-function lambdas.
     """
-    base = with_tokens(df, text_col).select(
+    base = with_tokens(df, text_col, tokenizer=tokenizer).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"),
     ).select("id", F.pmod(
@@ -231,6 +233,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     portable_base_hash: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs, verified by exact
     Jaccard on the candidates only.
@@ -250,7 +253,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
-                             portable_base_hash)
+                             portable_base_hash, tokenizer)
     # The banded relation feeds BOTH sides of the candidate self-join;
     # without materialization each side would recompute the whole
     # tokenize->shingle->md5->32-way-min pipeline (Spark does not CSE
@@ -280,7 +283,7 @@ def minhash_lsh_pairs(
                 .distinct())
     slim = df.join(F.broadcast(involved),
                    df[id_col] == involved["id"], "left_semi")
-    sh = with_tokens(slim, text_col).select(
+    sh = with_tokens(slim, text_col, tokenizer=tokenizer).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col("_toks"), n)).alias("shs"))
     va = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
@@ -307,6 +310,7 @@ def simhash_table(
     n: int = 2,
     n_bits: int = 60,
     portable_base_hash: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """Per-doc 60-bit SimHash over word n-gram shingles: for each bit
     position, sum +1/-1 votes from each shingle-hash bit; the sign of the
@@ -315,7 +319,7 @@ def simhash_table(
     Same scale shape as minhash_signatures: explode shingles, ONE hash
     per shingle, the 60 bit-votes as plain conditional-sum aggregates with
     map-side partial aggregation. Returns (id, sim)."""
-    base = with_tokens(df, text_col).select(
+    base = with_tokens(df, text_col, tokenizer=tokenizer).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col("_toks"), n)).alias("s"),
     ).select("id", (_portable_hash60(F.col("s")) if portable_base_hash
@@ -342,6 +346,7 @@ def simhash_neardup_pairs(
     n: int = 2,
     n_chunks: int = 4,
     portable_base_hash: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius.
 
@@ -352,7 +357,8 @@ def simhash_neardup_pairs(
     """
     chunk_bits = 60 // n_chunks
     sim = simhash_table(df, id_col, text_col, n,
-                        portable_base_hash=portable_base_hash)
+                        portable_base_hash=portable_base_hash,
+                        tokenizer=tokenizer)
     chunks = sim.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -442,6 +448,7 @@ def shingle_doc_freq(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    tokenizer=None,
 ) -> DataFrame:
     """(shingle, doc_freq): distinct-document frequency of every word
     n-gram — the corpus-wide statistic behind boilerplate mining and
@@ -453,7 +460,7 @@ def shingle_doc_freq(
     reach the output anyway — hashing first would just force a second
     join to recover it."""
     return (
-        with_tokens(df, text_col)
+        with_tokens(df, text_col, tokenizer=tokenizer)
         .select(F.col(id_col).alias("id"),
                 F.explode(F.array_distinct(
                     shingles(F.col("_toks"), n))).alias("shingle"))
@@ -537,6 +544,7 @@ def write_minhash_index(
     bands: int = 16,
     portable_base_hash: bool = False,
     mode: str = "overwrite",
+    tokenizer: str | None = None,
 ) -> None:
     """Persist the corpus's banded MinHash relation (id, band, bucket)
     as parquet, with the LSH parameters in a JSON sidecar — the index
@@ -549,6 +557,17 @@ def write_minhash_index(
     ignores it) — through the same Hadoop filesystem layer as the
     parquet, so hdfs:// and s3a:// index paths work, not just local
     disk."""
+    from dump1090_db_stream_spark.operators.text import TOKENIZERS
+
+    # only NAMED tokenizers are allowed here: the choice must persist
+    # in the sidecar so probes always shingle the way the index was
+    # built (a callable has no serializable identity)
+    tok_name = tokenizer if tokenizer is not None else "whitespace"
+    if tok_name not in TOKENIZERS:
+        raise ValueError(
+            f"write_minhash_index requires a NAMED tokenizer from "
+            f"{sorted(TOKENIZERS)} (it is persisted in the sidecar), "
+            f"got {tokenizer!r}")
     rows = num_hashes // bands
     spark = df.sparkSession
     if mode == "append":
@@ -570,24 +589,31 @@ def write_minhash_index(
             old = None
         if old is not None:
             want = {"n": n, "num_hashes": num_hashes, "bands": bands,
-                    "portable_base_hash": bool(portable_base_hash)}
+                    "portable_base_hash": bool(portable_base_hash),
+                    "tokenizer": tok_name}
+            # pre-seam sidecars lack the tokenizer key; they were all
+            # built with the whitespace default
+            if old.get("tokenizer") is None:
+                old["tokenizer"] = "whitespace"
             missing = [k for k in want if old.get(k) is None]
             if missing:
                 raise ValueError(
                     f"minhash index at {path} has a sidecar without "
                     f"{missing}; refusing to append blind")
             got = {k: (bool(old[k]) if k == "portable_base_hash"
+                       else str(old[k]) if k == "tokenizer"
                        else int(old[k])) for k in want}
             if got != want:
                 raise ValueError(
                     f"minhash index at {path} was built with {got}; "
                     f"refusing to append signatures built with {want}")
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
-                             portable_base_hash)
+                             portable_base_hash, tok_name)
     _banded(sig, bands, rows).write.mode(mode).parquet(path)
     (spark.createDataFrame(
-        [(n, num_hashes, bands, bool(portable_base_hash))],
-        "n int, num_hashes int, bands int, portable_base_hash boolean")
+        [(n, num_hashes, bands, bool(portable_base_hash), tok_name)],
+        "n int, num_hashes int, bands int, portable_base_hash boolean, "
+        "tokenizer string")
      .coalesce(1).write.mode("overwrite").json(path + "/_lsh_meta"))
 
 
@@ -612,13 +638,16 @@ def neardup_vs_index(
     be the same relation the index was built from (needed only for
     verification texts)."""
     meta = spark.read.json(index_path + "/_lsh_meta").first().asDict()
+    # pre-seam sidecars lack the tokenizer key (whitespace default)
+    tok_name = str(meta.pop("tokenizer", None) or "whitespace")
     meta = {k: (int(v) if k != "portable_base_hash" else bool(v))
             for k, v in meta.items()}
+    meta["tokenizer"] = tok_name
     rows = meta["num_hashes"] // meta["bands"]
     idx = spark.read.parquet(index_path).withColumnRenamed("id", "corpus_id")
     new_sig = minhash_signatures(
         new_docs, id_col, text_col, meta["n"], meta["num_hashes"],
-        meta["portable_base_hash"])
+        meta["portable_base_hash"], meta["tokenizer"])
     new_banded = (_banded(new_sig, meta["bands"], rows)
                   .withColumnRenamed("id", "new_id"))
     candidates = (
@@ -633,7 +662,8 @@ def neardup_vs_index(
                        corpus[id_col] == involved["id"], "left_semi")
 
     def sh(docs: DataFrame, out_id: str, out_shs: str) -> DataFrame:
-        return with_tokens(docs, text_col).select(
+        return with_tokens(docs, text_col,
+                           tokenizer=meta["tokenizer"]).select(
             F.col(id_col).alias(out_id),
             F.array_distinct(shingles(F.col("_toks"), meta["n"]))
             .alias(out_shs))

@@ -31,10 +31,12 @@ from dump1090_db_stream_spark.cache import track
 from dump1090_db_stream_spark.operators.text import with_tokens
 
 
-def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf) — whitespace terms, term frequency per doc."""
+def _doc_terms(df: DataFrame, id_col: str, text_col: str,
+               tokenizer=None) -> DataFrame:
+    """(id, term, tf) — terms (default whitespace; see
+    text.make_tokenizer), term frequency per doc."""
     return (
-        with_tokens(df, text_col)
+        with_tokens(df, text_col, tokenizer=tokenizer)
         .select(F.col(id_col).alias("id"),
                 F.explode(F.col("_toks")).alias("term"))
         .groupBy("id", "term")
@@ -46,6 +48,7 @@ def tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-(doc, term) TF-IDF: tf, df, idf = ln(N/df), tfidf = tf * idf.
 
@@ -59,7 +62,7 @@ def tfidf_terms(
     full corpus scans at 100 TB) would run twice. track() persists it;
     callers release via cache.release_tracked().
     """
-    terms = track(_doc_terms(df, id_col, text_col))
+    terms = track(_doc_terms(df, id_col, text_col, tokenizer))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))  # 1-row relation
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -98,15 +101,18 @@ def _bigrams_of_toks(toks: DataFrame) -> DataFrame:
     )
 
 
-def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_counts(df: DataFrame, text_col: str = "text",
+                  tokenizer=None) -> DataFrame:
     """(w1, w2, c_xy): corpus-wide adjacent-token bigram counts."""
-    return _bigrams_of_toks(with_tokens(df, text_col))
+    return _bigrams_of_toks(with_tokens(df, text_col,
+                                        tokenizer=tokenizer))
 
 
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 2,
+    tokenizer=None,
 ) -> DataFrame:
     """Collocation mining: pointwise mutual information of adjacent
     token pairs — the classic phrase-discovery statistic (Church &
@@ -132,7 +138,7 @@ def bigram_pmi(
     # the tokenize->explode pipeline feeds both the unigram and bigram
     # branches; persist so the corpus is tokenized once (no cross-branch
     # CSE — see tfidf_terms)
-    toks = track(with_tokens(df, text_col))
+    toks = track(with_tokens(df, text_col, tokenizer=tokenizer))
     uni = (toks.select(F.explode("_toks").alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     # B totals over ALL bigrams; min_count prunes only the output rows
@@ -164,6 +170,7 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram distribution — the simplest form of the LM-perplexity
@@ -180,7 +187,7 @@ def unigram_logprob(
 
     Output: (id_col, n_toks, logprob rounded 6).
     """
-    terms = track(_doc_terms(df, id_col, text_col))
+    terms = track(_doc_terms(df, id_col, text_col, tokenizer))
     tot = terms.agg(F.sum("tf").alias("u"))
     freq = terms.groupBy("term").agg(F.sum("tf").alias("c"))
     return (
@@ -203,6 +210,7 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """BM25 score of every matching document for a bag of query terms.
 
@@ -216,7 +224,7 @@ def bm25_scores(
     # terms feeds doclen, matched, and (via matched) dfreq — persist so
     # the tokenize pipeline runs once, not three times (no cross-branch
     # CSE; see tfidf_terms).
-    terms = track(_doc_terms(df, id_col, text_col))
+    terms = track(_doc_terms(df, id_col, text_col, tokenizer))
     doclen = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
     stats = doclen.select(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
@@ -252,6 +260,7 @@ def bigram_logprob(
     lam: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED bigram log-probability under the
     corpus's own counts — one rung above :func:`unigram_logprob` on
@@ -277,7 +286,8 @@ def bigram_logprob(
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    toks = with_tokens(df, text_col, "_bl_toks").select(
+    toks = with_tokens(df, text_col, "_bl_toks",
+                       tokenizer=tokenizer).select(
         F.col(id_col).alias("id"), F.col("_bl_toks").alias("t"))
     toks = track(toks)
     uni = (toks.select("id", F.explode("t").alias("term"))
@@ -313,6 +323,7 @@ def _group_terms(
     group_col: str,
     text_col: str,
     unit: str,
+    tokenizer=None,
 ) -> DataFrame:
     """(g, term, c) — per-group unit counts, unit = 'token' (whitespace
     terms) or 'bigram' (adjacent pairs joined with one space, the
@@ -322,7 +333,7 @@ def _group_terms(
     if unit not in ("token", "bigram"):
         raise ValueError(f"unit must be 'token' or 'bigram', got {unit!r}")
     toks = (with_tokens(df.filter(F.col(group_col).isNotNull()),
-                        text_col, "_vc_toks")
+                        text_col, "_vc_toks", tokenizer=tokenizer)
             .select(F.col(group_col).alias("g"),
                     F.col("_vc_toks").alias("t")))
     if unit == "token":
@@ -339,6 +350,7 @@ def vocabulary_coverage(
     group_col: str = "source",
     text_col: str = "text",
     unit: str = "bigram",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-group vocabulary coverage / richness report — how much of a
     source's unit distribution the corpus has actually SEEN, the
@@ -359,7 +371,7 @@ def vocabulary_coverage(
     relations only. Output: (group, n_tokens, n_types, n_singletons,
     n_doubletons, unseen_mass rounded 6, chao1_richness rounded 6).
     """
-    gt = _group_terms(df, group_col, text_col, unit)
+    gt = _group_terms(df, group_col, text_col, unit, tokenizer)
     return (gt.groupBy("g").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
@@ -396,6 +408,7 @@ def corpus_divergence(
     text_col: str = "text",
     unit: str = "bigram",
     alpha: float = 0.5,
+    tokenizer=None,
 ) -> DataFrame:
     """Per-group smoothed KL divergence from the group's unit
     distribution to the POOLED corpus distribution — the domain-shift
@@ -427,7 +440,7 @@ def corpus_divergence(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     from dump1090_db_stream_spark.cache import track
 
-    gt = track(_group_terms(df, group_col, text_col, unit))
+    gt = track(_group_terms(df, group_col, text_col, unit, tokenizer))
     glob = track(gt.groupBy("term").agg(F.sum("c").alias("c_all")))
     a = F.lit(float(alpha))
     # one-row corpus totals: N, V, S_all = sum_t ln(q(t)) (quantized)

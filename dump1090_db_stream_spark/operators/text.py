@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 # shape used by GPT-2-style BPE vocabularies.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Unicode-category word splitter: maximal runs of letters or digits,
+# punctuation dropped. \p{L}/\p{N} are the same general-category classes
+# in Java regex (Spark) and RE2 (DuckDB), so the non-default tokenizer
+# stays oracle-reproducible (contract query word_token_stats).
+WORD_TOKEN_RE = r"[\p{L}\p{N}]+"
+
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small and hard-coded: language ID at pipeline scale is a
 # first-pass router, not a classifier; precision comes from downstream.
@@ -37,8 +43,51 @@ def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     return F.split(F.trim(c), pattern)
 
 
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenizer: words / numbers / single punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Unicode-category word tokenizer: letter/digit runs, punctuation
+    dropped. Engine-neutral (WORD_TOKEN_RE means the same thing to
+    Java regex and RE2), so oracle-checkable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(WORD_TOKEN_RE), 0)
+
+
+# Named tokenizers for the `tokenizer=` seam (r10 verdict ask #5).
+# "whitespace" IS the historical default — same expression, so every
+# pre-seam oracle is bit-identical with tokenizer=None.
+TOKENIZERS = {
+    "whitespace": tokens,
+    "word": word_tokens,
+    "bpe_ish": bpe_ish_tokens,
+}
+
+
+def make_tokenizer(spec=None):
+    """Resolve a tokenizer spec to a Column -> Column callable.
+
+    ``None`` -> the whitespace default (bit-identical to the pre-seam
+    behavior); a name from :data:`TOKENIZERS`; or any callable taking
+    a text Column and returning an array<string> Column (the custom
+    escape hatch — a Pandas-UDF BPE encoder plugs in here without any
+    operator changing)."""
+    if spec is None:
+        return tokens
+    if callable(spec):
+        return spec
+    if spec in TOKENIZERS:
+        return TOKENIZERS[spec]
+    raise ValueError(
+        f"unknown tokenizer {spec!r}: pass None, a callable, or one of "
+        f"{sorted(TOKENIZERS)}")
+
+
 def with_tokens(df: DataFrame, text_col: str = "text",
-                out: str = "_toks") -> DataFrame:
+                out: str = "_toks", tokenizer=None) -> DataFrame:
     """Materialize the token array as a real column.
 
     CRITICAL perf pattern: a lambda (transform/filter/aggregate) that
@@ -47,14 +96,13 @@ def with_tokens(df: DataFrame, text_col: str = "text",
     are free, and Catalyst's CollapseProject will not inline an expensive
     expression into multiple references, so this projection boundary
     guarantees one split per row. (Measured 6x on sf0.1 documents.)
+
+    ``tokenizer`` (r10 verdict ask #5): see :func:`make_tokenizer`;
+    the default is the whitespace split, bit-identical to pre-seam
+    behavior, and the seam is this single projection boundary — every
+    token consumer in the text family flows through here.
     """
-    return df.withColumn(out, tokens(text_col))
-
-
-def bpe_ish_tokens(text: Column | str) -> Column:
-    """Regex pre-tokenizer: words / numbers / single punctuation."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+    return df.withColumn(out, make_tokenizer(tokenizer)(text_col))
 
 
 def token_count(text: Column | str) -> Column:

@@ -24,62 +24,69 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs
 
 
-def test_rows_only_exceptions_are_exactly_the_documented_two():
-    """Every registered query must ship an oracle EXCEPT the two
-    rows-only-by-design sketch queries (HLL internals are engine-
-    specific; each has a fully-oracled portable counterpart). A new
-    query landing without an oracle_sql entry silently downgrades its
-    driver check to rows-only — this gate makes that a test failure
-    instead of a judge finding."""
+def test_every_query_ships_an_oracle():
+    """Every registered query must ship an oracle — since r11 with NO
+    exceptions: the two formerly rows-only HLL sketch queries now emit
+    band-gated contracts (exact columns + within-band booleans the
+    oracle pins to literal TRUE). A new query landing without an
+    oracle_sql entry silently downgrades its driver check to
+    rows-only — this gate makes that a test failure instead of a
+    judge finding."""
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
-    assert qs - os_ == {"event_approx_stats", "daily_distinct_rollup"}
+    assert qs - os_ == set()
 
 
-def test_r10_window_composition():
-    """Pins the round-10 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): the two NEW queries lead (tier 1 —
-    ann_recall_lsh / ann_recall_ivfpq, completing recall contracts
-    across the ANN ladder), then tier 2 — ann_recall_ivf (re-verifies
-    after its BNLJ was adjudicated into the cross-product gate
-    allowlist, the r9 red test) and the three prefix-sum-family
-    queries re-pinned after the r10 NaN filter + grouped-vocabulary
-    guard — then the recorded r10 rotation: the rest of the r6-window
-    tail (36 queries, like_prefix_filter .. bm25_scores) and the head
-    of the r7 window (pricing_summary .. corpus_diff) fill to exactly
-    50. Rows-only sketch queries stay ADJACENT to their fully-oracled
-    twins; positions 51+ lead with the rest of the r7 window (the r11
-    rotation queue), then the r8 greens, then the r9 greens (freshest)
-    close the registry."""
+def test_hll_estimates_land_inside_documented_bands(spark, sf_dir):
+    """The band gates themselves (r10 verdict ask #3): a sketch
+    estimate outside its documented error band makes these booleans
+    FALSE, which both fails here and hash-mismatches at the driver
+    (the oracle emits literal TRUE)."""
+    for name, cols in [
+            ("event_approx_stats",
+             ["distinct_within_band", "median_within_band"]),
+            ("daily_distinct_rollup", ["estimate_within_band"])]:
+        rows = entrymod.queries()[name](spark, sf_dir).collect()
+        assert rows, name
+        for r in rows:
+            for c in cols:
+                assert r[c] is True, (name, c, r)
+
+
+def test_r11_window_composition():
+    """Pins the round-11 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): tier 1 — the six late r10 additions that
+    have never seen the driver's oracle (the r10 verdict's #1 ask) led
+    by the new non-default-tokenizer contract; tier 2 — the two
+    reshaped HLL band-gate queries, the _adjacent_pairs bigram pair,
+    the tokenizer-seam representatives (tfidf/bm25), and the grouped
+    prefix-sum pair re-pinned after the offsets-aware guard ceiling;
+    tier 3 — the recorded r11 rotation-leader queue (the rest of the
+    r7 window) plus the head of the r8 greens fills to exactly 50.
+    Positions 51+: the rest of the r8 greens (the r12 rotation queue),
+    then the r9 greens, then the r10-window greens (freshest) close
+    the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:2] == [                            # tier 1: new
-        "ann_recall_lsh", "ann_recall_ivfpq"]
-    assert window[2:6] == [                           # tier 2: changed
-        "ann_recall_ivf", "dsir_auc_by_source", "dsir_auc",
-        "score_normalized"]
-    # tier 3 fill: the r6-window tail in recorded staleness order
-    assert window[6] == "like_prefix_filter"
-    assert window[7] == "equality_filter"
-    assert window[41] == "bm25_scores"
-    # ... then the r7-window head completes the 50
-    assert window[42] == "pricing_summary"
-    assert window[-1] == "corpus_diff"
-    # positions 51+: late r10 additions are r11-queued (the r5
-    # late-arrival rule), then the rest of the r7 window leads the
-    # r11 rotation
-    assert order[50:56] == ["unimax_allocation", "quality_funnel",
-                            "ann_recall_int8", "ann_recall_pq",
-                            "vocab_coverage", "source_divergence"]
-    assert order[56] == "late_shipment_priority"
-    # the r8 then r9 greens (freshest, untouched) close the registry
-    assert order.index("multimodal_features") > \
-        order.index("idle_rich_customers")
+    assert window[:7] == [                            # tier 1: new
+        "word_token_stats", "unimax_allocation", "quality_funnel",
+        "ann_recall_int8", "ann_recall_pq", "vocab_coverage",
+        "source_divergence"]
+    assert window[7:15] == [                          # tier 2: changed
+        "event_approx_stats", "daily_distinct_rollup",
+        "bigram_pmi", "doc_bigram_logprob",
+        "tfidf_top_terms", "bm25_scores",
+        "dsir_auc_by_source", "score_normalized"]
+    # tier 3 fill: the r7-window remainder in recorded staleness order
+    assert window[15] == "late_shipment_priority"
+    assert window[48] == "idle_rich_customers"
+    # ... then the r8-green head completes the 50
+    assert window[-1] == "multimodal_features"
+    # positions 51+: the rest of the r8 greens lead the r12 rotation
+    assert order[50] == "survival_curve"
+    # then the r9 greens, then the r10-window greens (freshest) close
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")
-    assert order[-1] == "window_track_lines"
-    # rows-only sketch queries adjacent to their oracled twins
-    assert order.index("weekly_active_estimate") == \
-        order.index("event_approx_stats") + 1
-    assert order.index("table_profile_approx") == \
-        order.index("daily_distinct_rollup") + 1
+    assert order.index("ann_recall_lsh") > \
+        order.index("window_track_lines")
+    assert order[-1] == "corpus_diff"
