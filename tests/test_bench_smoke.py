@@ -94,3 +94,27 @@ def test_bench_end_to_end_smoke(tmp_path):
         mirrored = json.load(fh)
     assert mirrored["metric"] == "headline_queries_detail"
     assert mirrored["extended_total"] == detail["extended_total"]
+
+
+def test_bench_drift_comparator_flags_adjusted_movers():
+    """scripts/bench_drift.py (r10 verdict ask #4): per-entry
+    drift-adjusted ratios over the extended maps — a uniformly slower
+    box flags nothing, a real per-entry regression does, and
+    registry-membership changes are listed, not conflated."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from bench_drift import compare
+
+    prev = {"calibration": {"sec": 0.10},
+            "extended": {"steady": 1.0, "regressed": 2.0, "gone": 1.0},
+            "extended_total": 4.0}
+    cur = {"calibration": {"sec": 0.20},   # box 2x slower across the board
+           "extended": {"steady": 2.0, "regressed": 7.0, "new": 0.5},
+           "extended_total": 9.5}
+    r = compare(prev, cur)
+    assert "steady" not in r["movers"]          # pure box drift
+    assert r["movers"]["regressed"]["adj_ratio"] == 1.75
+    assert r["only_prev"] == ["gone"]
+    assert r["only_cur"] == ["new"]
+    assert r["n_shared"] == 2
