@@ -3108,6 +3108,47 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries, centroids, books, k=10, n_probes=4)
 
 
+def q_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ index maintenance (r10 verdict stretch ask
+    #8; operators.similarity.write_ivfpq_index mode="append" +
+    read_ivfpq_quantizers): build the persisted cluster-partitioned
+    codes index from 6/7 of the corpus, APPEND the remaining batch
+    under the sidecar-stored quantizers (the daily-batch shape —
+    assignment and PQ encoding are paid only for the new vectors, the
+    existing posting lists never rewrite), then search with the
+    quantizers read BACK from the sidecar. Appending is exact by
+    construction — per-row deterministic assignment/encoding — so the
+    oracle is the full-corpus IVFPQ replay VERBATIM
+    (embedding_ivfpq_topk's): hash-equality proves append-then-search
+    == build-once-then-search."""
+    import shutil
+    import tempfile
+
+    from dump1090_db_stream_spark.operators.similarity import (
+        ivfpq_topk_from_index,
+        pq_codebooks_fixed,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
+                 .orderBy("vec_id").select("embedding").collect())
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    books = pq_codebooks_fixed(dim=64, m=8, ksub=16)
+    d = tempfile.mkdtemp(prefix="ivfpq_append_")
+    shutil.rmtree(d, ignore_errors=True)
+    path = d + "/idx"
+    write_ivfpq_index(emb.filter(F.col("vec_id") % 7 != 3), path,
+                      centroids, books)
+    write_ivfpq_index(emb.filter(F.col("vec_id") % 7 == 3), path,
+                      centroids, books, mode="append")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # quantizers deliberately NOT passed: read from the sidecar
+    return ivfpq_topk_from_index(spark, path, queries,
+                                 k=10, n_probes=4)
+
+
 def _pq_replay_prefix(dim: int, m: int, ksub: int, nq: int) -> str:
     """The shared closed-form PQ replay (the _ivf_trained_oracle
     prefix-builder pattern): codebook literals (bit-identical to the
@@ -3267,18 +3308,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-7 (tier 1, ZERO driver rows): the six late
-        #    r10 additions (the r10 verdict's #1 ask) plus the new
-        #    non-default-tokenizer contract (word_token_stats — the
-        #    r10 ask #5 seam's oracle-checked non-default arm)
+        # -- r11 window 1-8 (tier 1, ZERO driver rows): the six late
+        #    r10 additions (the r10 verdict's #1 ask) plus the two new
+        #    r11 contracts — the non-default-tokenizer arm
+        #    (word_token_stats, ask #5) and the incremental-IVFPQ
+        #    append round-trip (ivfpq_append_topk, stretch ask #8)
         "word_token_stats": q_word_token_stats,
+        "ivfpq_append_topk": q_ivfpq_append_topk,
         "unimax_allocation": q_unimax_allocation,
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- r11 window 8-15 (tier 2, implementation changed since
+        # -- r11 window 9-16 (tier 2, implementation changed since
         #    last driver green): the two sketch queries reshaped into
         #    band-gated oracle contracts (r10 ask #3);
         #    bigram_pmi / doc_bigram_logprob re-pin after the r10
@@ -3300,7 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "score_normalized": q_score_normalized,
-        # -- r11 window 16-49 (tier 3 rotation): the recorded r11
+        # -- r11 window 17-50 (tier 3 rotation): the recorded r11
         #    rotation-leader queue — the rest of the r7 driver window
         #    in its recorded order (green in CORRECTNESS_r07, stalest
         #    remaining; doc_bigram_logprob moved to tier 2 above)
@@ -3338,9 +3381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
-        # -- r11 window 50: the head of the r8 greens fills to 50
+        # -- positions 51+: the r8 greens lead the r12
         "multimodal_features": q_multimodal_features,
-        # -- positions 51+: the rest of the r8 greens lead the r12
+        # -- ... then the rest of the r8 greens, the r12
         #    rotation, then the r9 greens, then the r10-window greens
         #    (freshest; minus the six tier-2 re-pins above) close the
         #    registry. NOTE for r12: every with_tokens consumer in
@@ -7198,6 +7241,10 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # defined for queries the approximate arm searched)
     oracles["ann_recall_pq"] = recall_oracle(
         "embedding_pq_topk", "WHERE query_id < 3")
+    # append-then-search is bit-identical to build-once-then-search
+    # (per-row deterministic assignment/encoding), so the incremental
+    # IVFPQ contract replays the FULL-corpus IVFPQ oracle verbatim
+    oracles["ivfpq_append_topk"] = oracles["embedding_ivfpq_topk"]
     # the eval queries rank/bin the SAME scored relation: the dsir
     # oracle composed with the logistic squash and the language label
     scored = f"""
