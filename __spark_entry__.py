@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 184 queries / 50 slots a query re-enters about every
+       slots (at 185 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
