@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 185 queries / 50 slots a query re-enters about every
+       slots (at 186 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
@@ -3308,20 +3308,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-8 (tier 1, ZERO driver rows): the six late
-        #    r10 additions (the r10 verdict's #1 ask) plus the two new
-        #    r11 contracts — the non-default-tokenizer arm
-        #    (word_token_stats, ask #5) and the incremental-IVFPQ
-        #    append round-trip (ivfpq_append_topk, stretch ask #8)
+        # -- r11 window 1-9 (tier 1, ZERO driver rows): the six late
+        #    r10 additions (the r10 verdict's #1 ask) plus the three
+        #    new r11 contracts — the non-default-tokenizer arm
+        #    (word_token_stats, ask #5), the incremental-IVFPQ append
+        #    round-trip (ivfpq_append_topk, stretch ask #8), and the
+        #    NB-weighted hashed-n-gram quality classifier
+        #    (quality_classifier_scores)
         "word_token_stats": q_word_token_stats,
         "ivfpq_append_topk": q_ivfpq_append_topk,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "unimax_allocation": q_unimax_allocation,
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- r11 window 9-16 (tier 2, implementation changed since
+        # -- r11 window 10-17 (tier 2, implementation changed since
         #    last driver green): the two sketch queries reshaped into
         #    band-gated oracle contracts (r10 ask #3);
         #    bigram_pmi / doc_bigram_logprob re-pin after the r10
@@ -3343,7 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "score_normalized": q_score_normalized,
-        # -- r11 window 17-50 (tier 3 rotation): the recorded r11
+        # -- r11 window 18-50 (tier 3 rotation): the recorded r11
         #    rotation-leader queue — the rest of the r7 driver window
         #    in its recorded order (green in CORRECTNESS_r07, stalest
         #    remaining; doc_bigram_logprob moved to tier 2 above)
@@ -3380,8 +3383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
+        # -- positions 51+: idle_rich_customers (the r7-rotation
+        #    entry displaced when quality_classifier_scores landed
+        #    tier-1) leads the r12 rotation, then the r8 greens
         "idle_rich_customers": q_idle_rich_customers,
-        # -- positions 51+: the r8 greens lead the r12
         "multimodal_features": q_multimodal_features,
         # -- ... then the rest of the r8 greens, the r12
         #    rotation, then the r9 greens, then the r10-window greens
@@ -4076,6 +4081,54 @@ def oracle_sql() -> dict[str, str]:
             FROM gstat
             JOIN obs USING (g)
             CROSS JOIN tot CROSS JOIN sall
+        """,
+        # NB-weighted hashed-n-gram classifier: the full train+score
+        # replay — md5 bucket hash (the portable 60-bit twin), exact
+        # integer count ratios into ln, quantized decimal score sums,
+        # sigmoid rounded 6.
+        "quality_classifier_scores": r"""
+            WITH toks AS (
+                SELECT doc_id, (lang = 'en') AS y,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ), units AS (
+                SELECT doc_id, y,
+                       unnest(list_concat(
+                           t,
+                           list_transform(
+                               list_zip(t[1:len(t)-1], t[2:len(t)]),
+                               z -> z[1] || ' ' || z[2]))) AS u
+                FROM toks
+            ), occ AS (
+                SELECT doc_id, y,
+                       CAST(('0x' || substr(md5(u), 1, 15)) AS BIGINT)
+                           % 1024 AS bucket
+                FROM units
+            ), bw AS (
+                SELECT bucket,
+                       sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+                       sum(CASE WHEN y THEN 0 ELSE 1 END) AS q
+                FROM occ WHERE y IS NOT NULL GROUP BY bucket
+            ), tot AS (
+                SELECT sum(p) AS pt, sum(q) AS qt FROM bw
+            ), w AS (
+                SELECT bucket,
+                       ln(((p + 1.0) / (pt + 1024.0))
+                          / ((q + 1.0) / (qt + 1024.0))) AS weight
+                FROM bw CROSS JOIN tot
+            ), scored AS (
+                SELECT occ.doc_id,
+                       count(*) AS n_units,
+                       CAST(sum(CAST(floor(
+                           coalesce(w.weight, 0.0) * 1e9 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS s
+                FROM occ LEFT JOIN w USING (bucket)
+                GROUP BY occ.doc_id
+            )
+            SELECT doc_id, CAST(n_units AS BIGINT) AS n_units,
+                   round(s, 6) AS score,
+                   round(1.0 / (1.0 + exp(-(s / n_units))), 6) AS prob
+            FROM scored
         """,
         # Non-default tokenizer arm of the with_tokens seam: RE2 and
         # Java regex agree on \\p{L}/\\p{N} general categories, so the
@@ -8116,6 +8169,29 @@ def q_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.countDistinct("tok").alias("n_types"),
                  F.sum(F.length("tok")).cast("long").alias("n_chars")))
+
+
+def q_quality_classifier_scores(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators.classify — the CCNet /
+    GPT-3-style learned "looks like the reference corpus" scorer,
+    NBSVM-baseline form): closed-form Naive-Bayes log-count-ratio
+    weights over hashed uni+bigram features (Wang & Manning 2012),
+    trained on the lang='en' pseudo-label in ONE corpus scan, then
+    every document scored with the mean-bucket-weight sigmoid. The
+    oracle replays the ENTIRE train-then-score pipeline closed-form:
+    portable md5 bucket hash, exact-integer count ratios into ln,
+    1e-9-quantized decimal score sums, sigmoid rounded 6."""
+    from dump1090_db_stream_spark.operators.classify import (
+        classifier_scores,
+        nb_logodds_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y", F.col("lang") == "en")
+    w = nb_logodds_weights(labeled, "_y", n_buckets=1024,
+                           ngrams=(1, 2), alpha=1.0)
+    return classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2))
 
 
 def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

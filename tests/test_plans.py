@@ -330,6 +330,12 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # attach (TPC-H Q11 shape)
         "doc_bigram_logprob",     # one-row U corpus-total attach
                                   # (same as doc_unigram_logprob)
+        "quality_classifier_scores",  # one-row (P, Q) class-totals
+                                      # attach onto the <= n_buckets
+                                      # weight relation (operators.
+                                      # classify.nb_logodds_weights —
+                                      # same shape as the tfidf/bm25
+                                      # corpus-stats attach)
         "pagerank_neardups",      # edge build reuses the exact
                                   # all-pairs cosine validator
                                   # (a.id < b.id) — at scale feed
