@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 186 queries / 50 slots a query re-enters about every
+       slots (at 187 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
@@ -3308,23 +3308,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-9 (tier 1, ZERO driver rows): the six late
-        #    r10 additions (the r10 verdict's #1 ask) plus the three
-        #    new r11 contracts — the non-default-tokenizer arm
+        # -- r11 window 1-10 (tier 1, ZERO driver rows): the six
+        #    late r10 additions (the r10 verdict's #1 ask) plus the
+        #    four new r11 contracts — the non-default-tokenizer arm
         #    (word_token_stats, ask #5), the incremental-IVFPQ append
-        #    round-trip (ivfpq_append_topk, stretch ask #8), and the
+        #    round-trip (ivfpq_append_topk, stretch ask #8), the
         #    NB-weighted hashed-n-gram quality classifier
-        #    (quality_classifier_scores)
+        #    (quality_classifier_scores), and the GPT-3 Pareto
+        #    acceptance rule composed on it
+        #    (classifier_pareto_sample)
         "word_token_stats": q_word_token_stats,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
+        "classifier_pareto_sample": q_classifier_pareto_sample,
         "unimax_allocation": q_unimax_allocation,
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- r11 window 10-17 (tier 2, implementation changed since
+        # -- r11 window 11-18 (tier 2, implementation changed since
         #    last driver green): the two sketch queries reshaped into
         #    band-gated oracle contracts (r10 ask #3);
         #    bigram_pmi / doc_bigram_logprob re-pin after the r10
@@ -3346,7 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "score_normalized": q_score_normalized,
-        # -- r11 window 18-50 (tier 3 rotation): the recorded r11
+        # -- r11 window 19-50 (tier 3 rotation): the recorded r11
         #    rotation-leader queue — the rest of the r7 driver window
         #    in its recorded order (green in CORRECTNESS_r07, stalest
         #    remaining; doc_bigram_logprob moved to tier 2 above)
@@ -3382,10 +3385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_growth": q_weekly_growth,
         "session_funnel": q_session_funnel,
         "top_supplier_revenue": q_top_supplier_revenue,
+        # -- positions 51+: large_order_customers and
+        #    idle_rich_customers (the r7-rotation entries displaced
+        #    when quality_classifier_scores and
+        #    classifier_pareto_sample landed tier-1) lead the r12
+        #    rotation, then the r8 greens
         "large_order_customers": q_large_order_customers,
-        # -- positions 51+: idle_rich_customers (the r7-rotation
-        #    entry displaced when quality_classifier_scores landed
-        #    tier-1) leads the r12 rotation, then the r8 greens
         "idle_rich_customers": q_idle_rich_customers,
         "multimodal_features": q_multimodal_features,
         # -- ... then the rest of the r8 greens, the r12
@@ -7298,6 +7303,26 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # (per-row deterministic assignment/encoding), so the incremental
     # IVFPQ contract replays the FULL-corpus IVFPQ oracle verbatim
     oracles["ivfpq_append_topk"] = oracles["embedding_ivfpq_topk"]
+    # the GPT-3 acceptance rule composes ON TOP of the classifier
+    # replay: deterministic seeded uniform -> Pareto inverse-CDF ->
+    # 1e-9-quantized integer compare against 1 - prob
+    oracles["classifier_pareto_sample"] = f"""
+        WITH base AS ({oracles['quality_classifier_scores']}),
+        drawn AS (
+            SELECT *,
+                   pow(1.0 - CAST(({_sampling.portable_hash_seeded_sql(
+                                       "doc_id", 1)})
+                                  AS DOUBLE) / 1000000007.0,
+                       -1.0 / 9.0) - 1.0 AS par
+            FROM base
+        )
+        SELECT doc_id, n_units, score, prob,
+               round(par, 6) AS pareto,
+               CAST(floor(par * 1e9 + 0.5) AS DECIMAL(38,0))
+                   > CAST(floor((1.0 - prob) * 1e9 + 0.5)
+                          AS DECIMAL(38,0)) AS kept
+        FROM drawn
+    """
     # the eval queries rank/bin the SAME scored relation: the dsir
     # oracle composed with the logistic squash and the language label
     scored = f"""
@@ -8192,6 +8217,36 @@ def q_quality_classifier_scores(spark: SparkSession,
     w = nb_logodds_weights(labeled, "_y", n_buckets=1024,
                            ngrams=(1, 2), alpha=1.0)
     return classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2))
+
+
+def q_classifier_pareto_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The GPT-3 quality-filtering pipeline end-to-end (operators.
+    classify + operators.sampling.pareto_quality_filter, Brown et al.
+    2020 Appendix A): train the NB-weighted hashed-n-gram classifier
+    on the lang='en' pseudo-label, score every document, then keep a
+    document iff a deterministic seeded Pareto(9) draw exceeds
+    1 - prob — high scorers always survive, low scorers survive with
+    heavy-tailed probability (tail diversity a hard threshold would
+    destroy). The acceptance compare happens on 1e-9-quantized
+    integers so a ~1-ulp cross-engine pow() difference cannot flip a
+    knife-edge row; the oracle replays train -> score -> draw ->
+    accept closed-form."""
+    from dump1090_db_stream_spark.operators.classify import (
+        classifier_scores,
+        nb_logodds_weights,
+    )
+    from dump1090_db_stream_spark.operators.sampling import (
+        pareto_quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y", F.col("lang") == "en")
+    w = nb_logodds_weights(labeled, "_y", n_buckets=1024,
+                           ngrams=(1, 2), alpha=1.0)
+    scores = classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2))
+    return pareto_quality_filter(scores, "prob", alpha=9.0,
+                                 id_col="doc_id", seed=1)
 
 
 def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -486,6 +486,55 @@ def temperature_sample(
             .filter(bucket < thr))
 
 
+def pareto_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """The GPT-3 quality-filtering acceptance rule (Brown et al. 2020,
+    Appendix A): keep a document iff
+
+        pareto_draw(alpha) > 1 - score
+
+    A high-scoring document is (almost) always kept; low scorers are
+    kept with a heavy-tailed probability instead of hard-thresholded —
+    the rule that preserves tail diversity a cutoff would destroy
+    (GPT-3 used alpha = 9). Composes with
+    ``operators.classify.classifier_scores`` (score = prob).
+
+    The draw is DETERMINISTIC: u = portable_hash_seeded(id, seed) / P
+    in [0, 1), pareto = (1-u)^(-1/alpha) - 1
+    — the inverse-CDF transform of a Pareto(alpha) sample, exact under
+    rerun/repartition and replayable by the SQL oracle. The acceptance
+    COMPARISON happens on 1e-9-quantized integers (floor(x*1e9+0.5) as
+    exact decimals): pow/ln differ across engines by ~1 ulp, and a
+    raw double compare could flip a knife-edge row — quantization
+    absorbs it (the corpus-divergence discipline applied to a
+    predicate).
+
+    Scale shape: one narrow projection — no shuffle, no join, no
+    aggregate; the filter pipelines into the scan. Output: every input
+    row plus ``pareto`` (rounded 6) and ``kept`` — callers filter on
+    ``kept`` (keeping rejects makes the rule auditable and the
+    contract row count stable).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    u = portable_hash_seeded(id_col, seed).cast("double") / F.lit(float(_P))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+
+    def _q(x):
+        return F.floor(x * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+
+    return (df.withColumn("pareto", pareto)
+            .withColumn("kept",
+                        _q(F.col("pareto"))
+                        > _q(F.lit(1.0) - F.col(score_col)))
+            .withColumn("pareto", F.round("pareto", 6)))
+
+
 def negative_pairs(
     df: DataFrame,
     k: int,

@@ -172,3 +172,69 @@ def test_scores_stay_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pareto_filter_acceptance_semantics(spark):
+    """operators.sampling.pareto_quality_filter (GPT-3 Appendix A):
+    score 1.0 always survives (threshold 0 < any positive draw),
+    a HIGHER score keeps a SUPERSET of documents under the same
+    draws, and the draw is deterministic across repartitioning."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        pareto_quality_filter,
+    )
+
+    rows = [(i, 0.05) for i in range(400)]
+    low = spark.createDataFrame(rows, ["doc_id", "s"])
+    high = spark.createDataFrame([(i, 0.6) for i in range(400)],
+                                 ["doc_id", "s"])
+    sure = spark.createDataFrame([(i, 1.0) for i in range(400)],
+                                 ["doc_id", "s"])
+    kept_low = {r["doc_id"] for r in
+                pareto_quality_filter(low, "s").collect() if r["kept"]}
+    kept_high = {r["doc_id"] for r in
+                 pareto_quality_filter(high, "s").collect()
+                 if r["kept"]}
+    kept_sure = {r["doc_id"] for r in
+                 pareto_quality_filter(sure, "s").collect()
+                 if r["kept"]}
+    assert len(kept_sure) == 400            # score 1.0: all kept
+    assert kept_low <= kept_high            # monotone in score
+    assert 0 < len(kept_low) < len(kept_high) < 400  # rule bites
+    # deterministic under repartition
+    again = {r["doc_id"] for r in
+             pareto_quality_filter(low.repartition(7), "s").collect()
+             if r["kept"]}
+    assert again == kept_low
+
+
+def test_pareto_filter_draw_matches_inverse_cdf(spark):
+    """The draw replays the documented closed form: u = seeded
+    portable hash / P, pareto = (1-u)^(-1/alpha) - 1."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        HASH_MODULUS,
+        pareto_quality_filter,
+        portable_hash_seeded,
+    )
+
+    df = spark.createDataFrame([(i, 0.5) for i in range(20)],
+                               ["doc_id", "s"])
+    hashes = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", portable_hash_seeded("doc_id", 1).alias("h")
+    ).collect()}
+    got = {r["doc_id"]: r["pareto"] for r in
+           pareto_quality_filter(df, "s", alpha=9.0,
+                                 seed=1).collect()}
+    for i, h in hashes.items():
+        u = h / float(HASH_MODULUS)
+        want = round((1.0 - u) ** (-1.0 / 9.0) - 1.0, 6)
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+
+
+def test_pareto_filter_validation(spark):
+    from dump1090_db_stream_spark.operators.sampling import (
+        pareto_quality_filter,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], ["doc_id", "s"])
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_quality_filter(df, "s", alpha=0.0)

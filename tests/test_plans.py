@@ -336,6 +336,9 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                       # classify.nb_logodds_weights —
                                       # same shape as the tfidf/bm25
                                       # corpus-stats attach)
+        "classifier_pareto_sample",   # inherits the same class-totals
+                                      # attach (the pareto rule itself
+                                      # is a narrow projection)
         "pagerank_neardups",      # edge build reuses the exact
                                   # all-pairs cosine validator
                                   # (a.id < b.id) — at scale feed
