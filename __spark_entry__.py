@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 187 queries / 50 slots a query re-enters about every
+       slots (at 188 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
@@ -3308,16 +3308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-10 (tier 1, ZERO driver rows): the six
+        # -- r11 window 1-11 (tier 1, ZERO driver rows): the six
         #    late r10 additions (the r10 verdict's #1 ask) plus the
-        #    four new r11 contracts — the non-default-tokenizer arm
-        #    (word_token_stats, ask #5), the incremental-IVFPQ append
-        #    round-trip (ivfpq_append_topk, stretch ask #8), the
-        #    NB-weighted hashed-n-gram quality classifier
-        #    (quality_classifier_scores), and the GPT-3 Pareto
-        #    acceptance rule composed on it
+        #    five new r11 contracts — the two non-default tokenizer
+        #    arms (word_token_stats / bpe_token_stats, ask #5), the
+        #    incremental-IVFPQ append round-trip (ivfpq_append_topk,
+        #    stretch ask #8), the NB-weighted hashed-n-gram quality
+        #    classifier (quality_classifier_scores), and the GPT-3
+        #    Pareto acceptance rule composed on it
         #    (classifier_pareto_sample)
         "word_token_stats": q_word_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -3327,7 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- r11 window 11-18 (tier 2, implementation changed since
+        # -- r11 window 12-19 (tier 2, implementation changed since
         #    last driver green): the two sketch queries reshaped into
         #    band-gated oracle contracts (r10 ask #3);
         #    bigram_pmi / doc_bigram_logprob re-pin after the r10
@@ -3349,7 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "score_normalized": q_score_normalized,
-        # -- r11 window 19-50 (tier 3 rotation): the recorded r11
+        # -- r11 window 20-50 (tier 3 rotation): the recorded r11
         #    rotation-leader queue — the rest of the r7 driver window
         #    in its recorded order (green in CORRECTNESS_r07, stalest
         #    remaining; doc_bigram_logprob moved to tier 2 above)
@@ -3384,12 +3385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_correlations": q_event_correlations,
         "weekly_growth": q_weekly_growth,
         "session_funnel": q_session_funnel,
+        # -- positions 51+: top_supplier_revenue,
+        #    large_order_customers and idle_rich_customers (the
+        #    r7-rotation entries displaced by the three late tier-1
+        #    contracts) lead the r12 rotation, then the r8 greens
         "top_supplier_revenue": q_top_supplier_revenue,
-        # -- positions 51+: large_order_customers and
-        #    idle_rich_customers (the r7-rotation entries displaced
-        #    when quality_classifier_scores and
-        #    classifier_pareto_sample landed tier-1) lead the r12
-        #    rotation, then the r8 greens
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
         "multimodal_features": q_multimodal_features,
@@ -4086,6 +4086,26 @@ def oracle_sql() -> dict[str, str]:
             FROM gstat
             JOIN obs USING (g)
             CROSS JOIN tot CROSS JOIN sall
+        """,
+        # BPE-ish pre-tokenizer arm: same derived text as
+        # word_token_stats; RE2 replays the Java alternation exactly.
+        # regexp_matches is unanchored, so '^[A-Za-z0-9]' mirrors the
+        # Spark rlike prefix test.
+        "bpe_token_stats": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(
+                           replace(text, ' value ', ', value; ')
+                               || ' — café №42 (naïve)',
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+                FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_types,
+                   CAST(sum(CASE WHEN NOT regexp_matches(
+                                tok, '^[A-Za-z0-9]') THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_punct
+            FROM toks GROUP BY source
         """,
         # NB-weighted hashed-n-gram classifier: the full train+score
         # replay — md5 bucket hash (the portable 60-bit twin), exact
@@ -8194,6 +8214,34 @@ def q_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.countDistinct("tok").alias("n_types"),
                  F.sum(F.length("tok")).cast("long").alias("n_chars")))
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Third arm of the tokenizer seam: the GPT-2-style BPE
+    pre-tokenizer (text.bpe_ish_tokens — words | numbers | single
+    punctuation marks, [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]) over the same
+    punctuation-injected derived text as word_token_stats, so
+    punctuation becomes REAL tokens here rather than being dropped.
+    Per-source token count, distinct types, and the count of
+    single-char punctuation tokens; RE2 and Java regex replay the
+    alternation identically (prototype-verified incl. the non-ASCII
+    single-char fallthrough)."""
+    from dump1090_db_stream_spark.operators.text import with_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.select(
+        "source",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" value "),
+                      F.lit(", value; ")),
+            F.lit(" — café №42 (naïve)")).alias("txt"))
+    toked = with_tokens(derived, "txt", "_toks", tokenizer="bpe_ish")
+    return (toked.select("source", F.explode("_toks").alias("tok"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("tok").alias("n_types"),
+                 F.sum((~F.col("tok").rlike("^[A-Za-z0-9]"))
+                       .cast("long")).alias("n_punct")))
 
 
 def q_quality_classifier_scores(spark: SparkSession,

@@ -151,6 +151,14 @@ EXTENDED = [
     "quality_funnel",
     "vocab_coverage",
     "source_divergence",
+    # r11 additions: the tokenizer seam's non-default arm, the
+    # incremental-IVFPQ append round-trip (index write + append +
+    # sidecar-read probe — the daily-batch maintenance cost), and the
+    # classifier train+score (+ pareto acceptance) pipeline
+    "word_token_stats",
+    "ivfpq_append_topk",
+    "quality_classifier_scores",
+    "classifier_pareto_sample",
 ]
 
 
