@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 188 queries / 50 slots a query re-enters about every
+       slots (at 189 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
@@ -3308,27 +3308,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-11 (tier 1, ZERO driver rows): the six
+        # -- r11 window 1-12 (tier 1, ZERO driver rows): the six
         #    late r10 additions (the r10 verdict's #1 ask) plus the
-        #    five new r11 contracts — the two non-default tokenizer
+        #    six new r11 contracts — the two non-default tokenizer
         #    arms (word_token_stats / bpe_token_stats, ask #5), the
         #    incremental-IVFPQ append round-trip (ivfpq_append_topk,
         #    stretch ask #8), the NB-weighted hashed-n-gram quality
-        #    classifier (quality_classifier_scores), and the GPT-3
-        #    Pareto acceptance rule composed on it
-        #    (classifier_pareto_sample)
+        #    classifier (quality_classifier_scores), the GPT-3 Pareto
+        #    acceptance rule composed on it
+        #    (classifier_pareto_sample), and the UniMax epoch
+        #    manifest composed on the allocation
+        #    (unimax_epoch_manifest)
         "word_token_stats": q_word_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
         "unimax_allocation": q_unimax_allocation,
+        "unimax_epoch_manifest": q_unimax_epoch_manifest,
         "quality_funnel": q_quality_funnel,
         "ann_recall_int8": q_ann_recall_int8,
         "ann_recall_pq": q_ann_recall_pq,
         "vocab_coverage": q_vocab_coverage,
         "source_divergence": q_source_divergence,
-        # -- r11 window 12-19 (tier 2, implementation changed since
+        # -- r11 window 13-20 (tier 2, implementation changed since
         #    last driver green): the two sketch queries reshaped into
         #    band-gated oracle contracts (r10 ask #3);
         #    bigram_pmi / doc_bigram_logprob re-pin after the r10
@@ -3350,7 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dsir_auc_by_source": q_dsir_auc_by_source,
         "score_normalized": q_score_normalized,
-        # -- r11 window 20-50 (tier 3 rotation): the recorded r11
+        # -- r11 window 21-50 (tier 3 rotation): the recorded r11
         #    rotation-leader queue — the rest of the r7 driver window
         #    in its recorded order (green in CORRECTNESS_r07, stalest
         #    remaining; doc_bigram_logprob moved to tier 2 above)
@@ -3384,11 +3387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "event_correlations": q_event_correlations,
         "weekly_growth": q_weekly_growth,
-        "session_funnel": q_session_funnel,
-        # -- positions 51+: top_supplier_revenue,
+        # -- positions 51+: session_funnel, top_supplier_revenue,
         #    large_order_customers and idle_rich_customers (the
-        #    r7-rotation entries displaced by the three late tier-1
+        #    r7-rotation entries displaced by the four late tier-1
         #    contracts) lead the r12 rotation, then the r8 greens
+        "session_funnel": q_session_funnel,
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -7323,6 +7326,33 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # (per-row deterministic assignment/encoding), so the incremental
     # IVFPQ contract replays the FULL-corpus IVFPQ oracle verbatim
     oracles["ivfpq_append_topk"] = oracles["embedding_ivfpq_topk"]
+    # the epoch manifest composes ON TOP of the water-filling replay:
+    # floor(epochs) full copies + a fractional extra copy by the same
+    # deterministic hash draw, range-expanded
+    oracles["unimax_epoch_manifest"] = f"""
+        WITH alloc AS ({oracles['unimax_allocation']}),
+        j AS (
+            SELECT d.doc_id, d.source, a.epochs,
+                   CAST(floor(a.epochs) AS BIGINT) AS nfull,
+                   a.epochs - floor(a.epochs) AS frac,
+                   CAST(({_sampling.portable_hash_seeded_sql(
+                       "d.doc_id", 11)}) AS DOUBLE)
+                       / 1000000007.0 AS u
+            FROM documents d JOIN alloc a USING (source)
+            WHERE a.epochs IS NOT NULL
+        ), copies AS (
+            SELECT doc_id, source, epochs,
+                   nfull + (CASE WHEN
+                       CAST(floor(u * 1e9 + 0.5) AS DECIMAL(38,0))
+                       < CAST(floor(frac * 1e9 + 0.5)
+                              AS DECIMAL(38,0))
+                       THEN 1 ELSE 0 END) AS nc
+            FROM j
+        )
+        SELECT doc_id, source,
+               unnest(range(1, nc + 1)) AS epoch_idx, epochs
+        FROM copies WHERE nc >= 1
+    """
     # the GPT-3 acceptance rule composes ON TOP of the classifier
     # replay: deterministic seeded uniform -> Pareto inverse-CDF ->
     # 1e-9-quantized integer compare against 1 - prob
@@ -8214,6 +8244,30 @@ def q_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.countDistinct("tok").alias("n_types"),
                  F.sum(F.length("tok")).cast("long").alias("n_chars")))
+
+
+def q_unimax_epoch_manifest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """UniMax made material (operators.sampling.unimax_expand): the
+    210k-char / 1.5-epoch allocation expanded into the actual
+    epochized training manifest — floor(epochs) full copies per
+    document plus a fractional extra copy by deterministic seeded
+    Bernoulli (quantized-integer accept compare). At sf0.01 the mixed
+    regime makes this real: capped sources repeat at 1.5 epochs (every
+    doc once, half the docs twice), theta sources subsample below one
+    epoch. The oracle composes the full water-filling replay with the
+    same hash draw and range expansion."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_expand,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = unimax_allocation(docs, budget_tokens=210_000,
+                              max_epochs="1.5", source_col="source",
+                              token_col="n_chars")
+    return unimax_expand(docs, alloc, id_col="doc_id",
+                         source_col="source", seed=11)
 
 
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,9 +156,11 @@ EXTENDED = [
     # sidecar-read probe — the daily-batch maintenance cost), and the
     # classifier train+score (+ pareto acceptance) pipeline
     "word_token_stats",
+    "bpe_token_stats",
     "ivfpq_append_topk",
     "quality_classifier_scores",
     "classifier_pareto_sample",
+    "unimax_epoch_manifest",
 ]
 
 

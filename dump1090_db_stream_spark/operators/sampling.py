@@ -486,6 +486,56 @@ def temperature_sample(
             .filter(bucket < thr))
 
 
+def unimax_expand(
+    df: DataFrame,
+    alloc: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 11,
+) -> DataFrame:
+    """Materialize a :func:`unimax_allocation` as an actual epochized
+    training mixture — the step from "budget report" to "dataset":
+    every document of a source allocated ``epochs`` appears
+    ``floor(epochs)`` times in full, plus one more time with
+    probability ``frac(epochs)`` (doc-level Bernoulli — in expectation
+    each source contributes exactly its allocated token mass, and no
+    document is ever PARTIALLY repeated, the UniMax contract of whole
+    examples under an epoch cap).
+
+    The extra-copy draw is the deterministic seeded portable hash, and
+    the accept compare runs on 1e-9-quantized integers (the
+    pareto_quality_filter discipline) so both engines keep identical
+    document sets. Sources absent from ``alloc`` (or with NULL epochs
+    — empty sources) contribute nothing.
+
+    Scale shape: the allocation is a source-vocabulary-sized broadcast;
+    the corpus takes ONE narrow projection (hash + copy count) and an
+    explode whose per-row width is ``ceil(epochs)`` <= the epoch cap —
+    no shuffle anywhere, the manifest pipelines straight into a write.
+    Output: (id_col, source_col, epoch_idx 1-based, epochs) — one row
+    per (document, copy).
+    """
+    a = alloc.select(source_col, "epochs").filter(
+        F.col("epochs").isNotNull())
+    u = portable_hash_seeded(id_col, seed).cast("double") / F.lit(
+        float(_P))
+    full = F.floor(F.col("epochs")).cast("long")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+
+    def _q(x):
+        return F.floor(x * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+
+    n_copies = (full + (_q(u) < _q(frac)).cast("long")).alias("_nc")
+    return (df.join(F.broadcast(a), source_col)
+            .select(id_col, source_col, "epochs", n_copies)
+            .filter(F.col("_nc") >= 1)
+            .select(id_col, source_col, "epochs",
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("_nc")))
+                    .alias("epoch_idx"))
+            .select(id_col, source_col, "epoch_idx", "epochs"))
+
+
 def pareto_quality_filter(
     df: DataFrame,
     score_col: str,

@@ -68,26 +68,27 @@ def test_r11_window_composition():
     the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:11] == [                           # tier 1: new
+    assert window[:12] == [                           # tier 1: new
         "word_token_stats", "bpe_token_stats", "ivfpq_append_topk",
         "quality_classifier_scores", "classifier_pareto_sample",
-        "unimax_allocation", "quality_funnel", "ann_recall_int8",
+        "unimax_allocation", "unimax_epoch_manifest",
+        "quality_funnel", "ann_recall_int8",
         "ann_recall_pq", "vocab_coverage", "source_divergence"]
-    assert window[11:19] == [                         # tier 2: changed
+    assert window[12:20] == [                         # tier 2: changed
         "event_approx_stats", "daily_distinct_rollup",
         "bigram_pmi", "doc_bigram_logprob",
         "tfidf_top_terms", "bm25_scores",
         "dsir_auc_by_source", "score_normalized"]
     # tier 3 fill: the r7-window remainder in recorded staleness order
-    assert window[19] == "late_shipment_priority"
-    assert window[-1] == "session_funnel"
+    assert window[20] == "late_shipment_priority"
+    assert window[-1] == "weekly_growth"
     # positions 51+: the displaced r7-rotation entries, then the r8
     # greens lead the r12 rotation
-    assert order[50:53] == ["top_supplier_revenue",
+    assert order[50:54] == ["session_funnel", "top_supplier_revenue",
                             "large_order_customers",
                             "idle_rich_customers"]
-    assert order[53] == "multimodal_features"
-    assert order[54] == "survival_curve"
+    assert order[54] == "multimodal_features"
+    assert order[55] == "survival_curve"
     # then the r9 greens, then the r10-window greens (freshest) close
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")

@@ -99,3 +99,73 @@ def test_matches_sequential_greedy_reference(spark):
         assert got[s]["alloc_tokens"] == pytest.approx(want, abs=1e-6)
     assert sum(r["alloc_tokens"] for r in got.values()) == \
         pytest.approx(min(budget, sum(k for k, _ in caps)), abs=1e-6)
+
+
+def test_unimax_expand_whole_and_fractional_copies(spark):
+    """unimax_expand materializes the allocation: integer epochs give
+    every document exactly that many copies; fractional epochs give
+    floor(e) copies plus an extra-copy subset whose observed share
+    tracks frac(e); the draw is deterministic across repartitioning;
+    unallocated/NULL-epoch sources vanish."""
+    import pyspark.sql.functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import (
+        unimax_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "two") for i in range(50)]
+        + [(1000 + i, "half") for i in range(400)]
+        + [(9000 + i, "ghost") for i in range(5)],
+        ["doc_id", "source"])
+    alloc = spark.createDataFrame(
+        [("two", 2.0), ("half", 0.5), ("gone", 3.0), ("ghost", None)],
+        "source string, epochs double")
+    out = unimax_expand(docs, alloc, seed=11)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # integer epochs: every doc exactly twice, epoch_idx = 1, 2
+    two = by_src["two"]
+    assert len(two) == 100
+    assert sorted((r["doc_id"], r["epoch_idx"]) for r in two) == \
+        sorted((i, e) for i in range(50) for e in (1, 2))
+    # fractional: each kept doc exactly once, share tracks 0.5
+    half = by_src["half"]
+    assert all(r["epoch_idx"] == 1 for r in half)
+    assert 0.4 * 400 < len(half) < 0.6 * 400
+    # NULL-epoch and absent sources contribute nothing
+    assert set(by_src) == {"two", "half"}
+    # deterministic under repartition
+    again = unimax_expand(docs.repartition(7), alloc, seed=11)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, rows))
+    # no shuffle: a single narrow stage over the corpus side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_unimax_expand_composes_with_allocation(spark):
+    """End-to-end: expanding the real allocation yields, per source,
+    total emitted rows == n_docs * floor(epochs) + |extra subset| and
+    at least the capped sources' repetition structure."""
+    from dump1090_db_stream_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [(s * 1000 + i, f"s{s}", 100) for s in range(4)
+         for i in range(20 * (s + 1))],
+        ["doc_id", "source", "n_chars"])
+    alloc = unimax_allocation(docs, budget_tokens=9_000,
+                              max_epochs="1.5", token_col="n_chars")
+    epochs = {r["source"]: r["epochs"] for r in alloc.collect()}
+    out = unimax_expand(docs, alloc).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in out.collect()}
+    import math
+    for s, e in epochs.items():
+        n_docs = 20 * (int(s[1]) + 1)
+        lo = n_docs * math.floor(e)
+        assert lo <= got.get(s, 0) <= lo + n_docs, (s, e, got.get(s))
