@@ -3321,6 +3321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (unimax_epoch_manifest)
         "word_token_stats": q_word_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        #    ... and the distributed BPE trainer family (late r11:
+        #    train / encode+vocab / per-source compression — each
+        #    oracle re-derives all 12 merges itself)
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encoded_stats": q_bpe_encoded_stats,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -3384,13 +3390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stripped_duplicate_spans": q_stripped_duplicate_spans,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
-        "customer_distribution": q_customer_distribution,
-        "event_correlations": q_event_correlations,
-        "weekly_growth": q_weekly_growth,
-        # -- positions 51+: session_funnel, top_supplier_revenue,
+        # -- positions 51+: customer_distribution, event_correlations
+        #    and weekly_growth (displaced from the r11 tier-3 fill by
+        #    the three late BPE-trainer contracts) lead the r12
+        #    rotation, then session_funnel, top_supplier_revenue,
         #    large_order_customers and idle_rich_customers (the
         #    r7-rotation entries displaced by the four late tier-1
         #    contracts) lead the r12 rotation, then the r8 greens
+        "customer_distribution": q_customer_distribution,
+        "event_correlations": q_event_correlations,
+        "weekly_growth": q_weekly_growth,
         "session_funnel": q_session_funnel,
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
@@ -7549,6 +7558,38 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             FROM bucketed)
         WHERE rk <= 40
     """
+    # Distributed BPE training (operators.bpe): the replay derives its
+    # own 12 merges — unrolled MATERIALIZED stages, each re-deriving
+    # the (cnt DESC, lhs, rhs) argmax and applying the greedy merge via
+    # the run-parity window formulation (equivalence with the Spark
+    # fold proven in the module docstring; MATERIALIZED is load-bearing
+    # — inlined CTEs make the unrolled plan exponential in n_merges).
+    from dump1090_db_stream_spark.operators import bpe as _bpe
+
+    _bpe_prefix = _bpe.replay_prefix_sql(12)
+    oracles["bpe_merges"] = (
+        _bpe_prefix + "\n" + _bpe.merges_select_sql(12))
+    oracles["bpe_vocab"] = _bpe_prefix + """
+        SELECT sym, SUM(freq)::BIGINT AS n_occurrences,
+               COUNT(DISTINCT word)::BIGINT AS n_word_types
+        FROM (SELECT word, freq, unnest(syms) AS sym FROM words12)
+        GROUP BY sym
+    """
+    oracles["bpe_encoded_stats"] = _bpe_prefix + r"""
+        , grpw AS (
+            SELECT source, word, COUNT(*)::BIGINT AS gfreq
+            FROM (SELECT source,
+                         unnest(regexp_extract_all(
+                             text, '[\p{L}\p{N}]+')) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY source, word
+        )
+        SELECT g.source, SUM(g.gfreq)::BIGINT AS n_words,
+               SUM(g.gfreq * len(w.syms))::BIGINT AS n_subword_tokens,
+               SUM(g.gfreq * length(w.word))::BIGINT AS n_word_chars
+        FROM grpw g JOIN words12 w ON w.word = g.word
+        GROUP BY g.source
+    """
     return oracles
 
 
@@ -8430,3 +8471,50 @@ def q_score_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quantile_normalize(docs, "n_chars", "source", n_quantiles=20)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators.bpe.train_bpe —
+    Sennrich et al. 2016): 12 merges learned over the documents corpus
+    through the unicode-word tokenizer seam. The corpus collapses ONCE
+    into the word-type relation; each merge is one vocabulary-sized
+    aggregation plus a ONE-ROW argmax collect (the bounded-collect
+    pattern), and merge application is a pure fold projection. The
+    oracle re-derives every merge itself — 12 unrolled MATERIALIZED
+    stages ending in the same (cnt DESC, lhs, rhs) argmax — so
+    hash-equality proves the full training trajectory, not just the
+    final table."""
+    from dump1090_db_stream_spark.operators.bpe import merges_df, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_df(spark, train_bpe(docs, 12))
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE symbol vocabulary (operators.bpe.bpe_vocab):
+    train 12 merges, re-encode the word-type table declaratively (the
+    merge list is literals, so the encode is one WholeStageCodegen fold
+    chain — the shape of the 100 TB corpus encode pass), and aggregate
+    per-symbol corpus-weighted occurrences and word-type counts. The
+    oracle replays training AND encoding from scratch."""
+    from dump1090_db_stream_spark.operators.bpe import bpe_vocab, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(docs, train_bpe(docs, 12))
+
+
+def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword compression report for the trained merges
+    (operators.bpe.encoded_stats): per-source word counts joined to the
+    encoded word-type table (vocabulary-sized x vocabulary-sized plain
+    equi-join — at web scale neither side broadcasts and neither needs
+    to), yielding words / subword tokens / character mass per source —
+    the tokens-per-word diagnostic a tokenizer-training pipeline
+    reports. Oracle replays the composition end to end."""
+    from dump1090_db_stream_spark.operators.bpe import (
+        encoded_stats,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encoded_stats(docs, train_bpe(docs, 12))

@@ -161,6 +161,9 @@ EXTENDED = [
     "quality_classifier_scores",
     "classifier_pareto_sample",
     "unimax_epoch_manifest",
+    "bpe_merges",
+    "bpe_vocab",
+    "bpe_encoded_stats",
 ]
 
 

@@ -1,0 +1,333 @@
+r"""Distributed byte-pair-encoding (BPE) vocabulary training.
+
+Extends the engine's tokenizer story (SURVEY.md §2.10 has no reference
+counterpart — the reference, ``dump1090-postgres.py``, has no text
+surface at all) from *using* tokenizers (the ``text.with_tokens`` seam)
+to *learning* one: the Sennrich et al. 2016 subword-vocabulary trainer
+("Neural Machine Translation of Rare Words with Subword Units", ACL),
+the algorithm behind GPT-2/RoBERTa-class vocabularies.
+
+Scale design — why this survives 100 TB
+---------------------------------------
+The classic BPE trainer is sequential, but its *data access* is not:
+
+1. The corpus collapses ONCE into the word-type relation
+   ``(word, freq)`` — one shuffle over the corpus, after which every
+   training iteration runs over a VOCABULARY-sized relation (tens of
+   millions of rows at web scale, not tens of billions).  This is the
+   same corpus-collapsing discipline as ``sampling.unimax_allocation``.
+2. Each merge iteration is: one map-side pair expansion + one
+   vocabulary-sized aggregation + a ONE-ROW argmax collect (bounded by
+   construction — the documented bounded-collect pattern, cf. the IVF
+   quantizer sampling in ``operators.similarity``).
+3. Applying a merge is a pure projection (an ``aggregate`` fold over
+   each word's symbol array) — no shuffle, no Python.  The iteration-k
+   word table is rebuilt declaratively from the persisted word-type
+   base by folding the k learned merges, so no intermediate caching
+   accumulates and lineage stays one projection deep.
+4. Encoding with a TRAINED merge list is fully declarative: the merges
+   are literals, so :func:`encode_words` is a single whole-stage-codegen
+   projection chain — the 100 TB encode pass is embarrassingly
+   parallel with zero Python.
+
+Greedy-merge semantics (both engines, proven equivalent)
+--------------------------------------------------------
+A merge of pair ``(a, b)`` applies left-to-right, non-overlapping — the
+reference semantics of Sennrich's ``learn_bpe``.  Spark implements it
+as a left fold (``aggregate``): append the symbol unless the
+accumulator's last element is ``a`` and the symbol is ``b``, in which
+case replace the last element with ``a||b``.  A merged token can never
+immediately re-merge (``a||b = a`` would need ``b = ''``), so the fold
+IS the greedy scan.  The DuckDB oracle replays the same semantics
+positionally: match positions form runs only when ``a = b`` (if
+positions i and i+1 both match, ``sym[i+1]`` is both ``b`` and ``a``),
+and the greedy scan keeps exactly the odd-ranked (1st, 3rd, ...)
+positions of each run — a window expression.  Pair COUNTING includes
+overlapping occurrences ("aaa" counts (a,a) twice), again matching the
+reference implementation's ``get_stats``.
+
+Tie-breaking is total and engine-portable: highest count, then
+``(lhs, rhs)`` ascending — Spark's UTF8_BINARY and DuckDB's default
+BINARY collation compare UTF-8 bytes identically.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+
+def word_freqs(df: DataFrame, text_col: str = "text",
+               tokenizer="word", min_freq: int = 1) -> DataFrame:
+    """The corpus-collapsing step: distinct words with frequencies.
+
+    One corpus scan + one vocabulary-sized aggregation; every BPE
+    iteration afterwards touches only this relation.  ``tokenizer``
+    goes through the :func:`text.make_tokenizer` seam (default: the
+    unicode-category word splitter — the oracle-portable choice).
+    ``min_freq`` prunes the long hapax tail, the standard way to cut
+    the type table an order of magnitude at web scale (documented
+    knob; the contract queries keep it at 1 so the oracle replays the
+    full table).
+    """
+    toked = with_tokens(df.filter(F.col(text_col).isNotNull()),
+                        text_col, "_toks", tokenizer)
+    out = (toked.select(F.explode("_toks").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out
+
+
+def with_symbols(words: DataFrame, word_col: str = "word",
+                 syms_col: str = "syms") -> DataFrame:
+    """Initial symbol sequences: one character per symbol.
+
+    ``split(word, '')`` yields one array element per codepoint — the
+    same decomposition as DuckDB's ``string_split(word, '')``, verified
+    on non-ASCII input (prototyped: 'café' -> [c,a,f,é] in both).
+    """
+    return words.withColumn(syms_col, F.split(F.col(word_col), ""))
+
+
+def adjacent_pair_counts(words: DataFrame, syms_col: str = "syms",
+                         freq_col: str = "freq") -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts ``(l, r, cnt)``.
+
+    Overlapping occurrences count (Sennrich ``get_stats`` semantics).
+    Map-side expansion (zip_with of two slices — no index arithmetic
+    that could desync between engines) + one vocabulary-sized
+    aggregation.  Words of a single symbol contribute nothing (both
+    slices are empty).
+    """
+    syms = F.col(syms_col)
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, F.lit(1), n - 1),
+        F.slice(syms, F.lit(2), n - 1),
+        lambda l, r: F.struct(l.alias("l"), r.alias("r")))
+    return (words.select(F.col(freq_col), F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum(freq_col).cast("long").alias("cnt")))
+
+
+def merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
+    """The greedy left-to-right non-overlapping merge as a left fold.
+
+    See the module docstring for the equivalence argument with the
+    oracle's positional (run-parity) formulation.
+    """
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (s == F.lit(rhs)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(lhs + rhs)))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def encode_words(words: DataFrame, merges: Sequence[dict],
+                 syms_col: str = "syms") -> DataFrame:
+    """Apply a trained merge list to the word-type table.
+
+    The merges are literals, so this is ONE projection chain (Catalyst
+    collapses the per-merge withColumns) — the fully-declarative encode
+    path a 100 TB corpus pass needs: no Python, no shuffle, no state.
+    """
+    col = F.col(syms_col)
+    for m in merges:
+        col = merge_fold(col, m["lhs"], m["rhs"])
+    return words.withColumn(syms_col, col)
+
+
+def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
+              tokenizer="word", min_freq: int = 1) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from a corpus.
+
+    Returns the ordered merge table: dicts with ``merge_rank``,
+    ``lhs``, ``rhs``, ``merged``, ``pair_count``.  Stops early if the
+    symbol-pair table empties (every word fully merged).
+
+    Driver loop shape (the honest cost of BPE's sequential argmax):
+    ``n_merges`` jobs, each re-folding the k learned merges over the
+    PERSISTED word-type base (vocabulary-sized; the corpus is touched
+    exactly once, in :func:`word_freqs`) and collecting ONE row.  No
+    intermediate is cached beyond the base, so repeated training runs
+    leave no storage residue.
+    """
+    base = with_symbols(word_freqs(df, text_col, tokenizer, min_freq))
+    base = base.persist()
+    try:
+        merges: list[dict] = []
+        for k in range(n_merges):
+            words = encode_words(base, merges)
+            top = (adjacent_pair_counts(words)
+                   .orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                            F.col("r").asc())
+                   .limit(1).collect())  # bounded: exactly one row
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+            merges.append({"merge_rank": k, "lhs": l, "rhs": r,
+                           "merged": l + r, "pair_count": int(cnt)})
+        return merges
+    finally:
+        base.unpersist(blocking=False)
+
+
+def merges_df(spark, merges: Sequence[dict]) -> DataFrame:
+    """The merge table as a DataFrame (driver-resident by construction:
+    each row is the result of one bounded argmax collect)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("merge_rank", LongType()),
+        StructField("lhs", StringType()),
+        StructField("rhs", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+    ])
+    rows = [(m["merge_rank"], m["lhs"], m["rhs"], m["merged"],
+             m["pair_count"]) for m in merges]
+    return spark.createDataFrame(rows, schema)
+
+
+def bpe_vocab(df: DataFrame, merges: Sequence[dict],
+              text_col: str = "text", tokenizer="word",
+              min_freq: int = 1) -> DataFrame:
+    """Final symbol vocabulary after applying ``merges``: per symbol,
+    the corpus-weighted occurrence count and the number of word types
+    containing it.  Declarative end to end (fold chain + explode +
+    one vocabulary-sized aggregation)."""
+    words = encode_words(
+        with_symbols(word_freqs(df, text_col, tokenizer, min_freq)),
+        merges)
+    return (words.select("word", "freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("long").alias("n_occurrences"),
+                 F.countDistinct("word").alias("n_word_types")))
+
+
+def encoded_stats(df: DataFrame, merges: Sequence[dict],
+                  text_col: str = "text", group_col: str = "source",
+                  tokenizer="word") -> DataFrame:
+    """Per-group subword compression report for a trained merge list:
+    words, subword tokens, and character mass.
+
+    The per-group word counts join the encoded word-type table on
+    ``word`` — both sides vocabulary-sized (per-group types <= types),
+    a plain shuffle equi-join; at web scale neither side is
+    broadcastable and neither needs to be.
+    """
+    toked = with_tokens(df.filter(F.col(text_col).isNotNull()),
+                        text_col, "_toks", tokenizer)
+    grp_words = (toked.select(group_col, F.explode("_toks").alias("word"))
+                 .groupBy(group_col, "word")
+                 .agg(F.count(F.lit(1)).alias("gfreq")))
+    enc = encode_words(with_symbols(word_freqs(df, text_col, tokenizer)),
+                       merges).select(
+        "word", F.size("syms").alias("n_subwords"),
+        F.length("word").alias("n_chars"))
+    return (grp_words.join(enc, "word")
+            .groupBy(group_col)
+            .agg(F.sum("gfreq").cast("long").alias("n_words"),
+                 (F.sum(F.col("gfreq") * F.col("n_subwords"))
+                  .cast("long").alias("n_subword_tokens")),
+                 (F.sum(F.col("gfreq") * F.col("n_chars"))
+                  .cast("long").alias("n_word_chars"))))
+
+
+# --------------------------------------------------------------------
+# DuckDB-oracle SQL twins.  The replay derives its own merges (no
+# data-dependent literals leak from the Spark side), stage by stage:
+# the same word-type base, the same overlap-counting pair aggregation,
+# the same (cnt DESC, l, r) argmax, and the run-parity formulation of
+# the greedy merge.  MATERIALIZED is load-bearing: each stage references
+# its predecessor several times, and CTE inlining would make the unrolled
+# plan exponential in n_merges (measured: K=6 inlined did not finish;
+# materialized runs in 0.13 s).
+# --------------------------------------------------------------------
+
+#: RE2/Java-identical word tokenizer — mirrors text.WORD_TOKEN_RE.
+_WORD_RE_SQL = r"[\p{L}\p{N}]+"
+
+
+def words0_sql(table: str = "documents", text_col: str = "text") -> str:
+    """The word-type base CTE body (call it ``words0``)."""
+    return f"""
+  SELECT word, COUNT(*)::BIGINT AS freq, string_split(word, '') AS syms
+  FROM (SELECT unnest(regexp_extract_all({text_col}, '{_WORD_RE_SQL}'))
+            AS word
+        FROM {table} WHERE {text_col} IS NOT NULL)
+  GROUP BY word"""
+
+
+def stage_sql(k: int) -> str:
+    """Merge stage ``k`` (1-based): derives ``best{k}`` (the argmax
+    pair) and ``words{k}`` (the merged word table) from
+    ``words{k-1}``."""
+    return f"""
+pos{k} AS MATERIALIZED (
+  SELECT word, freq, unnest(syms) AS sym,
+         unnest(range(1, len(syms) + 1)) AS pos
+  FROM words{k - 1}
+),
+pr{k} AS MATERIALIZED (
+  SELECT a.word, a.freq, a.pos, a.sym AS l, b.sym AS r
+  FROM pos{k} a JOIN pos{k} b ON b.word = a.word AND b.pos = a.pos + 1
+),
+best{k} AS MATERIALIZED (
+  SELECT l, r, SUM(freq)::BIGINT AS cnt FROM pr{k} GROUP BY l, r
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+kp{k} AS MATERIALIZED (
+  -- greedy scan = odd-ranked positions of each run of match positions
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+    FROM (SELECT p.word, p.pos,
+                 p.pos - ROW_NUMBER() OVER (PARTITION BY p.word
+                                            ORDER BY p.pos) AS grp
+          FROM pr{k} p, best{k} b WHERE p.l = b.l AND p.r = b.r))
+  WHERE rn % 2 = 1
+),
+words{k} AS MATERIALIZED (
+  SELECT p.word, p.freq,
+         list(CASE WHEN m.pos IS NOT NULL THEN p.sym || nx.sym
+                   ELSE p.sym END ORDER BY p.pos) AS syms
+  FROM pos{k} p
+  LEFT JOIN kp{k} m  ON m.word = p.word AND m.pos = p.pos
+  LEFT JOIN kp{k} d  ON d.word = p.word AND d.pos = p.pos - 1
+  LEFT JOIN pos{k} nx ON nx.word = p.word AND nx.pos = p.pos + 1
+  WHERE d.pos IS NULL
+  GROUP BY p.word, p.freq
+)"""
+
+
+def replay_prefix_sql(n_merges: int, table: str = "documents",
+                      text_col: str = "text") -> str:
+    """The full unrolled training replay as a WITH prefix: ``words0``
+    plus ``n_merges`` stages.  Compose a final SELECT over ``best{k}``
+    (the merge table) or ``words{n_merges}`` (the encoded types)."""
+    return ("WITH words0 AS MATERIALIZED ("
+            + words0_sql(table, text_col) + "\n),"
+            + ",".join(stage_sql(k) for k in range(1, n_merges + 1)))
+
+
+def merges_select_sql(n_merges: int) -> str:
+    """Final SELECT for the learned merge table."""
+    return ("SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT CAST({k - 1} AS BIGINT) AS merge_rank, l AS lhs,"
+                f" r AS rhs, l || r AS merged, cnt AS pair_count"
+                f" FROM best{k}"
+                for k in range(1, n_merges + 1))
+            + ")")

@@ -68,27 +68,32 @@ def test_r11_window_composition():
     the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:12] == [                           # tier 1: new
-        "word_token_stats", "bpe_token_stats", "ivfpq_append_topk",
+    assert window[:15] == [                           # tier 1: new
+        "word_token_stats", "bpe_token_stats",
+        "bpe_merges", "bpe_vocab", "bpe_encoded_stats",
+        "ivfpq_append_topk",
         "quality_classifier_scores", "classifier_pareto_sample",
         "unimax_allocation", "unimax_epoch_manifest",
         "quality_funnel", "ann_recall_int8",
         "ann_recall_pq", "vocab_coverage", "source_divergence"]
-    assert window[12:20] == [                         # tier 2: changed
+    assert window[15:23] == [                         # tier 2: changed
         "event_approx_stats", "daily_distinct_rollup",
         "bigram_pmi", "doc_bigram_logprob",
         "tfidf_top_terms", "bm25_scores",
         "dsir_auc_by_source", "score_normalized"]
     # tier 3 fill: the r7-window remainder in recorded staleness order
-    assert window[20] == "late_shipment_priority"
-    assert window[-1] == "weekly_growth"
-    # positions 51+: the displaced r7-rotation entries, then the r8
-    # greens lead the r12 rotation
-    assert order[50:54] == ["session_funnel", "top_supplier_revenue",
+    assert window[23] == "late_shipment_priority"
+    assert window[-1] == "returned_item_losses"
+    # positions 51+: the three tier-3 entries displaced by the late
+    # BPE-trainer contracts, then the displaced r7-rotation entries,
+    # then the r8 greens lead the r12 rotation
+    assert order[50:53] == ["customer_distribution",
+                            "event_correlations", "weekly_growth"]
+    assert order[53:57] == ["session_funnel", "top_supplier_revenue",
                             "large_order_customers",
                             "idle_rich_customers"]
-    assert order[54] == "multimodal_features"
-    assert order[55] == "survival_curve"
+    assert order[57] == "multimodal_features"
+    assert order[58] == "survival_curve"
     # then the r9 greens, then the r10-window greens (freshest) close
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")
