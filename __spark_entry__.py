@@ -3327,6 +3327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encoded_stats": q_bpe_encoded_stats,
+        #    ... and the split family (late r11): k-fold CV assignment
+        #    and the contamination-safe cluster-keyed split
+        "kfold_docs": q_kfold_docs,
+        "leakage_safe_split": q_leakage_safe_split,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -3388,15 +3392,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
         "stripped_duplicate_spans": q_stripped_duplicate_spans,
-        "shipping_priority": q_shipping_priority,
-        "returned_item_losses": q_returned_item_losses,
-        # -- positions 51+: customer_distribution, event_correlations
-        #    and weekly_growth (displaced from the r11 tier-3 fill by
-        #    the three late BPE-trainer contracts) lead the r12
-        #    rotation, then session_funnel, top_supplier_revenue,
+        # -- positions 51+: shipping_priority ... weekly_growth (the
+        #    five tier-3 entries displaced from the r11 fill by the
+        #    five late tier-1 contracts — the BPE-trainer family and
+        #    the split family) lead the r12 rotation, then
+        #    session_funnel, top_supplier_revenue,
         #    large_order_customers and idle_rich_customers (the
         #    r7-rotation entries displaced by the four late tier-1
-        #    contracts) lead the r12 rotation, then the r8 greens
+        #    contracts), then the r8 greens
+        "shipping_priority": q_shipping_priority,
+        "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
         "event_correlations": q_event_correlations,
         "weekly_growth": q_weekly_growth,
@@ -7558,6 +7563,22 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             FROM bucketed)
         WHERE rk <= 40
     """
+    # Deterministic k-fold CV assignment: the seeded-hash fold replay.
+    oracles["kfold_docs"] = f"""
+        SELECT doc_id, source,
+               {_sampling.kfold_assign_sql("doc_id", 5, 7)} AS fold
+        FROM documents
+    """
+    # Contamination-safe split: composed ON TOP of the
+    # transitive-closure clustering replay — the split key is the
+    # cluster's canonical id, hashed through the same CASE ladder the
+    # driver already verifies for hash_split_stats.
+    oracles["leakage_safe_split"] = f"""
+        WITH canon AS ({oracles['neardup_clusters']})
+        SELECT doc_id, canonical_id,
+               {_sampling.hash_split_case_sql("canonical_id")} AS split
+        FROM canon
+    """
     # Distributed BPE training (operators.bpe): the replay derives its
     # own 12 merges — unrolled MATERIALIZED stages, each re-deriving
     # the (cnt DESC, lhs, rhs) argmax and applying the greedy merge via
@@ -8518,3 +8539,38 @@ def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return encoded_stats(docs, train_bpe(docs, 12))
+
+
+def q_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV assignment (operators.sampling.
+    kfold_assign): seeded portable hash mod k — disjoint, exhaustive,
+    stable under dataset growth, re-drawable by seed. Row-level
+    contract (every doc's fold hash-checked), pure projection."""
+    from dump1090_db_stream_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kfold_assign(docs, "doc_id", n_folds=5, seed=7).select(
+        "doc_id", "source", "fold")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe split (operators.sampling.leakage_safe_split
+    composed on dedup.ngram_jaccard_pairs -> graph.canonical_map): the
+    split key is the near-dup CLUSTER's canonical id, so no
+    near-duplicate pair straddles train/eval (the Lee et al. 2022
+    leakage). Row-level contract: doc_id, canonical_id and the split
+    label all hash-checked against the oracle's transitive-closure +
+    hash-CASE replay."""
+    from dump1090_db_stream_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+    from dump1090_db_stream_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    canon = canonical_map(docs, pairs)
+    return leakage_safe_split(docs, canon).select(
+        "doc_id", "canonical_id", "split")

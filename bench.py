@@ -164,6 +164,8 @@ EXTENDED = [
     "bpe_merges",
     "bpe_vocab",
     "bpe_encoded_stats",
+    "kfold_docs",
+    "leakage_safe_split",
 ]
 
 

@@ -145,6 +145,61 @@ def hash_split_case_sql(
             + f" ELSE '{labels[-1][0]}' END")
 
 
+def kfold_assign(df: DataFrame, id_col: str, n_folds: int,
+                 seed: int = 0, fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment.
+
+    Fold = seeded portable hash of the id, mod ``n_folds``: disjoint,
+    exhaustive, stable under repartition/rerun/dataset growth (a row's
+    fold never changes when other rows arrive), and re-drawable with a
+    different ``seed`` for repeated CV.  Pure projection — no shuffle.
+    """
+    return df.withColumn(
+        fold_col,
+        (portable_hash_seeded(id_col, seed) % F.lit(n_folds))
+        .cast("int"))
+
+
+def kfold_assign_sql(id_expr: str, n_folds: int, seed: int = 0) -> str:
+    """Oracle-side expression matching :func:`kfold_assign`."""
+    return (f"CAST(({portable_hash_seeded_sql(id_expr, seed)})"
+            f" % {n_folds} AS INT)")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    canonical: DataFrame,
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_id",
+    splits: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Contamination-safe train/val/test split: hash the NEAR-DUP
+    CLUSTER's canonical id instead of the row id, so no two
+    near-duplicate documents ever straddle a split boundary — the
+    train/eval leakage that row-hash splitting (:func:`hash_split`)
+    cannot prevent (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", measures exactly this
+    contamination).
+
+    ``canonical`` is an (id, canonical_id) map — the output of
+    ``graph.canonical_map`` over near-dup pairs.  Ids missing from the
+    map split by their own id (singleton semantics), so a PARTIAL map
+    (e.g. only duplicate groups) is safe.
+
+    Scale: one id-equi shuffle join of the corpus against the
+    canonical map (same grain — at 100 TB neither side broadcasts, a
+    plain hash join on the id is the right plan), then the split is a
+    pure projection on the joined key.
+    """
+    keyed = (df.join(
+        canonical.select(F.col(id_col), F.col(canonical_col)),
+        id_col, "left")
+        .withColumn(canonical_col,
+                    F.coalesce(F.col(canonical_col), F.col(id_col))))
+    return hash_split(keyed, canonical_col, splits, split_col)
+
+
 def stratified_cap(
     df: DataFrame,
     strata: list[str],

@@ -68,32 +68,35 @@ def test_r11_window_composition():
     the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:15] == [                           # tier 1: new
+    assert window[:17] == [                           # tier 1: new
         "word_token_stats", "bpe_token_stats",
         "bpe_merges", "bpe_vocab", "bpe_encoded_stats",
+        "kfold_docs", "leakage_safe_split",
         "ivfpq_append_topk",
         "quality_classifier_scores", "classifier_pareto_sample",
         "unimax_allocation", "unimax_epoch_manifest",
         "quality_funnel", "ann_recall_int8",
         "ann_recall_pq", "vocab_coverage", "source_divergence"]
-    assert window[15:23] == [                         # tier 2: changed
+    assert window[17:25] == [                         # tier 2: changed
         "event_approx_stats", "daily_distinct_rollup",
         "bigram_pmi", "doc_bigram_logprob",
         "tfidf_top_terms", "bm25_scores",
         "dsir_auc_by_source", "score_normalized"]
     # tier 3 fill: the r7-window remainder in recorded staleness order
-    assert window[23] == "late_shipment_priority"
-    assert window[-1] == "returned_item_losses"
-    # positions 51+: the three tier-3 entries displaced by the late
-    # BPE-trainer contracts, then the displaced r7-rotation entries,
-    # then the r8 greens lead the r12 rotation
-    assert order[50:53] == ["customer_distribution",
+    assert window[25] == "late_shipment_priority"
+    assert window[-1] == "stripped_duplicate_spans"
+    # positions 51+: the five tier-3 entries displaced by the late
+    # tier-1 contracts (BPE trainer + split family), then the
+    # displaced r7-rotation entries, then the r8 greens lead the r12
+    # rotation
+    assert order[50:55] == ["shipping_priority", "returned_item_losses",
+                            "customer_distribution",
                             "event_correlations", "weekly_growth"]
-    assert order[53:57] == ["session_funnel", "top_supplier_revenue",
+    assert order[55:59] == ["session_funnel", "top_supplier_revenue",
                             "large_order_customers",
                             "idle_rich_customers"]
-    assert order[57] == "multimodal_features"
-    assert order[58] == "survival_curve"
+    assert order[59] == "multimodal_features"
+    assert order[60] == "survival_curve"
     # then the r9 greens, then the r10-window greens (freshest) close
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")
