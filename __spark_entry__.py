@@ -3331,6 +3331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    and the contamination-safe cluster-keyed split
         "kfold_docs": q_kfold_docs,
         "leakage_safe_split": q_leakage_safe_split,
+        #    ... and the z-order clustering key (late r11) — the
+        #    multi-dim data-skipping layout, key oracled bit-for-bit
+        "zorder_keys": q_zorder_keys,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -3391,15 +3394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
-        "stripped_duplicate_spans": q_stripped_duplicate_spans,
-        # -- positions 51+: shipping_priority ... weekly_growth (the
-        #    five tier-3 entries displaced from the r11 fill by the
-        #    five late tier-1 contracts — the BPE-trainer family and
-        #    the split family) lead the r12 rotation, then
+        # -- positions 51+: stripped_duplicate_spans ... weekly_growth
+        #    (the six tier-3 entries displaced from the r11 fill by
+        #    the six late tier-1 contracts — the BPE-trainer family,
+        #    the split family and zorder_keys) lead the r12 rotation,
+        #    then
         #    session_funnel, top_supplier_revenue,
         #    large_order_customers and idle_rich_customers (the
         #    r7-rotation entries displaced by the four late tier-1
         #    contracts), then the r8 greens
+        "stripped_duplicate_spans": q_stripped_duplicate_spans,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
         "customer_distribution": q_customer_distribution,
@@ -7563,6 +7567,17 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             FROM bucketed)
         WHERE rk <= 40
     """
+    # Morton/z-order key: the same quantize + shift/mask arithmetic
+    # (identical double expression order, so floor() can't diverge).
+    from dump1090_db_stream_spark.operators import zorder as _zorder
+
+    _qu = _zorder.quantize_uniform_sql("user_id", 0, 150, 12)
+    _qv = _zorder.quantize_uniform_sql("value", 0, 500, 12)
+    oracles["zorder_keys"] = f"""
+        SELECT event_id, {_qu} AS q_user, {_qv} AS q_value,
+               {_zorder.zvalue_sql([_qu, _qv], bits=12)} AS zv
+        FROM events
+    """
     # Deterministic k-fold CV assignment: the seeded-hash fold replay.
     oracles["kfold_docs"] = f"""
         SELECT doc_id, source,
@@ -8574,3 +8589,26 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = canonical_map(docs, pairs)
     return leakage_safe_split(docs, canon).select(
         "doc_id", "canonical_id", "split")
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order clustering key (operators.zorder): uniform
+    quantization of (user_id, value) + bit interleave — the layout key
+    behind multi-dimensional parquet data skipping (zorder_write; the
+    skipping property itself is pinned by tests/test_zorder.py's
+    per-file bounding-box audit). Pure integer/double arithmetic, so
+    the oracle replays every key bit-for-bit; row-level contract over
+    the whole events table."""
+    from dump1090_db_stream_spark.operators.zorder import (
+        quantize_uniform,
+        zvalue,
+    )
+
+    ev = _events(spark, sf_dir)
+    qu = quantize_uniform("user_id", 0, 150, 12)
+    qv = quantize_uniform("value", 0, 500, 12)
+    return ev.select(
+        "event_id",
+        qu.alias("q_user"),
+        qv.alias("q_value"),
+        zvalue([qu, qv], bits=12).alias("zv"))

@@ -166,6 +166,7 @@ EXTENDED = [
     "bpe_encoded_stats",
     "kfold_docs",
     "leakage_safe_split",
+    "zorder_keys",
 ]
 
 
