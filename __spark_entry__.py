@@ -3334,6 +3334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ... and the z-order clustering key (late r11) — the
         #    multi-dim data-skipping layout, key oracled bit-for-bit
         "zorder_keys": q_zorder_keys,
+        #    ... and the exact two-sample KS drift test (late r11) —
+        #    group-vs-rest ECDF sup-distance off TWO distributed
+        #    prefix-sums (grouped + pooled) meeting in a score
+        #    equi-join; oracle replays both CDFs with SQL windows
+        "ks_drift_by_type": q_ks_drift_by_type,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -7626,6 +7631,65 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
         FROM grpw g JOIN words12 w ON w.word = g.word
         GROUP BY g.source
     """
+    # Exact two-sample KS drift: replay both integer CDFs with plain
+    # windows (inclusive cum = default RANGE frame over the distinct
+    # (g, s) grain), then the same four exact-integer divisions and
+    # the same expression-form critical value as the Spark side.
+    oracles["ks_drift_by_type"] = """
+        WITH base AS (
+            SELECT event_type AS g, CAST(value AS DOUBLE) AS s
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+              AND event_type IS NOT NULL
+        ), gs AS (
+            SELECT g, s, count(*) AS c FROM base GROUP BY g, s
+        ), gtot AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gs GROUP BY g
+        ), ntot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_all FROM gs
+        ), gl AS (
+            SELECT s, CAST(sum(c) AS BIGINT) AS call,
+                   CAST(sum(sum(c)) OVER (ORDER BY s) AS BIGINT)
+                       AS cumall
+            FROM gs GROUP BY s
+        ), pts AS (
+            SELECT gs.g, gtot.n, ntot.n_all - gtot.n AS n_rest,
+                   CAST(sum(gs.c) OVER (PARTITION BY gs.g ORDER BY gs.s)
+                        AS BIGINT) AS cg,
+                   gs.c, gl.cumall, gl.call
+            FROM gs
+            JOIN gl USING (s) JOIN gtot USING (g) CROSS JOIN ntot
+        ), diffs AS (
+            SELECT g, n, n_rest,
+                   greatest(
+                       abs(CAST(cg AS DOUBLE) / CAST(n AS DOUBLE)
+                           - CASE WHEN n_rest = 0 THEN NULL
+                                  ELSE CAST(cumall - cg AS DOUBLE)
+                                       / CAST(n_rest AS DOUBLE) END),
+                       abs(CAST(cg - c AS DOUBLE) / CAST(n AS DOUBLE)
+                           - CASE WHEN n_rest = 0 THEN NULL
+                                  ELSE CAST((cumall - call) - (cg - c)
+                                            AS DOUBLE)
+                                       / CAST(n_rest AS DOUBLE) END)
+                   ) AS d
+            FROM pts
+        )
+        SELECT g AS event_type, n, n_rest,
+               round(max(d), 6) AS ks,
+               CASE WHEN n_rest > 0 THEN
+                   round(sqrt(-ln(0.025) / 2.0)
+                         * sqrt(CAST(n + n_rest AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   * CAST(n_rest AS DOUBLE))), 6)
+               END AS ks_crit_05,
+               CASE WHEN n_rest > 0 THEN
+                   max(d) > sqrt(-ln(0.025) / 2.0)
+                            * sqrt(CAST(n + n_rest AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n_rest AS DOUBLE)))
+               END AS drifted
+        FROM diffs GROUP BY g, n, n_rest
+    """
     return oracles
 
 
@@ -8612,3 +8676,17 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         qu.alias("q_user"),
         qv.alias("q_value"),
         zvalue([qu, qv], bits=12).alias("zv"))
+
+
+def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift test (operators.drift.ks_drift_by):
+    per event_type, the sup-distance between the type's value ECDF and
+    the rest of the corpus's, with the classic alpha=0.05 rejection
+    threshold and flag. Both cumulative relations come from the
+    distributed prefix-sum (grouped + pooled) — no unpartitioned
+    ordered window anywhere — and every cumulative is an integer, so
+    the oracle's plain SQL windows replay the statistic bit-for-bit
+    (the only float ops are divisions of exactly-represented ints)."""
+    from dump1090_db_stream_spark.operators.drift import ks_drift_by
+
+    return ks_drift_by(_events(spark, sf_dir), "value", "event_type")

@@ -167,6 +167,7 @@ EXTENDED = [
     "kfold_docs",
     "leakage_safe_split",
     "zorder_keys",
+    "ks_drift_by_type",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Exact two-sample Kolmogorov-Smirnov drift test over value slices.
+
+A 100 TB corpus pipeline re-ingests sources continually; the first
+question after every refresh is "did this slice's value distribution
+move?". The binned answer (Population Stability Index) already exists
+as :func:`operators.profiling.psi_drift`; this module adds the EXACT,
+binning-free two-sample KS statistic — sensitive anywhere on the CDF,
+no edge-placement folklore, with the classic large-sample rejection
+threshold attached. Neither exists in the reference (it delegates all
+analytics to PostgreSQL views, ``create_schema.sql`` end-to-end); both
+are extension-surface operators.
+
+Scale shape (the whole point): a two-sample KS needs both empirical
+CDFs — cumulative counts in GLOBAL score order, the one plan Spark's
+Window API cannot express scale-safely when the score is continuous
+(|distinct| ~ n). Both cumulative relations therefore come from
+:func:`operators.prefix_sum.distributed_prev_counts` — the
+quantile-bucketed distributed prefix-sum — so no unpartitioned ordered
+window exists anywhere in the plan: the per-group CDF uses the GROUPED
+form (per-group bounds, windows over (group, bucket)), the pooled CDF
+the ungrouped form, and the two meet in a plain equi-join on the score
+(distinct-score-sized, never input-grain). Every cumulative is an
+integer, so the decomposition is bit-identical to the naive single
+window and the DuckDB oracle can replay it with plain SQL windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Two-sample KS flag level: the attached critical value is the
+#: classic large-sample threshold at alpha = 0.05. c(alpha) =
+#: sqrt(-ln(alpha/2) / 2) is written as an expression (not a rounded
+#: literal) in both engines so the flag compares the same IEEE double
+#: everywhere.
+_KS_ALPHA_05 = 0.05
+
+
+def ks_drift_by(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """Per-group EXACT two-sample Kolmogorov-Smirnov statistic of
+    ``score_col`` in the group vs the REST of the corpus — one row per
+    group with ``(group, n, n_rest, ks, ks_crit_05, drifted)``.
+
+    D_g = sup_x |F_g(x) - F_rest(x)| computed exactly: the supremum of
+    a difference of step functions is attained at a jump of either
+    ECDF, and it suffices to evaluate BOTH one-sided limits at the
+    group's own points — between two consecutive group points F_g is
+    constant while F_rest only climbs, so ``F_rest - F_g`` on that
+    stretch is maximized at the next group point's LEFT limit, and
+    ``F_g - F_rest`` immediately AFTER a group jump (its right limit,
+    which also covers ties where both ECDFs jump at once). Hence per
+    distinct (group, score) point x:
+
+        right = |cum_g(x)/n - (cum_all(x) - cum_g(x)) / n_rest|
+        left  = |prev_g(x)/n - (prev_all(x) - prev_g(x)) / n_rest|
+        D_g   = max over x of max(right, left)
+
+    with cum/prev inclusive/exclusive integer cumulative counts — the
+    only float ops are four divisions of exactly-represented integers,
+    so Spark and the DuckDB oracle produce the identical IEEE double
+    before the final round(6).
+
+    ``ks_crit_05`` is the classic large-sample rejection threshold
+    c(0.05) * sqrt((n + n_rest) / (n * n_rest)) with c(a) =
+    sqrt(-ln(a/2)/2); ``drifted`` compares the UNROUNDED statistic to
+    it. A single-group input has no rest sample: ``try_divide`` yields
+    NULL diffs and the group emits ``ks = NULL`` (not evaluable — the
+    single-class contract of :func:`operators.evaluation.auc_score`).
+
+    Rows with NULL/NaN score or NULL group are excluded (NaN breaks
+    the prefix-sum's monotone bucketing; a NULL group has no slice).
+    ``group_col`` must be a bounded vocabulary under the default
+    ``bounds_join="broadcast"`` (the grouped prefix-sum's runtime
+    vocabulary guard applies); pass ``bounds_join="shuffle"`` for an
+    unbounded key — plain equi-joins, any cardinality, bit-identical.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("double").alias("s"),
+    ).filter(F.col("s").isNotNull() & ~F.isnan("s")
+             & F.col("g").isNotNull())
+    per_gs = base.groupBy("g", "s").agg(F.count(F.lit(1)).alias("_cnt"))
+
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    # the (group, score) relation feeds the grouped prefix-sum's three
+    # branches AND the pooled marginal below — persist once
+    per_gs = track(per_gs)
+    grouped = distributed_prev_counts(
+        per_gs, "s", "_cnt", n_range_buckets,
+        partition_cols=("g",), with_totals=True,
+        bounds_join=bounds_join)
+    # pooled CDF over the distinct-score marginal (never input-grain:
+    # it aggregates the already-aggregated (g, s) relation)
+    per_s = per_gs.groupBy("s").agg(F.sum("_cnt").alias("_call"))
+    pooled = distributed_prev_counts(
+        track(per_s), "s", "_call", n_range_buckets, with_totals=True)
+
+    pts = (grouped
+           .withColumnRenamed("_total", "n")
+           .join(pooled.select("s",
+                               F.col("_prev").alias("_pall"),
+                               (F.col("_prev") + F.col("_call"))
+                               .alias("_call_incl"),
+                               F.col("_total").alias("_n_all")),
+                 "s")
+           .select("g", "n",
+                   (F.col("_n_all") - F.col("n")).alias("n_rest"),
+                   F.col("_prev").alias("_pg"),
+                   (F.col("_prev") + F.col("_cnt")).alias("_cg"),
+                   "_pall", "_call_incl"))
+    right = F.abs(
+        F.col("_cg").cast("double") / F.col("n").cast("double")
+        - F.try_divide((F.col("_call_incl") - F.col("_cg"))
+                       .cast("double"),
+                       F.col("n_rest").cast("double")))
+    left = F.abs(
+        F.col("_pg").cast("double") / F.col("n").cast("double")
+        - F.try_divide((F.col("_pall") - F.col("_pg")).cast("double"),
+                       F.col("n_rest").cast("double")))
+    c05 = F.sqrt(-F.log(F.lit(_KS_ALPHA_05 / 2)) / F.lit(2.0))
+    crit = c05 * F.sqrt(
+        (F.col("n") + F.col("n_rest")).cast("double")
+        / (F.col("n").cast("double") * F.col("n_rest").cast("double")))
+    return (pts.select("g", "n", "n_rest",
+                       F.greatest(right, left).alias("_d"))
+            .groupBy("g")
+            .agg(F.max("n").alias("n"),          # constant per group
+                 F.max("n_rest").alias("n_rest"),
+                 F.max("_d").alias("_ks"))
+            .select(F.col("g").alias(group_col), "n", "n_rest",
+                    F.round("_ks", 6).alias("ks"),
+                    F.when(F.col("n_rest") > 0, F.round(crit, 6))
+                     .alias("ks_crit_05"),
+                    F.when(F.col("n_rest") > 0, F.col("_ks") > crit)
+                     .alias("drifted")))
