@@ -3339,6 +3339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    prefix-sums (grouped + pooled) meeting in a score
         #    equi-join; oracle replays both CDFs with SQL windows
         "ks_drift_by_type": q_ks_drift_by_type,
+        #    ... and Dunning log-likelihood keyness (late r11) — the
+        #    per-(source, term) G^2 over the 2x2 margins, closed-form
+        #    doubles per row (no float aggregation anywhere)
+        "keyness_by_source": q_keyness_by_source,
+        #    ... and the deterministic Poisson-bootstrap CI (late
+        #    r11) — hash-driven replicate weights, decimal-exact
+        #    weighted sums, rank-selected percentile bounds
+        "bootstrap_mean_chars": q_bootstrap_mean_chars,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -7690,6 +7698,123 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                END AS drifted
         FROM diffs GROUP BY g, n, n_rest
     """
+    # Dunning keyness: the same four-cell closed form (every product
+    # in DOUBLE, empty cells 0), ranked on the rounded g2.
+    oracles["keyness_by_source"] = """
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents WHERE source IS NOT NULL
+        ), gt AS (
+            SELECT g, term, count(*) AS c FROM toks GROUP BY g, term
+        ), gl AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS c_t
+            FROM gt GROUP BY term
+        ), gs AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM gt GROUP BY g
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n_all FROM gs
+        ), scored AS (
+            SELECT gt.g, gt.term, CAST(gt.c AS BIGINT) AS c_gt,
+                   gs.n_g, gl.c_t, tot.n_all,
+                   round(2.0 * (
+                       CASE WHEN gt.c > 0 THEN
+                           CAST(gt.c AS DOUBLE)
+                           * ln(CAST(gt.c AS DOUBLE)
+                                * CAST(n_all AS DOUBLE)
+                                / (CAST(n_g AS DOUBLE)
+                                   * CAST(c_t AS DOUBLE)))
+                       ELSE 0.0 END
+                     + CASE WHEN c_t - gt.c > 0 THEN
+                           CAST(c_t - gt.c AS DOUBLE)
+                           * ln(CAST(c_t - gt.c AS DOUBLE)
+                                * CAST(n_all AS DOUBLE)
+                                / (CAST(n_all - n_g AS DOUBLE)
+                                   * CAST(c_t AS DOUBLE)))
+                       ELSE 0.0 END
+                     + CASE WHEN n_g - gt.c > 0 THEN
+                           CAST(n_g - gt.c AS DOUBLE)
+                           * ln(CAST(n_g - gt.c AS DOUBLE)
+                                * CAST(n_all AS DOUBLE)
+                                / (CAST(n_g AS DOUBLE)
+                                   * CAST(n_all - c_t AS DOUBLE)))
+                       ELSE 0.0 END
+                     + CASE WHEN n_all - n_g - (c_t - gt.c) > 0 THEN
+                           CAST(n_all - n_g - (c_t - gt.c) AS DOUBLE)
+                           * ln(CAST(n_all - n_g - (c_t - gt.c)
+                                     AS DOUBLE)
+                                * CAST(n_all AS DOUBLE)
+                                / (CAST(n_all - n_g AS DOUBLE)
+                                   * CAST(n_all - c_t AS DOUBLE)))
+                       ELSE 0.0 END
+                   ), 6) AS g2,
+                   CAST(gt.c AS DOUBLE) * CAST(n_all AS DOUBLE)
+                       > CAST(n_g AS DOUBLE) * CAST(c_t AS DOUBLE)
+                       AS overused
+            FROM gt JOIN gl USING (term) JOIN gs USING (g)
+            CROSS JOIN tot
+            WHERE gt.c >= 5
+        )
+        SELECT source, term, c_gt, n_g, c_t, n_all, g2, overused, rk
+        FROM (
+            SELECT g AS source, term, c_gt, n_g, c_t, n_all, g2,
+                   overused,
+                   CAST(row_number() OVER (
+                        PARTITION BY g ORDER BY g2 DESC, term)
+                        AS INT) AS rk
+            FROM scored)
+        WHERE rk <= 15
+    """
+    # Poisson-bootstrap CI: the same hash -> threshold-ladder weight,
+    # decimal-exact weighted sums, and the Python-computed 5/196 rank
+    # grid over 200 replicates.
+    from dump1090_db_stream_spark.operators import bootstrap as _bt
+
+    _bu = _bt._u_sql("doc_id", 200, 11)
+    _bw = _bt.poisson_weight_sql(_bu)
+    oracles["bootstrap_mean_chars"] = f"""
+        WITH base AS (
+            SELECT source AS g, doc_id,
+                   CAST(n_chars AS DECIMAL(28,6)) AS v
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ), pt AS (
+            SELECT g, count(*) AS n,
+                   CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS m
+            FROM base GROUP BY g
+        ), reps AS (
+            SELECT CAST(range AS BIGINT) AS r FROM range(200)
+        ), wts AS (
+            SELECT g, r, {_bw} AS w, v FROM base CROSS JOIN reps
+        ), rm AS (
+            SELECT g, r, CAST(sum(w) AS BIGINT) AS sw,
+                   CAST(sum(w * v) AS DOUBLE) AS swv
+            FROM wts GROUP BY g, r
+        ), rm2 AS (
+            SELECT g, r,
+                   CASE WHEN sw > 0
+                        THEN swv / CAST(sw AS DOUBLE) END AS m
+            FROM rm
+        ), rk AS (
+            SELECT g, m,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY m ASC, r ASC) AS rk
+            FROM rm2
+        ), agg AS (
+            SELECT g,
+                   min(CASE WHEN rk = 5 THEN m END) AS lo,
+                   min(CASE WHEN rk = 196 THEN m END) AS hi,
+                   sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS bad
+            FROM rk GROUP BY g
+        )
+        SELECT pt.g AS source, pt.n, round(pt.m, 6) AS mean,
+               CASE WHEN bad = 0 THEN round(lo, 6) END AS ci_lo,
+               CASE WHEN bad = 0 THEN round(hi, 6) END AS ci_hi,
+               200 AS n_boot
+        FROM pt JOIN agg USING (g)
+    """
     return oracles
 
 
@@ -8690,3 +8815,40 @@ def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dump1090_db_stream_spark.operators.drift import ks_drift_by
 
     return ks_drift_by(_events(spark, sf_dir), "value", "event_type")
+
+
+def q_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (operators.relevance.
+    keyness_terms): each source's top-15 signature terms by G^2 over
+    the 2x2 (term x source) contingency margins, min_count=5. Every
+    statistic is a per-row closed form over four integer counts (all
+    products taken in DOUBLE — identical IEEE sequence in the oracle),
+    ranked on the ROUNDED g2 with a term tiebreak so both engines
+    order identically. Margins aggregate map-side; the term marginal
+    joins at vocabulary size; group margins broadcast."""
+    from dump1090_db_stream_spark.operators.relevance import keyness_terms
+
+    k = keyness_terms(load_table(spark, sf_dir, "documents"),
+                      min_count=5)
+    w = Window.partitionBy("source").orderBy(F.col("g2").desc(), "term")
+    return (k.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 15)
+            .select("source", "term", "c_gt", "n_g", "c_t", "n_all",
+                    "g2", "overused", "rk"))
+
+
+def q_bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (operators.bootstrap.
+    bootstrap_mean_ci): per-source mean n_chars with a 95% percentile
+    interval over 200 hash-driven Poisson(1) replicates. Weighted sums
+    are DECIMAL-exact, each replicate mean is one double division, and
+    the rank grid (5th / 196th replicate mean) is Python-computed — so
+    the oracle replays every replicate bit-for-bit from the same
+    portable hash and threshold literals."""
+    from dump1090_db_stream_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bootstrap_mean_ci(docs, "source", "n_chars", "doc_id",
+                             n_boot=200, alpha=0.05, seed=11)

@@ -168,6 +168,8 @@ EXTENDED = [
     "leakage_safe_split",
     "zorder_keys",
     "ks_drift_by_type",
+    "keyness_by_source",
+    "bootstrap_mean_chars",
 ]
 
 

@@ -478,3 +478,87 @@ def corpus_divergence(
                                     * F.log(p0)
                                     - (F.col("S_all") - F.col("S_g"))),
                             6).alias("kl_to_corpus")))
+
+
+def keyness_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "token",
+    min_count: int = 2,
+    tokenizer=None,
+) -> DataFrame:
+    """Per-(group, term) Dunning log-likelihood keyness — WHICH terms
+    make a source sound like itself. The G^2 statistic over the 2x2
+    contingency of (term vs rest-of-vocabulary) x (group vs
+    rest-of-corpus) (Dunning 1993), the standard corpus-linguistics
+    keyword measure: unlike raw frequency ratios it is stable for rare
+    terms, unlike PMI it does not explode on hapaxes. Data-pipeline
+    uses: domain-signature terms for mixture audits, per-source
+    boilerplate indicators, drift triage after :func:`operators.drift
+    .ks_drift_by` flags a slice.
+
+    With a = c(term, group), row/col margins n_g = tokens in group,
+    c_t = corpus term count, N = corpus tokens, and b/c/d the
+    complements:
+
+        g2 = 2 * sum over x in {a,b,c,d} of x * ln(x * N / (row * col))
+
+    (each cell's ln(observed/expected); empty cells contribute 0 —
+    the x*ln(x) -> 0 limit). ``overused`` marks keyness DIRECTION
+    (a/n_g > c_t/N: the group uses the term more than the corpus).
+
+    DETERMINISM: every g2 is a per-row closed form over four integer
+    counts — no float aggregation anywhere — with all products taken
+    in DOUBLE (integer products like a*N overflow int64 at corpus
+    scale), so both engines replay the identical IEEE sequence and the
+    output rounds to 6 at the end.
+
+    Scale shape: one map-side-combined (group, term) aggregate
+    (observed pairs only — the full groups x vocabulary grid is never
+    materialized, which is also why only OBSERVED (group, term) rows
+    are scored: an absent term's "underuse" keyness would require the
+    dense grid the whole module avoids); the term marginal joins at
+    vocabulary size; the group margins are a bounded broadcast; N is
+    a one-row broadcast. ``min_count`` prunes the output grain only
+    (margins are computed over everything).
+
+    Output: (group, term, c_gt, n_g, c_t, n_all, g2 rounded 6,
+    overused).
+    """
+    from dump1090_db_stream_spark.cache import track
+
+    gt = track(_group_terms(df, group_col, text_col, unit, tokenizer))
+    glob = gt.groupBy("term").agg(F.sum("c").cast("long").alias("c_t"))
+    gstat = gt.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    tot = gstat.agg(F.sum("n_g").cast("long").alias("n_all"))
+
+    def cell(x, row, col):
+        # x * ln(x*N / (row*col)), all DOUBLE, 0 when the cell is empty
+        xd = x.cast("double")
+        return F.when(
+            x > 0,
+            xd * F.log(xd * F.col("n_all").cast("double")
+                       / (row.cast("double") * col.cast("double")))
+        ).otherwise(F.lit(0.0))
+
+    a = F.col("c").cast("long")
+    b = F.col("c_t") - a
+    c_ = F.col("n_g") - a
+    d = F.col("n_all") - F.col("n_g") - b
+    n_rest = F.col("n_all") - F.col("n_g")
+    t_rest = F.col("n_all") - F.col("c_t")
+    g2 = 2.0 * (cell(a, F.col("n_g"), F.col("c_t"))
+                + cell(b, n_rest, F.col("c_t"))
+                + cell(c_, F.col("n_g"), t_rest)
+                + cell(d, n_rest, t_rest))
+    over = (a.cast("double") * F.col("n_all").cast("double")
+            > F.col("n_g").cast("double") * F.col("c_t").cast("double"))
+    return (gt.filter(F.col("c") >= min_count)
+            .join(glob, "term")
+            .join(F.broadcast(gstat), "g")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("g").alias(group_col), "term",
+                    a.alias("c_gt"), "n_g", "c_t", "n_all",
+                    F.round(g2, 6).alias("g2"),
+                    over.alias("overused")))

@@ -167,3 +167,71 @@ def test_bigram_logprob_orders_gibberish_below_templates(spark):
     assert got[0]["logprob"] == pytest.approx(round(s / n, 6), abs=1e-6)
     with pytest.raises(ValueError, match="lam"):
         bigram_logprob(df, lam=1.5)
+
+
+# --- keyness_terms (Dunning G^2) -----------------------------------------
+
+
+def ref_g2(a: int, n_g: int, c_t: int, n_all: int) -> float:
+    """Independent 2x2 log-likelihood: G2 = 2*sum O*ln(O/E)."""
+    cells = [(a, n_g, c_t), (c_t - a, n_all - n_g, c_t),
+             (n_g - a, n_g, n_all - c_t),
+             (n_all - n_g - (c_t - a), n_all - n_g, n_all - c_t)]
+    tot = 0.0
+    for o, row, col in cells:
+        if o > 0:
+            tot += o * math.log(o * n_all / (row * col))
+    return 2.0 * tot
+
+
+@pytest.fixture(scope="module")
+def keyness_corpus(spark):
+    return spark.createDataFrame(
+        [(1, "web", "click buy cart click buy"),
+         (2, "web", "click cart checkout buy"),
+         (3, "news", "senate vote bill senate"),
+         (4, "news", "vote bill click")],
+        ["doc_id", "source", "text"])
+
+
+def test_keyness_matches_reference_contingency(keyness_corpus):
+    from dump1090_db_stream_spark.operators.relevance import keyness_terms
+
+    rows = {(r["source"], r["term"]): r
+            for r in keyness_terms(keyness_corpus,
+                                   min_count=1).collect()}
+    # margins: web has 9 tokens, news has 7, N=16
+    r = rows[("web", "click")]
+    assert (r["c_gt"], r["n_g"], r["c_t"], r["n_all"]) == (3, 9, 4, 16)
+    assert r["g2"] == pytest.approx(ref_g2(3, 9, 4, 16), abs=1e-6)
+    assert r["overused"] is True          # 3/9 > 4/16
+    r = rows[("news", "click")]
+    assert r["g2"] == pytest.approx(ref_g2(1, 7, 4, 16), abs=1e-6)
+    assert r["overused"] is False         # 1/7 < 4/16
+    # a term exclusive to one source: b-cell (and only it) empties
+    r = rows[("news", "senate")]
+    assert r["c_t"] == r["c_gt"] == 2
+    assert r["g2"] == pytest.approx(ref_g2(2, 7, 2, 16), abs=1e-6)
+    assert r["overused"] is True
+
+
+def test_keyness_min_count_prunes_output_not_margins(keyness_corpus):
+    from dump1090_db_stream_spark.operators.relevance import keyness_terms
+
+    pruned = keyness_terms(keyness_corpus, min_count=2)
+    rows = {(r["source"], r["term"]): r for r in pruned.collect()}
+    assert ("news", "click") not in rows          # c_gt = 1 pruned
+    # margins still count the pruned mass
+    assert rows[("web", "click")]["n_all"] == 16
+    assert rows[("web", "click")]["c_t"] == 4
+
+
+def test_keyness_symmetric_corpus_is_flat(spark):
+    """Identical per-source distributions: every G2 is exactly 0."""
+    from dump1090_db_stream_spark.operators.relevance import keyness_terms
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z")],
+        ["doc_id", "source", "text"])
+    for r in keyness_terms(df, min_count=1).collect():
+        assert r["g2"] == 0.0, r
