@@ -3339,6 +3339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    prefix-sums (grouped + pooled) meeting in a score
         #    equi-join; oracle replays both CDFs with SQL windows
         "ks_drift_by_type": q_ks_drift_by_type,
+        #    ... and its snapshot-vs-snapshot form (ref/cur split,
+        #    the exact sibling of the PSI gate event_drift)
+        "ks_snapshot_drift": q_ks_snapshot_drift,
         #    ... and Dunning log-likelihood keyness (late r11) — the
         #    per-(source, term) G^2 over the 2x2 margins, closed-form
         #    doubles per row (no float aggregation anywhere)
@@ -7815,6 +7818,68 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                200 AS n_boot
         FROM pt JOIN agg USING (g)
     """
+    # Snapshot-vs-snapshot exact KS: both CDFs as plain windows over
+    # the per-(key, score) union grain (ref counts zero-filled), then
+    # the same exact-integer divisions and expression-form threshold.
+    oracles["ks_snapshot_drift"] = """
+        WITH base AS (
+            SELECT event_type AS k, CAST(value AS DOUBLE) AS s,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS refside
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
+              AND event_type IS NOT NULL
+        ), per AS (
+            SELECT k, s, count(*) AS call,
+                   CAST(sum(refside) AS BIGINT) AS cref
+            FROM base GROUP BY k, s
+        ), tot AS (
+            SELECT k, CAST(sum(call) AS BIGINT) AS nall,
+                   CAST(sum(cref) AS BIGINT) AS n_ref
+            FROM per GROUP BY k
+        ), pts AS (
+            SELECT per.k, tot.n_ref, tot.nall - tot.n_ref AS n_cur,
+                   CAST(sum(per.cref) OVER (
+                        PARTITION BY per.k ORDER BY per.s)
+                        AS BIGINT) AS cumr,
+                   CAST(sum(per.call) OVER (
+                        PARTITION BY per.k ORDER BY per.s)
+                        AS BIGINT) AS cuma,
+                   per.cref, per.call
+            FROM per JOIN tot USING (k)
+        ), diffs AS (
+            SELECT k, n_ref, n_cur,
+                   CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                       greatest(
+                           abs(CAST(cumr AS DOUBLE)
+                               / CAST(n_ref AS DOUBLE)
+                               - CAST(cuma - cumr AS DOUBLE)
+                               / CAST(n_cur AS DOUBLE)),
+                           abs(CAST(cumr - cref AS DOUBLE)
+                               / CAST(n_ref AS DOUBLE)
+                               - CAST((cuma - call) - (cumr - cref)
+                                      AS DOUBLE)
+                               / CAST(n_cur AS DOUBLE)))
+                   END AS d
+            FROM pts
+        )
+        SELECT k AS event_type, n_ref, n_cur,
+               round(max(d), 6) AS ks,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   round(sqrt(-ln(0.025) / 2.0)
+                         * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                                / (CAST(n_ref AS DOUBLE)
+                                   * CAST(n_cur AS DOUBLE))), 6)
+               END AS ks_crit_05,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   max(d) > sqrt(-ln(0.025) / 2.0)
+                            * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                                   / (CAST(n_ref AS DOUBLE)
+                                      * CAST(n_cur AS DOUBLE)))
+               END AS drifted
+        FROM diffs GROUP BY k, n_ref, n_cur
+    """
     return oracles
 
 
@@ -8852,3 +8917,20 @@ def q_bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bootstrap_mean_ci(docs, "source", "n_chars", "doc_id",
                              n_boot=200, alpha=0.05, seed=11)
+
+
+def q_ks_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact snapshot-vs-snapshot KS drift (operators.drift.ks_drift):
+    first half of the event month as the reference, second half as
+    current, per event_type — the retrain/alarm gate q_event_drift
+    answers with PSI bins, answered binning-free. Two grouped
+    prefix-sum passes over the same (key, score) grain (union counts +
+    ref-side counts, zero-filled so they join 1:1); integer
+    cumulatives end-to-end, so the oracle replays both CDFs with plain
+    SQL windows."""
+    from dump1090_db_stream_spark.operators.drift import ks_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("ts") < "2024-01-16")
+    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    return ks_drift(ref, cur, "value", keys=["event_type"])

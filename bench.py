@@ -168,6 +168,7 @@ EXTENDED = [
     "leakage_safe_split",
     "zorder_keys",
     "ks_drift_by_type",
+    "ks_snapshot_drift",
     "keyness_by_source",
     "bootstrap_mean_chars",
 ]

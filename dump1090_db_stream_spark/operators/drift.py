@@ -144,3 +144,116 @@ def ks_drift_by(
                      .alias("ks_crit_05"),
                     F.when(F.col("n_rest") > 0, F.col("_ks") > crit)
                      .alias("drifted")))
+
+
+def _crit_expr(n_col, m_col):
+    """c(0.05) * sqrt((n + m) / (n * m)) — the shared large-sample
+    threshold, one expression form in both engines."""
+    c05 = F.sqrt(-F.log(F.lit(_KS_ALPHA_05 / 2)) / F.lit(2.0))
+    return c05 * F.sqrt((n_col + m_col).cast("double")
+                        / (n_col.cast("double") * m_col.cast("double")))
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str,
+    keys: list[str] | None = None,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """EXACT two-sample KS between a REFERENCE snapshot and the
+    CURRENT one, per key slice — the retrain/alarm gate
+    :func:`operators.profiling.psi_drift` answers with bins, answered
+    binning-free: one row per key combination with ``(*keys, n_ref,
+    n_cur, ks, ks_crit_05, drifted)``.
+
+    Same sup-of-step-functions identity as :func:`ks_drift_by`,
+    evaluated at BOTH one-sided limits of every point of the UNION
+    sample (trivially covers every jump of either ECDF):
+
+        right = |cum_ref(x)/n_ref - (cum_all(x) - cum_ref(x))/n_cur|
+        left  = the same over the exclusive cumulatives
+
+    Both cumulative relations come from the grouped
+    :func:`operators.prefix_sum.distributed_prev_counts` over the SAME
+    per-(key, score) grain — one pass for the union counts, one for
+    the ref-side counts (zero-filled at cur-only points so both passes
+    see identical row sets and join 1:1 on (key, score)) — so no
+    unpartitioned ordered window exists for any slice, however
+    dominant. Integer cumulatives end-to-end; the four divisions are
+    the only float ops (oracle-identical). ``keys=None``/``[]`` gives
+    the single whole-table row (ungrouped prefix sums).
+
+    A slice present in only ONE snapshot has no opposing sample:
+    ``try_divide`` yields NULL and the row emits ``ks = NULL`` (not
+    evaluable) — a slice APPEARING or VANISHING is a schema-level
+    event the caller must notice, not a distance this statistic can
+    fake. NULL/NaN scores and NULL keys are excluded as in
+    :func:`ks_drift_by`; the grouped vocabulary guard /
+    ``bounds_join="shuffle"`` escape apply when keys are given.
+    """
+    kcols = list(keys or [])
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+            F.col(score_col).cast("double").alias("s"),
+            F.lit(tag).alias("_ref"),
+        ).filter(F.col("s").isNotNull() & ~F.isnan("s"))
+        for i in range(len(kcols)):
+            out = out.filter(F.col(f"k{i}").isNotNull())
+        return out
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    both = _side(ref, 1).unionByName(_side(cur, 0))
+    per = both.groupBy(*ks_, "s").agg(
+        F.count(F.lit(1)).alias("_call"),
+        F.sum("_ref").alias("_cref"))
+
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    per = track(per)  # feeds both prefix-sum passes
+    pc = dict(n_range_buckets=n_range_buckets, with_totals=True,
+              partition_cols=tuple(ks_), bounds_join=bounds_join)
+    alls = distributed_prev_counts(per, "s", "_call", **pc)
+    refs = distributed_prev_counts(per, "s", "_cref", **pc)
+    pts = (alls
+           .withColumnRenamed("_prev", "_pall")
+           .withColumnRenamed("_total", "_nall")
+           .join(refs.select(*ks_, "s",
+                             F.col("_cref").alias("_cr"),
+                             F.col("_prev").alias("_pref"),
+                             F.col("_total").alias("n_ref")),
+                 ks_ + ["s"]))
+    n_cur = (F.col("_nall") - F.col("n_ref")).alias("n_cur")
+    cum_r = F.col("_pref") + F.col("_cr")
+    cum_a = F.col("_pall") + F.col("_call")
+    right = F.abs(
+        F.col("_cumr").cast("double") / F.col("n_ref").cast("double")
+        - (F.col("_cuma") - F.col("_cumr")).cast("double")
+        / F.col("n_cur").cast("double"))
+    left = F.abs(
+        F.col("_pref").cast("double") / F.col("n_ref").cast("double")
+        - (F.col("_pall") - F.col("_pref")).cast("double")
+        / F.col("n_cur").cast("double"))
+    evaluable = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    out = (pts.select(*ks_, "n_ref", n_cur, "_pref", "_pall",
+                      cum_r.alias("_cumr"), cum_a.alias("_cuma"))
+           .select(*ks_, "n_ref", "n_cur",
+                   F.when(evaluable,
+                          F.greatest(right, left)).alias("_d"))
+           .groupBy(*ks_)
+           .agg(F.max("n_ref").alias("n_ref"),
+                F.max("n_cur").alias("n_cur"),
+                F.max("_d").alias("_ks")))
+    crit = _crit_expr(F.col("n_ref"), F.col("n_cur"))
+    sel = [F.col(f"k{i}").alias(k) for i, k in enumerate(kcols)]
+    return out.select(
+        *sel, "n_ref", "n_cur",
+        F.round("_ks", 6).alias("ks"),
+        F.when(evaluable, F.round(crit, 6)).alias("ks_crit_05"),
+        F.when(evaluable, F.col("_ks") > crit).alias("drifted"))

@@ -111,3 +111,70 @@ def test_integer_scores_cast_and_tie_credit(spark):
         grp = [float(s) for gg, s in rows if gg == g]
         rest = [float(s) for gg, s in rows if gg != g]
         assert got[g]["ks"] == round(ref_ks(grp, rest), 6), g
+
+
+# --- ks_drift (reference vs current snapshot) -----------------------------
+
+
+def _snapshots(spark):
+    ref_rows = [("a", float((i * 7) % 40)) for i in range(100)] + \
+               [("b", float((i * 11) % 60)) for i in range(70)]
+    # "a" genuinely shifts (+8), "b" stays on the same lattice
+    cur_rows = [("a", float((i * 7) % 40 + 8)) for i in range(90)] + \
+               [("b", float((i * 13) % 60)) for i in range(80)]
+    mk = lambda rows: spark.createDataFrame(rows, "k string, s double")  # noqa: E731
+    return mk(ref_rows), ref_rows, mk(cur_rows), cur_rows
+
+
+def test_ks_drift_matches_bruteforce_per_key(spark):
+    from dump1090_db_stream_spark.operators.drift import ks_drift
+
+    ref, ref_rows, cur, cur_rows = _snapshots(spark)
+    got = {r["k"]: r for r in
+           ks_drift(ref, cur, "s", keys=["k"]).collect()}
+    for k in ("a", "b"):
+        rv = [s for kk, s in ref_rows if kk == k]
+        cv = [s for kk, s in cur_rows if kk == k]
+        assert got[k]["n_ref"] == len(rv)
+        assert got[k]["n_cur"] == len(cv)
+        assert got[k]["ks"] == round(ref_ks(rv, cv), 6), k
+        crit = (math.sqrt(-math.log(0.025) / 2.0)
+                * math.sqrt((len(rv) + len(cv)) / (len(rv) * len(cv))))
+        assert got[k]["drifted"] == (ref_ks(rv, cv) > crit)
+    assert got["a"]["drifted"] is True     # the planted +8 shift
+
+
+def test_ks_drift_global_row_without_keys(spark):
+    from dump1090_db_stream_spark.operators.drift import ks_drift
+
+    ref, ref_rows, cur, cur_rows = _snapshots(spark)
+    [r] = ks_drift(ref, cur, "s").collect()
+    assert r["n_ref"] == len(ref_rows) and r["n_cur"] == len(cur_rows)
+    assert r["ks"] == round(ref_ks([s for _, s in ref_rows],
+                                   [s for _, s in cur_rows]), 6)
+
+
+def test_ks_drift_one_sided_slice_is_null(spark):
+    from dump1090_db_stream_spark.operators.drift import ks_drift
+
+    ref = spark.createDataFrame([("only_ref", 1.0), ("both", 2.0)],
+                                "k string, s double")
+    cur = spark.createDataFrame([("both", 3.0), ("only_cur", 4.0)],
+                                "k string, s double")
+    got = {r["k"]: r for r in
+           ks_drift(ref, cur, "s", keys=["k"]).collect()}
+    assert got["only_ref"]["ks"] is None
+    assert got["only_cur"]["ks"] is None
+    assert got["only_ref"]["drifted"] is None
+    assert got["both"]["ks"] == 1.0        # disjoint single points
+
+
+def test_ks_drift_decomposition_and_shuffle_mode_bit_identical(spark):
+    from dump1090_db_stream_spark.operators.drift import ks_drift
+
+    ref, _, cur, _ = _snapshots(spark)
+    base = ks_drift(ref, cur, "s", keys=["k"]).orderBy("k").collect()
+    assert ks_drift(ref, cur, "s", keys=["k"], n_range_buckets=1) \
+        .orderBy("k").collect() == base
+    assert ks_drift(ref, cur, "s", keys=["k"],
+                    bounds_join="shuffle").orderBy("k").collect() == base

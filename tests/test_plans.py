@@ -376,6 +376,17 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # totals attach onto vocabulary-
                                   # sized relations (same class as
                                   # bigram_pmi / dsir_weights)
+        "ks_drift_by_type",       # the POOLED prefix-sum's one-row
+                                  # quantile-bounds + bucket-offsets
+                                  # attaches (ungrouped
+                                  # distributed_prev_counts — same
+                                  # class as dsir_auc /
+                                  # score_normalized; the grouped
+                                  # slice CDF attaches via equi-join)
+        "keyness_by_source",      # one-row corpus-total N attach
+                                  # onto the vocabulary-sized scored
+                                  # relation (same class as
+                                  # bigram_pmi / dsir_weights)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
