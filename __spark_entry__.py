@@ -3350,6 +3350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r11) — hash-driven replicate weights, decimal-exact
         #    weighted sums, rank-selected percentile bounds
         "bootstrap_mean_chars": q_bootstrap_mean_chars,
+        #    ... and decimal-exact per-source Pearson + OLS (late
+        #    r11) — sufficient statistics as exact decimals, closed
+        #    forms in one IEEE sequence
+        "chars_tokens_correlation": q_chars_tokens_correlation,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -7880,6 +7884,54 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                END AS drifted
         FROM diffs GROUP BY k, n_ref, n_cur
     """
+    # Decimal-exact Pearson + OLS: identical quantization, exact
+    # decimal sufficient statistics, identical closed-form doubles.
+    oracles["chars_tokens_correlation"] = """
+        WITH base AS (
+            SELECT source,
+                   CAST(n_chars AS DECIMAL(28,6)) AS x,
+                   CAST(length(regexp_split_to_array(trim(text),
+                                                     '\\s+'))
+                        AS DECIMAL(28,6)) AS y
+            FROM documents
+            WHERE source IS NOT NULL
+        ), flt AS (
+            SELECT * FROM base
+            WHERE x IS NOT NULL AND y IS NOT NULL
+        ), agg AS (
+            SELECT source, count(*) AS n,
+                   sum(x) AS sxd, sum(y) AS syd,
+                   sum(x * y) AS sxyd,
+                   sum(x * x) AS sxxd, sum(y * y) AS syyd
+            FROM flt GROUP BY source
+        ), d AS (
+            SELECT source, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sxd AS DOUBLE) AS sx,
+                   CAST(syd AS DOUBLE) AS sy,
+                   CAST(sxyd AS DOUBLE) AS sxy,
+                   CAST(sxxd AS DOUBLE) AS sxx,
+                   CAST(syyd AS DOUBLE) AS syy
+            FROM agg
+        ), forms AS (
+            SELECT source, n,
+                   nd * sxy - sx * sy AS cov_n,
+                   nd * sxx - sx * sx AS var_x,
+                   nd * syy - sy * sy AS var_y,
+                   nd, sx, sy
+            FROM d
+        )
+        SELECT source, n,
+               round(CASE WHEN sqrt(var_x * var_y) <> 0
+                          THEN cov_n / sqrt(var_x * var_y) END, 6)
+                   AS r,
+               round(CASE WHEN var_x <> 0
+                          THEN cov_n / var_x END, 6) AS slope,
+               round((sy - (CASE WHEN var_x <> 0
+                                 THEN cov_n / var_x END) * sx) / nd, 6)
+                   AS intercept
+        FROM forms
+    """
     return oracles
 
 
@@ -8934,3 +8986,22 @@ def q_ks_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < "2024-01-16")
     cur = ev.filter(F.col("ts") >= "2024-01-16")
     return ks_drift(ref, cur, "value", keys=["event_type"])
+
+
+def q_chars_tokens_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact per-source Pearson + OLS (operators.evaluation.
+    group_correlation): does document length in chars track length in
+    tokens per source — the audit that tells a univariate length
+    filter from a disguised token filter. The five sufficient
+    statistics accumulate as exact decimals (partition-order
+    independent, unlike the built-in corr), and only the closed forms
+    run in doubles, one identical IEEE sequence in the oracle."""
+    from dump1090_db_stream_spark.operators.evaluation import (
+        group_correlation,
+    )
+    from dump1090_db_stream_spark.operators.text import token_count
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("n_tokens", token_count("text")))
+    return group_correlation(docs, "n_chars", "n_tokens",
+                             keys=["source"])

@@ -171,6 +171,7 @@ EXTENDED = [
     "ks_snapshot_drift",
     "keyness_by_source",
     "bootstrap_mean_chars",
+    "chars_tokens_correlation",
 ]
 
 

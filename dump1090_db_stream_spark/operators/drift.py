@@ -257,3 +257,39 @@ def ks_drift(
         F.round("_ks", 6).alias("ks"),
         F.when(evaluable, F.round(crit, 6)).alias("ks_crit_05"),
         F.when(evaluable, F.col("_ks") > crit).alias("drifted"))
+
+
+def drift_stream_sink(
+    reference: DataFrame,
+    out_path: str,
+    score_col: str,
+    keys: list[str] | None = None,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+):
+    """foreachBatch sink turning :func:`ks_drift` into a LIVE ingest
+    monitor — the deployment shape of drift detection: freeze a
+    reference snapshot once (persist it upstream, ``cache.track``, so
+    its plan does not re-execute per micro-batch), then every arriving
+    micro-batch computes the exact per-slice KS against it and lands
+    its ``(*keys, n_ref, n_cur, ks, ks_crit_05, drifted)`` rows under
+    ``<out_path>/batch=<batchId>`` with overwrite mode — the
+    ``classifier_stream_sink`` exactly-once discipline: an
+    at-least-once replay after a crash-between-write-and-checkpoint
+    rewrites the same subdirectory instead of appending duplicate
+    monitor rows.
+
+    Read the accumulated monitor table with
+    ``spark.read.parquet(out_path)``; the batch column is partition
+    metadata, so "alarm history for slice X" is an ordinary filtered
+    scan, and "is anything drifting NOW" is a max(batch) lookup that
+    prunes to one partition.
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ks_drift(reference, batch_df, score_col, keys=keys,
+                         n_range_buckets=n_range_buckets,
+                         bounds_join=bounds_join)
+        (stats.write.mode("overwrite")
+         .parquet(f"{out_path}/batch={batch_id}"))
+
+    return sink

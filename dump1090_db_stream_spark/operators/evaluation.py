@@ -326,3 +326,70 @@ def expected_calibration_error(
             F.sum(F.col("n")
                   * F.abs(F.col("accuracy") - F.col("confidence")))
             / F.sum("n"), 6).alias("ece")))
+
+
+def group_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Pearson correlation and OLS line between two metrics —
+    the "does quality track length in THIS source?" audit that decides
+    whether a univariate filter is silently a length filter. One row
+    per key combination: ``(*keys, n, r, slope, intercept)`` (rounded
+    6; ``keys=None`` gives the single whole-table row).
+
+    Spark's built-in ``corr`` aggregates doubles in partition order —
+    its low digits flicker across layouts and engines, which fails the
+    bit-exact oracle discipline. Here the five sufficient statistics
+    (sum x, sum y, sum xy, sum x^2, sum y^2) accumulate as EXACT
+    decimals over inputs quantized to DECIMAL(28,6) on entry (pass
+    integral or pre-rounded metrics for bit-exact replay; precondition
+    |x*y| < 10^26 so the (38,12) products cannot overflow), and only
+    the closed forms
+
+        r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+        slope = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy - slope*sx) / n
+
+    run in doubles — one identical IEEE sequence in both engines.
+    Zero variance in x (or y, for r) yields NULL, not a crash or an
+    engine-specific NaN. Rows with a NULL in either metric or any key
+    are excluded.
+
+    Scale shape: ONE map-side-combined aggregate keyed by the group —
+    the shuffle carries five decimals per group, nothing else; there
+    is no second pass, no window, no join.
+    """
+    kcols = list(keys or [])
+    base = df.select(
+        *kcols,
+        F.col(x_col).cast("decimal(28,6)").alias("_x"),
+        F.col(y_col).cast("decimal(28,6)").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    for k in kcols:
+        base = base.filter(F.col(k).isNotNull())
+    agg = base.groupBy(*kcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"))
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = F.try_divide(cov_n, var_x)
+    return agg.select(
+        *kcols, "n",
+        F.round(F.try_divide(cov_n, F.sqrt(var_x * var_y)), 6)
+         .alias("r"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.try_divide(sy - slope * sx, nd), 6).alias("intercept"))

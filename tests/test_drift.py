@@ -178,3 +178,69 @@ def test_ks_drift_decomposition_and_shuffle_mode_bit_identical(spark):
         .orderBy("k").collect() == base
     assert ks_drift(ref, cur, "s", keys=["k"],
                     bounds_join="shuffle").orderBy("k").collect() == base
+
+
+def test_drift_stream_sink_matches_batch_and_replays(spark, tmp_path):
+    """The deployment shape: freeze a reference, monitor a value
+    stream per micro-batch. Each streamed batch's KS rows equal the
+    direct ks_drift of that batch, and an at-least-once redelivery
+    overwrites instead of appending (the classifier_stream_sink
+    discipline)."""
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.drift import (
+        drift_stream_sink,
+        ks_drift,
+    )
+
+    ref = track(spark.createDataFrame(
+        [("a", float((i * 7) % 40)) for i in range(60)]
+        + [("b", float((i * 11) % 40)) for i in range(40)],
+        "k string, s double"))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    b0 = [("a", float((i * 7) % 40)) for i in range(30)]       # same
+    b1 = [("a", float((i * 7) % 40 + 25)) for i in range(30)]  # shifted
+    # one FILE per logical batch: maxFilesPerTrigger=1 defines the
+    # micro-batch boundary, so each fixture batch must be one part
+    spark.createDataFrame(b0, "k string, s double").coalesce(1) \
+        .write.json(str(src / "b0"))
+    spark.createDataFrame(b1, "k string, s double").coalesce(1) \
+        .write.json(str(src / "b1"))
+
+    out = str(tmp_path / "monitor")
+    q = (spark.readStream
+         .schema("k string, s double")
+         .option("maxFilesPerTrigger", "1")
+         .json(str(src) + "/*")
+         .writeStream
+         .foreachBatch(drift_stream_sink(ref, out, "s", keys=["k"]))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    mon = spark.read.parquet(out)
+    assert set(r["batch"] for r in mon.select("batch").collect()) \
+        == {0, 1}
+    # per-batch rows equal the direct batch computation
+    by_batch = {}
+    for r in mon.collect():
+        by_batch.setdefault(r["batch"], {})[r["k"]] = (
+            r["n_ref"], r["n_cur"], r["ks"], r["drifted"])
+    for bid, rows in ((0, b0), (1, b1)):
+        cur = spark.createDataFrame(rows, "k string, s double")
+        direct = {r["k"]: (r["n_ref"], r["n_cur"], r["ks"],
+                           r["drifted"])
+                  for r in ks_drift(ref, cur, "s", keys=["k"]).collect()}
+        assert by_batch[bid] == direct, bid
+    # the planted shift in batch 1 must alarm; batch 0 must not
+    assert by_batch[1]["a"][3] is True
+    assert by_batch[0]["a"][3] is False
+    # at-least-once redelivery of batch 0 overwrites, not appends
+    n_before = mon.count()
+    sink = drift_stream_sink(ref, out, "s", keys=["k"])
+    sink(spark.read.schema("k string, s double").json(str(src / "b0")),
+         0)
+    spark.catalog.refreshByPath(out)   # the overwrite replaced files
+    assert spark.read.parquet(out).count() == n_before

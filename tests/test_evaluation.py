@@ -266,3 +266,66 @@ def test_ranking_metrics_k_cutoff_and_nulls(spark):
     assert r[0]["ndcg"] == 0.0
     with _pytest.raises(ValueError, match="k must be"):
         ranking_metrics(df, "q", "d", "s", "rel", k=0)
+
+
+# --- group_correlation (decimal-exact Pearson + OLS) ----------------------
+
+
+def _pearson_ref(pairs):
+    import math as _m
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx; vy = n * syy - sy * sy
+    r = cov / _m.sqrt(vx * vy) if vx and vy else None
+    slope = cov / vx if vx else None
+    b = (sy - slope * sx) / n if slope is not None else None
+    return r, slope, b
+
+
+def test_group_correlation_matches_closed_form(spark):
+    from dump1090_db_stream_spark.operators.evaluation import (
+        group_correlation,
+    )
+
+    pairs_a = [(i, 3 * i + 7 + (i % 5)) for i in range(1, 41)]
+    pairs_b = [(i, 100 - 2 * i + (i % 3)) for i in range(1, 31)]
+    rows = [("a", x, y) for x, y in pairs_a] + \
+           [("b", x, y) for x, y in pairs_b]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in
+           group_correlation(df, "x", "y", keys=["g"]).collect()}
+    for g, pairs in (("a", pairs_a), ("b", pairs_b)):
+        r, slope, b = _pearson_ref(pairs)
+        assert got[g]["n"] == len(pairs)
+        assert got[g]["r"] == pytest.approx(r, abs=1e-6)
+        assert got[g]["slope"] == pytest.approx(slope, abs=1e-6)
+        assert got[g]["intercept"] == pytest.approx(b, abs=1e-6)
+    assert got["a"]["r"] > 0.99 and got["b"]["r"] < -0.99
+
+
+def test_group_correlation_global_and_null_exclusion(spark):
+    from dump1090_db_stream_spark.operators.evaluation import (
+        group_correlation,
+    )
+
+    rows = [(x, 2 * x) for x in range(1, 21)]
+    df = spark.createDataFrame(rows + [(None, 5), (5, None)],
+                               "x long, y long")
+    [r] = group_correlation(df, "x", "y").collect()
+    assert r["n"] == 20
+    assert r["r"] == 1.0 and r["slope"] == 2.0 and r["intercept"] == 0.0
+
+
+def test_group_correlation_zero_variance_is_null(spark):
+    from dump1090_db_stream_spark.operators.evaluation import (
+        group_correlation,
+    )
+
+    df = spark.createDataFrame([(7, y) for y in range(10)],
+                               "x long, y long")
+    [r] = group_correlation(df, "x", "y").collect()
+    assert r["r"] is None and r["slope"] is None
+    assert r["intercept"] is None
