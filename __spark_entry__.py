@@ -3300,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Queries whose implementation changed since their last driver
        verification.
     3. ROTATION: stalest previously-green queries fill the remaining
-       slots (at 189 queries / 50 slots a query re-enters about every
+       slots (at 200 queries / 50 slots a query re-enters about every
        4 rounds — the honest bound; scripts/check_correctness.py covers
        the full registry locally every round as CORRECTNESS_LOCAL_r*,
        a committed end-of-round contract, COVERAGE.md checklist #2).
@@ -3354,6 +3354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r11) — sufficient statistics as exact decimals, closed
         #    forms in one IEEE sequence
         "chars_tokens_correlation": q_chars_tokens_correlation,
+        #    ... and Gini vocabulary concentration (late r11) —
+        #    rank-weighted sum folded closed-form over the
+        #    (group, count) multiplicity relation via the grouped
+        #    prefix-sum; exact decimal accumulations
+        "vocab_gini": q_vocab_gini,
         "ivfpq_append_topk": q_ivfpq_append_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "classifier_pareto_sample": q_classifier_pareto_sample,
@@ -7932,6 +7937,53 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                    AS intercept
         FROM forms
     """
+    # Gini vocabulary concentration: the closed-form tie fold over
+    # (group, count) multiplicities, prev from a plain window, exact
+    # DECIMAL(38,0) accumulations, identical final closed form.
+    oracles["vocab_gini"] = """
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents WHERE source IS NOT NULL
+        ), gt AS (
+            SELECT g, term, count(*) AS c FROM toks GROUP BY g, term
+        ), gc AS (
+            SELECT g, c, count(*) AS m FROM gt GROUP BY g, c
+        ), ranked AS (
+            SELECT g, c, m,
+                   CAST(coalesce(sum(m) OVER (
+                        PARTITION BY g ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS prev,
+                   CAST(sum(m) OVER (PARTITION BY g) AS BIGINT)
+                       AS n_types
+            FROM gc
+        ), rws AS (
+            SELECT g, n_types,
+                   CAST(c AS DECIMAL(38,0))
+                       * CAST(m AS DECIMAL(38,0)) AS t_row,
+                   CAST(c AS DECIMAL(38,0))
+                       * (CAST(m AS DECIMAL(38,0))
+                          * CAST(prev AS DECIMAL(38,0))
+                          + CAST((m * (m + 1)) // 2
+                                 AS DECIMAL(38,0))) AS s_row
+            FROM ranked
+        ), agg AS (
+            SELECT g, max(n_types) AS n_types,
+                   sum(t_row) AS t_sum, sum(s_row) AS s_sum
+            FROM rws GROUP BY g
+        )
+        SELECT g AS source,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(t_sum AS BIGINT) AS n_tokens,
+               round(2.0 * CAST(s_sum AS DOUBLE)
+                     / (CAST(n_types AS DOUBLE)
+                        * CAST(t_sum AS DOUBLE))
+                     - (CAST(n_types AS DOUBLE) + 1.0)
+                       / CAST(n_types AS DOUBLE), 6) AS gini
+        FROM agg
+    """
     return oracles
 
 
@@ -9005,3 +9057,19 @@ def q_chars_tokens_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_tokens", token_count("text")))
     return group_correlation(docs, "n_chars", "n_tokens",
                              keys=["source"])
+
+
+def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of each source's term-frequency distribution
+    (operators.relevance.vocab_concentration): the head-heaviness /
+    boilerplate axis of corpus health. The rank-weighted sum folds
+    closed-form over the (group, count)->multiplicity relation with
+    the grouped distributed prefix-sum supplying lower-count type
+    counts; exact DECIMAL(38,0) accumulations, one final IEEE closed
+    form — the oracle replays it with plain SQL windows."""
+    from dump1090_db_stream_spark.operators.relevance import (
+        vocab_concentration,
+    )
+
+    return vocab_concentration(load_table(spark, sf_dir, "documents"),
+                               "source")

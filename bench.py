@@ -172,6 +172,7 @@ EXTENDED = [
     "keyness_by_source",
     "bootstrap_mean_chars",
     "chars_tokens_correlation",
+    "vocab_gini",
 ]
 
 

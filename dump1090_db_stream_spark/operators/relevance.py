@@ -562,3 +562,78 @@ def keyness_terms(
                     a.alias("c_gt"), "n_g", "c_t", "n_all",
                     F.round(g2, 6).alias("g2"),
                     over.alias("overused")))
+
+
+def vocab_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "token",
+    tokenizer=None,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """Per-group Gini coefficient of the unit-frequency distribution —
+    how HEAD-HEAVY a source's vocabulary is. A templated/boilerplate
+    source concentrates its token mass in few types (gini -> 1); rich
+    prose spreads it (low gini). The third corpus-health axis next to
+    :func:`vocabulary_coverage` (how much is unseen) and
+    :func:`corpus_divergence` (how far from the pool).
+
+    Over the counts c_1 <= ... <= c_V of a group's V types with total
+    mass T, Gini = 2 * (sum of i * c_i) / (V * T) - (V + 1) / V. Ties
+    make any within-tie rank order equivalent, so the rank-weighted
+    sum folds CLOSED-FORM over the distinct-count relation: a count
+    value c with multiplicity m entered after ``prev`` lower-count
+    types occupies ranks prev+1..prev+m and contributes
+    c * (m*prev + m*(m+1)/2).
+
+    Scale shape: the (group, term) aggregate collapses to the
+    (group, count)->multiplicity relation (at most ~sqrt(2*T_g)
+    distinct counts per group — far smaller than the vocabulary), and
+    ``prev`` comes from the GROUPED
+    :func:`operators.prefix_sum.distributed_prev_counts` ordered by
+    the count value — no unpartitioned ordered window, vocabulary
+    guard / ``bounds_join="shuffle"`` escape as usual. Every
+    accumulation is an exact DECIMAL(38,0) integer (rank-weighted
+    products overflow int64 at corpus scale); the only doubles are
+    the final closed form, one IEEE sequence in both engines.
+
+    Output: (group, n_types, n_tokens, gini rounded 6); a single-type
+    group emits gini = 0.
+    """
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    gt = _group_terms(df, group_col, text_col, unit, tokenizer)
+    # (g, c) -> m: multiplicity of each distinct count value
+    gc = track(gt.groupBy("g", "c").agg(F.count(F.lit(1)).alias("_m")))
+    ranked = distributed_prev_counts(
+        gc, "c", "_m", n_range_buckets,
+        partition_cols=("g",), with_totals=True,
+        bounds_join=bounds_join)
+    dec = "decimal(38,0)"
+    c_d = F.col("c").cast(dec)
+    m_d = F.col("_m").cast(dec)
+    p_d = F.col("_prev").cast(dec)
+    # triangular number in exact int64 (m <= ~sqrt(2*T_g) distinct
+    # count values, so m^2 stays far below 2^63) — decimal DIVISION
+    # is engine-specific about scale, integer div is not
+    tri_d = F.expr("_m * (_m + 1) div 2").cast(dec)
+    s_row = c_d * (m_d * p_d + tri_d)
+    agg = (ranked
+           .select("g", F.col("_total").alias("n_types"),
+                   (c_d * m_d).alias("_t_row"), s_row.alias("_s_row"))
+           .groupBy("g")
+           .agg(F.max("n_types").alias("n_types"),
+                F.sum("_t_row").alias("_T"),
+                F.sum("_s_row").alias("_S")))
+    nd = F.col("n_types").cast("double")
+    gini = (F.lit(2.0) * F.col("_S").cast("double")
+            / (nd * F.col("_T").cast("double"))
+            - (nd + F.lit(1.0)) / nd)
+    return agg.select(F.col("g").alias(group_col), "n_types",
+                      F.col("_T").cast("long").alias("n_tokens"),
+                      F.round(gini, 6).alias("gini"))

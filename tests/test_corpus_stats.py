@@ -109,3 +109,62 @@ def test_divergence_validation(spark):
         corpus_divergence(df, alpha=0.0)
     with pytest.raises(ValueError, match="unit"):
         vocabulary_coverage(df, unit="trigram")
+
+
+# --- vocab_concentration (Gini of the term-frequency distribution) -------
+
+
+def _gini_ref(counts):
+    cs = sorted(counts)
+    n = len(cs)
+    t = sum(cs)
+    s = sum((i + 1) * c for i, c in enumerate(cs))
+    return 2.0 * s / (n * t) - (n + 1.0) / n
+
+
+def test_vocab_gini_matches_reference(spark):
+    from collections import Counter
+
+    from dump1090_db_stream_spark.operators.relevance import (
+        vocab_concentration,
+    )
+
+    docs = [
+        (1, "a", "x x x x x x y z"),          # head-heavy
+        (2, "a", "x x y"),
+        (3, "b", "p q r s t u v w"),          # uniform
+        (4, "b", "aa bb cc dd"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {r["source"]: r
+           for r in vocab_concentration(df, "source").collect()}
+    for g in ("a", "b"):
+        toks = " ".join(t for _, s, t in docs if s == g).split()
+        counts = list(Counter(toks).values())
+        assert got[g]["n_types"] == len(counts)
+        assert got[g]["n_tokens"] == len(toks)
+        assert got[g]["gini"] == round(_gini_ref(counts), 6), g
+    assert got["a"]["gini"] > got["b"]["gini"]
+    assert got["b"]["gini"] == 0.0            # all counts equal
+
+
+def test_vocab_gini_single_type_is_zero_and_modes_agree(spark):
+    from dump1090_db_stream_spark.operators.relevance import (
+        vocab_concentration,
+    )
+
+    df = spark.createDataFrame([(1, "s", "same same same")],
+                               ["doc_id", "source", "text"])
+    [r] = vocab_concentration(df, "source").collect()
+    assert (r["n_types"], r["n_tokens"], r["gini"]) == (1, 3, 0.0)
+
+    big = spark.createDataFrame(
+        [(i, f"g{i % 3}", " ".join(f"w{j % (i + 2)}"
+                                   for j in range(20)))
+         for i in range(1, 31)],
+        ["doc_id", "source", "text"])
+    base = vocab_concentration(big, "source").orderBy("source").collect()
+    assert vocab_concentration(big, "source", n_range_buckets=1) \
+        .orderBy("source").collect() == base
+    assert vocab_concentration(big, "source", bounds_join="shuffle") \
+        .orderBy("source").collect() == base
