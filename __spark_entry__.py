@@ -3419,11 +3419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
-        # -- positions 51+: stripped_duplicate_spans ... weekly_growth
-        #    (the six tier-3 entries displaced from the r11 fill by
-        #    the six late tier-1 contracts — the BPE-trainer family,
-        #    the split family and zorder_keys) lead the r12 rotation,
-        #    then
+        # -- positions 51+: dau_wau_stickiness ... weekly_growth
+        #    (the twelve tier-3 entries displaced from the r11 fill
+        #    by the twelve late tier-1 contracts — the BPE-trainer
+        #    family, the split family, zorder_keys, and the
+        #    statistical-monitoring family: the KS drift pair,
+        #    keyness, bootstrap CI, Pearson+OLS, vocab gini) lead the
+        #    r12 rotation, then
         #    session_funnel, top_supplier_revenue,
         #    large_order_customers and idle_rich_customers (the
         #    r7-rotation entries displaced by the four late tier-1
