@@ -3342,6 +3342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ... and its snapshot-vs-snapshot form (ref/cur split,
         #    the exact sibling of the PSI gate event_drift)
         "ks_snapshot_drift": q_ks_snapshot_drift,
+        #    ... and the Wasserstein-1 integral form over the same
+        #    split (CDF gaps x interval widths off the distributed
+        #    ordered-neighbor primitive, quantized-decimal fold)
+        "w1_snapshot_drift": q_w1_snapshot_drift,
         #    ... and Dunning log-likelihood keyness (late r11) — the
         #    per-(source, term) G^2 over the 2x2 margins, closed-form
         #    doubles per row (no float aggregation anywhere)
@@ -7891,6 +7895,61 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                END AS drifted
         FROM diffs GROUP BY k, n_ref, n_cur
     """
+    # Wasserstein-1 snapshot drift: the same union-grain CDF windows
+    # plus a lead() for interval widths, per-interval contributions
+    # quantized to 1e-9 decimals (the source_divergence fold), same
+    # final division and round.
+    oracles["w1_snapshot_drift"] = """
+        WITH base AS (
+            SELECT event_type AS k, CAST(value AS DOUBLE) AS s,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS refside
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
+              AND event_type IS NOT NULL
+        ), per AS (
+            SELECT k, s, count(*) AS call,
+                   CAST(sum(refside) AS BIGINT) AS cref
+            FROM base GROUP BY k, s
+        ), tot AS (
+            SELECT k, CAST(sum(call) AS BIGINT) AS nall,
+                   CAST(sum(cref) AS BIGINT) AS n_ref
+            FROM per GROUP BY k
+        ), pts AS (
+            SELECT per.k, tot.n_ref, tot.nall - tot.n_ref AS n_cur,
+                   CAST(sum(per.cref) OVER (
+                        PARTITION BY per.k ORDER BY per.s)
+                        AS BIGINT) AS cumr,
+                   CAST(sum(per.call) OVER (
+                        PARTITION BY per.k ORDER BY per.s)
+                        AS BIGINT) AS cuma,
+                   per.s,
+                   lead(per.s) OVER (
+                        PARTITION BY per.k ORDER BY per.s) AS nxt
+            FROM per JOIN tot USING (k)
+        ), contrib AS (
+            SELECT k, n_ref, n_cur,
+                   CASE WHEN nxt IS NOT NULL
+                             AND n_ref > 0 AND n_cur > 0 THEN
+                       CAST(floor(
+                           abs(CAST(cumr AS DOUBLE)
+                               / CAST(n_ref AS DOUBLE)
+                               - CAST(cuma - cumr AS DOUBLE)
+                               / CAST(n_cur AS DOUBLE))
+                           * (nxt - s) * 1e9 + 0.5)
+                           AS DECIMAL(38,0))
+                   ELSE CAST(0 AS DECIMAL(38,0)) END AS q,
+                   CASE WHEN n_ref > 0 AND n_cur > 0
+                        THEN 0 ELSE 1 END AS bad
+            FROM pts
+        )
+        SELECT k AS event_type, n_ref, n_cur,
+               CASE WHEN sum(bad) = 0 THEN
+                   round(CAST(sum(q) AS DOUBLE) / 1e9, 6)
+               END AS w1
+        FROM contrib GROUP BY k, n_ref, n_cur
+    """
     # Decimal-exact Pearson + OLS: identical quantization, exact
     # decimal sufficient statistics, identical closed-form doubles.
     oracles["chars_tokens_correlation"] = """
@@ -9075,3 +9134,20 @@ def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return vocab_concentration(load_table(spark, sf_dir, "documents"),
                                "source")
+
+
+def q_w1_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 snapshot drift (operators.drift.w1_drift):
+    the integral sibling of ks_snapshot_drift over the same ref/cur
+    month split — how far the value mass moved, in value units. CDFs
+    from two grouped prefix-sum passes; interval widths from the
+    distributed ordered-neighbor primitive (prefix_sum.
+    distributed_next) — no unpartitioned ordered window anywhere; the
+    per-interval double contributions fold through the 1e-9 quantized
+    decimal discipline so the oracle replays the sum bit-for-bit."""
+    from dump1090_db_stream_spark.operators.drift import w1_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("ts") < "2024-01-16")
+    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    return w1_drift(ref, cur, "value", keys=["event_type"])

@@ -169,6 +169,7 @@ EXTENDED = [
     "zorder_keys",
     "ks_drift_by_type",
     "ks_snapshot_drift",
+    "w1_snapshot_drift",
     "keyness_by_source",
     "bootstrap_mean_chars",
     "chars_tokens_correlation",

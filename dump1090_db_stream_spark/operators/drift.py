@@ -293,3 +293,116 @@ def drift_stream_sink(
          .parquet(f"{out_path}/batch={batch_id}"))
 
     return sink
+
+
+def w1_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str,
+    keys: list[str] | None = None,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """EXACT Wasserstein-1 (earth mover's) distance between a
+    reference snapshot and the current one, per key slice — the
+    INTEGRAL drift metric next to :func:`ks_drift`'s sup: KS sees the
+    single worst CDF gap (and saturates at 1), W1 integrates every
+    gap weighted by how far the mass must move, in the score's own
+    units — the number a "how MUCH did the mean-ish behavior shift"
+    decision wants. One row per key combination: ``(*keys, n_ref,
+    n_cur, w1)`` (rounded 6).
+
+    For one-dimensional samples W1 has the closed form
+    integral of |F_ref(x) - F_cur(x)| dx, a step integral over the
+    union sample's distinct scores:
+
+        W1 = sum over consecutive distinct scores s_i < s_{i+1} of
+             |cum_ref(s_i)/n_ref - cum_cur(s_i)/n_cur| * (s_{i+1}-s_i)
+
+    Cumulatives come from the grouped
+    :func:`operators.prefix_sum.distributed_prev_counts` (two passes
+    over the same (key, score) grain, ref counts zero-filled — the
+    :func:`ks_drift` plumbing) and the interval widths from
+    :func:`operators.prefix_sum.distributed_next` — the
+    ordered-NEIGHBOR primitive, so neither the CDFs nor the gaps ever
+    route through an unpartitioned ordered window.
+
+    DETERMINISM: the per-interval contributions are doubles (the gap
+    width is a score difference), so their SUM is quantized to 1e-9
+    scaled DECIMAL integers before aggregation (the
+    ``operators.relevance._quantized`` partition-order discipline) —
+    the oracle replays the identical fold. Slices present in only one
+    snapshot emit ``w1 = NULL``; NULL/NaN scores and NULL keys are
+    excluded as in :func:`ks_drift`.
+    """
+    kcols = list(keys or [])
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+            F.col(score_col).cast("double").alias("s"),
+            F.lit(tag).alias("_ref"),
+        ).filter(F.col("s").isNotNull() & ~F.isnan("s"))
+        for i in range(len(kcols)):
+            out = out.filter(F.col(f"k{i}").isNotNull())
+        return out
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    both = _side(ref, 1).unionByName(_side(cur, 0))
+    per = both.groupBy(*ks_, "s").agg(
+        F.count(F.lit(1)).alias("_call"),
+        F.sum("_ref").alias("_cref"))
+
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_next,
+        distributed_prev_counts,
+    )
+    from dump1090_db_stream_spark.operators.relevance import _quantized
+
+    per = track(per)  # three passes share the distinct grain
+    pc = dict(n_range_buckets=n_range_buckets,
+              partition_cols=tuple(ks_), bounds_join=bounds_join)
+    alls = distributed_prev_counts(per, "s", "_call",
+                                   with_totals=True, **pc)
+    refs = distributed_prev_counts(per, "s", "_cref",
+                                   with_totals=True, **pc)
+    nxt = distributed_next(per, "s", partition_cols=tuple(ks_),
+                           n_range_buckets=n_range_buckets,
+                           bounds_join=bounds_join)
+    pts = (alls
+           .withColumnRenamed("_prev", "_pall")
+           .withColumnRenamed("_total", "_nall")
+           .join(refs.select(*ks_, "s",
+                             F.col("_cref").alias("_cr"),
+                             F.col("_prev").alias("_pref"),
+                             F.col("_total").alias("n_ref")),
+                 ks_ + ["s"])
+           .join(nxt, ks_ + ["s"]))
+    n_cur = (F.col("_nall") - F.col("n_ref")).alias("n_cur")
+    cum_r = (F.col("_pref") + F.col("_cr")).alias("_cumr")
+    cum_a = (F.col("_pall") + F.col("_call")).alias("_cuma")
+    gap = F.col("_next") - F.col("s")
+    diff = F.abs(
+        F.col("_cumr").cast("double") / F.col("n_ref").cast("double")
+        - (F.col("_cuma") - F.col("_cumr")).cast("double")
+        / F.col("n_cur").cast("double"))
+    evaluable = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    contrib = F.when(F.col("_next").isNotNull() & evaluable,
+                     _quantized(diff * gap)) \
+               .otherwise(F.lit(0).cast("decimal(38,0)"))
+    out = (pts.select(*ks_, "n_ref", n_cur, cum_r, cum_a, "s", "_next")
+           .select(*ks_, "n_ref", "n_cur",
+                   contrib.alias("_q"),
+                   F.when(evaluable, 0).otherwise(1).alias("_bad"))
+           .groupBy(*ks_)
+           .agg(F.max("n_ref").alias("n_ref"),
+                F.max("n_cur").alias("n_cur"),
+                F.sum("_q").alias("_qs"),
+                F.sum("_bad").alias("_nbad")))
+    sel = [F.col(f"k{i}").alias(k) for i, k in enumerate(kcols)]
+    return out.select(
+        *sel, "n_ref", "n_cur",
+        F.when(F.col("_nbad") == 0,
+               F.round(F.col("_qs").cast("double") / 1e9, 6))
+         .alias("w1"))

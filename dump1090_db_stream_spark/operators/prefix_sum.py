@@ -209,3 +209,77 @@ def distributed_prev_counts(
             .select(*pcols, order_col, cnt_col, *extra_cols,
                     (F.col("_off") + F.col("_loc")).alias("_prev"),
                     *(["_total"] if with_totals else [])))
+
+
+def distributed_next(
+    rel: DataFrame,
+    order_col: str,
+    value_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = (),
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """Add ``_next`` — the next distinct ``order_col`` value in order
+    (per partition-key combination) — to ``rel`` WITHOUT an
+    unpartitioned ordered window: the ordered-NEIGHBOR twin of
+    :func:`distributed_prev_counts`, for the plans that need interval
+    widths in global value order (ECDF integrals like the Wasserstein
+    distance, gap audits over continuous keys).
+
+    Same quantile-bucket decomposition: ``lead`` runs PARTITIONED by
+    (group, bucket); the one cross-bucket seam — each bucket's last
+    row — stitches to the NEXT non-empty bucket's first value through
+    a per-(group, bucket) first-value relation (bounded:
+    ``groups x n_range_buckets`` rows) carried through an ordered
+    window over that bounded relation only. The last row overall gets
+    ``_next = NULL`` (no successor), exactly like a plain ``lead``.
+    Monotone bucketing makes the stitch exact: bucket i's values all
+    precede bucket j's for i < j, so the successor of a bucket's last
+    row is precisely the next non-empty bucket's minimum.
+
+    ``rel`` must be DISTINCT on (*partition_cols, order_col) — the
+    same grain every consumer of the prefix-sum already aggregates to.
+    ``value_cols`` ride along unchanged. Grouped-mode guard and
+    ``bounds_join="shuffle"`` escape are inherited from
+    :func:`distributed_prev_counts`'s discipline (the bounds relation
+    here is the same bounded per-group quantile row).
+    """
+    if n_range_buckets < 1:
+        raise ValueError(
+            f"n_range_buckets must be >= 1, got {n_range_buckets}")
+    pcols = list(partition_cols)
+    probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    if not probs:
+        bucketed = rel.withColumn("_b", F.lit(0))
+    else:
+        bnds = F.percentile_approx(order_col, probs, 1_000).alias("_bnds")
+        bucket = F.aggregate(
+            "_bnds", F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) >= b,
+                                        F.lit(1)).otherwise(F.lit(0)))
+        small = rel.groupBy(*pcols).agg(bnds)
+        if pcols and bounds_join == "broadcast":
+            small = F.broadcast(small)
+        bucketed = ((rel.join(small, pcols) if pcols
+                     else rel.crossJoin(F.broadcast(small)))
+                    .withColumn("_b", bucket)
+                    .drop("_bnds"))
+    w_in = Window.partitionBy(*pcols, "_b").orderBy(order_col)
+    # bounded (group, bucket) -> first-value relation; its ordered
+    # window runs over <= n_range_buckets rows per group
+    firsts = bucketed.groupBy(*pcols, "_b").agg(
+        F.min(order_col).alias("_bfirst"))
+    nxt_bucket = firsts.select(
+        *pcols, "_b",
+        F.first("_bfirst").over(
+            Window.partitionBy(*pcols).orderBy("_b")
+            .rowsBetween(1, Window.unboundedFollowing))
+        .alias("_nextb_first"))
+    nxt_bucket = (F.broadcast(nxt_bucket)
+                  if not pcols or bounds_join == "broadcast"
+                  else nxt_bucket)
+    return (bucketed
+            .withColumn("_lead", F.lead(order_col).over(w_in))
+            .join(nxt_bucket, pcols + ["_b"])
+            .select(*pcols, order_col, *value_cols,
+                    F.coalesce("_lead", "_nextb_first").alias("_next")))

@@ -244,3 +244,65 @@ def test_drift_stream_sink_matches_batch_and_replays(spark, tmp_path):
          0)
     spark.catalog.refreshByPath(out)   # the overwrite replaced files
     assert spark.read.parquet(out).count() == n_before
+
+
+# --- w1_drift (Wasserstein-1 / earth mover's) -----------------------------
+
+
+def ref_w1(a: list[float], b: list[float]) -> float:
+    """Step integral of |F_a - F_b| over the union points, with each
+    per-interval contribution quantized to 1e-9 exactly as the
+    operator's partition-order-independent fold does."""
+    import math as _m
+
+    pts = sorted(set(a) | set(b))
+    total = 0
+    for s, nxt in zip(pts, pts[1:]):
+        fa = sum(1 for v in a if v <= s) / len(a)
+        fb = sum(1 for v in b if v <= s) / len(b)
+        total += _m.floor(abs(fa - fb) * (nxt - s) * 1e9 + 0.5)
+    return total / 1e9
+
+
+def test_w1_matches_bruteforce_and_shift_units(spark):
+    from dump1090_db_stream_spark.operators.drift import w1_drift
+
+    ref, ref_rows, cur, cur_rows = _snapshots(spark)
+    got = {r["k"]: r for r in
+           w1_drift(ref, cur, "s", keys=["k"]).collect()}
+    for k in ("a", "b"):
+        rv = [s for kk, s in ref_rows if kk == k]
+        cv = [s for kk, s in cur_rows if kk == k]
+        assert got[k]["n_ref"] == len(rv)
+        assert got[k]["n_cur"] == len(cv)
+        assert got[k]["w1"] == round(ref_w1(rv, cv), 6), k
+    # a pure +delta location shift of the same lattice has W1 ~ delta
+    base = [float(v) for v in range(100)]
+    shifted = [v + 12.0 for v in base]
+    df_r = spark.createDataFrame([("x", v) for v in base],
+                                 "k string, s double")
+    df_c = spark.createDataFrame([("x", v) for v in shifted],
+                                 "k string, s double")
+    [r] = w1_drift(df_r, df_c, "s", keys=["k"]).collect()
+    assert r["w1"] == 12.0
+
+
+def test_w1_global_one_sided_and_modes(spark):
+    from dump1090_db_stream_spark.operators.drift import w1_drift
+
+    ref, ref_rows, cur, cur_rows = _snapshots(spark)
+    [g] = w1_drift(ref, cur, "s").collect()
+    assert g["w1"] == round(ref_w1([s for _, s in ref_rows],
+                                   [s for _, s in cur_rows]), 6)
+    # one-sided slice -> NULL
+    only = w1_drift(
+        spark.createDataFrame([("lone", 1.0)], "k string, s double"),
+        spark.createDataFrame([("both", 2.0)], "k string, s double"),
+        "s", keys=["k"]).collect()
+    assert all(r["w1"] is None for r in only)
+    # decomposition + shuffle mode bit-identical
+    base = w1_drift(ref, cur, "s", keys=["k"]).orderBy("k").collect()
+    assert w1_drift(ref, cur, "s", keys=["k"], n_range_buckets=1) \
+        .orderBy("k").collect() == base
+    assert w1_drift(ref, cur, "s", keys=["k"],
+                    bounds_join="shuffle").orderBy("k").collect() == base

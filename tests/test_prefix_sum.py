@@ -174,3 +174,43 @@ def test_quantile_normalize_excludes_nan_values(spark):
         "v", "grp").collect()}
     assert got == want
     assert "dn1" not in got and "dn2" not in got
+
+
+# --- distributed_next (ordered-neighbor primitive) ------------------------
+
+
+def test_distributed_next_matches_plain_lead(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_next,
+    )
+
+    rows = [("g1", float((i * 17) % 101)) for i in range(101)] + \
+           [("g2", float((i * 13) % 53)) for i in range(53)]
+    rel = spark.createDataFrame(rows, "g string, s double").distinct()
+    expected = {(r["g"], r["s"]): r["_lead"] for r in
+                rel.withColumn(
+                    "_lead",
+                    F.lead("s").over(
+                        Window.partitionBy("g").orderBy("s")))
+                .collect()}
+    for nb in (1, 7, 64):
+        got = {(r["g"], r["s"]): r["_next"] for r in
+               distributed_next(rel, "s", partition_cols=("g",),
+                                n_range_buckets=nb).collect()}
+        assert got == expected, nb
+    # ungrouped + shuffle mode
+    rel1 = rel.filter(F.col("g") == "g1").select("s")
+    exp1 = {r["s"]: r["_lead"] for r in
+            rel1.withColumn("_lead",
+                            F.lead("s").over(Window.orderBy("s")))
+            .collect()}
+    got1 = {r["s"]: r["_next"]
+            for r in distributed_next(rel1, "s").collect()}
+    assert got1 == exp1
+    gots = {(r["g"], r["s"]): r["_next"] for r in
+            distributed_next(rel, "s", partition_cols=("g",),
+                             bounds_join="shuffle").collect()}
+    assert gots == expected
