@@ -3358,6 +3358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r11) — sufficient statistics as exact decimals, closed
         #    forms in one IEEE sequence
         "chars_tokens_correlation": q_chars_tokens_correlation,
+        #    ... and exact distributed type-1 quantiles (late r11)
+        #    — grouped prefix-sum ranks + one filtered min per
+        #    (key, prob); the exact tier next to percentile_approx
+        "exact_value_quantiles": q_exact_value_quantiles,
         #    ... and Gini vocabulary concentration (late r11) —
         #    rank-weighted sum folded closed-form over the
         #    (group, count) multiplicity relation via the grouped
@@ -7998,6 +8002,34 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                    AS intercept
         FROM forms
     """
+    # Exact type-1 quantiles: inclusive-rank windows + the same
+    # ceil(prob * n) target arithmetic on identical doubles.
+    oracles["exact_value_quantiles"] = """
+        WITH base AS (
+            SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
+              AND event_type IS NOT NULL
+        ), per AS (
+            SELECT g, v, count(*) AS c FROM base GROUP BY g, v
+        ), rk AS (
+            SELECT g, v, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+                        AS BIGINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM per
+        ), pr AS (
+            SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+                               AS DOUBLE[])) AS prob
+        )
+        SELECT g AS event_type, prob, min(v) AS q
+        FROM rk CROSS JOIN pr
+        WHERE cum >= greatest(
+            CAST(1 AS BIGINT),
+            CAST(ceil(prob * CAST(n AS DOUBLE)) AS BIGINT))
+        GROUP BY g, prob
+    """
     # Gini vocabulary concentration: the closed-form tie fold over
     # (group, count) multiplicities, prev from a plain window, exact
     # DECIMAL(38,0) accumulations, identical final closed form.
@@ -9151,3 +9183,22 @@ def q_w1_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < "2024-01-16")
     cur = ev.filter(F.col("ts") >= "2024-01-16")
     return w1_drift(ref, cur, "value", keys=["event_type"])
+
+
+def q_exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value quantiles (operators.profiling.
+    exact_quantiles_by): type-1 (smallest value whose inclusive rank
+    reaches ceil(p*n)) — always an OBSERVED value, so no
+    interpolation-definition drift between engines. Cumulative ranks
+    from the grouped distributed prefix-sum (no per-group value
+    buffering, no unpartitioned ordered window — the two failure
+    modes of Spark's exact percentile at scale); one filtered min per
+    (type, prob). Complements event_value_quantiles (the
+    percentile_approx tier) with the exact tier."""
+    from dump1090_db_stream_spark.operators.profiling import (
+        exact_quantiles_by,
+    )
+
+    return exact_quantiles_by(
+        _events(spark, sf_dir), "value", keys=["event_type"],
+        probs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

@@ -174,6 +174,7 @@ EXTENDED = [
     "bootstrap_mean_chars",
     "chars_tokens_correlation",
     "vocab_gini",
+    "exact_value_quantiles",
 ]
 
 

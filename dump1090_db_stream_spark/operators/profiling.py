@@ -378,3 +378,81 @@ def psi_drift(
                .otherwise("major"))
     return out.select(*keys, "n_ref", "n_cur", "psi",
                       verdict.alias("verdict"))
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    probs: list[float] = (0.25, 0.5, 0.75),
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """EXACT per-group quantiles of a continuous column at cluster
+    scale — the exact tier next to ``percentile_approx`` (bounded
+    error, one pass) and the threshold-sampled sketches
+    (:mod:`operators.sketches`): one row per (key combination, prob)
+    with ``(*keys, prob, q)``.
+
+    Definition: type-1 (lower) sample quantile — the smallest observed
+    value whose inclusive cumulative count reaches ``ceil(p * n)``
+    (for p = 0 the minimum). No interpolation: the result is always an
+    OBSERVED value, identical in any engine, which is what makes the
+    statistic oracle-replayable (interpolating definitions differ
+    between engines and even between Spark's own percentile flavors).
+
+    Why not the built-ins: Spark's exact ``percentile`` buffers each
+    group's values in executor memory (OOM-bound for a dominant
+    group), and ``Window.orderBy(v)`` ranks route the whole relation
+    through one task. Here the cumulative counts come from the GROUPED
+    :func:`operators.prefix_sum.distributed_prev_counts` over the
+    distinct (key, value) grain — per-group quantile-bucketed, no
+    unpartitioned ordered window, memory bounded by the distinct-value
+    relation per task — and each quantile is then ONE filtered min per
+    (key, prob) over that relation. ``probs`` explode multiplies only
+    the distinct-value relation, and the (key, prob) aggregate
+    map-side combines.
+
+    NULL/NaN values and NULL keys are excluded (as everywhere in the
+    stats family); an empty group simply emits no rows. ``probs`` must
+    be in [0, 1]; the vocabulary guard / ``bounds_join="shuffle"``
+    escape apply when ``keys`` are given.
+    """
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or ps[0] < 0.0 or ps[-1] > 1.0:
+        raise ValueError(f"probs must lie in [0, 1], got {probs}")
+    kcols = list(keys or [])
+    base = df.select(
+        *kcols,
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    for k in kcols:
+        base = base.filter(F.col(k).isNotNull())
+    per = base.groupBy(*kcols, "_v").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+
+    from dump1090_db_stream_spark.cache import track
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    ranked = distributed_prev_counts(
+        track(per), "_v", "_cnt", n_range_buckets,
+        partition_cols=tuple(kcols), with_totals=True,
+        bounds_join=bounds_join)
+    # target rank per prob: ceil(p * n), floored at 1 (p = 0 -> min).
+    # ceil on the exact double p*n: n < 2^53 keeps the product exact
+    # enough that both engines agree except for p*n landing EXACTLY on
+    # an integer, which IS exact in IEEE for representable p
+    probs_arr = F.array(*[F.lit(p) for p in ps])
+    exploded = ranked.select(
+        *kcols, "_v", "_cnt", "_prev", "_total",
+        F.explode(probs_arr).alias("prob"))
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("prob") * F.col("_total").cast("double")))
+    return (exploded
+            .filter((F.col("_prev") + F.col("_cnt")) >= target)
+            .groupBy(*kcols, "prob")
+            .agg(F.min("_v").alias("q"))
+            .select(*kcols, "prob", "q"))

@@ -68,33 +68,35 @@ def test_r11_window_composition():
     the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:25] == [                           # tier 1: new
+    assert window[:26] == [                           # tier 1: new
         "word_token_stats", "bpe_token_stats",
         "bpe_merges", "bpe_vocab", "bpe_encoded_stats",
         "kfold_docs", "leakage_safe_split", "zorder_keys",
         "ks_drift_by_type", "ks_snapshot_drift",
         "w1_snapshot_drift",
         "keyness_by_source", "bootstrap_mean_chars",
-        "chars_tokens_correlation", "vocab_gini",
+        "chars_tokens_correlation", "exact_value_quantiles",
+        "vocab_gini",
         "ivfpq_append_topk",
         "quality_classifier_scores", "classifier_pareto_sample",
         "unimax_allocation", "unimax_epoch_manifest",
         "quality_funnel", "ann_recall_int8",
         "ann_recall_pq", "vocab_coverage", "source_divergence"]
-    assert window[25:33] == [                         # tier 2: changed
+    assert window[26:34] == [                         # tier 2: changed
         "event_approx_stats", "daily_distinct_rollup",
         "bigram_pmi", "doc_bigram_logprob",
         "tfidf_top_terms", "bm25_scores",
         "dsir_auc_by_source", "score_normalized"]
     # tier 3 fill: the r7-window remainder in recorded staleness order
-    assert window[33] == "late_shipment_priority"
-    assert window[-1] == "quality_survivors"
-    # positions 51+: the thirteen tier-3 entries displaced by the
+    assert window[34] == "late_shipment_priority"
+    assert window[-1] == "line_dedup_docs"
+    # positions 51+: the fourteen tier-3 entries displaced by the
     # late tier-1 contracts (BPE trainer + split family + zorder +
     # the KS/W1 drift family / keyness / bootstrap / correlation /
-    # gini statistics), then the displaced r7-rotation entries, then
-    # the r8 greens lead the r12 rotation
-    assert order[50:63] == ["quartile_stratified_sample",
+    # exact-quantile / gini statistics), then the displaced
+    # r7-rotation entries, then the r8 greens lead the r12 rotation
+    assert order[50:64] == ["quality_survivors",
+                            "quartile_stratified_sample",
                             "dau_wau_stickiness",
                             "embedding_pq_topk",
                             "embedding_ivfpq_topk",
@@ -105,11 +107,11 @@ def test_r11_window_composition():
                             "shipping_priority", "returned_item_losses",
                             "customer_distribution",
                             "event_correlations", "weekly_growth"]
-    assert order[63:67] == ["session_funnel", "top_supplier_revenue",
+    assert order[64:68] == ["session_funnel", "top_supplier_revenue",
                             "large_order_customers",
                             "idle_rich_customers"]
-    assert order[67] == "multimodal_features"
-    assert order[68] == "survival_curve"
+    assert order[68] == "multimodal_features"
+    assert order[69] == "survival_curve"
     # then the r9 greens, then the r10-window greens (freshest) close
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")

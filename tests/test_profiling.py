@@ -254,3 +254,66 @@ def test_psi_drift_detects_planted_shift(spark):
     assert len(g) == 1 and g[0]["psi"] > 0
     with pytest.raises(ValueError, match="n_bins"):
         psi_drift(ref, cur, "v", n_bins=1)
+
+
+# --- exact_quantiles_by (distributed type-1 quantiles) --------------------
+
+
+def _type1(vals, p):
+    import math as _m
+    vs = sorted(vals)
+    k = max(1, _m.ceil(p * float(len(vs))))
+    return vs[k - 1]
+
+
+def test_exact_quantiles_match_type1_reference(spark):
+    from dump1090_db_stream_spark.operators.profiling import (
+        exact_quantiles_by,
+    )
+
+    rows = [("a", float((i * 17) % 101)) for i in range(150)] + \
+           [("b", float((i * 13) % 53)) for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {(r["g"], r["prob"]): r["q"] for r in
+           exact_quantiles_by(df, "v", keys=["g"],
+                              probs=probs).collect()}
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        for p in probs:
+            assert got[(g, p)] == _type1(vals, p), (g, p)
+    assert len(got) == 2 * len(probs)
+
+
+def test_exact_quantiles_global_nulls_and_guards(spark):
+    import pytest
+
+    from dump1090_db_stream_spark.operators.profiling import (
+        exact_quantiles_by,
+    )
+
+    vals = [float(v) for v in (5, 1, 9, 3, 7)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,), (float("nan"),)], "v double")
+    got = {r["prob"]: r["q"]
+           for r in exact_quantiles_by(df, "v",
+                                       probs=[0.5, 1.0]).collect()}
+    assert got[0.5] == 5.0 and got[1.0] == 9.0
+    with pytest.raises(ValueError, match="probs"):
+        exact_quantiles_by(df, "v", probs=[1.5])
+
+
+def test_exact_quantiles_modes_bit_identical(spark):
+    from dump1090_db_stream_spark.operators.profiling import (
+        exact_quantiles_by,
+    )
+
+    rows = [(f"g{i % 3}", float((i * 31) % 997)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    base = exact_quantiles_by(df, "v", keys=["g"]) \
+        .orderBy("g", "prob").collect()
+    assert exact_quantiles_by(df, "v", keys=["g"], n_range_buckets=1) \
+        .orderBy("g", "prob").collect() == base
+    assert exact_quantiles_by(df, "v", keys=["g"],
+                              bounds_join="shuffle") \
+        .orderBy("g", "prob").collect() == base
