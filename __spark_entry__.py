@@ -7820,22 +7820,25 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                         THEN swv / CAST(sw AS DOUBLE) END AS m
             FROM rm
         ), rk AS (
+            -- degenerate replicates filtered BEFORE ranking (r11
+            -- ADVICE): ranks match Spark unconditionally instead of
+            -- relying on NULL placement agreement between engines
             SELECT g, m,
                    row_number() OVER (
                        PARTITION BY g ORDER BY m ASC, r ASC) AS rk
-            FROM rm2
+            FROM rm2 WHERE m IS NOT NULL
         ), agg AS (
             SELECT g,
                    min(CASE WHEN rk = 5 THEN m END) AS lo,
                    min(CASE WHEN rk = 196 THEN m END) AS hi,
-                   sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS bad
+                   200 - count(*) AS bad
             FROM rk GROUP BY g
         )
         SELECT pt.g AS source, pt.n, round(pt.m, 6) AS mean,
                CASE WHEN bad = 0 THEN round(lo, 6) END AS ci_lo,
                CASE WHEN bad = 0 THEN round(hi, 6) END AS ci_hi,
                200 AS n_boot
-        FROM pt JOIN agg USING (g)
+        FROM pt LEFT JOIN agg USING (g)
     """
     # Snapshot-vs-snapshot exact KS: both CDFs as plain windows over
     # the per-(key, score) union grain (ref counts zero-filled), then

@@ -167,20 +167,30 @@ def bootstrap_mean_ci(
                          .alias("_m")))
     from pyspark.sql import Window
 
+    # degenerate (zero-total-weight) replicates are FILTERED before
+    # ranking (r11 ADVICE): engines disagree on where NULL sorts
+    # (Spark asc = NULLS FIRST, DuckDB/ANSI asc = NULLS LAST), so
+    # ranking only non-null means keeps both engines' row_number
+    # identical unconditionally instead of relying on the _bad > 0
+    # NULL-out to mask the divergence; _bad falls out as the count
+    # deficit (n_boot - surviving replicates)
+    nn = rep_means.filter(F.col("_m").isNotNull())
     # n_boot rows per group: bounded by the parameter, not the data
     rk = F.row_number().over(
-        Window.partitionBy("g").orderBy(F.col("_m").asc_nulls_first(),
+        Window.partitionBy("g").orderBy(F.col("_m").asc(),
                                         F.col("_r").asc()))
-    ci = (rep_means
+    ci = (nn
           .withColumn("_rk", rk)
           .groupBy("g")
           .agg(F.min(F.when(F.col("_rk") == lo_rank, F.col("_m")))
                .alias("_lo"),
                F.min(F.when(F.col("_rk") == hi_rank, F.col("_m")))
                .alias("_hi"),
-               F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
-               .alias("_bad")))
-    return (point.join(ci, "g")
+               (F.lit(n_boot) - F.count(F.lit(1))).alias("_bad")))
+    # left join: a group whose EVERY replicate degenerated (all-zero
+    # weights — possible only for near-empty groups) has no ranked
+    # rows at all; it still emits (n, mean, NULL, NULL)
+    return (point.join(ci, "g", "left")
             .select(F.col("g").alias(group_col), "n",
                     F.round("_mean", 6).alias("mean"),
                     F.when(F.col("_bad") == 0, F.round("_lo", 6))

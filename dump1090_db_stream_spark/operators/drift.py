@@ -286,11 +286,21 @@ def drift_stream_sink(
     prunes to one partition.
     """
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from dump1090_db_stream_spark.cache import (
+            release_after, tracked_mark)
+
+        # free only the caches THIS body tracks (ks_drift persists the
+        # per-score grain plus the grouped guard's bounds relation) —
+        # without the mark/release pair every micro-batch would leak
+        # 1-3 persisted DataFrames into executor storage for the
+        # stream's lifetime (the neardup_stream_sink discipline)
+        mark = tracked_mark()
         stats = ks_drift(reference, batch_df, score_col, keys=keys,
                          n_range_buckets=n_range_buckets,
                          bounds_join=bounds_join)
         (stats.write.mode("overwrite")
          .parquet(f"{out_path}/batch={batch_id}"))
+        release_after(mark)
 
     return sink
 

@@ -217,6 +217,7 @@ def distributed_next(
     value_cols: tuple[str, ...] = (),
     partition_cols: tuple[str, ...] = (),
     n_range_buckets: int = 64,
+    max_partition_groups: int | None = 65_536,
     bounds_join: str = "broadcast",
 ) -> DataFrame:
     """Add ``_next`` — the next distinct ``order_col`` value in order
@@ -239,17 +240,62 @@ def distributed_next(
 
     ``rel`` must be DISTINCT on (*partition_cols, order_col) — the
     same grain every consumer of the prefix-sum already aggregates to.
-    ``value_cols`` ride along unchanged. Grouped-mode guard and
-    ``bounds_join="shuffle"`` escape are inherited from
-    :func:`distributed_prev_counts`'s discipline (the bounds relation
-    here is the same bounded per-group quantile row).
+    ``value_cols`` ride along unchanged. GUARD (r11 ADVICE): grouped
+    broadcast mode broadcasts BOTH the per-group quantile-bounds row
+    AND the ``groups x n_range_buckets`` ``nxt_bucket`` stitch
+    relation, so the same guarded count as
+    :func:`distributed_prev_counts` runs here — above
+    ``min(max_partition_groups, 2**20 // n_range_buckets)`` distinct
+    group combinations the call raises with routing advice instead of
+    letting an unbounded broadcast take down the driver. Pass
+    ``max_partition_groups=None`` to skip the probe (callers that know
+    their vocabulary), or ``bounds_join="shuffle"`` for unbounded keys
+    (plain equi-joins, no guard needed — nothing broadcasts).
     """
+    if bounds_join not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"bounds_join must be 'broadcast' or 'shuffle', "
+            f"got {bounds_join!r}")
     if n_range_buckets < 1:
         raise ValueError(
             f"n_range_buckets must be >= 1, got {n_range_buckets}")
     pcols = list(partition_cols)
     probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+
+    def _guard(small: DataFrame) -> DataFrame:
+        # the distributed_prev_counts guarded count: the ceiling covers
+        # the LARGER grouped broadcast (nxt_bucket is groups x buckets
+        # rows); the count only ever RAISES — it never changes the plan
+        if not pcols or bounds_join != "broadcast" \
+                or max_partition_groups is None:
+            return small
+        from dump1090_db_stream_spark.cache import track
+
+        allowed = min(max_partition_groups,
+                      max(1, _OFFSET_ROW_BUDGET // n_range_buckets))
+        small = track(small)       # the count and the join reuse it
+        n_groups = small.count()
+        if n_groups > allowed:
+            raise ValueError(
+                f"distributed_next vocabulary guard: partition_cols "
+                f"{pcols} has {n_groups} distinct combinations "
+                f"(allowed {allowed} = min(max_partition_groups="
+                f"{max_partition_groups}, {_OFFSET_ROW_BUDGET}//"
+                f"n_range_buckets={n_range_buckets} — the nxt_bucket "
+                f"stitch relation BROADCAST back is groups x buckets "
+                f"rows)); the group key must be a bounded vocabulary. "
+                f"Group by an enum-like column, bucket the key "
+                f"upstream, pass bounds_join='shuffle' (plain "
+                f"equi-joins — scales to any cardinality), or raise "
+                f"max_partition_groups / pass None if the broadcast "
+                f"genuinely fits.")
+        return small
+
     if not probs:
+        # degenerate single bucket: no bounds join exists, but grouped
+        # broadcast mode still broadcasts nxt_bucket (groups x 1 rows)
+        # further down — run the same guarded count on the group keys
+        _guard(rel.groupBy(*pcols).agg(F.lit(1).alias("_one")))
         bucketed = rel.withColumn("_b", F.lit(0))
     else:
         bnds = F.percentile_approx(order_col, probs, 1_000).alias("_bnds")
@@ -257,7 +303,7 @@ def distributed_next(
             "_bnds", F.lit(0),
             lambda acc, b: acc + F.when(F.col(order_col) >= b,
                                         F.lit(1)).otherwise(F.lit(0)))
-        small = rel.groupBy(*pcols).agg(bnds)
+        small = _guard(rel.groupBy(*pcols).agg(bnds))
         if pcols and bounds_join == "broadcast":
             small = F.broadcast(small)
         bucketed = ((rel.join(small, pcols) if pcols

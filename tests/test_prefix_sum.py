@@ -214,3 +214,42 @@ def test_distributed_next_matches_plain_lead(spark):
             distributed_next(rel, "s", partition_cols=("g",),
                              bounds_join="shuffle").collect()}
     assert gots == expected
+
+
+def test_distributed_next_vocabulary_guard(spark):
+    """r11 ADVICE: distributed_next's grouped broadcast mode
+    broadcasts the per-group bounds row AND the groups x buckets
+    nxt_bucket stitch relation, so it needs the SAME guarded count as
+    distributed_prev_counts — including in the degenerate
+    n_range_buckets=1 branch where no bounds join exists but
+    nxt_bucket still broadcasts. shuffle mode and
+    max_partition_groups=None skip the probe."""
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_next,
+    )
+
+    rows = [(f"domain_{i}", float(i % 97)) for i in range(300)]
+    rel = spark.createDataFrame(rows, "g string, s double").distinct()
+    for nb in (1, 64):
+        with pytest.raises(ValueError) as ei:
+            distributed_next(rel, "s", partition_cols=("g",),
+                             n_range_buckets=nb,
+                             max_partition_groups=256).collect()
+        msg = str(ei.value)
+        assert "vocabulary guard" in msg
+        assert "300" in msg and "256" in msg
+    # the offsets-row-budget ceiling applies too: 2**20 // 4096 = 256
+    with pytest.raises(ValueError) as ei:
+        distributed_next(rel, "s", partition_cols=("g",),
+                         n_range_buckets=4096).collect()
+    assert "4096" in str(ei.value)
+    # escape hatches: shuffle mode, explicit None, default ceiling
+    assert distributed_next(rel, "s", partition_cols=("g",),
+                            bounds_join="shuffle",
+                            max_partition_groups=256).count() == 300
+    assert distributed_next(rel, "s", partition_cols=("g",),
+                            max_partition_groups=None).count() == 300
+    assert distributed_next(rel, "s",
+                            partition_cols=("g",)).count() == 300
+    with pytest.raises(ValueError):
+        distributed_next(rel, "s", bounds_join="zip")
