@@ -3308,117 +3308,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r11 window 1-12 (tier 1, ZERO driver rows): the six
-        #    late r10 additions (the r10 verdict's #1 ask) plus the
-        #    six new r11 contracts — the two non-default tokenizer
-        #    arms (word_token_stats / bpe_token_stats, ask #5), the
-        #    incremental-IVFPQ append round-trip (ivfpq_append_topk,
-        #    stretch ask #8), the NB-weighted hashed-n-gram quality
-        #    classifier (quality_classifier_scores), the GPT-3 Pareto
-        #    acceptance rule composed on it
-        #    (classifier_pareto_sample), and the UniMax epoch
-        #    manifest composed on the allocation
-        #    (unimax_epoch_manifest)
-        "word_token_stats": q_word_token_stats,
-        "bpe_token_stats": q_bpe_token_stats,
-        #    ... and the distributed BPE trainer family (late r11:
-        #    train / encode+vocab / per-source compression — each
-        #    oracle re-derives all 12 merges itself)
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encoded_stats": q_bpe_encoded_stats,
-        #    ... and the split family (late r11): k-fold CV assignment
-        #    and the contamination-safe cluster-keyed split
-        "kfold_docs": q_kfold_docs,
-        "leakage_safe_split": q_leakage_safe_split,
-        #    ... and the z-order clustering key (late r11) — the
-        #    multi-dim data-skipping layout, key oracled bit-for-bit
-        "zorder_keys": q_zorder_keys,
-        #    ... and the exact two-sample KS drift test (late r11) —
-        #    group-vs-rest ECDF sup-distance off TWO distributed
-        #    prefix-sums (grouped + pooled) meeting in a score
-        #    equi-join; oracle replays both CDFs with SQL windows
-        "ks_drift_by_type": q_ks_drift_by_type,
-        #    ... and its snapshot-vs-snapshot form (ref/cur split,
-        #    the exact sibling of the PSI gate event_drift)
-        "ks_snapshot_drift": q_ks_snapshot_drift,
-        #    ... and the Wasserstein-1 integral form over the same
-        #    split (CDF gaps x interval widths off the distributed
-        #    ordered-neighbor primitive, quantized-decimal fold)
-        "w1_snapshot_drift": q_w1_snapshot_drift,
-        #    ... and Dunning log-likelihood keyness (late r11) — the
-        #    per-(source, term) G^2 over the 2x2 margins, closed-form
-        #    doubles per row (no float aggregation anywhere)
-        "keyness_by_source": q_keyness_by_source,
-        #    ... and the deterministic Poisson-bootstrap CI (late
-        #    r11) — hash-driven replicate weights, decimal-exact
-        #    weighted sums, rank-selected percentile bounds
+        # -- r12 window 1-2 (tier 2, NEW): BPE at realistic
+        #    merge depth — the incremental pair-delta trainer
+        #    and the chunked encode, both oracled at K=64
+        "bpe_merges_k64": q_bpe_merges_k64,
+        "bpe_vocab_k64": q_bpe_vocab_k64,
+        #    ... and the end-to-end pipeline capstone (stretch ask
+        #    #8): hygiene -> exact dedup -> near-dup survivor ->
+        #    decontamination -> leakage-safe split -> temperature
+        #    mixture -> packing, ONE composed oracled contract
+        "pipeline_capstone": q_pipeline_capstone,
+        # -- r12 window 3-4 (tier 3, CHANGED since their r11
+        #    green): bootstrap ranks now filter NULL replicate
+        #    means in both engines; w1 routes through the
+        #    newly-guarded distributed_next
         "bootstrap_mean_chars": q_bootstrap_mean_chars,
-        #    ... and decimal-exact per-source Pearson + OLS (late
-        #    r11) — sufficient statistics as exact decimals, closed
-        #    forms in one IEEE sequence
-        "chars_tokens_correlation": q_chars_tokens_correlation,
-        #    ... and exact distributed type-1 quantiles (late r11)
-        #    — grouped prefix-sum ranks + one filtered min per
-        #    (key, prob); the exact tier next to percentile_approx
-        "exact_value_quantiles": q_exact_value_quantiles,
-        #    ... and Gini vocabulary concentration (late r11) —
-        #    rank-weighted sum folded closed-form over the
-        #    (group, count) multiplicity relation via the grouped
-        #    prefix-sum; exact decimal accumulations
-        "vocab_gini": q_vocab_gini,
-        "ivfpq_append_topk": q_ivfpq_append_topk,
-        "quality_classifier_scores": q_quality_classifier_scores,
-        "classifier_pareto_sample": q_classifier_pareto_sample,
-        "unimax_allocation": q_unimax_allocation,
-        "unimax_epoch_manifest": q_unimax_epoch_manifest,
-        "quality_funnel": q_quality_funnel,
-        "ann_recall_int8": q_ann_recall_int8,
-        "ann_recall_pq": q_ann_recall_pq,
-        "vocab_coverage": q_vocab_coverage,
-        "source_divergence": q_source_divergence,
-        # -- r11 window 13-20 (tier 2, implementation changed since
-        #    last driver green): the two sketch queries reshaped into
-        #    band-gated oracle contracts (r10 ask #3);
-        #    bigram_pmi / doc_bigram_logprob re-pin after the r10
-        #    _adjacent_pairs refactor (r10 ask #1's tier-2 set);
-        #    tfidf_top_terms / bm25_scores re-pin the tokenizer seam's
-        #    DEFAULT arm (with_tokens signature changed; the default
-        #    expression is test-pinned bit-identical and the full
-        #    local sweep covers every other with_tokens consumer —
-        #    these two, named by the verdict, carry the driver
-        #    signal for the family);
-        #    dsir_auc_by_source / score_normalized re-pin the GROUPED
-        #    prefix-sum after the r11 offsets-aware guard ceiling
-        #    (dsir_auc is ungrouped — the guard is not on its path)
-        "event_approx_stats": q_event_approx_stats,
-        "daily_distinct_rollup": q_daily_distinct_rollup,
-        "bigram_pmi": q_bigram_pmi,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_scores": q_bm25_scores,
-        "dsir_auc_by_source": q_dsir_auc_by_source,
-        "score_normalized": q_score_normalized,
-        # -- r11 window 21-50 (tier 3 rotation): the recorded r11
-        #    rotation-leader queue — the rest of the r7 driver window
-        #    in its recorded order (green in CORRECTNESS_r07, stalest
-        #    remaining; doc_bigram_logprob moved to tier 2 above)
-        "late_shipment_priority": q_late_shipment_priority,
-        "product_profit_by_nation": q_product_profit_by_nation,
-        "top_value_parts": q_top_value_parts,
-        "urgent_shipping_counts": q_urgent_shipping_counts,
-        "promo_revenue_share": q_promo_revenue_share,
-        "part_supplier_variety": q_part_supplier_variety,
-        "excess_share_suppliers": q_excess_share_suppliers,
-        "gopher_quality": q_gopher_quality,
-        "semantic_dedup": q_semantic_dedup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "length_batches": q_length_batches,
-        "dsir_weights": q_dsir_weights,
-        "doc_signals": q_doc_signals,
-        "event_drift": q_event_drift,
-        "embedding_standardized": q_embedding_standardized,
-        "line_dedup_docs": q_line_dedup_docs,
+        "w1_snapshot_drift": q_w1_snapshot_drift,
+        # -- r12 window 5-22 (tier 1 rotation): the 18 queries
+        #    whose last driver row is r7 — the stalest hard
+        #    signal (the r11 verdict's ask #3), stalest first
         "quality_survivors": q_quality_survivors,
         "quartile_stratified_sample": q_quartile_stratified_sample,
         "dau_wau_stickiness": q_dau_wau_stickiness,
@@ -3427,17 +3335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
         "duplicate_text_spans": q_duplicate_text_spans,
-        # -- positions 51+: dau_wau_stickiness ... weekly_growth
-        #    (the twelve tier-3 entries displaced from the r11 fill
-        #    by the twelve late tier-1 contracts — the BPE-trainer
-        #    family, the split family, zorder_keys, and the
-        #    statistical-monitoring family: the KS drift pair,
-        #    keyness, bootstrap CI, Pearson+OLS, vocab gini) lead the
-        #    r12 rotation, then
-        #    session_funnel, top_supplier_revenue,
-        #    large_order_customers and idle_rich_customers (the
-        #    r7-rotation entries displaced by the four late tier-1
-        #    contracts), then the r8 greens
         "stripped_duplicate_spans": q_stripped_duplicate_spans,
         "shipping_priority": q_shipping_priority,
         "returned_item_losses": q_returned_item_losses,
@@ -3448,16 +3345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "large_order_customers": q_large_order_customers,
         "idle_rich_customers": q_idle_rich_customers,
+        # -- r12 window 23-50 (tier 1 rotation): the head of
+        #    the r8-verified greens, in recorded staleness order
         "multimodal_features": q_multimodal_features,
-        # -- ... then the rest of the r8 greens, the r12
-        #    rotation, then the r9 greens, then the r10-window greens
-        #    (freshest; minus the six tier-2 re-pins above) close the
-        #    registry. NOTE for r12: every with_tokens consumer in
-        #    this tail (minhash_lsh_dups, simhash_dups, doc_entropy,
-        #    ngram_jaccard_dups, ...) carries a post-seam local sweep
-        #    green but a PRE-seam driver hash — rotate them with
-        #    ordinary staleness priority, the seam default is
-        #    test-pinned bit-identical.
         "survival_curve": q_survival_curve,
         "pagerank_neardups": q_pagerank_neardups,
         "pagerank_docs": q_pagerank_docs,
@@ -3485,6 +3375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
+        # -- positions 51+ (tier 4 tail, r13 rotation queue):
+        #    the remaining r8 greens, then the r9 greens, then
+        #    the r10 greens, then the r11-window greens
+        #    (freshest last) — scripts/check_correctness.py
+        #    still covers every one locally each round
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
@@ -3592,7 +3487,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "corpus_diff": q_corpus_diff,
-
+        "word_token_stats": q_word_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encoded_stats": q_bpe_encoded_stats,
+        "kfold_docs": q_kfold_docs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "zorder_keys": q_zorder_keys,
+        "ks_drift_by_type": q_ks_drift_by_type,
+        "ks_snapshot_drift": q_ks_snapshot_drift,
+        "keyness_by_source": q_keyness_by_source,
+        "chars_tokens_correlation": q_chars_tokens_correlation,
+        "exact_value_quantiles": q_exact_value_quantiles,
+        "vocab_gini": q_vocab_gini,
+        "ivfpq_append_topk": q_ivfpq_append_topk,
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "classifier_pareto_sample": q_classifier_pareto_sample,
+        "unimax_allocation": q_unimax_allocation,
+        "unimax_epoch_manifest": q_unimax_epoch_manifest,
+        "quality_funnel": q_quality_funnel,
+        "ann_recall_int8": q_ann_recall_int8,
+        "ann_recall_pq": q_ann_recall_pq,
+        "vocab_coverage": q_vocab_coverage,
+        "source_divergence": q_source_divergence,
+        "event_approx_stats": q_event_approx_stats,
+        "daily_distinct_rollup": q_daily_distinct_rollup,
+        "bigram_pmi": q_bigram_pmi,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
+        "dsir_auc_by_source": q_dsir_auc_by_source,
+        "score_normalized": q_score_normalized,
+        "late_shipment_priority": q_late_shipment_priority,
+        "product_profit_by_nation": q_product_profit_by_nation,
+        "top_value_parts": q_top_value_parts,
+        "urgent_shipping_counts": q_urgent_shipping_counts,
+        "promo_revenue_share": q_promo_revenue_share,
+        "part_supplier_variety": q_part_supplier_variety,
+        "excess_share_suppliers": q_excess_share_suppliers,
+        "gopher_quality": q_gopher_quality,
+        "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "length_batches": q_length_batches,
+        "dsir_weights": q_dsir_weights,
+        "doc_signals": q_doc_signals,
+        "event_drift": q_event_drift,
+        "embedding_standardized": q_embedding_standardized,
+        "line_dedup_docs": q_line_dedup_docs,
     }
 
 
@@ -7640,6 +7582,107 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     _bpe_prefix = _bpe.replay_prefix_sql(12)
     oracles["bpe_merges"] = (
         _bpe_prefix + "\n" + _bpe.merges_select_sql(12))
+    # ... and at the r12 parameter-scale depth (K=64): the SAME
+    # stage-by-stage re-derivation, 64 unrolled stages — verifying the
+    # incremental (pair-delta) trainer and the chunked encode against
+    # an oracle that still trains the classic way from scratch.
+    _bpe_prefix64 = _bpe.replay_prefix_sql(64)
+    oracles["bpe_merges_k64"] = (
+        _bpe_prefix64 + "\n" + _bpe.merges_select_sql(64))
+    oracles["bpe_vocab_k64"] = _bpe_prefix64 + """
+        SELECT sym, SUM(freq)::BIGINT AS n_occurrences,
+               COUNT(DISTINCT word)::BIGINT AS n_word_types
+        FROM (SELECT word, freq, unnest(syms) AS sym FROM words64)
+        GROUP BY sym
+    """
+    # END-TO-END pipeline capstone (r11 stretch ask #8): hygiene ->
+    # exact dedup -> near-dup survivor -> decontamination ->
+    # leakage-safe split -> temperature mixture (train) -> packing,
+    # recomposed stage by stage from the SAME oracle fragments the
+    # individual contracts already verify (gopher_quality,
+    # neardup_clusters, benchmark_decontamination, the
+    # hash_split/temperature/packing SQL builders) — so the hash pins
+    # the composed row flow end to end.
+    _caps_mix_hash = _sampling.portable_hash_seeded_sql("tr.doc_id", 0)
+    _caps_pack = _packing.pack_sequences_sql(
+        token_budget=2048, n_buckets=16, n_tokens_expr="n_chars",
+        table="mixed")
+    oracles["pipeline_capstone"] = f"""
+        WITH gop AS ({oracles['gopher_quality']}),
+        canonrel AS ({oracles['neardup_clusters']}),
+        contam AS (
+            SELECT DISTINCT doc_id
+            FROM ({oracles['benchmark_decontamination']})
+        ),
+        exacts AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text))
+                       AS exact_min
+            FROM documents
+        ),
+        surv AS (
+            SELECT doc_id, canonical_id, source, n_chars
+            FROM (
+                SELECT d.doc_id, c.canonical_id, d.source, d.n_chars,
+                       min(d.doc_id) OVER (PARTITION BY c.canonical_id)
+                           AS cmin
+                FROM documents d
+                JOIN gop g ON g.doc_id = d.doc_id
+                JOIN canonrel c ON c.doc_id = d.doc_id
+                JOIN exacts e ON e.doc_id = d.doc_id
+                -- the gopher fragment exposes every rule boolean, so
+                -- the relaxed stop gate recomposes without forking it
+                WHERE g.r_word_count AND g.r_mean_word_len
+                  AND g.r_symbol_ratio AND g.r_bullet_lines
+                  AND g.r_ellipsis_lines AND g.r_alpha_words
+                  AND g.stop_hits >= 1 AND d.doc_id = e.exact_min
+                  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+            ) WHERE doc_id = cmin
+        ),
+        sp AS (
+            SELECT *, {_sampling.hash_split_case_sql("canonical_id")}
+                       AS split
+            FROM surv
+        ),
+        tr AS (
+            SELECT * FROM sp WHERE split = 'train'
+              AND source IS NOT NULL
+        ),
+        cnts AS (SELECT source, count(*) AS n FROM tr GROUP BY source),
+        mn AS (SELECT min(n) AS n_min FROM cnts),
+        rates AS (
+            SELECT source,
+                   round(pow(CAST(n AS DOUBLE) / n_min, -0.5), 6)
+                       AS keep_rate
+            FROM cnts CROSS JOIN mn
+        ),
+        mixed AS (
+            SELECT tr.doc_id, tr.canonical_id, tr.source, tr.n_chars,
+                   tr.split
+            FROM tr JOIN rates USING (source)
+            WHERE ({_caps_mix_hash}) % 10000
+                  < CAST(round(keep_rate * 10000) AS BIGINT)
+        ),
+        packed AS ({_caps_pack}),
+        pool AS (
+            SELECT doc_id, source, n_chars, split,
+                   CAST(NULL AS INT) AS bucket,
+                   CAST(NULL AS BIGINT) AS bin
+            FROM sp WHERE split <> 'train'
+            UNION ALL
+            SELECT m.doc_id, m.source, m.n_chars, m.split,
+                   p.bucket, p.bin
+            FROM mixed m JOIN packed p ON p.doc_id = m.doc_id
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               count(DISTINCT source) AS n_sources,
+               count(DISTINCT CASE WHEN split = 'train'
+                     THEN CAST(bucket AS VARCHAR) || ':'
+                          || CAST(bin AS VARCHAR) END)
+                   AS n_sequences
+        FROM pool GROUP BY split
+    """
     oracles["bpe_vocab"] = _bpe_prefix + """
         SELECT sym, SUM(freq)::BIGINT AS n_occurrences,
                COUNT(DISTINCT word)::BIGINT AS n_word_types
@@ -8978,6 +9021,163 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return merges_df(spark, train_bpe(docs, 12))
+
+
+#: trained-merge memo per (sf_dir, n_merges): training is deterministic
+#: (hash-free argmaxes, exact integer counts), so re-deriving the same
+#: 64-step trajectory for every registry-wide plan gate / smoke pass in
+#: one process would only burn ~60 s per construction without changing
+#: a single row. The driver's correctness run still trains at least
+#: once per process — the memo never crosses processes.
+_BPE_TRAINED: dict[tuple[str, int], list] = {}
+
+
+def _trained_merges_k(spark: SparkSession, sf_dir: str,
+                      n_merges: int) -> list:
+    key = (sf_dir, n_merges)
+    if key not in _BPE_TRAINED:
+        from dump1090_db_stream_spark.operators.bpe import (
+            train_bpe_incremental,
+        )
+
+        _BPE_TRAINED[key] = train_bpe_incremental(
+            load_table(spark, sf_dir, "documents"), n_merges)
+    return _BPE_TRAINED[key]
+
+
+def q_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at REALISTIC merge depth (r11 verdict ask #2:
+    n_merges >= 64) via operators.bpe.train_bpe_incremental — the
+    Sennrich pair-delta trainer: pair counts are MAINTAINED (each
+    iteration re-counts only words containing the just-merged pair,
+    never the vocabulary), the words update is a conditional
+    single-merge projection (never a k-deep fold chain), and
+    localCheckpoint keeps lineage depth constant in K — so
+    per-iteration cost is flat in K where the classic trainer's grows
+    linearly (O(K^2) total). The oracle independently re-derives all
+    64 merges (64 unrolled MATERIALIZED stages), so hash-equality
+    proves the full 64-step trajectory."""
+    from dump1090_db_stream_spark.operators.bpe import merges_df
+
+    return merges_df(spark, _trained_merges_k(spark, sf_dir, 64))
+
+
+def q_bpe_vocab_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-merge vocabulary through the CHUNKED encode path
+    (operators.bpe.encode_words_chunked — the r11 ask's encode half):
+    merges apply in 16-fold batches with an eager localCheckpoint
+    between batches, so no plan is ever more than 16 folds deep no
+    matter how long the merge list — the shape a 32k-merge corpus
+    encode needs. Training rides the incremental trainer; the oracle
+    replays training AND encoding from scratch at K=64."""
+    from dump1090_db_stream_spark.operators.bpe import bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(docs, _trained_merges_k(spark, sf_dir, 64),
+                     chunk=16)
+
+
+def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END LLM-data-pipeline capstone (r11 verdict stretch ask
+    #8) — the full corpus-preparation flow as ONE composed, oracled
+    contract over documents:
+
+      1. hygiene: Gopher rule conjunction (operators.text.gopher_rules,
+         min_words=40 — the gopher_quality contract's thresholds);
+      2. exact dedup: keep the min doc_id per md5(text) (computed over
+         the FULL corpus, before any filter — dedup decisions must not
+         depend on filter order);
+      3. near dedup: n-gram-Jaccard pairs -> connected components ->
+         canonical map (the neardup_clusters composition), one
+         survivor (min doc_id) per cluster among hygiene survivors;
+      4. decontamination: drop docs sharing >= 3 bigrams with the
+         planted benchmark set (the benchmark_decontamination refs);
+      5. leakage-safe split: hash_split on the CLUSTER key, so no
+         near-dup pair straddles train/eval;
+      6. mixture: temperature sampling (alpha=0.5, seeded portable
+         hash) over the TRAIN split only;
+      7. packing: the mixed train docs fill ~2048-char sequences
+         (bucketed greedy running-sum, n_buckets=16).
+
+    Output: one row per split — (split, n_docs, n_chars_total,
+    n_sources, n_sequences), n_sequences counting distinct
+    (bucket, bin) packed train sequences (0 for val/test). Every stage
+    is a previously-oracled operator; the DuckDB replay recomposes ALL
+    SEVEN from scratch, so the hash pins the whole pipeline's row flow,
+    not just each stage in isolation. Scale shape: stages are the
+    registered operators' plans unchanged (pair graph never all-pairs,
+    canonical map over the pair graph only, split/mixture pure
+    projections off broadcast rate relations, packing one bounded
+    window); the only additions are equi-joins on doc_id.
+    """
+    from pyspark.sql import Window
+
+    from dump1090_db_stream_spark.operators.dedup import (
+        cross_ngram_overlap,
+        ngram_jaccard_pairs,
+    )
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+    from dump1090_db_stream_spark.operators.packing import pack_sequences
+    from dump1090_db_stream_spark.operators.sampling import (
+        hash_split,
+        temperature_sample,
+    )
+    from dump1090_db_stream_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    # min_stop_hits=1: the fixture corpus is synthetic word soup whose
+    # only Gopher stopword is 'the' — the paper's >=2 gate would zero
+    # the pipeline; the oracle applies the same relaxed conjunction
+    gop = gopher_rules(docs, min_words=40, min_stop_hits=1).select(
+        "doc_id", "gopher_pass")
+    canon = canonical_map(
+        docs, ngram_jaccard_pairs(docs, n=3, threshold=0.03))
+    refs = (docs.filter(F.col("doc_id").isin(3, 47, 90))
+            .select(F.col("doc_id").alias("ref_id"),
+                    F.concat_ws(" ", F.slice(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        1, 12)).alias("text")))
+    contam = (cross_ngram_overlap(docs, refs, n=2, min_common=3)
+              .select("doc_id").distinct())
+
+    w_exact = Window.partitionBy(F.md5("text"))
+    flt = (docs
+           .withColumn("_exact_min", F.min("doc_id").over(w_exact))
+           .join(gop, "doc_id")
+           .join(canon, "doc_id")
+           .filter(F.col("gopher_pass")
+                   & (F.col("doc_id") == F.col("_exact_min")))
+           .join(contam, "doc_id", "left_anti"))
+    w_clust = Window.partitionBy("canonical_id")
+    surv = (flt.withColumn("_cmin", F.min("doc_id").over(w_clust))
+            .filter(F.col("doc_id") == F.col("_cmin"))
+            .select("doc_id", "canonical_id", "source", "n_chars"))
+    split = hash_split(surv, "canonical_id")
+
+    train = split.filter(F.col("split") == "train")
+    mixed = temperature_sample(train, alpha=0.5, seed=0).select(
+        "doc_id", "canonical_id", "source", "n_chars", "split")
+    packed = pack_sequences(mixed, token_budget=2048, n_buckets=16,
+                            n_tokens_col="n_chars").select(
+        "doc_id", "bucket", "bin")
+    pool = (split.filter(F.col("split") != "train")
+            .select("doc_id", "source", "n_chars", "split",
+                    F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("long").alias("bin"))
+            .unionByName(mixed.join(packed, "doc_id")
+                         .select("doc_id", "source", "n_chars", "split",
+                                 "bucket", "bin")))
+    seq_key = F.when(
+        F.col("split") == "train",
+        F.concat_ws(":", F.col("bucket").cast("string"),
+                    F.col("bin").cast("string")))
+    return (pool.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars_total"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct(seq_key).alias("n_sequences"))
+            .select("split", "n_docs", "n_chars_total", "n_sources",
+                    "n_sequences"))
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

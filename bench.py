@@ -175,6 +175,13 @@ EXTENDED = [
     "chars_tokens_correlation",
     "vocab_gini",
     "exact_value_quantiles",
+    # r12 addition: the end-to-end pipeline capstone (hygiene ->
+    # dedup -> decontamination -> split -> mixture -> packing as one
+    # composed query). The K=64 BPE contracts are deliberately NOT
+    # here — their cost is the training loop itself, measured by the
+    # dedicated bench_bpe_scaling probe (per-iteration flatness),
+    # not a query-shape number the extended set should carry.
+    "pipeline_capstone",
 ]
 
 
@@ -482,6 +489,57 @@ def bench_close_encounters_joinbound(spark, sf_dir: str) -> dict:
             "runs_sec": runs, "sec": min(runs)}
 
 
+def bench_bpe_scaling(spark, n_words: int = 3000) -> dict:
+    """Per-iteration flatness of the incremental BPE trainer (r11
+    verdict ask #2's bench half): train K=16 and K=64 on the SAME
+    synthetic Zipf vocabulary and report sec/merge at both depths.
+    The classic trainer re-folds all k prior merges each iteration
+    (per-iteration cost linear in k, O(K^2) total); the pair-delta
+    trainer's per-iteration cost must stay roughly constant, so
+    ``flatness`` (= sec_per_merge@64 / sec_per_merge@16) should sit
+    near 1.0 — values well above ~1.5 mean the incremental discipline
+    regressed. Synthetic words (base-26 expansions of a multiplicative
+    hash, Zipf-ish freqs) so the vocabulary is REAL-sized even though
+    the fixture corpora have tiny type tables."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.bpe import (
+        train_bpe_from_words,
+        with_symbols,
+    )
+
+    ids = spark.range(n_words)
+    # 6..10-char deterministic pseudo-words over a-z
+    h = (F.col("id") * F.lit(2654435761) + F.lit(97)) % F.lit(26 ** 10)
+    word = F.concat(*[
+        F.chr(F.lit(97) + (h / F.lit(26 ** i)).cast("long") % F.lit(26))
+        for i in range(10)])
+    words = with_symbols(
+        ids.select(
+            F.substring(word, 1, 6 + (F.col("id") % 5).cast("int"))
+            .alias("word"),
+            (F.lit(n_words) / (F.col("id") + 1) + 1).cast("long")
+            .alias("freq"))
+        .groupBy("word").agg(F.sum("freq").alias("freq")))
+
+    def timed(k: int) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        merges = train_bpe_from_words(words, k)
+        return round(time.perf_counter() - t0, 3), len(merges)
+
+    timed(2)   # codegen/scheduler warmup — must not bias the K=16 arm
+    sec16, n16 = timed(16)
+    sec64, n64 = timed(64)
+    per16 = sec16 / max(n16, 1)
+    per64 = sec64 / max(n64, 1)
+    return {"n_words": n_words,
+            "k16_sec": sec16, "k64_sec": sec64,
+            "k16_merges": n16, "k64_merges": n64,
+            "sec_per_merge_k16": round(per16, 4),
+            "sec_per_merge_k64": round(per64, 4),
+            "flatness_k64_over_k16": round(per64 / max(per16, 1e-9), 3)}
+
+
 def bench_fuzzy_candidates(spark, sf_dir: str) -> dict:
     """Round-over-round record of edit_distance_join's candidate volume
     on the contract key set (customer names — the documented low-
@@ -535,6 +593,14 @@ def main() -> None:
 
     release_tracked()  # warmup caches must not serve the timed runs
 
+    # self-calibration BRACKET (r11 verdict ask #4: the authoritative
+    # driver record must distinguish session contention from real
+    # regressions without a second session): the frozen probe runs
+    # BEFORE the first timed query and again AFTER the last one — a
+    # contended box shows up as start/end disagreement and as per-run
+    # spread, both of which ride in the compact record itself.
+    calibration_start = bench_calibration(spark, sf_dir)
+
     def timed_runs(fn, runs: int = None) -> list[float]:
         """All ``runs`` execution times, in run order. The headline
         metric uses the min (machine-noise-robust: co-tenant load only
@@ -578,6 +644,7 @@ def main() -> None:
     auc_hicard = bench_auc_hicard(spark, n_rows=5_000_000 // synth_scale)
     auc_by_hicard = bench_auc_by_hicard(
         spark, n_rows=5_000_000 // synth_scale)
+    bpe_scaling = bench_bpe_scaling(spark, n_words=3000 // synth_scale)
     # the same-box ingest A/B (HEAD vs the r5 snapshot commit) is a
     # committed one-off measurement; surface the NEWEST one in the
     # round record so the BENCH file carries both arrays (r7 verdict
@@ -640,10 +707,24 @@ def main() -> None:
     # from `extended`/`queries` mins anyway) go first and the
     # extended per-query map + total go last, adjacent to the
     # bounded compact record (the BENCH_r09 eviction fix)
+    # noisiest entries by relative per-run spread: under contention the
+    # spread blows up and the arrays land in the COMPACT record (the
+    # only part guaranteed to survive the driver's stdout tail window);
+    # on an idle box the list is the natural variance leaderboard.
+    # Bounded at 5 so the compact record can never outgrow the tail.
+    def _spread(rs: list[float]) -> float:
+        return (max(rs) - min(rs)) / max(min(rs), 1e-9)
+
+    noisy_top = {
+        n: runs_detail[n]
+        for n in sorted(runs_detail, key=lambda n: -_spread(runs_detail[n]))
+        [:5]}
+
     detail = {
         "metric": "headline_queries_detail",
         "timing": f"min_of_{n_runs}_runs",
         "queries_runs": runs_detail,
+        "calibration_start": calibration_start,
         "calibration": calibration,
         "ingest": ingest,
         "ingest_ab": ingest_ab,
@@ -653,6 +734,7 @@ def main() -> None:
         "fuzzy_candidate_volume": fuzzy_cands,
         "auc_hicard": auc_hicard,
         "auc_by_hicard": auc_by_hicard,
+        "bpe_scaling": bpe_scaling,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "sf": sf_val,
@@ -683,7 +765,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extended_total": round(sum(extended.values()), 3),
+        # bracket probes + the 5 noisiest per-run arrays: the compact
+        # record is self-calibrating (r11 ask #4) — a mover whose runs
+        # read e.g. [1.9, 0.6, 0.6] alongside calibration_start/end
+        # disagreement is contention, not a regression, adjudicable
+        # from THIS file alone
+        "calibration_start_sec": calibration_start["sec"],
         "calibration_sec": calibration["sec"],
+        "noisy_top_runs": noisy_top,
         "sf": sf_val,
     }))
 

@@ -58,6 +58,20 @@ def test_bench_end_to_end_smoke(tmp_path):
     assert detail["calibration"]["workload"] == \
         "lineitem_scan_agg_frozen_r8"
     assert out["calibration_sec"] == detail["calibration"]["sec"]
+    # r12: the self-calibration BRACKET — the probe runs before the
+    # first timed query too, and the 5 noisiest per-run arrays ride
+    # the compact record itself, so a single driver session can
+    # adjudicate contention vs regression without a re-run
+    assert detail["calibration_start"]["sec"] > 0
+    assert out["calibration_start_sec"] == \
+        detail["calibration_start"]["sec"]
+    assert len(out["noisy_top_runs"]) == 5
+    for name, runs in out["noisy_top_runs"].items():
+        assert runs == detail["queries_runs"][name]
+    # r12: incremental-BPE per-iteration flatness rides every record
+    assert detail["bpe_scaling"]["k64_merges"] > \
+        detail["bpe_scaling"]["k16_merges"]
+    assert detail["bpe_scaling"]["flatness_k64_over_k16"] > 0
     # r8: continuous-score AUC stress — the plan must never regress to
     # an input-grain single-partition sort
     assert detail["auc_hicard"]["single_partition_input_grain_sorts"] == 0

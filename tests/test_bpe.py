@@ -166,3 +166,87 @@ def test_contract_queries_match_oracle_at_sf(spark, sf_dir):
             f"SELECT {', '.join(cols)} FROM ({oracles[name]})"
         ).fetchall()))
         assert got == want, name
+
+
+def test_incremental_train_matches_classic_and_reference(spark):
+    """The pair-delta trainer (r12: train_bpe_incremental) is
+    bit-identical to train_bpe and the pure-Python reference on the
+    full trajectory, across checkpoint cadences (including
+    checkpoint_every=1, which exercises the release path every
+    iteration), and under early stop."""
+    texts = ["the cat sat on the mat", "the cats sat", "a mat and a cat",
+             "banana bandana", None, "aaaa aaa banana"]
+    ref_merges, _ = ref_train(texts, 10)
+    classic = bpe.train_bpe(_docs(spark, texts), 10)
+    assert classic == ref_merges
+    for ce in (1, 3, 8):
+        got = bpe.train_bpe_incremental(_docs(spark, texts), 10,
+                                        checkpoint_every=ce)
+        assert got == ref_merges, ce
+    # early stop: corpus exhausts before n_merges
+    assert [m["merged"] for m in
+            bpe.train_bpe_incremental(_docs(spark, ["ab ab ab"]), 5)] \
+        == ["ab"]
+    with pytest.raises(ValueError):
+        bpe.train_bpe_incremental(_docs(spark, texts), 2,
+                                  checkpoint_every=0)
+
+
+def test_incremental_train_deep_trajectory(spark):
+    """K=40 on a corpus rich enough to sustain it — the parameter
+    range the r11 verdict flagged as intractable for the classic
+    trainer's k-deep re-fold. The reference implementation is the
+    independent check (running train_bpe at this K would itself be the
+    O(K^2) path the test exists to avoid)."""
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "sphinx of black quartz judge my vow",
+             "how vexingly quick daft zebras jump"] * 3
+    ref_merges, ref_words = ref_train(texts, 40)
+    assert len(ref_merges) == 40  # corpus sustains the full depth
+    got = bpe.train_bpe_incremental(_docs(spark, texts), 40)
+    assert got == ref_merges
+
+
+def test_encode_chunked_and_arrow_match_declarative(spark):
+    """encode_words_chunked (fold batches + checkpoint) and
+    encode_words_arrow (rank-order greedy kernel) are bit-identical to
+    the declarative encode_words on the same trained merges, at a
+    chunk size that forces several materialization boundaries."""
+    texts = ["the cat sat on the mat", "the cats sat", "a mat and a cat",
+             "banana bandana", "aaaa aaa banana"]
+    merges = bpe.train_bpe_incremental(_docs(spark, texts), 12)
+    words = bpe.with_symbols(bpe.word_freqs(_docs(spark, texts)))
+    want = {r["word"]: r["syms"]
+            for r in bpe.encode_words(words, merges).collect()}
+    got_c = {r["word"]: r["syms"]
+             for r in bpe.encode_words_chunked(words, merges,
+                                               chunk=4).collect()}
+    got_a = {r["word"]: r["syms"]
+             for r in bpe.encode_words_arrow(words, merges).collect()}
+    assert got_c == want
+    assert got_a == want
+    with pytest.raises(ValueError):
+        bpe.encode_words_chunked(words, merges, chunk=0)
+
+
+def test_encode_chunked_survives_high_k(spark):
+    """200 merges as one fold chain is past any sane Catalyst plan
+    depth; the chunked path materializes every 25 and finishes. The
+    merge list is synthetic (mostly inapplicable merges — rank order
+    preserved), applied to words where a LATE merge's lhs is an EARLY
+    merge's output, so chunk boundaries that dropped or reordered
+    state would change the answer."""
+    pad = [{"lhs": f"q{i}", "rhs": f"z{i}"} for i in range(198)]
+    merges = ([{"lhs": "a", "rhs": "b"}] + pad[:99]
+              + [{"lhs": "ab", "rhs": "c"}] + pad[99:])
+    words = spark.createDataFrame([("abc", 1), ("abab", 1)],
+                                  ["word", "freq"])
+    out = {r["word"]: r["syms"]
+           for r in bpe.encode_words_chunked(
+               bpe.with_symbols(words), merges, chunk=25).collect()}
+    assert out == {"abc": ["abc"], "abab": ["ab", "ab"]}
+    got_a = {r["word"]: r["syms"]
+             for r in bpe.encode_words_arrow(
+                 bpe.with_symbols(words), merges).collect()}
+    assert got_a == out

@@ -53,68 +53,48 @@ def test_hll_estimates_land_inside_documented_bands(spark, sf_dir):
                 assert r[c] is True, (name, c, r)
 
 
-def test_r11_window_composition():
-    """Pins the round-11 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): tier 1 — the six late r10 additions that
-    have never seen the driver's oracle (the r10 verdict's #1 ask) led
-    by the new non-default-tokenizer contract; tier 2 — the two
-    reshaped HLL band-gate queries, the _adjacent_pairs bigram pair,
-    the tokenizer-seam representatives (tfidf/bm25), and the grouped
-    prefix-sum pair re-pinned after the offsets-aware guard ceiling;
-    tier 3 — the recorded r11 rotation-leader queue (the rest of the
-    r7 window) plus the head of the r8 greens fills to exactly 50.
-    Positions 51+: the rest of the r8 greens (the r12 rotation queue),
-    then the r9 greens, then the r10-window greens (freshest) close
-    the registry."""
+def test_r12_window_composition():
+    """Pins the round-12 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): tier 2 — the two new K=64 BPE contracts
+    (incremental trainer + chunked encode); tier 3 — the two queries
+    whose implementation changed since their r11 green (bootstrap NULL
+    ranking, w1 via the newly-guarded distributed_next); tier 1 — ALL
+    18 queries whose last driver row is r7 (the r11 verdict's ask #3),
+    then the head of the r8-verified greens fills to exactly 50.
+    Positions 51+: the remaining r8 greens (the r13 rotation queue),
+    then the r9 greens, then the r10 greens, then the r11-window
+    greens (freshest) close the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:26] == [                           # tier 1: new
-        "word_token_stats", "bpe_token_stats",
-        "bpe_merges", "bpe_vocab", "bpe_encoded_stats",
-        "kfold_docs", "leakage_safe_split", "zorder_keys",
-        "ks_drift_by_type", "ks_snapshot_drift",
-        "w1_snapshot_drift",
-        "keyness_by_source", "bootstrap_mean_chars",
-        "chars_tokens_correlation", "exact_value_quantiles",
-        "vocab_gini",
-        "ivfpq_append_topk",
-        "quality_classifier_scores", "classifier_pareto_sample",
-        "unimax_allocation", "unimax_epoch_manifest",
-        "quality_funnel", "ann_recall_int8",
-        "ann_recall_pq", "vocab_coverage", "source_divergence"]
-    assert window[26:34] == [                         # tier 2: changed
-        "event_approx_stats", "daily_distinct_rollup",
-        "bigram_pmi", "doc_bigram_logprob",
-        "tfidf_top_terms", "bm25_scores",
-        "dsir_auc_by_source", "score_normalized"]
-    # tier 3 fill: the r7-window remainder in recorded staleness order
-    assert window[34] == "late_shipment_priority"
-    assert window[-1] == "line_dedup_docs"
-    # positions 51+: the fourteen tier-3 entries displaced by the
-    # late tier-1 contracts (BPE trainer + split family + zorder +
-    # the KS/W1 drift family / keyness / bootstrap / correlation /
-    # exact-quantile / gini statistics), then the displaced
-    # r7-rotation entries, then the r8 greens lead the r12 rotation
-    assert order[50:64] == ["quality_survivors",
-                            "quartile_stratified_sample",
-                            "dau_wau_stickiness",
-                            "embedding_pq_topk",
-                            "embedding_ivfpq_topk",
-                            "local_supplier_volume",
-                            "forecast_revenue",
-                            "duplicate_text_spans",
-                            "stripped_duplicate_spans",
-                            "shipping_priority", "returned_item_losses",
-                            "customer_distribution",
-                            "event_correlations", "weekly_growth"]
-    assert order[64:68] == ["session_funnel", "top_supplier_revenue",
-                            "large_order_customers",
-                            "idle_rich_customers"]
-    assert order[68] == "multimodal_features"
-    assert order[69] == "survival_curve"
-    # then the r9 greens, then the r10-window greens (freshest) close
+    assert window[:5] == [          # tier 2 new, then tier 3 changed
+        "bpe_merges_k64", "bpe_vocab_k64", "pipeline_capstone",
+        "bootstrap_mean_chars", "w1_snapshot_drift"]
+    assert window[5:23] == [        # tier 1: the full r7-stale set
+        "quality_survivors", "quartile_stratified_sample",
+        "dau_wau_stickiness", "embedding_pq_topk",
+        "embedding_ivfpq_topk", "local_supplier_volume",
+        "forecast_revenue", "duplicate_text_spans",
+        "stripped_duplicate_spans", "shipping_priority",
+        "returned_item_losses", "customer_distribution",
+        "event_correlations", "weekly_growth", "session_funnel",
+        "top_supplier_revenue", "large_order_customers",
+        "idle_rich_customers"]
+    # tier 1 fill: the r8 greens in recorded staleness order
+    assert window[23:27] == ["multimodal_features", "survival_curve",
+                             "pagerank_neardups", "pagerank_docs"]
+    assert window[-1] == "doc_quality"
+    # positions 51+: remaining r8 greens lead the r13 rotation
+    assert order[50:53] == ["lang_id_counts", "doc_fingerprints",
+                            "exact_dup_docs"]
+    # r9 greens precede r10 greens precede the r11 window's greens
+    assert order.index("sbs1_parse") < order.index("callsign_sessions")
     assert order.index("retrieval_metrics") > \
         order.index("disjunctive_revenue")
     assert order.index("ann_recall_lsh") > \
         order.index("window_track_lines")
-    assert order[-1] == "corpus_diff"
+    # the r11-window greens close the registry (freshest last); the
+    # two r11 entries promoted to tier 3 are NOT in the tail
+    assert order[-1] == "line_dedup_docs"
+    tail = set(order[50:])
+    assert "bootstrap_mean_chars" not in tail
+    assert "w1_snapshot_drift" not in tail

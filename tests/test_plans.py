@@ -387,6 +387,11 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # onto the vocabulary-sized scored
                                   # relation (same class as
                                   # bigram_pmi / dsir_weights)
+        "pipeline_capstone",      # inherits temperature_sample's
+                                  # one-row n_min attach feeding the
+                                  # per-source rate relation (the
+                                  # temperature_mixture_docs entry);
+                                  # every other stage joins on doc_id
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
