@@ -3318,6 +3318,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    decontamination -> leakage-safe split -> temperature
         #    mixture -> packing, ONE composed oracled contract
         "pipeline_capstone": q_pipeline_capstone,
+        #    ... and the r12 drift-family completion: exact
+        #    Mann-Whitney rank-sum (location drift, grouped
+        #    prefix-sum ranks) and Pearson chi-square (categorical
+        #    mix drift, Wilson-Hilferty deviate) between snapshots,
+        #    plus the sequence-packing utilization audit
+        "ranksum_snapshot_drift": q_ranksum_snapshot_drift,
+        "chisq_snapshot_drift": q_chisq_snapshot_drift,
+        "packing_efficiency": q_packing_efficiency,
         # -- r12 window 3-4 (tier 3, CHANGED since their r11
         #    green): bootstrap ranks now filter NULL replicate
         #    means in both engines; w1 routes through the
@@ -7595,6 +7603,177 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
         FROM (SELECT word, freq, unnest(syms) AS sym FROM words64)
         GROUP BY sym
     """
+    # Exact Mann-Whitney rank-sum drift: the identical integer
+    # derivation with plain SQL windows — doubled rank sums and the
+    # tie term in DECIMAL(38,0), one double conversion per total, the
+    # same IEEE expression order as the Spark side.
+    oracles["ranksum_snapshot_drift"] = """
+        WITH base AS (
+            SELECT event_type AS k, CAST(value AS DOUBLE) AS s,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS refside
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
+              AND event_type IS NOT NULL
+        ), per AS (
+            SELECT k, s, count(*) AS call,
+                   CAST(sum(refside) AS BIGINT) AS cref
+            FROM base GROUP BY k, s
+        ), pts AS (
+            SELECT k, s, call, cref,
+                   CAST(sum(call) OVER (
+                       PARTITION BY k ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) - call AS BIGINT)
+                       AS prev,
+                   CAST(sum(call) OVER (PARTITION BY k) AS BIGINT)
+                       AS nall
+            FROM per
+        ), agg AS (
+            SELECT k,
+                   sum(CAST(call - cref AS DECIMAL(38,0))
+                       * CAST(2 * prev + call + 1 AS DECIMAL(38,0)))
+                       AS r2d,
+                   sum(CAST(call AS DECIMAL(38,0))
+                       * CAST(call AS DECIMAL(38,0))
+                       * CAST(call AS DECIMAL(38,0))
+                       - CAST(call AS DECIMAL(38,0))) AS td,
+                   CAST(sum(cref) AS BIGINT) AS n_ref,
+                   max(nall) AS nall
+            FROM pts GROUP BY k
+        ), stats AS (
+            SELECT k, n_ref,
+                   CAST(nall - n_ref AS BIGINT) AS n_cur,
+                   CAST(r2d AS DOUBLE)
+                   - CAST(nall - n_ref AS DOUBLE)
+                     * (CAST(nall - n_ref AS DOUBLE) + 1.0) AS u2,
+                   CAST(n_ref AS DOUBLE)
+                   * CAST(nall - n_ref AS DOUBLE) AS mu2,
+                   CAST(n_ref AS DOUBLE)
+                   * CAST(nall - n_ref AS DOUBLE) / 12.0
+                   * ((CAST(nall AS DOUBLE) + 1.0)
+                      - CAST(td AS DOUBLE)
+                        / (CAST(nall AS DOUBLE)
+                           * (CAST(nall AS DOUBLE) - 1.0))) AS var
+            FROM agg
+        )
+        SELECT k AS event_type, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN round(u2 / 2.0, 6) END AS u_cur,
+               round(CASE WHEN n_ref > 0 AND n_cur > 0 AND var > 0
+                          THEN (u2 - mu2) / (2.0 * sqrt(var)) END, 6)
+                   AS z,
+               CASE WHEN n_ref > 0 AND n_cur > 0 AND var > 0
+                    THEN abs((u2 - mu2) / (2.0 * sqrt(var)))
+                         > 1.959964 END AS drifted
+        FROM stats
+    """
+    # Pearson chi-square categorical drift: the same closed-form cell
+    # contributions quantized to 1e-9 decimals before summation, the
+    # same Wilson-Hilferty expression.
+    oracles["chisq_snapshot_drift"] = """
+        WITH base AS (
+            SELECT CAST(event_type AS VARCHAR) AS c,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS refside
+            FROM events WHERE event_type IS NOT NULL
+        ), cells AS (
+            SELECT c, count(*) AS tot,
+                   CAST(sum(refside) AS BIGINT) AS oref
+            FROM base GROUP BY c
+        ), margins AS (
+            SELECT CAST(sum(oref) AS BIGINT) AS n_ref,
+                   CAST(sum(tot - oref) AS BIGINT) AS n_cur,
+                   count(*) AS n_categories
+            FROM cells
+        ), percell AS (
+            -- the Spark side guards each cell on e_ref/e_cur > 0
+            -- (NULL contributions for one-sided slices); this
+            -- ungrouped contract always has both sides non-empty,
+            -- and the same guard keeps the replay total anyway
+            SELECT m.n_ref, m.n_cur, m.n_categories,
+                   CAST(floor(CASE WHEN m.n_ref > 0 AND m.n_cur > 0
+                              THEN (
+                       (CAST(oref AS DOUBLE)
+                        - CAST(m.n_ref AS DOUBLE)
+                          * CAST(tot AS DOUBLE)
+                          / (CAST(m.n_ref AS DOUBLE)
+                             + CAST(m.n_cur AS DOUBLE)))
+                       * (CAST(oref AS DOUBLE)
+                          - CAST(m.n_ref AS DOUBLE)
+                            * CAST(tot AS DOUBLE)
+                            / (CAST(m.n_ref AS DOUBLE)
+                               + CAST(m.n_cur AS DOUBLE)))
+                       / (CAST(m.n_ref AS DOUBLE)
+                          * CAST(tot AS DOUBLE)
+                          / (CAST(m.n_ref AS DOUBLE)
+                             + CAST(m.n_cur AS DOUBLE)))
+                       + (CAST(tot - oref AS DOUBLE)
+                          - CAST(m.n_cur AS DOUBLE)
+                            * CAST(tot AS DOUBLE)
+                            / (CAST(m.n_ref AS DOUBLE)
+                               + CAST(m.n_cur AS DOUBLE)))
+                         * (CAST(tot - oref AS DOUBLE)
+                            - CAST(m.n_cur AS DOUBLE)
+                              * CAST(tot AS DOUBLE)
+                              / (CAST(m.n_ref AS DOUBLE)
+                                 + CAST(m.n_cur AS DOUBLE)))
+                         / (CAST(m.n_cur AS DOUBLE)
+                            * CAST(tot AS DOUBLE)
+                            / (CAST(m.n_ref AS DOUBLE)
+                               + CAST(m.n_cur AS DOUBLE)))
+                   ) END * 1e9 + 0.5) AS DECIMAL(38,0)) AS qc
+            FROM cells CROSS JOIN margins m
+        ), agg AS (
+            SELECT n_ref, n_cur, n_categories, sum(qc) AS qs
+            FROM percell GROUP BY n_ref, n_cur, n_categories
+        )
+        SELECT n_ref, n_cur, n_categories,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN CAST(n_categories - 1 AS BIGINT) END AS df,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN round(CAST(qs AS DOUBLE) / 1e9, 6) END
+                   AS chisq,
+               round(CASE WHEN n_ref > 0 AND n_cur > 0
+                          AND n_categories > 1
+                     THEN (pow(CAST(qs AS DOUBLE) / 1e9
+                               / CAST(n_categories - 1 AS DOUBLE),
+                               1.0 / 3.0)
+                           - (1.0 - 2.0
+                              / (9.0 * CAST(n_categories - 1
+                                            AS DOUBLE))))
+                          / sqrt(2.0 / (9.0 * CAST(n_categories - 1
+                                                   AS DOUBLE)))
+                     END, 6) AS z_wh,
+               CASE WHEN n_ref > 0 AND n_cur > 0 AND n_categories > 1
+                    THEN (pow(CAST(qs AS DOUBLE) / 1e9
+                              / CAST(n_categories - 1 AS DOUBLE),
+                              1.0 / 3.0)
+                          - (1.0 - 2.0
+                             / (9.0 * CAST(n_categories - 1
+                                           AS DOUBLE))))
+                         / sqrt(2.0 / (9.0 * CAST(n_categories - 1
+                                                  AS DOUBLE)))
+                         > 1.644854 END AS drifted
+        FROM agg
+    """
+    # Packing utilization audit: the pack_sequences replay plus one
+    # bounded per-bucket aggregation of exact integers.
+    _pe_pack = _packing.pack_sequences_sql(
+        token_budget=2048, n_buckets=16, n_tokens_expr="n_chars")
+    oracles["packing_efficiency"] = f"""
+        WITH packed AS ({_pe_pack})
+        SELECT bucket, count(*) AS n_docs,
+               CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST((max(bin) + 1) * 2048 AS BIGINT) AS capacity,
+               round(CAST(sum(n_tokens) AS DOUBLE)
+                     / CAST((max(bin) + 1) * 2048 AS DOUBLE), 6)
+                   AS fill_ratio,
+               CAST(sum(CASE WHEN "offset" + n_tokens > 2048
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+        FROM packed GROUP BY bucket
+    """
     # END-TO-END pipeline capstone (r11 stretch ask #8): hygiene ->
     # exact dedup -> near-dup survivor -> decontamination ->
     # leakage-safe split -> temperature mixture (train) -> packing,
@@ -9178,6 +9357,59 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(seq_key).alias("n_sequences"))
             .select("split", "n_docs", "n_chars_total", "n_sources",
                     "n_sequences"))
+
+
+def q_ranksum_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum drift test
+    (operators.drift.ranksum_drift) per event_type between the early
+    snapshot (ts < 2024-01-16) and the rest — the LOCATION-drift
+    companion to ks_snapshot_drift: doubled rank sums stay exact
+    integers (midranks double away), 2R and the tie term accumulate in
+    DECIMAL(38,0), and the cumulative counts come from the grouped
+    distributed prefix-sum (no unpartitioned ordered window). The
+    oracle replays the identical integer derivation with plain SQL
+    windows and the same one-shot double conversion order."""
+    from dump1090_db_stream_spark.operators.drift import ranksum_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    return ranksum_drift(ev.filter(cutoff), ev.filter(~cutoff),
+                         "value", keys=["event_type"])
+
+
+def q_chisq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity drift (operators.drift.
+    chisq_drift) of the event_type CATEGORY mix between the early
+    snapshot and the rest — the categorical arm of the drift family
+    (KS/W1/rank-sum need an ordered score; the category mix needs
+    this). Cell contributions are closed-form doubles of exact
+    integers, summed under the quantized-decimal discipline; z_wh is
+    the Wilson-Hilferty normal deviate (pure expression, no
+    inverse-chi-square table). One whole-table row."""
+    from dump1090_db_stream_spark.operators.drift import chisq_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    return chisq_drift(ev.filter(cutoff), ev.filter(~cutoff),
+                       "event_type")
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing utilization audit (operators.packing.
+    packing_efficiency) over the pack_sequences layout: per bucket,
+    bins used, token mass vs capacity, fill ratio and boundary
+    overflows — the pre-run report a training-data engineer reads.
+    One bounded aggregation; oracle recomposes the packing replay and
+    the same exact-integer ratios."""
+    from dump1090_db_stream_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"),
+                            token_budget=2048, n_buckets=16,
+                            n_tokens_col="n_chars")
+    return packing_efficiency(packed, token_budget=2048)
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,6 +182,9 @@ EXTENDED = [
     # dedicated bench_bpe_scaling probe (per-iteration flatness),
     # not a query-shape number the extended set should carry.
     "pipeline_capstone",
+    "ranksum_snapshot_drift",
+    "chisq_snapshot_drift",
+    "packing_efficiency",
 ]
 
 

@@ -416,3 +416,212 @@ def w1_drift(
         F.when(F.col("_nbad") == 0,
                F.round(F.col("_qs").cast("double") / 1e9, 6))
          .alias("w1"))
+
+
+def ranksum_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str,
+    keys: list[str] | None = None,
+    n_range_buckets: int = 64,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """EXACT Mann-Whitney U (Wilcoxon rank-sum) test between a
+    reference snapshot and the current one, per key slice — the
+    LOCATION-drift companion to :func:`ks_drift` (sup of CDF gap) and
+    :func:`w1_drift` (integral of CDF gap): U asks specifically "did
+    the distribution SHIFT toward higher or lower values", is
+    insensitive to monotone transforms of the score, and comes with
+    the classic normal approximation. One row per key combination:
+    ``(*keys, n_ref, n_cur, u_cur, z, drifted)`` where ``u_cur`` is
+    the current side's U statistic, ``z`` its tie-corrected normal
+    deviate and ``drifted`` the two-sided alpha = 0.05 flag
+    (|z| > 1.959964).
+
+    Exact-arithmetic derivation (no per-row rank window anywhere):
+    with midranks, the DOUBLED rank sum of the current side is
+
+        2R = sum over distinct scores s of
+             c_cur(s) * (2 * prev_all(s) + c_all(s) + 1)
+
+    an INTEGER (midranks are the only halves and they double away), so
+    2U = 2R - n_cur * (n_cur + 1) is exact; the tie-corrected variance
+    uses T = sum(c_all^3 - c_all). ``prev_all`` — the exclusive
+    cumulative count in global score order per slice — is the grouped
+    :func:`operators.prefix_sum.distributed_prev_counts` (the ks_drift
+    plumbing), so no unpartitioned ordered window exists for any
+    slice. 2R and T accumulate in DECIMAL(38,0) (exact to ~1e38 —
+    safe past 1e12-row slices where int64 products would overflow);
+    the z computation converts each exact total to double ONCE and
+    applies the same IEEE expression order in both engines.
+
+    Degenerate slices: present in only one snapshot -> NULL u/z (the
+    ks_drift contract); every value tied -> variance 0 -> NULL z.
+    NULL/NaN scores and NULL keys are excluded; the grouped
+    vocabulary guard / ``bounds_join="shuffle"`` escape apply as in
+    :func:`ks_drift`.
+    """
+    kcols = list(keys or [])
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+            F.col(score_col).cast("double").alias("s"),
+            F.lit(tag).alias("_ref"),
+        ).filter(F.col("s").isNotNull() & ~F.isnan("s"))
+        for i in range(len(kcols)):
+            out = out.filter(F.col(f"k{i}").isNotNull())
+        return out
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    both = _side(ref, 1).unionByName(_side(cur, 0))
+    per = both.groupBy(*ks_, "s").agg(
+        F.count(F.lit(1)).alias("_call"),
+        F.sum("_ref").alias("_cref"))
+
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts,
+    )
+
+    pts = distributed_prev_counts(
+        per, "s", "_call", n_range_buckets,
+        extra_cols=("_cref",), partition_cols=tuple(ks_),
+        with_totals=True, bounds_join=bounds_join)
+
+    dec = "decimal(38,0)"
+    c_cur = (F.col("_call") - F.col("_cref")).cast(dec)
+    two_rank = (F.lit(2).cast(dec) * F.col("_prev").cast(dec)
+                + F.col("_call").cast(dec) + F.lit(1).cast(dec))
+    tie = (F.col("_call").cast(dec) * F.col("_call").cast(dec)
+           * F.col("_call").cast(dec) - F.col("_call").cast(dec))
+    agg = (pts.groupBy(*ks_)
+           .agg(F.sum(c_cur * two_rank).alias("_2r"),
+                F.sum(tie).alias("_t"),
+                F.sum("_cref").cast("long").alias("n_ref"),
+                F.max("_total").cast("long").alias("_nall")))
+
+    n_cur = (F.col("_nall") - F.col("n_ref")).alias("n_cur")
+    # exact totals -> double ONCE, then one shared IEEE expression
+    # order (the oracle replays it verbatim)
+    r2 = F.col("_2r").cast("double")
+    ncur_d = F.col("n_cur").cast("double")
+    nref_d = F.col("n_ref").cast("double")
+    nall_d = F.col("_nall").cast("double")
+    u2 = r2 - ncur_d * (ncur_d + F.lit(1.0))
+    mu2 = nref_d * ncur_d
+    var = (mu2 / F.lit(12.0)
+           * ((nall_d + F.lit(1.0))
+              - F.col("_t").cast("double")
+              / (nall_d * (nall_d - F.lit(1.0)))))
+    evaluable = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    z = F.when(evaluable & (var > 0),
+               (u2 - mu2) / (F.lit(2.0) * F.sqrt(var)))
+    sel = [F.col(f"k{i}").alias(k) for i, k in enumerate(kcols)]
+    return (agg.select(*ks_, "n_ref", n_cur, "_2r", "_t", "_nall")
+            .select(*sel, "n_ref", "n_cur",
+                    F.when(evaluable, F.round(u2 / F.lit(2.0), 6))
+                     .alias("u_cur"),
+                    F.round(z, 6).alias("z"),
+                    F.when(evaluable & (var > 0),
+                           F.abs(z) > F.lit(1.959964)).alias("drifted")))
+
+
+def chisq_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Pearson chi-square homogeneity test between a reference
+    snapshot's CATEGORY distribution and the current one, per key
+    slice — the categorical companion to :func:`ks_drift` (that one
+    needs an ordered score; this one needs only a nominal column:
+    event types, languages, sources, schema variants). One row per
+    key combination: ``(*keys, n_ref, n_cur, n_categories, df,
+    chisq, z_wh, drifted)``.
+
+    chisq = sum over categories and both sides of (o - e)^2 / e with
+    e = row_total * category_total / N — each cell contribution is a
+    closed-form double of exactly-represented integers, and the SUM
+    across categories is quantized to 1e-9 scaled DECIMAL integers
+    before aggregation (the ``operators.relevance._quantized``
+    partition-order discipline) so both engines fold identically.
+    ``z_wh`` is the Wilson-Hilferty normal deviate
+    ((chisq/df)^(1/3) - (1 - 2/(9 df))) / sqrt(2/(9 df)) — a pure
+    expression, no inverse-chi-square table — and ``drifted`` its
+    one-sided alpha = 0.05 flag (z_wh > 1.644854).
+
+    Scale shape: one groupBy to the (key, category) grain (bounded:
+    categories are a vocabulary), margins by a second bounded
+    aggregate, everything joined on the key — the corpus shuffles
+    once to the category grain and never again. Slices with a single
+    category (df = 0) or one empty side emit NULL statistics. NULL
+    categories and NULL keys are excluded.
+    """
+    kcols = list(keys or [])
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+            F.col(cat_col).cast("string").alias("c"),
+            F.lit(tag).alias("_ref"),
+        ).filter(F.col("c").isNotNull())
+        for i in range(len(kcols)):
+            out = out.filter(F.col(f"k{i}").isNotNull())
+        return out
+
+    from dump1090_db_stream_spark.operators.relevance import _quantized
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    both = _side(ref, 1).unionByName(_side(cur, 0))
+    cells = both.groupBy(*ks_, "c").agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.sum("_ref").alias("_oref"))
+    margins = cells.groupBy(*ks_).agg(
+        F.sum("_oref").cast("long").alias("n_ref"),
+        F.sum(F.col("_tot") - F.col("_oref")).cast("long")
+        .alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"))
+
+    o_ref = F.col("_oref").cast("double")
+    o_cur = (F.col("_tot") - F.col("_oref")).cast("double")
+    ct = F.col("_tot").cast("double")
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    nn = nr + nc
+    e_ref = nr * ct / nn
+    e_cur = nc * ct / nn
+    # explicit degenerate guard (ANSI mode: 0/0 raises, and the
+    # downstream NULL-out happens AFTER this expression would have
+    # evaluated): a slice with an empty side has e = 0 for every
+    # cell — contributions go NULL, the sum goes NULL, and the final
+    # projection already emits NULL statistics for that slice
+    contrib = F.when(
+        (e_ref > 0) & (e_cur > 0),
+        (o_ref - e_ref) * (o_ref - e_ref) / e_ref
+        + (o_cur - e_cur) * (o_cur - e_cur) / e_cur)
+    per_cell = (cells.join(margins, ks_) if ks_
+                else cells.crossJoin(F.broadcast(margins)))
+    agg = (per_cell
+           .select(*ks_, "n_ref", "n_cur", "n_categories",
+                   _quantized(contrib).alias("_qc"))
+           .groupBy(*ks_, "n_ref", "n_cur", "n_categories")
+           .agg(F.sum("_qc").alias("_qs")))
+
+    dfree = (F.col("n_categories") - 1).cast("double")
+    chisq = F.col("_qs").cast("double") / F.lit(1e9)
+    z_wh = (F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0) & (dfree > 0),
+        (F.pow(chisq / dfree, F.lit(1.0 / 3.0))
+         - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree)))
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))))
+    sel = [F.col(f"k{i}").alias(k) for i, k in enumerate(kcols)]
+    return agg.select(
+        *sel, "n_ref", "n_cur", "n_categories",
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+               (F.col("n_categories") - 1).cast("long")).alias("df"),
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+               F.round(chisq, 6)).alias("chisq"),
+        F.round(z_wh, 6).alias("z_wh"),
+        F.when(z_wh.isNotNull(), z_wh > F.lit(1.644854))
+         .alias("drifted"))

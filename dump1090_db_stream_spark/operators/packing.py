@@ -239,3 +239,37 @@ def length_grouped_batches(
                             - F.col("sum_tokens")
                             / (F.col("max_tokens").cast("double")
                                * F.col("n_docs")), 6).alias("pad_frac")))
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    token_budget: int = 2048,
+) -> DataFrame:
+    """Utilization audit of a :func:`pack_sequences` layout — the
+    number a training-data engineer actually reviews before a run:
+    how full are the sequence bins, and how many documents overflow
+    their bin boundary (the streaming packer's one-doc overflow
+    trade). One row per bucket: ``(bucket, n_docs, n_bins, n_tokens,
+    capacity, fill_ratio, n_overflow)`` where ``capacity =
+    n_bins * token_budget`` and ``fill_ratio = n_tokens / capacity``
+    (rounded 6; exact-integer division inputs, oracle-identical).
+
+    One bounded aggregation over the packed relation (bucket count is
+    a parameter, never data-sized). ``token_budget`` must match the
+    packing call — it is a parameter rather than re-derived because
+    the packed relation does not carry it.
+    """
+    n_bins = (F.max("bin") + 1).cast("long")
+    cap = (n_bins * F.lit(token_budget)).cast("long")
+    over = F.sum(
+        F.when(F.col("offset") + F.col("n_tokens")
+               > F.lit(token_budget), 1).otherwise(0)).cast("long")
+    return (packed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 n_bins.alias("n_bins"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 cap.alias("capacity"),
+                 F.round(F.sum("n_tokens").cast("double")
+                         / (n_bins * F.lit(token_budget))
+                         .cast("double"), 6).alias("fill_ratio"),
+                 over.alias("n_overflow")))

@@ -306,3 +306,109 @@ def test_w1_global_one_sided_and_modes(spark):
         .orderBy("k").collect() == base
     assert w1_drift(ref, cur, "s", keys=["k"],
                     bounds_join="shuffle").orderBy("k").collect() == base
+
+
+def _py_ranksum(ref_vals, cur_vals):
+    """Pure-Python tie-corrected Mann-Whitney U + z (midranks)."""
+    allv = sorted(ref_vals + cur_vals)
+    n_ref, n_cur = len(ref_vals), len(cur_vals)
+    n = n_ref + n_cur
+    # midranks
+    ranks, i = {}, 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    r_cur = sum(ranks[v] for v in cur_vals)
+    u = r_cur - n_cur * (n_cur + 1) / 2.0
+    mu = n_ref * n_cur / 2.0
+    tie = sum((c := allv.count(v)) ** 3 - c for v in set(allv))
+    var = (n_ref * n_cur / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - mu) / math.sqrt(var) if var > 0 else None
+    return u, z
+
+
+def test_ranksum_matches_python_reference(spark):
+    from dump1090_db_stream_spark.operators.drift import ranksum_drift
+
+    ref_vals = [1.0, 2.0, 2.0, 3.5, 9.0, 4.25, 2.0, 7.0]
+    cur_vals = [2.0, 5.0, 5.0, 8.0, 9.0, 12.0, 3.5]
+    want_u, want_z = _py_ranksum(ref_vals, cur_vals)
+    ref = spark.createDataFrame([("a", v) for v in ref_vals],
+                                ["k", "v"])
+    cur = spark.createDataFrame([("a", v) for v in cur_vals],
+                                ["k", "v"])
+    [r] = ranksum_drift(ref, cur, "v", keys=["k"]).collect()
+    assert r["n_ref"] == 8 and r["n_cur"] == 7
+    assert r["u_cur"] == round(want_u, 6)
+    assert r["z"] == round(want_z, 6)
+    assert r["drifted"] == (abs(want_z) > 1.959964)
+    # ungrouped single row matches too
+    [g] = ranksum_drift(ref.select("v"), cur.select("v"), "v").collect()
+    assert g["u_cur"] == r["u_cur"] and g["z"] == r["z"]
+
+
+def test_ranksum_degenerate_slices(spark):
+    from dump1090_db_stream_spark.operators.drift import ranksum_drift
+
+    ref = spark.createDataFrame(
+        [("only_ref", 1.0), ("tied", 5.0), ("tied", 5.0)], ["k", "v"])
+    cur = spark.createDataFrame(
+        [("tied", 5.0), ("only_cur", 2.0)], ["k", "v"])
+    rows = {r["k"]: r for r in
+            ranksum_drift(ref, cur, "v", keys=["k"]).collect()}
+    assert rows["only_ref"]["u_cur"] is None
+    assert rows["only_cur"]["z"] is None
+    # all-tied slice: U is defined (pure midranks) but var=0 -> z NULL
+    assert rows["tied"]["u_cur"] is not None
+    assert rows["tied"]["z"] is None and rows["tied"]["drifted"] is None
+
+
+def _py_chisq(ref_cats, cur_cats):
+    cats = sorted(set(ref_cats) | set(cur_cats))
+    n_ref, n_cur = len(ref_cats), len(cur_cats)
+    n = n_ref + n_cur
+    x2 = 0.0
+    for c in cats:
+        o_r, o_c = ref_cats.count(c), cur_cats.count(c)
+        tot = o_r + o_c
+        e_r, e_c = n_ref * tot / n, n_cur * tot / n
+        x2 += (o_r - e_r) ** 2 / e_r + (o_c - e_c) ** 2 / e_c
+    df = len(cats) - 1
+    zwh = (((x2 / df) ** (1 / 3) - (1 - 2 / (9 * df)))
+           / math.sqrt(2 / (9 * df)))
+    return x2, df, zwh
+
+
+def test_chisq_matches_python_reference(spark):
+    from dump1090_db_stream_spark.operators.drift import chisq_drift
+
+    ref_cats = list("aaabbbbcc")
+    cur_cats = list("abbccccdd")
+    want_x2, want_df, want_z = _py_chisq(ref_cats, cur_cats)
+    ref = spark.createDataFrame([(c,) for c in ref_cats], ["c"])
+    cur = spark.createDataFrame([(c,) for c in cur_cats], ["c"])
+    [r] = chisq_drift(ref, cur, "c").collect()
+    assert r["n_ref"] == 9 and r["n_cur"] == 9
+    assert r["n_categories"] == 4 and r["df"] == 3
+    assert abs(r["chisq"] - want_x2) < 2e-6   # 1e-9 quantization
+    assert abs(r["z_wh"] - want_z) < 2e-6
+    assert r["drifted"] == (want_z > 1.644854)
+
+
+def test_chisq_grouped_and_degenerate(spark):
+    from dump1090_db_stream_spark.operators.drift import chisq_drift
+
+    ref = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("solo", "x"), ("one_sided", "y")],
+        ["k", "c"])
+    cur = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("solo", "x")], ["k", "c"])
+    rows = {r["k"]: r for r in
+            chisq_drift(ref, cur, "c", keys=["k"]).collect()}
+    assert rows["g1"]["df"] == 1 and rows["g1"]["chisq"] is not None
+    assert rows["solo"]["df"] == 0          # one category: no test
+    assert rows["solo"]["z_wh"] is None
+    assert rows["one_sided"]["chisq"] is None   # cur side empty

@@ -66,10 +66,12 @@ def test_r12_window_composition():
     greens (freshest) close the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:5] == [          # tier 2 new, then tier 3 changed
+    assert window[:8] == [          # tier 2 new, then tier 3 changed
         "bpe_merges_k64", "bpe_vocab_k64", "pipeline_capstone",
+        "ranksum_snapshot_drift", "chisq_snapshot_drift",
+        "packing_efficiency",
         "bootstrap_mean_chars", "w1_snapshot_drift"]
-    assert window[5:23] == [        # tier 1: the full r7-stale set
+    assert window[8:26] == [        # tier 1: the full r7-stale set
         "quality_survivors", "quartile_stratified_sample",
         "dau_wau_stickiness", "embedding_pq_topk",
         "embedding_ivfpq_topk", "local_supplier_volume",
@@ -80,12 +82,12 @@ def test_r12_window_composition():
         "top_supplier_revenue", "large_order_customers",
         "idle_rich_customers"]
     # tier 1 fill: the r8 greens in recorded staleness order
-    assert window[23:27] == ["multimodal_features", "survival_curve",
+    assert window[26:30] == ["multimodal_features", "survival_curve",
                              "pagerank_neardups", "pagerank_docs"]
-    assert window[-1] == "doc_quality"
+    assert window[-1] == "streaming_window_counts"
     # positions 51+: remaining r8 greens lead the r13 rotation
-    assert order[50:53] == ["lang_id_counts", "doc_fingerprints",
-                            "exact_dup_docs"]
+    assert order[50:53] == ["set_ops_segments", "cosine_neardup_pairs",
+                            "doc_quality"]
     # r9 greens precede r10 greens precede the r11 window's greens
     assert order.index("sbs1_parse") < order.index("callsign_sessions")
     assert order.index("retrieval_metrics") > \

@@ -128,3 +128,33 @@ def test_length_grouped_batches_contract(spark):
     assert sorted(map(tuple, out)) == again
     with pytest.raises(ValueError, match="batch_size"):
         length_grouped_batches(df, batch_size=0)
+
+
+def test_packing_efficiency_matches_hand_layout(spark):
+    """Audit over a hand-checkable layout: budget 10, one bucket via
+    n_buckets=1. Docs hash-ordered; verify bins/capacity/fill/overflow
+    against the independently summed layout."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 4 + (i % 5)) for i in range(20)], ["doc_id", "n_toks"])
+    packed = pack_sequences(docs, token_budget=10, n_buckets=1,
+                            id_col="doc_id", n_tokens_col="n_toks")
+    [r] = packing_efficiency(packed, token_budget=10).collect()
+    rows = packed.collect()
+    total = sum(x["n_tokens"] for x in rows)
+    n_bins = max(x["bin"] for x in rows) + 1
+    n_over = sum(1 for x in rows if x["offset"] + x["n_tokens"] > 10)
+    assert r["n_docs"] == 20
+    assert r["n_tokens"] == total
+    assert r["n_bins"] == n_bins
+    assert r["capacity"] == n_bins * 10
+    assert r["fill_ratio"] == round(total / (n_bins * 10), 6)
+    assert r["n_overflow"] == n_over
+    # docs are 4-8 tokens vs budget 10: overflow MUST occur somewhere
+    assert n_over > 0

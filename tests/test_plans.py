@@ -392,6 +392,10 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # per-source rate relation (the
                                   # temperature_mixture_docs entry);
                                   # every other stage joins on doc_id
+        "chisq_snapshot_drift",   # ungrouped form: one-row margins
+                                  # (n_ref, n_cur, k) attach onto the
+                                  # bounded category-cell relation
+                                  # (same class as tfidf/bm25)
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
