@@ -30,17 +30,60 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_for_release(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-cached relation (a persisted frame the
+    operator manages itself, or an eager localCheckpoint whose blocks
+    only :func:`release_local_checkpoint` can free) so the caller's
+    :func:`release_tracked` / :func:`release_after` covers it."""
+    _TRACKED.append(df)
+    return df
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` registered with the tracked registry.
+    Iterative operators use this for lineage truncation; WITHOUT the
+    registration the checkpoint's RDD blocks outlive every DataFrame
+    handle (``unpersist()`` is a no-op on them — see
+    :func:`release_local_checkpoint`) and a long-lived session
+    accumulates storage across operator invocations."""
+    return register_for_release(df.localCheckpoint(eager=True))
+
+
+def _release_one(df: DataFrame) -> bool:
+    try:
+        if not release_local_checkpoint(df):
+            df.unpersist(blocking=False)
+        return True
+    except Exception:  # session already stopped — nothing to free
+        return False
+
+
 def release_tracked() -> int:
     """Unpersist every tracked intermediate; returns the count released."""
-    n = 0
-    for df in _TRACKED:
-        try:
-            df.unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+    n = sum(1 for df in _TRACKED if _release_one(df))
     _TRACKED.clear()
     return n
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the persisted RDD behind an eager ``localCheckpoint``
+    DataFrame NOW. ``DataFrame.unpersist()`` is a NO-OP on these —
+    localCheckpoint caches at the RDD layer, outside the CacheManager
+    the DataFrame API talks to — so without this the blocks linger
+    until the driver garbage-collects the Python wrapper and the
+    ContextCleaner notices (nondeterministic; a long session running
+    iterative trainers would accumulate storage, the exact residue
+    discipline ``release_tracked`` exists for). Reaches the RDD via
+    the checkpoint plan root (``LogicalRDD.rdd``); returns False when
+    the plan is not a checkpoint root or the session is gone."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:  # session stopped / internal API moved
+        return False
 
 
 def tracked_mark() -> int:
@@ -54,12 +97,6 @@ def tracked_mark() -> int:
 def release_after(mark: int) -> int:
     """Unpersist every intermediate tracked AFTER ``mark`` (a value
     from :func:`tracked_mark`); returns the count released."""
-    n = 0
-    for df in _TRACKED[mark:]:
-        try:
-            df.unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+    n = sum(1 for df in _TRACKED[mark:] if _release_one(df))
     del _TRACKED[mark:]
     return n

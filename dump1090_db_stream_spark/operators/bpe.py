@@ -263,6 +263,8 @@ def train_bpe_from_words(
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    from dump1090_db_stream_spark.cache import release_local_checkpoint
+
     words = base.localCheckpoint(eager=True)
     counts = adjacent_pair_counts(words).localCheckpoint(eager=True)
     words_pin, counts_pin = words, counts   # latest checkpoints held
@@ -317,7 +319,7 @@ def train_bpe_from_words(
                           .agg(F.sum("cnt").cast("long").alias("cnt"))
                           .filter(F.col("cnt") != 0)
                           .localCheckpoint(eager=True))
-            counts_pin.unpersist(blocking=False)
+            release_local_checkpoint(counts_pin)
             counts_pin = new_counts
             # single-reference update: ONE single-merge fold projection.
             # merge_fold is already the identity on words not containing
@@ -331,13 +333,16 @@ def train_bpe_from_words(
                 "syms", merge_fold(old_s, l, r))
             if (k + 1) % checkpoint_every == 0 or k == n_merges - 1:
                 new_words = new_words.localCheckpoint(eager=True)
-                words_pin.unpersist(blocking=False)
+                release_local_checkpoint(words_pin)
                 words_pin = new_words
             words, counts = new_words, new_counts
         return merges
     finally:
-        words_pin.unpersist(blocking=False)
-        counts_pin.unpersist(blocking=False)
+        # checkpoint RDD blocks are invisible to DataFrame.unpersist()
+        # — only the explicit RDD-level release frees them (the
+        # test_cache residue contract)
+        release_local_checkpoint(words_pin)
+        release_local_checkpoint(counts_pin)
 
 
 def encode_words_chunked(words: DataFrame, merges: Sequence[dict],
@@ -357,6 +362,11 @@ def encode_words_chunked(words: DataFrame, merges: Sequence[dict],
     merges = list(merges)
     if len(merges) <= chunk:
         return encode_words(words, merges, syms_col)
+    from dump1090_db_stream_spark.cache import (
+        register_for_release,
+        release_local_checkpoint,
+    )
+
     out = words
     prev = None
     for i in range(0, len(merges), chunk):
@@ -364,8 +374,13 @@ def encode_words_chunked(words: DataFrame, merges: Sequence[dict],
         if i + chunk < len(merges):
             out = out.localCheckpoint(eager=True)
             if prev is not None:
-                prev.unpersist(blocking=False)
+                release_local_checkpoint(prev)
             prev = out
+    if prev is not None:
+        # the returned frame still reads through the LAST checkpoint —
+        # register it so the caller's release_tracked() (the bench /
+        # foreachBatch discipline) frees its blocks after consuming
+        register_for_release(prev)
     return out
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dump1090_db_stream_spark.cache import track
+from dump1090_db_stream_spark.cache import track, track_local_checkpoint
 
 
 def connected_components(
@@ -50,12 +50,15 @@ def connected_components(
     # relation TWICE (directly and through the neighbor aggregate), so
     # the logical plan would DOUBLE per iteration — exponential
     # analysis cost/OOM by ~30 rounds even on tiny data. localCheckpoint
-    # truncates lineage every round; at cluster scale swap in a
-    # reliable checkpoint dir for fault tolerance.
+    # truncates lineage every round (registered with the tracked
+    # registry — checkpoint RDD blocks are invisible to unpersist(),
+    # so the caller's release_tracked() is what frees them); at
+    # cluster scale swap in a reliable checkpoint dir for fault
+    # tolerance.
     labels = (sym.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("comp", F.col("id"))
-              .localCheckpoint(eager=True))
+              .transform(track_local_checkpoint))
     for _ in range(max_iterations):
         # neighbor's current component, min'd per node
         nbr = (sym.join(labels.withColumnRenamed("id", "a"), "a")
@@ -66,7 +69,7 @@ def connected_components(
                           F.col("comp"),
                           F.coalesce(F.col("nbr_comp"), F.col("comp"))
                       ).alias("comp"))
-                      .localCheckpoint(eager=True))
+                      .transform(track_local_checkpoint))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.comp") != F.col("o.comp"))
@@ -117,11 +120,11 @@ def connected_components_star(
         F.least(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True))
+        .transform(track_local_checkpoint))
     nodes = (down.select(F.col("a").alias("id"))
              .union(down.select(F.col("b").alias("id")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .transform(track_local_checkpoint))
 
     rounds, converged = 0, False
     for _ in range(max_iterations):
@@ -145,7 +148,7 @@ def connected_components_star(
                     .union(smins.select("a", F.col("m").alias("b")))
                     .filter(F.col("a") != F.col("b"))
                     .distinct()
-                    .localCheckpoint(eager=True))
+                    .transform(track_local_checkpoint))
         converged = (new_down.count() == down.count()
                      and new_down.exceptAll(down).limit(1).count() == 0)
         down = new_down
@@ -360,7 +363,7 @@ def pagerank(
         raise ValueError("pagerank: nodes relation is empty (N == 0)")
     base = (1.0 - damping) / n
     ranks = (ids.withColumn("_rank", F.lit(1.0 / n))
-             .localCheckpoint(eager=True))
+             .transform(track_local_checkpoint))
     for _ in range(n_iters):
         contrib = (sym_deg
                    .join(ranks, F.col("src") == F.col("_pid"))
@@ -379,7 +382,7 @@ def pagerank(
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce(F.col("_s"), F.lit(0.0)))
                          .alias("_rank"))
-                 .localCheckpoint(eager=True))
+                 .transform(track_local_checkpoint))
     # floor-based micro-quantization instead of round(): Spark rounds
     # via exact BigDecimal HALF_UP while other engines round after a
     # float multiply, so a rank landing exactly on a .5e-6 boundary

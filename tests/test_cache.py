@@ -21,3 +21,55 @@ def test_release_tracked_frees_operator_persists(spark):
     assert release_tracked() > 0
     assert jsc.getPersistentRDDs().size() == 0
     assert release_tracked() == 0  # idempotent
+
+
+def test_local_checkpoints_are_releasable(spark):
+    """r12 regression: DataFrame.unpersist() is a NO-OP on an eager
+    localCheckpoint (RDD-layer cache, invisible to the CacheManager),
+    so iterative operators route checkpoints through the tracked
+    registry and release_tracked() must free the RDD blocks too —
+    otherwise every connected-components / BPE-training call leaks
+    executor storage for the session's lifetime."""
+    from dump1090_db_stream_spark.cache import (
+        release_local_checkpoint,
+        track_local_checkpoint,
+    )
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    ck = track_local_checkpoint(spark.range(100).selectExpr("id*2 v"))
+    assert ck.count() == 100
+    assert jsc.getPersistentRDDs().size() == base + 1
+    ck.unpersist(blocking=True)   # documented no-op on checkpoints
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert release_tracked() >= 1
+    assert jsc.getPersistentRDDs().size() == base
+    # direct release path: non-checkpoint frames report False
+    assert release_local_checkpoint(spark.range(3)) is False
+
+
+def test_iterative_operators_leave_no_storage_residue(spark):
+    """connected-components (both algorithms) and the incremental BPE
+    trainer must leave ZERO persistent RDDs after the caller's
+    release_tracked() — the exact residue mode the r12 full-suite run
+    caught (checkpoints from earlier test files surviving into
+    test_cache's assertion)."""
+    from dump1090_db_stream_spark.operators.bpe import (
+        train_bpe_incremental,
+    )
+    from dump1090_db_stream_spark.operators.graph import canonical_map
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 3}") for i in range(12)],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    for algo in ("propagation", "star"):
+        canonical_map(docs, pairs, algorithm=algo).count()
+    assert train_bpe_incremental(docs, 4, checkpoint_every=2)
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
