@@ -7616,6 +7616,7 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             WHERE value IS NOT NULL
               AND NOT isnan(CAST(value AS DOUBLE))
               AND event_type IS NOT NULL
+              AND ts IS NOT NULL
         ), per AS (
             SELECT k, s, count(*) AS call,
                    CAST(sum(refside) AS BIGINT) AS cref
@@ -7676,7 +7677,8 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             SELECT CAST(event_type AS VARCHAR) AS c,
                    CASE WHEN ts < TIMESTAMP '2024-01-16'
                         THEN 1 ELSE 0 END AS refside
-            FROM events WHERE event_type IS NOT NULL
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
         ), cells AS (
             SELECT c, count(*) AS tot,
                    CAST(sum(refside) AS BIGINT) AS oref
@@ -8074,6 +8076,7 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             WHERE value IS NOT NULL
               AND NOT isnan(CAST(value AS DOUBLE))
               AND event_type IS NOT NULL
+              AND ts IS NOT NULL
         ), per AS (
             SELECT k, s, count(*) AS call,
                    CAST(sum(refside) AS BIGINT) AS cref
@@ -8137,6 +8140,7 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             WHERE value IS NOT NULL
               AND NOT isnan(CAST(value AS DOUBLE))
               AND event_type IS NOT NULL
+              AND ts IS NOT NULL
         ), per AS (
             SELECT k, s, count(*) AS call,
                    CAST(sum(refside) AS BIGINT) AS cref

@@ -19,14 +19,20 @@ from pyspark.sql import DataFrame
 
 # Strong refs on purpose: a JVM-side persist outlives its Python wrapper
 # (dropping the DataFrame object does NOT unpersist the cached plan), so
-# the registry must hold the handle needed to free it later.
-_TRACKED: list[DataFrame] = []
+# the registry must hold the handle needed to free it later.  Entries
+# are tagged (frame, may_be_checkpoint): only registrations that may
+# wrap an eager localCheckpoint take the RDD-release path — a track()'d
+# CacheManager persist whose analyzed root happens to be a LogicalRDD
+# (a frame built straight from createDataFrame) must NOT be routed
+# there, or the release would unpersist the source RDD and silently
+# leak the CacheManager entry (r12 ADVICE).
+_TRACKED: list[tuple[DataFrame, bool]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
     """persist() ``df`` and register it for later :func:`release_tracked`."""
     df = df.persist()
-    _TRACKED.append(df)
+    _TRACKED.append((df, False))
     return df
 
 
@@ -35,7 +41,7 @@ def register_for_release(df: DataFrame) -> DataFrame:
     operator manages itself, or an eager localCheckpoint whose blocks
     only :func:`release_local_checkpoint` can free) so the caller's
     :func:`release_tracked` / :func:`release_after` covers it."""
-    _TRACKED.append(df)
+    _TRACKED.append((df, True))
     return df
 
 
@@ -49,9 +55,15 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
     return register_for_release(df.localCheckpoint(eager=True))
 
 
-def _release_one(df: DataFrame) -> bool:
+def _release_one(df: DataFrame, may_be_checkpoint: bool) -> bool:
     try:
-        if not release_local_checkpoint(df):
+        released = may_be_checkpoint and release_local_checkpoint(df)
+        # A registered frame can ALSO hold a CacheManager entry (a
+        # persisted relation the operator manages itself), and a
+        # checkpoint release never clears that — check the storage
+        # level so neither layer leaks.
+        lvl = df.storageLevel
+        if not released or lvl.useMemory or lvl.useDisk:
             df.unpersist(blocking=False)
         return True
     except Exception:  # session already stopped — nothing to free
@@ -60,7 +72,7 @@ def _release_one(df: DataFrame) -> bool:
 
 def release_tracked() -> int:
     """Unpersist every tracked intermediate; returns the count released."""
-    n = sum(1 for df in _TRACKED if _release_one(df))
+    n = sum(1 for df, ck in _TRACKED if _release_one(df, ck))
     _TRACKED.clear()
     return n
 
@@ -97,6 +109,6 @@ def tracked_mark() -> int:
 def release_after(mark: int) -> int:
     """Unpersist every intermediate tracked AFTER ``mark`` (a value
     from :func:`tracked_mark`); returns the count released."""
-    n = sum(1 for df in _TRACKED[mark:] if _release_one(df))
+    n = sum(1 for df, ck in _TRACKED[mark:] if _release_one(df, ck))
     del _TRACKED[mark:]
     return n

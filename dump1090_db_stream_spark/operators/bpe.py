@@ -102,13 +102,15 @@ def adjacent_pair_counts(words: DataFrame, syms_col: str = "syms",
     Map-side expansion (zip_with of two slices — no index arithmetic
     that could desync between engines) + one vocabulary-sized
     aggregation.  Words of a single symbol contribute nothing (both
-    slices are empty).
+    slices are empty); the ``greatest(..., 0)`` clamp keeps an empty
+    symbol array (reachable only through the train_bpe_from_words
+    caller seam) from handing slice() a negative length (r12 ADVICE).
     """
     syms = F.col(syms_col)
-    n = F.size(syms)
+    n = F.greatest(F.size(syms) - F.lit(1), F.lit(0))
     pairs = F.zip_with(
-        F.slice(syms, F.lit(1), n - 1),
-        F.slice(syms, F.lit(2), n - 1),
+        F.slice(syms, F.lit(1), n),
+        F.slice(syms, F.lit(2), n),
         lambda l, r: F.struct(l.alias("l"), r.alias("r")))
     return (words.select(F.col(freq_col), F.explode(pairs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
@@ -187,11 +189,15 @@ def has_adjacent_pair(syms: Column, lhs: str, rhs: str) -> Column:
     the same zip-of-slices pair enumeration as
     :func:`adjacent_pair_counts`, so the affected-word filter and the
     pair counter can never disagree about what "contains the pair"
-    means."""
-    n = F.size(syms)
+    means. Slice lengths clamp at 0: ``size - 1`` is negative for an
+    empty symbol array and Spark's ``slice()`` raises on negative
+    lengths — unreachable through word_freqs (which never emits empty
+    words) but :func:`train_bpe_from_words` exposes the (word, freq,
+    syms) relation as a caller seam (r12 ADVICE)."""
+    n = F.greatest(F.size(syms) - F.lit(1), F.lit(0))
     pairs = F.zip_with(
-        F.slice(syms, F.lit(1), n - 1),
-        F.slice(syms, F.lit(2), n - 1),
+        F.slice(syms, F.lit(1), n),
+        F.slice(syms, F.lit(2), n),
         lambda l, r: (l == F.lit(lhs)) & (r == F.lit(rhs)))
     return F.exists(pairs, lambda hit: hit)
 
@@ -274,11 +280,14 @@ def train_bpe_from_words(
         # the delta — built as an EXPRESSION so the whole delta is one
         # projection over the affected rows (each state relation is
         # referenced exactly ONCE per iteration: a second reference
-        # would double the uncheckpointed plan tree every iteration)
-        n = F.size(syms)
+        # would double the uncheckpointed plan tree every iteration).
+        # greatest(..., 0): slice() raises on the negative length an
+        # empty syms array would produce (caller-seam guard, r12
+        # ADVICE — same clamp as has_adjacent_pair).
+        n = F.greatest(F.size(syms) - F.lit(1), F.lit(0))
         return F.zip_with(
-            F.slice(syms, F.lit(1), n - 1),
-            F.slice(syms, F.lit(2), n - 1),
+            F.slice(syms, F.lit(1), n),
+            F.slice(syms, F.lit(2), n),
             lambda l, r: F.struct(
                 l.alias("l"), r.alias("r"),
                 (F.col("freq") * sign).cast("long").alias("cnt")))

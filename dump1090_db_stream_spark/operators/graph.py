@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dump1090_db_stream_spark.cache import track, track_local_checkpoint
+from dump1090_db_stream_spark.cache import (
+    register_for_release,
+    release_local_checkpoint,
+    track,
+    track_local_checkpoint,
+)
 
 
 def connected_components(
@@ -50,41 +55,50 @@ def connected_components(
     # relation TWICE (directly and through the neighbor aggregate), so
     # the logical plan would DOUBLE per iteration — exponential
     # analysis cost/OOM by ~30 rounds even on tiny data. localCheckpoint
-    # truncates lineage every round (registered with the tracked
-    # registry — checkpoint RDD blocks are invisible to unpersist(),
-    # so the caller's release_tracked() is what frees them); at
+    # truncates lineage every round; the SUPERSEDED round's pin is
+    # released as soon as its successor is materialized AND the
+    # convergence probe (which reads both) has run, so peak executor
+    # storage stays O(1) per call instead of O(iterations) (r12
+    # ADVICE — the train_bpe_from_words discipline). Only the FINAL
+    # checkpoint is registered for the caller's release_tracked(); at
     # cluster scale swap in a reliable checkpoint dir for fault
     # tolerance.
     labels = (sym.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("comp", F.col("id"))
-              .transform(track_local_checkpoint))
-    for _ in range(max_iterations):
-        # neighbor's current component, min'd per node
-        nbr = (sym.join(labels.withColumnRenamed("id", "a"), "a")
-               .groupBy(F.col("b").alias("id"))
-               .agg(F.min("comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr, "id", "left")
-                      .select("id", F.least(
-                          F.col("comp"),
-                          F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                      ).alias("comp"))
-                      .transform(track_local_checkpoint))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # Same contract as the star variant: an early stop would return
-        # silently WRONG labels (propagation needs diameter rounds).
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"rounds (graph diameter exceeds it); raise max_iterations "
-            f"or use connected_components_star")
-    return labels
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iterations):
+            # neighbor's current component, min'd per node
+            nbr = (sym.join(labels.withColumnRenamed("id", "a"), "a")
+                   .groupBy(F.col("b").alias("id"))
+                   .agg(F.min("comp").alias("nbr_comp")))
+            new_labels = (labels.join(nbr, "id", "left")
+                          .select("id", F.least(
+                              F.col("comp"),
+                              F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                          ).alias("comp"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .count())
+            release_local_checkpoint(labels)  # probe consumed the old pin
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # Same contract as the star variant: an early stop would
+            # return silently WRONG labels (propagation needs diameter
+            # rounds).
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds (graph diameter exceeds it); "
+                f"raise max_iterations or use connected_components_star")
+    except BaseException:
+        release_local_checkpoint(labels)
+        raise
+    return register_for_release(labels)
 
 
 def connected_components_star(
@@ -115,48 +129,63 @@ def connected_components_star(
     = edge-set fixpoint (the paper's criterion), checked with a
     count + one-row exceptAll probe. ``rounds_out``, when given, gets
     the executed round count appended (test/observability hook)."""
+    # Same per-iteration pin discipline as connected_components: the
+    # superseded round's checkpoint is released once its successor and
+    # the fixpoint probe (which reads both) are done; only the final
+    # edge set and the node list (both read by the labeling below and
+    # by the RETURNED plan) are registered for the caller's
+    # release_tracked().
     down = (edges.select(
         F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
         F.least(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(track_local_checkpoint))
+        .localCheckpoint(eager=True))
     nodes = (down.select(F.col("a").alias("id"))
              .union(down.select(F.col("b").alias("id")))
              .distinct()
              .transform(track_local_checkpoint))
 
     rounds, converged = 0, False
-    for _ in range(max_iterations):
-        rounds += 1
-        # LARGE-STAR on the symmetrized neighborhood: every neighbor u>v
-        # links to m = min(N(v) + {v}); strictly-larger targets keep the
-        # edge count bounded (paper Lemma 1) and m <= b < a below.
-        sym = down.union(down.select(F.col("b").alias("a"),
-                                     F.col("a").alias("b")))
-        mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
-                .select("a", F.least("a", "mn").alias("m")))
-        large = (sym.join(mins, "a")
-                 .filter(F.col("b") > F.col("a"))
-                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                 .distinct())
-        # SMALL-STAR on downward edges: all smaller neighbors of v (and
-        # v itself) link to m = min of those neighbors.
-        smins = large.groupBy("a").agg(F.min("b").alias("m"))
-        new_down = (large.join(smins, "a")
-                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                    .union(smins.select("a", F.col("m").alias("b")))
-                    .filter(F.col("a") != F.col("b"))
-                    .distinct()
-                    .transform(track_local_checkpoint))
-        converged = (new_down.count() == down.count()
-                     and new_down.exceptAll(down).limit(1).count() == 0)
-        down = new_down
-        if converged:
-            break
+    try:
+        for _ in range(max_iterations):
+            rounds += 1
+            # LARGE-STAR on the symmetrized neighborhood: every neighbor
+            # u>v links to m = min(N(v) + {v}); strictly-larger targets
+            # keep the edge count bounded (paper Lemma 1) and
+            # m <= b < a below.
+            sym = down.union(down.select(F.col("b").alias("a"),
+                                         F.col("a").alias("b")))
+            mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                    .select("a", F.least("a", "mn").alias("m")))
+            large = (sym.join(mins, "a")
+                     .filter(F.col("b") > F.col("a"))
+                     .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                     .distinct())
+            # SMALL-STAR on downward edges: all smaller neighbors of v
+            # (and v itself) link to m = min of those neighbors.
+            smins = large.groupBy("a").agg(F.min("b").alias("m"))
+            new_down = (large.join(smins, "a")
+                        .select(F.col("b").alias("a"),
+                                F.col("m").alias("b"))
+                        .union(smins.select("a", F.col("m").alias("b")))
+                        .filter(F.col("a") != F.col("b"))
+                        .distinct()
+                        .localCheckpoint(eager=True))
+            converged = (new_down.count() == down.count()
+                         and new_down.exceptAll(down).limit(1).count()
+                         == 0)
+            release_local_checkpoint(down)  # probe consumed the old pin
+            down = new_down
+            if converged:
+                break
+    except BaseException:
+        release_local_checkpoint(down)
+        raise
     if rounds_out is not None:
         rounds_out.append(rounds)
     if not converged:
+        release_local_checkpoint(down)
         # An unconverged edge set is not a star forest — labeling from
         # it would be silently WRONG (dedup_survivors would keep/drop
         # the wrong documents). Refuse instead: rounds needed ~
@@ -165,6 +194,7 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not reach its edge-set "
             f"fixpoint in {max_iterations} rounds; raise max_iterations")
+    register_for_release(down)
     # Fixpoint is a disjoint union of min-centered stars: each non-root
     # points at its component minimum; roots map to themselves.
     per_node = (down.groupBy("a").agg(F.min("b").alias("comp"))
@@ -362,27 +392,41 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: nodes relation is empty (N == 0)")
     base = (1.0 - damping) / n
+    # Superseded rank checkpoints are released per iteration (their
+    # only consumer is the successor's join, materialized by the eager
+    # checkpoint); only the final iteration's pin is registered for the
+    # caller's release_tracked() — same O(1)-storage discipline as
+    # connected_components / train_bpe_from_words (r12 ADVICE).
     ranks = (ids.withColumn("_rank", F.lit(1.0 / n))
-             .transform(track_local_checkpoint))
-    for _ in range(n_iters):
-        contrib = (sym_deg
-                   .join(ranks, F.col("src") == F.col("_pid"))
-                   .select("dst", "src",
-                           (F.col("_rank") / F.col("_deg")).alias("_c")))
-        summed = (contrib.groupBy("dst")
-                  .agg(F.aggregate(
-                      F.array_sort(F.collect_list(
-                          F.struct(F.col("src").alias("s"),
-                                   F.col("_c").alias("c")))),
-                      F.lit(0.0),
-                      lambda acc, v: acc + v["c"]).alias("_s")))
-        ranks = (ids
-                 .join(summed, F.col("_pid") == F.col("dst"), "left")
-                 .select("_pid",
-                         (F.lit(base) + F.lit(damping)
-                          * F.coalesce(F.col("_s"), F.lit(0.0)))
-                         .alias("_rank"))
-                 .transform(track_local_checkpoint))
+             .localCheckpoint(eager=True))
+    try:
+        for _ in range(n_iters):
+            contrib = (sym_deg
+                       .join(ranks, F.col("src") == F.col("_pid"))
+                       .select("dst", "src",
+                               (F.col("_rank") / F.col("_deg"))
+                               .alias("_c")))
+            summed = (contrib.groupBy("dst")
+                      .agg(F.aggregate(
+                          F.array_sort(F.collect_list(
+                              F.struct(F.col("src").alias("s"),
+                                       F.col("_c").alias("c")))),
+                          F.lit(0.0),
+                          lambda acc, v: acc + v["c"]).alias("_s")))
+            new_ranks = (ids
+                         .join(summed, F.col("_pid") == F.col("dst"),
+                               "left")
+                         .select("_pid",
+                                 (F.lit(base) + F.lit(damping)
+                                  * F.coalesce(F.col("_s"), F.lit(0.0)))
+                                 .alias("_rank"))
+                         .localCheckpoint(eager=True))
+            release_local_checkpoint(ranks)
+            ranks = new_ranks
+    except BaseException:
+        release_local_checkpoint(ranks)
+        raise
+    register_for_release(ranks)
     # floor-based micro-quantization instead of round(): Spark rounds
     # via exact BigDecimal HALF_UP while other engines round after a
     # float multiply, so a rank landing exactly on a .5e-6 boundary

@@ -208,6 +208,23 @@ def test_incremental_train_deep_trajectory(spark):
     assert got == ref_merges
 
 
+def test_from_words_tolerates_empty_symbol_arrays(spark):
+    """r13 regression (r12 ADVICE): train_bpe_from_words exposes the
+    (word, freq, syms) relation as a caller seam, and an empty syms
+    array used to hand slice() the negative length size-1 — a runtime
+    raise inside has_adjacent_pair/_signed_pairs/adjacent_pair_counts.
+    Empty rows must instead contribute nothing, leaving the trajectory
+    identical to the same corpus without them."""
+    rows = [("ab", 3, ["a", "b"]), ("abc", 2, ["a", "b", "c"]),
+            ("", 1, []), ("x", 1, ["x"])]
+    base = spark.createDataFrame(rows, ["word", "freq", "syms"])
+    got = bpe.train_bpe_from_words(base, 4)
+    clean = spark.createDataFrame(
+        [r for r in rows if r[2]], ["word", "freq", "syms"])
+    assert got == bpe.train_bpe_from_words(clean, 4)
+    assert [m["merged"] for m in got] == ["ab", "abc"]
+
+
 def test_encode_chunked_and_arrow_match_declarative(spark):
     """encode_words_chunked (fold batches + checkpoint) and
     encode_words_arrow (rank-order greedy kernel) are bit-identical to

@@ -49,6 +49,61 @@ def test_local_checkpoints_are_releasable(spark):
     assert release_local_checkpoint(spark.range(3)) is False
 
 
+def test_tracked_persist_with_rdd_root_takes_cachemanager_path(spark):
+    """r13 regression (r12 ADVICE): a track()-persisted DataFrame whose
+    analyzed root is a LogicalRDD (built straight from createDataFrame,
+    no transformation) must be released through DataFrame.unpersist()
+    — the untagged registry routed it through the checkpoint RDD
+    release, which returned True on the (unpersisted) source RDD and
+    silently leaked the CacheManager entry."""
+    from dump1090_db_stream_spark.cache import track
+
+    release_tracked()
+    df = track(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    assert df.count() == 2
+    assert df.storageLevel.useMemory
+    assert release_tracked() >= 1
+    lvl = df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_iterative_loops_release_superseded_checkpoints_eagerly(spark):
+    """r13 regression (r12 ADVICE): the iterative loops (connected
+    components, pagerank) must release each superseded iteration's
+    localCheckpoint once its successor is materialized — with the
+    strong-ref registry pinning every round, peak executor storage grew
+    O(iterations) per call. A chain graph forces min-label propagation
+    through ~diameter rounds; afterwards only O(1) pins (the final
+    checkpoint + the tracked edge persist) may remain until the
+    caller's release_tracked()."""
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        pagerank,
+    )
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"])
+    connected_components(chain).count()
+    assert jsc.getPersistentRDDs().size() <= base + 2  # sym + final pin
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
+
+    connected_components_star(chain).count()
+    assert jsc.getPersistentRDDs().size() <= base + 2  # nodes + final
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
+
+    nodes = spark.range(12).selectExpr("id")
+    pagerank(nodes, chain, n_iters=6).count()
+    assert jsc.getPersistentRDDs().size() <= base + 2  # sym_deg + final
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_iterative_operators_leave_no_storage_residue(spark):
     """connected-components (both algorithms) and the incremental BPE
     trainer must leave ZERO persistent RDDs after the caller's
