@@ -9190,20 +9190,23 @@ def q_score_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE vocabulary training (operators.bpe.train_bpe —
-    Sennrich et al. 2016): 12 merges learned over the documents corpus
-    through the unicode-word tokenizer seam. The corpus collapses ONCE
-    into the word-type relation; each merge is one vocabulary-sized
-    aggregation plus a ONE-ROW argmax collect (the bounded-collect
-    pattern), and merge application is a pure fold projection. The
-    oracle re-derives every merge itself — 12 unrolled MATERIALIZED
-    stages ending in the same (cnt DESC, lhs, rhs) argmax — so
-    hash-equality proves the full training trajectory, not just the
-    final table."""
-    from dump1090_db_stream_spark.operators.bpe import merges_df, train_bpe
+    """Distributed BPE vocabulary training (Sennrich et al. 2016):
+    12 merges learned over the documents corpus through the
+    unicode-word tokenizer seam, via operators.bpe.
+    train_bpe_incremental (r12 verdict ask: the pair-delta trainer is
+    bit-identical to the classic train_bpe — pinned by
+    tests/test_bpe.py::test_incremental_train_matches_classic_and_reference
+    — at a fraction of the cost, so the classic path stays a test-only
+    equivalence anchor). The corpus collapses ONCE into the word-type
+    relation; each merge re-counts only the words containing the
+    just-merged pair plus a ONE-ROW argmax collect (the
+    bounded-collect pattern). The oracle re-derives every merge
+    itself — 12 unrolled MATERIALIZED stages ending in the same
+    (cnt DESC, lhs, rhs) argmax — so hash-equality proves the full
+    training trajectory, not just the final table."""
+    from dump1090_db_stream_spark.operators.bpe import merges_df
 
-    docs = load_table(spark, sf_dir, "documents")
-    return merges_df(spark, train_bpe(docs, 12))
+    return merges_df(spark, _trained_merges_k(spark, sf_dir, 12))
 
 
 #: trained-merge memo per (sf_dir, n_merges): training is deterministic
@@ -9422,11 +9425,13 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge list is literals, so the encode is one WholeStageCodegen fold
     chain — the shape of the 100 TB corpus encode pass), and aggregate
     per-symbol corpus-weighted occurrences and word-type counts. The
-    oracle replays training AND encoding from scratch."""
-    from dump1090_db_stream_spark.operators.bpe import bpe_vocab, train_bpe
+    oracle replays training AND encoding from scratch. Training rides
+    the memoized incremental trainer (r12 verdict ask #3; identity to
+    the classic trainer is test-pinned)."""
+    from dump1090_db_stream_spark.operators.bpe import bpe_vocab
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_vocab(docs, train_bpe(docs, 12))
+    return bpe_vocab(docs, _trained_merges_k(spark, sf_dir, 12))
 
 
 def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9436,14 +9441,12 @@ def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — at web scale neither side broadcasts and neither needs
     to), yielding words / subword tokens / character mass per source —
     the tokens-per-word diagnostic a tokenizer-training pipeline
-    reports. Oracle replays the composition end to end."""
-    from dump1090_db_stream_spark.operators.bpe import (
-        encoded_stats,
-        train_bpe,
-    )
+    reports. Oracle replays the composition end to end. Training rides
+    the memoized incremental trainer (r12 verdict ask #3)."""
+    from dump1090_db_stream_spark.operators.bpe import encoded_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return encoded_stats(docs, train_bpe(docs, 12))
+    return encoded_stats(docs, _trained_merges_k(spark, sf_dir, 12))
 
 
 def q_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
