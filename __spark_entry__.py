@@ -3308,86 +3308,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r12 window 1-2 (tier 2, NEW): BPE at realistic
-        #    merge depth — the incremental pair-delta trainer
-        #    and the chunked encode, both oracled at K=64
+        # -- r13 window 1-2 (tier 2, NEW): the capstone's JSONL
+        #    training-shard export with its disk-measured manifest
+        #    oracled byte-for-byte, and the driver-local
+        #    production-K BPE trainer against the same 64-stage
+        #    trajectory replay
+        "capstone_export": q_capstone_export,
+        "bpe_merges_k64_local": q_bpe_merges_k64_local,
+        # -- r13 window 3-19 (tier 3, CHANGED since their last
+        #    driver green): the K=12 BPE contracts now train via
+        #    the incremental trainer; bpe.py gained the empty-syms
+        #    slice clamps (K=64 pair); the four snapshot-drift
+        #    oracles gained the NULL-ts symmetry filter; every
+        #    graph.py consumer re-queues for the per-iteration
+        #    checkpoint-release change (capstone included — its
+        #    stages refactored into _capstone_stages)
+        "pipeline_capstone": q_pipeline_capstone,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encoded_stats": q_bpe_encoded_stats,
         "bpe_merges_k64": q_bpe_merges_k64,
         "bpe_vocab_k64": q_bpe_vocab_k64,
-        #    ... and the end-to-end pipeline capstone (stretch ask
-        #    #8): hygiene -> exact dedup -> near-dup survivor ->
-        #    decontamination -> leakage-safe split -> temperature
-        #    mixture -> packing, ONE composed oracled contract
-        "pipeline_capstone": q_pipeline_capstone,
-        #    ... and the r12 drift-family completion: exact
-        #    Mann-Whitney rank-sum (location drift, grouped
-        #    prefix-sum ranks) and Pearson chi-square (categorical
-        #    mix drift, Wilson-Hilferty deviate) between snapshots,
-        #    plus the sequence-packing utilization audit
         "ranksum_snapshot_drift": q_ranksum_snapshot_drift,
         "chisq_snapshot_drift": q_chisq_snapshot_drift,
-        "packing_efficiency": q_packing_efficiency,
-        # -- r12 window 3-4 (tier 3, CHANGED since their r11
-        #    green): bootstrap ranks now filter NULL replicate
-        #    means in both engines; w1 routes through the
-        #    newly-guarded distributed_next
-        "bootstrap_mean_chars": q_bootstrap_mean_chars,
+        "ks_snapshot_drift": q_ks_snapshot_drift,
         "w1_snapshot_drift": q_w1_snapshot_drift,
-        # -- r12 window 5-22 (tier 1 rotation): the 18 queries
-        #    whose last driver row is r7 — the stalest hard
-        #    signal (the r11 verdict's ask #3), stalest first
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_clusters_star": q_neardup_clusters_star,
+        "neardup_survivors": q_neardup_survivors,
         "quality_survivors": q_quality_survivors,
-        "quartile_stratified_sample": q_quartile_stratified_sample,
-        "dau_wau_stickiness": q_dau_wau_stickiness,
-        "embedding_pq_topk": q_embedding_pq_topk,
-        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
-        "local_supplier_volume": q_local_supplier_volume,
-        "forecast_revenue": q_forecast_revenue,
-        "duplicate_text_spans": q_duplicate_text_spans,
-        "stripped_duplicate_spans": q_stripped_duplicate_spans,
-        "shipping_priority": q_shipping_priority,
-        "returned_item_losses": q_returned_item_losses,
-        "customer_distribution": q_customer_distribution,
-        "event_correlations": q_event_correlations,
-        "weekly_growth": q_weekly_growth,
-        "session_funnel": q_session_funnel,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "large_order_customers": q_large_order_customers,
-        "idle_rich_customers": q_idle_rich_customers,
-        # -- r12 window 23-50 (tier 1 rotation): the head of
-        #    the r8-verified greens, in recorded staleness order
-        "multimodal_features": q_multimodal_features,
-        "survival_curve": q_survival_curve,
+        "entity_resolution": q_entity_resolution,
         "pagerank_neardups": q_pagerank_neardups,
         "pagerank_docs": q_pagerank_docs,
-        "c4_line_stats": q_c4_line_stats,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "trade_volume_pairs": q_trade_volume_pairs,
-        "capped_user_events": q_capped_user_events,
-        "token_budget_sample": q_token_budget_sample,
-        "sampled_event_counts": q_sampled_event_counts,
-        "logprob_percentile_filter": q_logprob_percentile_filter,
-        "sessionized_events": q_sessionized_events,
-        "top_journey_paths": q_top_journey_paths,
-        "table_profile": q_table_profile,
-        "close_encounters": q_close_encounters,
-        "stateful_sessions": q_stateful_sessions,
-        "json_extract": q_json_extract,
-        "sales_rollup": q_sales_rollup,
-        "cube_order_stats": q_cube_order_stats,
-        "window_running_stats": q_window_running_stats,
-        "customers_without_orders": q_customers_without_orders,
-        "segment_order_activity": q_segment_order_activity,
-        "customer_order_counts": q_customer_order_counts,
-        "streaming_window_counts": q_streaming_window_counts,
+        # -- r13 window 20 (streaming cadence, COVERAGE.md policy:
+        #    batch-replay oracles of streaming paths never exceed
+        #    2 rounds' driver staleness; aircraft_json_parse is
+        #    r10)
+        "aircraft_json_parse": q_aircraft_json_parse,
+        # -- r13 window 21-42 (tier 1 rotation): ALL 22 queries
+        #    whose last driver row is r8 — the stalest hard
+        #    signal (the r12 verdict's ask #2), stalest first
         "set_ops_segments": q_set_ops_segments,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
-        # -- positions 51+ (tier 4 tail, r13 rotation queue):
-        #    the remaining r8 greens, then the r9 greens, then
-        #    the r10 greens, then the r11-window greens
-        #    (freshest last) — scripts/check_correctness.py
-        #    still covers every one locally each round
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_docs": q_exact_dup_docs,
         "embedding_topk": q_embedding_topk,
@@ -3406,6 +3370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_extremes": q_event_type_extremes,
         "value_histograms": q_value_histograms,
         "disjunctive_revenue": q_disjunctive_revenue,
+        # -- r13 window 43-50 (tier 1 fill): the head of the
+        #    r9-verified greens, in recorded staleness order
         "retrieval_metrics": q_retrieval_metrics,
         "dsir_calibration": q_dsir_calibration,
         "late_sole_suppliers": q_late_sole_suppliers,
@@ -3414,6 +3380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_by_type": q_weekly_active_by_type,
         "winsorized_values": q_winsorized_values,
         "market_share": q_market_share,
+        # -- positions 51+ (tier 4 tail, r14 rotation queue):
+        #    the remaining r9 greens, then the r10 greens, then
+        #    the r11 greens, then the r12-window greens
+        #    (freshest last) — scripts/check_correctness.py
+        #    still covers every one locally each round
         "event_transitions_k2": q_event_transitions_k2,
         "scd2_point_lookup": q_scd2_point_lookup,
         "track_lines_wkb": q_track_lines_wkb,
@@ -3446,7 +3417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_expectations": q_data_expectations,
         "concurrent_sessions": q_concurrent_sessions,
         "fuzzy_name_matches": q_fuzzy_name_matches,
-        "entity_resolution": q_entity_resolution,
         "callsign_sessions": q_callsign_sessions,
         "locations_projection": q_locations_projection,
         "flights_band_join": q_flights_band_join,
@@ -3459,7 +3429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equality_filter": q_equality_filter,
         "time_range_between": q_time_range_between,
         "dedup_by_key": q_dedup_by_key,
-        "aircraft_json_parse": q_aircraft_json_parse,
         "track_lines_wkt": q_track_lines_wkt,
         "points_in_radius": q_points_in_radius,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -3472,8 +3441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_approx": q_table_profile_approx,
         "event_portable_distinct": q_event_portable_distinct,
         "daily_portable_rollup": q_daily_portable_rollup,
-        "neardup_clusters_star": q_neardup_clusters_star,
-        "neardup_survivors": q_neardup_survivors,
         "doc_entropy": q_doc_entropy,
         "embedding_decontamination": q_embedding_decontamination,
         "boilerplate_shingles": q_boilerplate_shingles,
@@ -3486,7 +3453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "benchmark_decontamination": q_benchmark_decontamination,
-        "neardup_clusters": q_neardup_clusters,
         "pricing_summary": q_pricing_summary,
         "weighted_sample": q_weighted_sample,
         "uniform_sample": q_uniform_sample,
@@ -3497,14 +3463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "word_token_stats": q_word_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encoded_stats": q_bpe_encoded_stats,
         "kfold_docs": q_kfold_docs,
         "leakage_safe_split": q_leakage_safe_split,
         "zorder_keys": q_zorder_keys,
         "ks_drift_by_type": q_ks_drift_by_type,
-        "ks_snapshot_drift": q_ks_snapshot_drift,
         "keyness_by_source": q_keyness_by_source,
         "chars_tokens_correlation": q_chars_tokens_correlation,
         "exact_value_quantiles": q_exact_value_quantiles,
@@ -3543,6 +3505,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_drift": q_event_drift,
         "embedding_standardized": q_embedding_standardized,
         "line_dedup_docs": q_line_dedup_docs,
+        "packing_efficiency": q_packing_efficiency,
+        "bootstrap_mean_chars": q_bootstrap_mean_chars,
+        "quartile_stratified_sample": q_quartile_stratified_sample,
+        "dau_wau_stickiness": q_dau_wau_stickiness,
+        "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "duplicate_text_spans": q_duplicate_text_spans,
+        "stripped_duplicate_spans": q_stripped_duplicate_spans,
+        "shipping_priority": q_shipping_priority,
+        "returned_item_losses": q_returned_item_losses,
+        "customer_distribution": q_customer_distribution,
+        "event_correlations": q_event_correlations,
+        "weekly_growth": q_weekly_growth,
+        "session_funnel": q_session_funnel,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "large_order_customers": q_large_order_customers,
+        "idle_rich_customers": q_idle_rich_customers,
+        "multimodal_features": q_multimodal_features,
+        "survival_curve": q_survival_curve,
+        "c4_line_stats": q_c4_line_stats,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "trade_volume_pairs": q_trade_volume_pairs,
+        "capped_user_events": q_capped_user_events,
+        "token_budget_sample": q_token_budget_sample,
+        "sampled_event_counts": q_sampled_event_counts,
+        "logprob_percentile_filter": q_logprob_percentile_filter,
+        "sessionized_events": q_sessionized_events,
+        "top_journey_paths": q_top_journey_paths,
+        "table_profile": q_table_profile,
+        "close_encounters": q_close_encounters,
+        "stateful_sessions": q_stateful_sessions,
+        "json_extract": q_json_extract,
+        "sales_rollup": q_sales_rollup,
+        "cube_order_stats": q_cube_order_stats,
+        "window_running_stats": q_window_running_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "segment_order_activity": q_segment_order_activity,
+        "customer_order_counts": q_customer_order_counts,
+        "streaming_window_counts": q_streaming_window_counts,
     }
 
 
@@ -7597,6 +7600,10 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     _bpe_prefix64 = _bpe.replay_prefix_sql(64)
     oracles["bpe_merges_k64"] = (
         _bpe_prefix64 + "\n" + _bpe.merges_select_sql(64))
+    # The driver-local production-K trainer must reproduce the SAME
+    # 64-stage trajectory — identical oracle, so a hash match proves
+    # local == distributed == DuckDB replay on the contract corpus.
+    oracles["bpe_merges_k64_local"] = oracles["bpe_merges_k64"]
     oracles["bpe_vocab_k64"] = _bpe_prefix64 + """
         SELECT sym, SUM(freq)::BIGINT AS n_occurrences,
                COUNT(DISTINCT word)::BIGINT AS n_word_types
@@ -7788,7 +7795,7 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
     _caps_pack = _packing.pack_sequences_sql(
         token_budget=2048, n_buckets=16, n_tokens_expr="n_chars",
         table="mixed")
-    oracles["pipeline_capstone"] = f"""
+    _caps_common = f"""
         WITH gop AS ({oracles['gopher_quality']}),
         canonrel AS ({oracles['neardup_clusters']}),
         contam AS (
@@ -7844,8 +7851,9 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
             WHERE ({_caps_mix_hash}) % 10000
                   < CAST(round(keep_rate * 10000) AS BIGINT)
         ),
-        packed AS ({_caps_pack}),
-        pool AS (
+        packed AS ({_caps_pack})"""
+    oracles["pipeline_capstone"] = _caps_common + """
+        , pool AS (
             SELECT doc_id, source, n_chars, split,
                    CAST(NULL AS INT) AS bucket,
                    CAST(NULL AS BIGINT) AS bin
@@ -7863,6 +7871,34 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                           || CAST(bin AS VARCHAR) END)
                    AS n_sequences
         FROM pool GROUP BY split
+    """
+    # Export stage (r12 stretch ask #8): same seven recomposed stages,
+    # then the exact serialized line bytes — Spark's compact to_json
+    # over (doc_id, source, n_chars, split, bucket, bin) replayed as a
+    # concat (integer/identifier columns only: no escaping or float
+    # formatting can diverge), shard = pmod(portable_hash(doc_id), 4)
+    # exactly as write_jsonl_shards routes, +1 byte per row for the
+    # newline the text sink appends. A hash match against the
+    # disk-measured manifest proves every byte written.
+    _caps_ph = _sampling.portable_hash_sql("doc_id")
+    oracles["capstone_export"] = _caps_common + f"""
+        , exp AS (
+            SELECT m.doc_id, m.source, m.n_chars, m.split,
+                   p.bucket, p.bin
+            FROM mixed m JOIN packed p ON p.doc_id = m.doc_id
+        ), lines AS (
+            SELECT ({_caps_ph}) % 4 AS shard,
+                   '{{"doc_id":' || CAST(doc_id AS VARCHAR)
+                   || ',"source":"' || source
+                   || '","n_chars":' || CAST(n_chars AS VARCHAR)
+                   || ',"split":"' || split
+                   || '","bucket":' || CAST(bucket AS VARCHAR)
+                   || ',"bin":' || CAST(bin AS VARCHAR) || '}}' AS line
+            FROM exp
+        )
+        SELECT shard, count(*) AS n_records,
+               CAST(sum(strlen(line) + 1) AS BIGINT) AS n_bytes
+        FROM lines GROUP BY shard
     """
     oracles["bpe_vocab"] = _bpe_prefix + """
         SELECT sym, SUM(freq)::BIGINT AS n_occurrences,
@@ -9248,6 +9284,26 @@ def q_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, _trained_merges_k(spark, sf_dir, 64))
 
 
+def q_bpe_merges_k64_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-K trainer (operators.bpe.train_bpe_local, r12
+    verdict ask #4): one distributed word-type count, collected
+    (vocabulary-bounded by construction), then classic fast BPE in
+    driver Python — inverted pair->words index + lazy-invalidation
+    heap — with the distributed encode passes unchanged. 32k merges
+    over a 200k-type vocabulary train in ~33 s where the distributed
+    loop's per-round scheduling floor alone would take hours
+    (SCALE.md r13). Same 64-stage unrolled DuckDB oracle as
+    bpe_merges_k64: hash-equality here proves the LOCAL trainer's full
+    trajectory is bit-identical to both engines' replays."""
+    from dump1090_db_stream_spark.operators.bpe import (
+        merges_df,
+        train_bpe_local,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_df(spark, train_bpe_local(docs, 64))
+
+
 def q_bpe_vocab_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 64-merge vocabulary through the CHUNKED encode path
     (operators.bpe.encode_words_chunked — the r11 ask's encode half):
@@ -9296,6 +9352,33 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections off broadcast rate relations, packing one bounded
     window); the only additions are equi-joins on doc_id.
     """
+    split, mixed, packed = _capstone_stages(spark, sf_dir)
+    pool = (split.filter(F.col("split") != "train")
+            .select("doc_id", "source", "n_chars", "split",
+                    F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("long").alias("bin"))
+            .unionByName(mixed.join(packed, "doc_id")
+                         .select("doc_id", "source", "n_chars", "split",
+                                 "bucket", "bin")))
+    seq_key = F.when(
+        F.col("split") == "train",
+        F.concat_ws(":", F.col("bucket").cast("string"),
+                    F.col("bin").cast("string")))
+    return (pool.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars_total"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct(seq_key).alias("n_sequences"))
+            .select("split", "n_docs", "n_chars_total", "n_sources",
+                    "n_sequences"))
+
+
+def _capstone_stages(spark: SparkSession, sf_dir: str):
+    """Stages 1-7 of the pipeline capstone (see q_pipeline_capstone's
+    docstring), shared with q_capstone_export: returns the
+    (split, mixed, packed) relations — the full split assignment, the
+    temperature-mixed train docs, and their packed (bucket, bin)
+    layout."""
     from pyspark.sql import Window
 
     from dump1090_db_stream_spark.operators.dedup import (
@@ -9346,24 +9429,45 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(mixed, token_budget=2048, n_buckets=16,
                             n_tokens_col="n_chars").select(
         "doc_id", "bucket", "bin")
-    pool = (split.filter(F.col("split") != "train")
-            .select("doc_id", "source", "n_chars", "split",
-                    F.lit(None).cast("int").alias("bucket"),
-                    F.lit(None).cast("long").alias("bin"))
-            .unionByName(mixed.join(packed, "doc_id")
-                         .select("doc_id", "source", "n_chars", "split",
-                                 "bucket", "bin")))
-    seq_key = F.when(
-        F.col("split") == "train",
-        F.concat_ws(":", F.col("bucket").cast("string"),
-                    F.col("bin").cast("string")))
-    return (pool.groupBy("split")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("n_chars_total"),
-                 F.countDistinct("source").alias("n_sources"),
-                 F.countDistinct(seq_key).alias("n_sequences"))
-            .select("split", "n_docs", "n_chars_total", "n_sources",
-                    "n_sequences"))
+    return split, mixed, packed
+
+
+def q_capstone_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's EXPORT stage (r12 verdict stretch ask #8): the
+    packed train docs leave the engine as newline-delimited JSON
+    training shards (sinks.writers.write_jsonl_shards — byte-
+    deterministic: shard membership by the portable hash, within-shard
+    total order, one Hive-style ``_s=<shard>/`` directory per shard)
+    and the returned relation is the SHARD MANIFEST a training job
+    consumes — (shard, n_records, n_bytes) measured from the ACTUAL
+    bytes on disk (``jsonl_shard_manifest``), never from the frame
+    that produced them. The oracle recomposes all seven pipeline
+    stages AND the serialized line bytes (Spark's compact to_json ==
+    the concat replay on these integer/identifier columns), so a hash
+    match proves raw corpus -> training files end to end: row flow,
+    shard routing, and every byte written. Bounded by construction:
+    the manifest is one row per shard."""
+    import shutil
+    import tempfile
+
+    from dump1090_db_stream_spark.sinks.writers import (
+        jsonl_shard_manifest,
+        write_jsonl_shards,
+    )
+
+    _, mixed, packed = _capstone_stages(spark, sf_dir)
+    exp = (mixed.join(packed, "doc_id")
+           .select("doc_id", "source", "n_chars", "split",
+                   "bucket", "bin"))
+    out_dir = tempfile.mkdtemp(prefix="capstone_export_")
+    try:
+        write_jsonl_shards(exp, out_dir, shard_by="doc_id", n_shards=4,
+                           partition_dirs=True)
+        manifest = jsonl_shard_manifest(out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        manifest, "shard long, n_records long, n_bytes long")
 
 
 def q_ranksum_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

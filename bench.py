@@ -185,6 +185,14 @@ EXTENDED = [
     "ranksum_snapshot_drift",
     "chisq_snapshot_drift",
     "packing_efficiency",
+    # r13 addition: the capstone's JSONL training-shard export —
+    # measures the seven recomposed stages PLUS the byte-deterministic
+    # shard write and the disk-level manifest audit (real I/O, by
+    # design: this is the export path's cost). bpe_merges_k64_local is
+    # deliberately NOT here — its cost is one word-type collect plus
+    # driver-side training, measured by bench_bpe_scaling's
+    # local_k1024 arm.
+    "capstone_export",
 ]
 
 
@@ -535,12 +543,32 @@ def bench_bpe_scaling(spark, n_words: int = 3000) -> dict:
     sec64, n64 = timed(64)
     per16 = sec16 / max(n16, 1)
     per64 = sec64 / max(n64, 1)
+    # production-K arm (r12 verdict ask #4): collect the vocabulary-
+    # bounded word table once and run classic fast BPE driver-locally
+    # (train_bpe_local_from_words) at K=1024 — the capability-range
+    # path whose distributed equivalent would be 1024 scheduling
+    # round-trips. Records collect + train seconds so a regression in
+    # either half of the escape hatch is visible round-over-round.
+    from dump1090_db_stream_spark.operators.bpe import (
+        train_bpe_local_from_words,
+    )
+
+    t0 = time.perf_counter()
+    rows = [(r["freq"], r["syms"])
+            for r in words.select("freq", "syms").collect()]
+    collect_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    local_merges = train_bpe_local_from_words(rows, 1024)
+    local_sec = round(time.perf_counter() - t0, 3)
     return {"n_words": n_words,
             "k16_sec": sec16, "k64_sec": sec64,
             "k16_merges": n16, "k64_merges": n64,
             "sec_per_merge_k16": round(per16, 4),
             "sec_per_merge_k64": round(per64, 4),
-            "flatness_k64_over_k16": round(per64 / max(per16, 1e-9), 3)}
+            "flatness_k64_over_k16": round(per64 / max(per16, 1e-9), 3),
+            "local_collect_sec": collect_sec,
+            "local_k1024_sec": local_sec,
+            "local_k1024_merges": len(local_merges)}
 
 
 def bench_fuzzy_candidates(spark, sf_dir: str) -> dict:

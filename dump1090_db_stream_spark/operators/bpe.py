@@ -438,6 +438,118 @@ def encode_words_arrow(words: DataFrame, merges: Sequence[dict],
     return words.mapInPandas(_encode, out_schema)
 
 
+def train_bpe_local(df: DataFrame, n_merges: int, text_col: str = "text",
+                    tokenizer="word", min_freq: int = 1) -> list[dict]:
+    """Production-K trainer (r12 verdict ask #4): ONE distributed
+    word-type count, then classic fast BPE driver-locally over the
+    collected table, leaving the distributed encode passes
+    (:func:`encode_words_chunked` / :func:`encode_words_arrow`)
+    unchanged.
+
+    Why this is the right 100 TB shape for K in the tens of thousands:
+    the corpus collapses once into the vocabulary-bounded ``(word,
+    freq, syms)`` relation (tens of millions of rows even at web
+    scale — hundreds of MB, the standard escape every production
+    tokenizer training takes), and the K-round SEQUENTIAL dependency
+    then runs where sequential work is cheap: in-process, with an
+    inverted pair->words index and a lazy-invalidation heap, so each
+    merge costs O(words containing the pair), not a distributed
+    job-scheduling round trip. 32k merges take minutes where the
+    distributed loop's per-round ~0.5-1 s scheduling floor alone would
+    take hours (BASELINE.md r12 addendum; capability-range gap this
+    closes). Bit-identical to :func:`train_bpe_incremental` /
+    :func:`train_bpe` — same overlap-counting pair statistics, same
+    (count DESC, lhs, rhs) argmax (Python codepoint order == UTF-8
+    byte order, both engines' collation), same greedy non-overlapping
+    merge — pinned by tests/test_bpe.py at K=64 on the contract
+    corpus. ``min_freq`` bounds the collected table exactly like
+    :func:`word_freqs` documents."""
+    base = with_symbols(word_freqs(df, text_col, tokenizer, min_freq))
+    rows = base.select("freq", "syms").collect()  # vocabulary-bounded
+    return train_bpe_local_from_words(
+        ((r["freq"], r["syms"]) for r in rows), n_merges)
+
+
+def train_bpe_local_from_words(word_list, n_merges: int) -> list[dict]:
+    """:func:`train_bpe_local`'s in-process training loop over
+    ``(freq, syms)`` pairs — the seam mirror of
+    :func:`train_bpe_from_words` for callers that own the word-type
+    table. Maintains exact integer pair counts, an inverted
+    pair->word-ids index, and a lazy-invalidation heap for the argmax
+    (stale entries are discarded when their count no longer matches);
+    per merge, only the words CONTAINING the winning pair are
+    re-scanned — the same pair-delta discipline as the distributed
+    trainer, so the trajectories are identical by construction."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    freqs: list[int] = []
+    symtab: list[list[str]] = []
+    for freq, syms in word_list:
+        if syms:
+            freqs.append(int(freq))
+            symtab.append(list(syms))
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(symtab):
+        f = freqs[i]
+        for p in zip(syms, syms[1:]):
+            counts[p] += f          # overlaps count (get_stats)
+            where[p].add(i)
+    heap = [(-c, l, r) for (l, r), c in counts.items() if c > 0]
+    heapq.heapify(heap)
+
+    merges: list[dict] = []
+    for k in range(n_merges):
+        win = None
+        while heap:
+            negc, l, r = heap[0]
+            if counts.get((l, r), 0) == -negc:
+                win = (l, r, -negc)   # fresh entry: the true argmax
+                break
+            heapq.heappop(heap)       # stale — count moved on
+        if win is None:
+            break                     # no adjacent pair remains
+        l, r, cnt = win
+        heapq.heappop(heap)
+        merges.append({"merge_rank": k, "lhs": l, "rhs": r,
+                       "merged": l + r, "pair_count": int(cnt)})
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(where.get((l, r), ())):
+            syms, f = symtab[i], freqs[i]
+            out, j, n = [], 0, len(syms)
+            while j < n:              # greedy left-to-right scan ==
+                if (j + 1 < n         # merge_fold (module docstring)
+                        and syms[j] == l and syms[j + 1] == r):
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            symtab[i] = out
+            delta = Counter(zip(out, out[1:]))
+            delta.subtract(Counter(zip(syms, syms[1:])))
+            for p, dc in delta.items():
+                if dc == 0:
+                    continue
+                counts[p] += dc * f
+                touched.add(p)
+                if dc > 0:
+                    where[p].add(i)
+            for p in set(zip(syms, syms[1:])) - set(zip(out, out[1:])):
+                s = where.get(p)
+                if s is not None:
+                    s.discard(i)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                counts.pop(p, None)
+                where.pop(p, None)
+    return merges
+
+
 def merges_df(spark, merges: Sequence[dict]) -> DataFrame:
     """The merge table as a DataFrame (driver-resident by construction:
     each row is the result of one bounded argmax collect)."""

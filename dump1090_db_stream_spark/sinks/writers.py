@@ -218,6 +218,7 @@ def write_jsonl_shards(
     n_shards: int = 8,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    partition_dirs: bool = False,
 ) -> None:
     """Training-export sink: newline-delimited JSON shards — the
     interchange format LLM data pipelines feed to tokenizer/training
@@ -234,20 +235,61 @@ def write_jsonl_shards(
     (hash, line text): a TOTAL order, so duplicate keys cannot
     reorder between runs (identical rows produce identical lines —
     interchangeable bytes). ``max_records_per_file`` additionally caps
-    rows per file, bounding downstream memory."""
+    rows per file, bounding downstream memory.
+
+    ``partition_dirs=True`` writes one ``_s=<shard>/`` DIRECTORY per
+    shard (Hive-style partitionBy on the shard id) instead of loose
+    part files — the layout whose per-shard record counts and byte
+    totals a downstream manifest (and the capstone_export oracle) can
+    audit without parsing filenames. Every shard id lives in exactly
+    one task partition (hash-repartition on ``_s``), so each directory
+    holds one deterministic, value-sorted file."""
     from dump1090_db_stream_spark.operators.sampling import portable_hash
 
     lines = df.select(
         F.pmod(portable_hash(shard_by), F.lit(n_shards)).alias("_s"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
     )
-    writer = (lines.repartition(n_shards, F.col("_s"))
-              .sortWithinPartitions("_s", "value")
-              .select("value")
-              .write.mode(mode))
+    shaped = (lines.repartition(n_shards, F.col("_s"))
+              .sortWithinPartitions("_s", "value"))
+    if partition_dirs:
+        writer = shaped.write.mode(mode).partitionBy("_s")
+    else:
+        writer = shaped.select("value").write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.text(path)
+
+
+def jsonl_shard_manifest(path: str) -> list[tuple[int, int, int]]:
+    """Audit a ``write_jsonl_shards(..., partition_dirs=True)`` layout:
+    ``(shard, n_records, n_bytes)`` per ``_s=<shard>/`` directory,
+    sorted by shard — the training-shard manifest a downstream
+    tokenizer/training job consumes (which files exist, how many
+    records each, how many bytes to stream). Counts come from the
+    actual bytes on disk (newline count / file size over the part
+    files), NOT from the DataFrame that produced them — so comparing
+    the manifest against a recomputation of the expected lines (the
+    capstone_export oracle) proves the writer emitted exactly the
+    predicted bytes. Bounded by construction: one row per shard."""
+    import os
+
+    out: list[tuple[int, int, int]] = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("_s="):
+            continue
+        shard = int(d.split("=", 1)[1])
+        n_records = n_bytes = 0
+        sub = os.path.join(path, d)
+        for f in os.listdir(sub):
+            if not f.startswith("part-") or f.endswith(".crc"):
+                continue
+            fp = os.path.join(sub, f)
+            n_bytes += os.path.getsize(fp)
+            with open(fp, "rb") as fh:
+                n_records += fh.read().count(b"\n")
+        out.append((shard, n_records, n_bytes))
+    return out
 
 
 # --- PostgreSQL-dialect idempotent upsert sink --------------------------

@@ -208,6 +208,32 @@ def test_incremental_train_deep_trajectory(spark):
     assert got == ref_merges
 
 
+def test_local_trainer_matches_reference_and_distributed(spark, sf_dir):
+    """r13 (r12 verdict ask #4): train_bpe_local — one distributed
+    word-type count, classic fast BPE in driver Python — is
+    bit-identical to the pure-Python reference at K=40 on synthetic
+    text AND to the distributed incremental trainer at K=64 on the
+    contract corpus (the production-K capability path: the K-round
+    sequential dependency runs in-process where it is cheap; counting
+    and encoding stay distributed)."""
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "sphinx of black quartz judge my vow",
+             "how vexingly quick daft zebras jump"] * 3
+    ref_merges, _ = ref_train(texts, 40)
+    assert bpe.train_bpe_local(_docs(spark, texts), 40) == ref_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dist = bpe.train_bpe_incremental(docs, 64)
+    local = bpe.train_bpe_local(docs, 64)
+    assert local == dist
+    # empty-syms tolerance + early stop through the local seam too
+    assert bpe.train_bpe_local_from_words(
+        [(3, ["a", "b"]), (1, [])], 5) == [
+        {"merge_rank": 0, "lhs": "a", "rhs": "b", "merged": "ab",
+         "pair_count": 3}]
+
+
 def test_from_words_tolerates_empty_symbol_arrays(spark):
     """r13 regression (r12 ADVICE): train_bpe_from_words exposes the
     (word, freq, syms) relation as a caller seam, and an empty syms

@@ -53,50 +53,63 @@ def test_hll_estimates_land_inside_documented_bands(spark, sf_dir):
                 assert r[c] is True, (name, c, r)
 
 
-def test_r12_window_composition():
-    """Pins the round-12 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): tier 2 — the two new K=64 BPE contracts
-    (incremental trainer + chunked encode); tier 3 — the two queries
-    whose implementation changed since their r11 green (bootstrap NULL
-    ranking, w1 via the newly-guarded distributed_next); tier 1 — ALL
-    18 queries whose last driver row is r7 (the r11 verdict's ask #3),
-    then the head of the r8-verified greens fills to exactly 50.
-    Positions 51+: the remaining r8 greens (the r13 rotation queue),
-    then the r9 greens, then the r10 greens, then the r11-window
-    greens (freshest) close the registry."""
+def test_r13_window_composition():
+    """Pins the round-13 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): tier 2 — the capstone JSONL-export manifest
+    and the driver-local production-K BPE trainer; tier 3 — every
+    query whose implementation OR oracle changed since its last driver
+    green (K=12 BPE contracts on the incremental trainer, the K=64
+    pair for the bpe.py slice clamps, the four snapshot-drift oracles'
+    NULL-ts symmetry, all seven graph.py consumers for the
+    per-iteration checkpoint release, the refactored capstone); the
+    streaming-cadence slot (aircraft_json_parse, r10 — batch-replay
+    oracles of streaming paths never exceed 2 rounds' staleness);
+    tier 1 — ALL 22 queries whose last driver row is r8 (the r12
+    verdict's ask #2), then the head of the r9 greens fills to exactly
+    50. Positions 51+: the remaining r9 greens (the r14 rotation
+    queue), then the r10 greens, then the r11 greens, then the
+    r12-window greens (freshest) close the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:8] == [          # tier 2 new, then tier 3 changed
-        "bpe_merges_k64", "bpe_vocab_k64", "pipeline_capstone",
+    assert window[:2] == ["capstone_export", "bpe_merges_k64_local"]
+    assert window[2:19] == [        # tier 3: changed since last green
+        "pipeline_capstone", "bpe_merges", "bpe_vocab",
+        "bpe_encoded_stats", "bpe_merges_k64", "bpe_vocab_k64",
         "ranksum_snapshot_drift", "chisq_snapshot_drift",
-        "packing_efficiency",
-        "bootstrap_mean_chars", "w1_snapshot_drift"]
-    assert window[8:26] == [        # tier 1: the full r7-stale set
-        "quality_survivors", "quartile_stratified_sample",
-        "dau_wau_stickiness", "embedding_pq_topk",
-        "embedding_ivfpq_topk", "local_supplier_volume",
-        "forecast_revenue", "duplicate_text_spans",
-        "stripped_duplicate_spans", "shipping_priority",
-        "returned_item_losses", "customer_distribution",
-        "event_correlations", "weekly_growth", "session_funnel",
-        "top_supplier_revenue", "large_order_customers",
-        "idle_rich_customers"]
-    # tier 1 fill: the r8 greens in recorded staleness order
-    assert window[26:30] == ["multimodal_features", "survival_curve",
-                             "pagerank_neardups", "pagerank_docs"]
-    assert window[-1] == "streaming_window_counts"
-    # positions 51+: remaining r8 greens lead the r13 rotation
-    assert order[50:53] == ["set_ops_segments", "cosine_neardup_pairs",
-                            "doc_quality"]
-    # r9 greens precede r10 greens precede the r11 window's greens
-    assert order.index("sbs1_parse") < order.index("callsign_sessions")
-    assert order.index("retrieval_metrics") > \
-        order.index("disjunctive_revenue")
+        "ks_snapshot_drift", "w1_snapshot_drift",
+        "neardup_clusters", "neardup_clusters_star",
+        "neardup_survivors", "quality_survivors",
+        "entity_resolution", "pagerank_neardups", "pagerank_docs"]
+    assert window[19] == "aircraft_json_parse"  # streaming cadence
+    assert window[20:42] == [       # tier 1: the full r8-stale set
+        "set_ops_segments", "cosine_neardup_pairs", "doc_quality",
+        "lang_id_counts", "doc_fingerprints", "exact_dup_docs",
+        "embedding_topk", "revenue_by_nation", "doc_token_stats",
+        "sbs1_parse", "top_revenue_orders", "session_windows",
+        "event_stats", "event_type_pivot", "asof_join",
+        "ngram_jaccard_dups", "gap_fill_locf", "cohort_retention",
+        "event_transitions", "event_type_extremes",
+        "value_histograms", "disjunctive_revenue"]
+    # tier 1 fill: the r9 greens in recorded staleness order
+    assert window[42:50] == [
+        "retrieval_metrics", "dsir_calibration", "late_sole_suppliers",
+        "value_runs_scd2", "weekly_active_users",
+        "weekly_active_by_type", "winsorized_values", "market_share"]
+    # positions 51+: remaining r9 greens lead the r14 rotation
+    assert order[50:53] == ["event_transitions_k2", "scd2_point_lookup",
+                            "track_lines_wkb"]
+    # r9 greens precede r10 greens precede r11 greens precede the
+    # r12 window's greens
+    assert order.index("sbs1_rejects") < order.index("callsign_sessions")
     assert order.index("ann_recall_lsh") > \
         order.index("window_track_lines")
-    # the r11-window greens close the registry (freshest last); the
-    # two r11 entries promoted to tier 3 are NOT in the tail
-    assert order[-1] == "line_dedup_docs"
+    assert order.index("line_dedup_docs") < \
+        order.index("bootstrap_mean_chars")
+    # the r12-window greens close the registry (freshest last); every
+    # entry promoted into the r13 window is absent from the tail
+    assert order[-1] == "streaming_window_counts"
     tail = set(order[50:])
-    assert "bootstrap_mean_chars" not in tail
-    assert "w1_snapshot_drift" not in tail
+    for promoted in ("quality_survivors", "pagerank_docs",
+                     "ks_snapshot_drift", "bpe_merges_k64",
+                     "aircraft_json_parse", "capstone_export"):
+        assert promoted not in tail, promoted

@@ -92,6 +92,54 @@ def test_jsonl_shards_roundtrip_and_bounds(spark, tmp_path):
     assert c1 == c2 and len(c1) > 0
 
 
+def test_jsonl_partition_dirs_manifest_audits_real_bytes(spark, tmp_path):
+    """r13 (capstone export): partition_dirs=True lays one _s=<k>/
+    directory per shard; jsonl_shard_manifest reports (shard,
+    n_records, n_bytes) from the actual files, and those numbers equal
+    an independent recomputation of the expected lines (portable-hash
+    routing + serialized length + newline) — the contract the
+    capstone_export oracle replays in DuckDB. Re-export is
+    byte-identical per shard directory."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.sampling import portable_hash
+    from dump1090_db_stream_spark.sinks.writers import (
+        jsonl_shard_manifest,
+        write_jsonl_shards,
+    )
+    from dump1090_db_stream_spark.sources.tables import load_table
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "source", "n_chars")
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    write_jsonl_shards(docs, p1, shard_by="doc_id", n_shards=4,
+                       partition_dirs=True)
+    got = jsonl_shard_manifest(p1)
+    want = {
+        (r["s"], r["n"], r["b"]) for r in docs.select(
+            F.pmod(portable_hash("doc_id"), F.lit(4)).alias("s"),
+            F.octet_length(F.to_json(F.struct(
+                "doc_id", "source", "n_chars"))).alias("len"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("len") + F.count(F.lit(1))).alias("b"))
+        .collect()}
+    assert set(got) == want and len(got) == 4
+
+    write_jsonl_shards(docs, p2, shard_by="doc_id", n_shards=4,
+                       partition_dirs=True)
+    for shard_dir in sorted(glob.glob(f"{p1}/_s=*")):
+        twin = f"{p2}/{shard_dir.rsplit('/', 1)[1]}"
+        b1 = b"".join(open(f, "rb").read() for f in
+                      sorted(glob.glob(f"{shard_dir}/part-*")))
+        b2 = b"".join(open(f, "rb").read() for f in
+                      sorted(glob.glob(f"{twin}/part-*")))
+        assert b1 == b2 and b1
+
+
 def test_merge_upsert_full_semantics(spark):
     from dump1090_db_stream_spark.operators.versioning import merge_upsert
 
