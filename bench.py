@@ -233,6 +233,36 @@ def bench_calibration(spark, sf_dir: str) -> dict:
             "workload": "lineitem_scan_agg_frozen_r8"}
 
 
+def bench_scheduler(spark) -> dict:
+    """Scheduler-latency probe (r12 verdict ask #1): 32 trivial
+    ONE-TASK jobs, timed end to end, min-of-5. Like
+    :func:`bench_calibration` this code is PINNED and must NEVER
+    change across rounds — but where the scan-agg probe is
+    throughput-bound (normalizes scan/CPU drift), this one is
+    job-overhead-bound: each job is a 1-row, 1-partition count whose
+    cost is pure driver planning + scheduling + task round-trip. The
+    pair spans both drift axes: sub-second, job-overhead-dominated
+    bench entries move with THIS probe; multi-second scan-dominated
+    entries move with the scan probe — and scripts/bench_drift.py
+    adjusts each entry by the axis matching its shape (r12
+    false-flagged 53 entries because the scan probe alone read FASTER
+    while scheduler latency drifted slower). Reference value and the
+    per-shape drift formula live in BASELINE.md (r13 addendum)."""
+
+    def q() -> None:
+        for _ in range(32):
+            spark.range(0, 1, 1, 1).count()
+
+    q()  # warmup: first-job codegen/session init must not bias run 1
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"sec": min(runs), "runs_sec": runs, "jobs": 32,
+            "workload": "32_one_task_jobs_frozen_r13"}
+
+
 def bench_auc_hicard(spark, n_rows: int = 5_000_000) -> dict:
     """Continuous-score AUC at high cardinality (r7 verdict ask #1's
     done-criterion): a synthetic score column with ~n distinct doubles
@@ -631,6 +661,7 @@ def main() -> None:
     # contended box shows up as start/end disagreement and as per-run
     # spread, both of which ride in the compact record itself.
     calibration_start = bench_calibration(spark, sf_dir)
+    scheduler_start = bench_scheduler(spark)
 
     def timed_runs(fn, runs: int = None) -> list[float]:
         """All ``runs`` execution times, in run order. The headline
@@ -667,6 +698,7 @@ def main() -> None:
         extended[n] = min(runs_detail[n])
 
     calibration = bench_calibration(spark, sf_dir)
+    scheduler = bench_scheduler(spark)
     ingest = bench_ingest(spark, n_msgs=2_000_000 // synth_scale)
     skew = bench_skew(spark, n_rows=2_000_000 // synth_scale)
     ngram_skew = bench_ngram_skew(spark, n_docs=3000 // synth_scale)
@@ -757,6 +789,8 @@ def main() -> None:
         "queries_runs": runs_detail,
         "calibration_start": calibration_start,
         "calibration": calibration,
+        "scheduler_calibration_start": scheduler_start,
+        "scheduler_calibration": scheduler,
         "ingest": ingest,
         "ingest_ab": ingest_ab,
         "skew": skew,
@@ -803,6 +837,10 @@ def main() -> None:
         # from THIS file alone
         "calibration_start_sec": calibration_start["sec"],
         "calibration_sec": calibration["sec"],
+        # second frozen probe (r12 ask #1): scheduler-latency bracket —
+        # sub-second entries drift with THIS axis, not the scan probe
+        "scheduler_start_sec": scheduler_start["sec"],
+        "scheduler_sec": scheduler["sec"],
         "noisy_top_runs": noisy_top,
         "sf": sf_val,
     }))

@@ -58,6 +58,15 @@ def test_bench_end_to_end_smoke(tmp_path):
     assert detail["calibration"]["workload"] == \
         "lineitem_scan_agg_frozen_r8"
     assert out["calibration_sec"] == detail["calibration"]["sec"]
+    # r13: the scheduler-latency probe rides every record too (the
+    # second drift axis — sub-second entries adjust by THIS one)
+    assert detail["scheduler_calibration"]["sec"] > 0
+    assert len(detail["scheduler_calibration"]["runs_sec"]) == 5
+    assert detail["scheduler_calibration"]["workload"] == \
+        "32_one_task_jobs_frozen_r13"
+    assert out["scheduler_sec"] == detail["scheduler_calibration"]["sec"]
+    assert out["scheduler_start_sec"] == \
+        detail["scheduler_calibration_start"]["sec"]
     # r12: the self-calibration BRACKET — the probe runs before the
     # first timed query too, and the 5 noisiest per-run arrays ride
     # the compact record itself, so a single driver session can
