@@ -3312,7 +3312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    training-shard export with its disk-measured manifest
         #    oracled byte-for-byte, and the driver-local
         #    production-K BPE trainer against the same 64-stage
-        #    trajectory replay
+        #    trajectory replay; plus the bounded symmetric
+        #    Jensen-Shannon categorical drift (the effect-size
+        #    sibling of chisq_snapshot_drift on the same mix)
+        "jsd_snapshot_drift": q_jsd_snapshot_drift,
         "capstone_export": q_capstone_export,
         "bpe_merges_k64_local": q_bpe_merges_k64_local,
         # -- r13 window 3-19 (tier 3, CHANGED since their last
@@ -7766,6 +7769,70 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                          > 1.644854 END AS drifted
         FROM agg
     """
+    # Jensen-Shannon divergence of the same category mix: identical
+    # pinned per-cell expression order (p log2(p/m) terms of exact
+    # integers), 1e-9-quantized decimal summation, floor-based 1e-6
+    # micro-quantization — the bounded effect-size sibling of the
+    # chi-square significance test above.
+    oracles["jsd_snapshot_drift"] = """
+        WITH base AS (
+            SELECT CAST(event_type AS VARCHAR) AS c,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS refside
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+            SELECT c, count(*) AS tot,
+                   CAST(sum(refside) AS BIGINT) AS oref
+            FROM base GROUP BY c
+        ), margins AS (
+            SELECT CAST(sum(oref) AS BIGINT) AS n_ref,
+                   CAST(sum(tot - oref) AS BIGINT) AS n_cur,
+                   count(*) AS n_categories
+            FROM cells
+        ), percell AS (
+            SELECT m.n_ref, m.n_cur, m.n_categories,
+                   CAST(floor(CASE WHEN m.n_ref > 0 AND m.n_cur > 0
+                        THEN 0.5 * (CASE WHEN oref > 0 THEN
+                            (CAST(oref AS DOUBLE)
+                             / CAST(m.n_ref AS DOUBLE))
+                            * log2((CAST(oref AS DOUBLE)
+                                    / CAST(m.n_ref AS DOUBLE))
+                                   / (((CAST(oref AS DOUBLE)
+                                        / CAST(m.n_ref AS DOUBLE))
+                                       + (CAST(tot - oref AS DOUBLE)
+                                          / CAST(m.n_cur AS DOUBLE)))
+                                      / 2.0))
+                            ELSE 0.0 END)
+                           + 0.5 * (CASE WHEN tot - oref > 0 THEN
+                            (CAST(tot - oref AS DOUBLE)
+                             / CAST(m.n_cur AS DOUBLE))
+                            * log2((CAST(tot - oref AS DOUBLE)
+                                    / CAST(m.n_cur AS DOUBLE))
+                                   / (((CAST(oref AS DOUBLE)
+                                        / CAST(m.n_ref AS DOUBLE))
+                                       + (CAST(tot - oref AS DOUBLE)
+                                          / CAST(m.n_cur AS DOUBLE)))
+                                      / 2.0))
+                            ELSE 0.0 END)
+                        END * 1e9 + 0.5) AS DECIMAL(38,0)) AS qc
+            FROM cells CROSS JOIN margins m
+        ), agg AS (
+            SELECT n_ref, n_cur, n_categories, sum(qc) AS qs
+            FROM percell GROUP BY n_ref, n_cur, n_categories
+        )
+        SELECT n_ref, n_cur, n_categories,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN floor(CAST(qs AS DOUBLE) / 1e9 * 1e6 + 0.5)
+                         / 1e6 END AS jsd,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN floor(sqrt(greatest(
+                             CAST(qs AS DOUBLE) / 1e9, 0.0))
+                         * 1e6 + 0.5) / 1e6 END AS js_distance,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN CAST(qs AS DOUBLE) / 1e9 > 0.1 END AS drifted
+        FROM agg
+    """
     # Packing utilization audit: the pack_sequences replay plus one
     # bounded per-bucket aggregation of exact integers.
     _pe_pack = _packing.pack_sequences_sql(
@@ -9503,6 +9570,28 @@ def q_chisq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
     return chisq_drift(ev.filter(cutoff), ev.filter(~cutoff),
                        "event_type")
+
+
+def q_jsd_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (operators.drift.js_divergence_drift)
+    of the event_type CATEGORY mix between the early snapshot
+    (ts < 2024-01-16, NULL-ts excluded on BOTH engines) and the rest —
+    the bounded, symmetric effect-size member of the categorical drift
+    family next to chisq_snapshot_drift's significance test on the
+    SAME mix: JSD lives in [0, 1], stays finite on one-sided
+    categories, and sqrt(JSD) is a metric. Per-cell contributions are
+    closed-form doubles of exact integers in one pinned expression
+    order, 1e-9-quantized DECIMAL(38,0) summation, floor-based 1e-6
+    micro-quantization on the outputs (cell terms can be negative —
+    round() would diverge on .5 ties). One whole-table row."""
+    from dump1090_db_stream_spark.operators.drift import (
+        js_divergence_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    return js_divergence_drift(ev.filter(cutoff), ev.filter(~cutoff),
+                               "event_type")
 
 
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:

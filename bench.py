@@ -193,6 +193,7 @@ EXTENDED = [
     # driver-side training, measured by bench_bpe_scaling's
     # local_k1024 arm.
     "capstone_export",
+    "jsd_snapshot_drift",
 ]
 
 

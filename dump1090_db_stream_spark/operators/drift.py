@@ -625,3 +625,108 @@ def chisq_drift(
         F.round(z_wh, 6).alias("z_wh"),
         F.when(z_wh.isNotNull(), z_wh > F.lit(1.644854))
          .alias("drifted"))
+
+
+def js_divergence_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    keys: list[str] | None = None,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2) between a reference
+    snapshot's CATEGORY distribution and the current one, per key
+    slice — the BOUNDED, symmetric member of the categorical drift
+    family: chi-square (:func:`chisq_drift`) grows with sample size at
+    a fixed mix shift (a significance test), PSI is unbounded and
+    blows up on vanishing cells, while JSD(P, Q) = KL(P||M)/2 +
+    KL(Q||M)/2 with M = (P+Q)/2 lives in [0, 1], is finite even when
+    a category exists on only one side, and its square root is a
+    metric — the number mixture-monitoring dashboards actually
+    threshold. One row per key combination: ``(*keys, n_ref, n_cur,
+    n_categories, jsd, js_distance, drifted)``.
+
+    Determinism: each cell's contribution
+    ``0.5 p log2(p/m) + 0.5 q log2(q/m)`` (p, q the cell's share of
+    its side; zero-share terms contribute exactly 0) is a closed-form
+    double of exactly-represented integers in ONE pinned expression
+    order; contributions are quantized to 1e-9 scaled DECIMAL(38,0)
+    before summation (the ``_quantized`` partition-order discipline —
+    cell terms can be NEGATIVE, which floor(x*1e9+0.5) handles
+    identically in both engines) and the final values use the
+    floor-based 1e-6 micro-quantization (NOT round(): Spark's exact
+    BigDecimal HALF_UP diverges from a float multiply on .5e-6 ties).
+    ``drifted`` compares the UNROUNDED divergence against
+    ``threshold`` (default 0.1 — a conventional alert level, not a
+    significance test; chisq_drift is the calibrated sibling).
+
+    Scale shape: identical to :func:`chisq_drift` — one shuffle to the
+    (key, category) grain (categories are a vocabulary), margins by a
+    second bounded aggregate, a key equi-join, one bounded sum. Slices
+    with an empty side emit NULL statistics; NULL categories/keys are
+    excluded.
+    """
+    kcols = list(keys or [])
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+            F.col(cat_col).cast("string").alias("c"),
+            F.lit(tag).alias("_ref"),
+        ).filter(F.col("c").isNotNull())
+        for i in range(len(kcols)):
+            out = out.filter(F.col(f"k{i}").isNotNull())
+        return out
+
+    from dump1090_db_stream_spark.operators.relevance import _quantized
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    both = _side(ref, 1).unionByName(_side(cur, 0))
+    cells = both.groupBy(*ks_, "c").agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.sum("_ref").alias("_oref"))
+    margins = cells.groupBy(*ks_).agg(
+        F.sum("_oref").cast("long").alias("n_ref"),
+        F.sum(F.col("_tot") - F.col("_oref")).cast("long")
+        .alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"))
+
+    o_ref = F.col("_oref").cast("double")
+    o_cur = (F.col("_tot") - F.col("_oref")).cast("double")
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    # ANSI guard: every division sits under the both-sides-nonempty
+    # branch (a one-sided slice would otherwise evaluate x/0 BEFORE
+    # the final projection NULLs it out). m > 0 inside the branch:
+    # a cell exists only with _tot >= 1, so p + q > 0.
+    p = o_ref / nr
+    q = o_cur / nc
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(o_ref > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(o_cur > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    contrib = F.when((nr > 0) & (nc > 0),
+                     F.lit(0.5) * term_p + F.lit(0.5) * term_q)
+    per_cell = (cells.join(margins, ks_) if ks_
+                else cells.crossJoin(F.broadcast(margins)))
+    agg = (per_cell
+           .select(*ks_, "n_ref", "n_cur", "n_categories",
+                   _quantized(contrib).alias("_qc"))
+           .groupBy(*ks_, "n_ref", "n_cur", "n_categories")
+           .agg(F.sum("_qc").alias("_qs")))
+
+    jsd = F.col("_qs").cast("double") / F.lit(1e9)
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+
+    def _micro(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    sel = [F.col(f"k{i}").alias(k) for i, k in enumerate(kcols)]
+    return agg.select(
+        *sel, "n_ref", "n_cur", "n_categories",
+        F.when(ok, _micro(jsd)).alias("jsd"),
+        # quantization can land an exact-zero divergence at -0.0 /
+        # tiny negative; clamp at 0 so sqrt stays defined and the
+        # metric honors its [0, 1] range in both engines
+        F.when(ok, _micro(F.sqrt(F.greatest(jsd, F.lit(0.0)))))
+        .alias("js_distance"),
+        F.when(ok, jsd > F.lit(threshold)).alias("drifted"))

@@ -412,3 +412,89 @@ def test_chisq_grouped_and_degenerate(spark):
     assert rows["solo"]["df"] == 0          # one category: no test
     assert rows["solo"]["z_wh"] is None
     assert rows["one_sided"]["chisq"] is None   # cur side empty
+
+
+def _py_jsd(ref_cats, cur_cats):
+    """Independent JSD reference replicating the engine's quantization
+    disciplines (per-cell 1e-9 floor-quantized decimals, final 1e-6
+    micro-quantization) so the comparison is bit-exact."""
+    import math
+    from collections import Counter
+
+    cr, cc = Counter(ref_cats), Counter(cur_cats)
+    nr, nc = len(ref_cats), len(cur_cats)
+    qs = 0
+    for c in set(cr) | set(cc):
+        p, q = cr.get(c, 0) / nr, cc.get(c, 0) / nc
+        m = (p + q) / 2.0
+        tp = p * math.log2(p / m) if cr.get(c, 0) > 0 else 0.0
+        tq = q * math.log2(q / m) if cc.get(c, 0) > 0 else 0.0
+        qs += math.floor((0.5 * tp + 0.5 * tq) * 1e9 + 0.5)
+    jsd = qs / 1e9
+    return (math.floor(jsd * 1e6 + 0.5) / 1e6,
+            math.floor(math.sqrt(max(jsd, 0.0)) * 1e6 + 0.5) / 1e6,
+            jsd)
+
+
+def test_jsd_matches_python_reference_bit_exact(spark):
+    from dump1090_db_stream_spark.operators.drift import (
+        js_divergence_drift,
+    )
+
+    ref_cats = list("aaabbbbcc")
+    cur_cats = list("abbccccdd")
+    want_jsd, want_dist, raw = _py_jsd(ref_cats, cur_cats)
+    ref = spark.createDataFrame([(c,) for c in ref_cats], ["c"])
+    cur = spark.createDataFrame([(c,) for c in cur_cats], ["c"])
+    [r] = js_divergence_drift(ref, cur, "c").collect()
+    assert r["n_ref"] == 9 and r["n_cur"] == 9 and r["n_categories"] == 4
+    assert r["jsd"] == want_jsd           # bit-exact, not approx
+    assert r["js_distance"] == want_dist
+    assert r["drifted"] == (raw > 0.1)
+    assert 0.0 <= r["jsd"] <= 1.0
+
+
+def test_jsd_bounds_identity_and_disjoint(spark):
+    from dump1090_db_stream_spark.operators.drift import (
+        js_divergence_drift,
+    )
+
+    same = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 5, ["c"])
+    [r] = js_divergence_drift(same, same, "c").collect()
+    assert r["jsd"] == 0.0 and r["js_distance"] == 0.0
+    assert r["drifted"] is False
+    # disjoint supports: base-2 JSD is exactly 1 (each side's mass
+    # sits where the other has none -> both KL terms are 1 bit)
+    ref = spark.createDataFrame([("a",), ("b",)], ["c"])
+    cur = spark.createDataFrame([("x",), ("y",), ("y",)], ["c"])
+    [r] = js_divergence_drift(ref, cur, "c").collect()
+    assert r["jsd"] == 1.0 and r["js_distance"] == 1.0
+    assert r["drifted"] is True
+
+
+def test_jsd_grouped_one_sided_and_shuffle_invariance(spark):
+    from dump1090_db_stream_spark.operators.drift import (
+        js_divergence_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("one_sided", "y"), ("g1", None),
+         (None, "a")], ["k", "c"])
+    cur = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a")], ["k", "c"])
+    rows = {r["k"]: r for r in
+            js_divergence_drift(ref, cur, "c", keys=["k"]).collect()}
+    assert set(rows) == {"g1", "one_sided"}   # NULL key excluded
+    assert rows["g1"]["n_ref"] == 2           # NULL category excluded
+    assert rows["g1"]["jsd"] is not None
+    assert rows["one_sided"]["jsd"] is None   # empty cur side
+    assert rows["one_sided"]["drifted"] is None
+    # partition-layout invariance: the quantized-decimal fold makes
+    # the result independent of input partitioning
+    got = {(r["k"], r["jsd"]) for r in
+           js_divergence_drift(ref, cur, "c", keys=["k"]).collect()}
+    got1 = {(r["k"], r["jsd"]) for r in
+            js_divergence_drift(ref.repartition(1), cur.coalesce(1),
+                                "c", keys=["k"]).collect()}
+    assert got == got1
