@@ -3316,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    Jensen-Shannon categorical drift (the effect-size
         #    sibling of chisq_snapshot_drift on the same mix)
         "jsd_snapshot_drift": q_jsd_snapshot_drift,
+        "ph_value_drift": q_ph_value_drift,
         "capstone_export": q_capstone_export,
         "bpe_merges_k64_local": q_bpe_merges_k64_local,
         # -- r13 window 3-19 (tier 3, CHANGED since their last
@@ -7833,6 +7834,61 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                     THEN CAST(qs AS DOUBLE) / 1e9 > 0.1 END AS drifted
         FROM agg
     """
+    # Page-Hinkley sequential changepoint: identical per-bucket
+    # quantized-decimal means, exact integer running sums/min over the
+    # same bounded (key, bucket) windows, the same two pinned IEEE
+    # divisions, the same single scaled comparison grain.
+    oracles["ph_value_drift"] = """
+        WITH base AS (
+            SELECT event_type AS k,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                   CAST(value AS DOUBLE) AS x
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))
+              AND ts IS NOT NULL AND event_type IS NOT NULL
+        ), buckets AS (
+            SELECT k, b,
+                   sum(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(38,0)))
+                       AS qsum,
+                   count(*) AS cnt
+            FROM base GROUP BY k, b
+        ), staged AS (
+            SELECT k, b,
+                   CAST(qsum AS DOUBLE) / 1e9 / CAST(cnt AS DOUBLE)
+                       AS x,
+                   row_number() OVER w AS t,
+                   sum(CAST(floor(
+                       (CAST(qsum AS DOUBLE) / 1e9
+                        / CAST(cnt AS DOUBLE)) * 1e9 + 0.5)
+                       AS DECIMAL(38,0))) OVER w AS sx
+            FROM buckets
+            WINDOW w AS (PARTITION BY k ORDER BY b
+                         ROWS UNBOUNDED PRECEDING)
+        ), devs AS (
+            SELECT k, b,
+                   sum(CAST(floor(
+                       (x - (CAST(sx AS DOUBLE) / 1e9
+                             / CAST(t AS DOUBLE)) - 0.05)
+                       * 1e9 + 0.5) AS DECIMAL(38,0)))
+                       OVER (PARTITION BY k ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS m
+            FROM staged
+        ), exc AS (
+            SELECT k, b,
+                   m - min(m) OVER (PARTITION BY k ORDER BY b
+                                    ROWS UNBOUNDED PRECEDING) AS e
+            FROM devs
+        )
+        SELECT k AS event_type, count(*) AS n_buckets,
+               floor(CAST(max(e) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                   AS ph_stat,
+               (min(CASE WHEN CAST(e AS DOUBLE) > 1.0 * 1e9
+                         THEN b END) IS NOT NULL) AS drifted,
+               min(CASE WHEN CAST(e AS DOUBLE) > 1.0 * 1e9
+                        THEN b END) AS alarm_bucket
+        FROM exc GROUP BY k
+    """
     # Packing utilization audit: the pack_sequences replay plus one
     # bounded per-bucket aggregation of exact integers.
     _pe_pack = _packing.pack_sequences_sql(
@@ -9592,6 +9648,28 @@ def q_jsd_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
     return js_divergence_drift(ev.filter(cutoff), ev.filter(~cutoff),
                                "event_type")
+
+
+def q_ph_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential changepoint detection (operators.drift.
+    page_hinkley_drift) of the hourly mean `value` per event_type —
+    the ONLINE member of the drift family (two-sample tests need a
+    frozen snapshot pair; this watches the series and reports the
+    FIRST epoch-hour whose cumulative upward deviation crosses the
+    alarm threshold). All running statistics are exact DECIMAL(38,0)
+    windows over the bounded (key, hour-bucket) relation — one
+    map-side-combined shuffle from the input grain, the
+    weekly_growth/gap_fill precedent — with two pinned IEEE divisions
+    (bucket mean, running mean) and a single scaled comparison grain
+    shared by drifted/alarm_bucket. The oracle replays the identical
+    windows and quantizations."""
+    from dump1090_db_stream_spark.operators.drift import (
+        page_hinkley_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return page_hinkley_drift(ev, "value", keys=["event_type"],
+                              bucket_seconds=3600, delta=0.05, lam=1.0)
 
 
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,6 +194,7 @@ EXTENDED = [
     # local_k1024 arm.
     "capstone_export",
     "jsd_snapshot_drift",
+    "ph_value_drift",
 ]
 
 

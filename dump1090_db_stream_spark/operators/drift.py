@@ -730,3 +730,108 @@ def js_divergence_drift(
         F.when(ok, _micro(F.sqrt(F.greatest(jsd, F.lit(0.0)))))
         .alias("js_distance"),
         F.when(ok, jsd > F.lit(threshold)).alias("drifted"))
+
+
+def page_hinkley_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    delta: float = 0.0,
+    lam: float = 5.0,
+) -> DataFrame:
+    """Page-Hinkley sequential changepoint detection per key slice —
+    the ONLINE member of the drift family (KS/W1/rank-sum compare two
+    snapshots, chi-square/JSD compare category mixes; this one watches
+    a metric's time series and reports WHERE the mean shifted upward):
+    bucket the stream into ``bucket_seconds`` epochs, track
+    ``m_t = sum_{i<=t} (x_i - mean_{1..i} - delta)`` over the bucket
+    means and alarm when ``m_t - min_{s<=t} m_s`` exceeds ``lam``
+    (Page 1954 / Hinkley 1971 — the standard streaming-monitoring
+    formulation; ``delta`` is the magnitude tolerance, ``lam`` the
+    alarm threshold in the metric's units x buckets). One row per key:
+    ``(*keys, n_buckets, ph_stat, drifted, alarm_bucket)`` with
+    ``alarm_bucket`` the FIRST epoch-bucket index whose excess crosses
+    ``lam`` (NULL when none does).
+
+    Determinism: raw values fold into per-bucket means through the
+    1e-9 quantized-decimal sum (partition-order-free); every running
+    statistic is a window over the BOUNDED (key, bucket) relation —
+    O(hours) rows after one map-side-combined shuffle, never an
+    input-grain ordered window — and accumulates in DECIMAL(38,0)
+    (the running deviation sum and its running min are EXACT, so the
+    max-excess and first-crossing are bit-replayable); the only IEEE
+    steps are the two pinned divisions (bucket mean, running mean).
+    NULL/NaN values, NULL timestamps and NULL keys are excluded.
+
+    Scale shape: the corpus shuffles ONCE to the (key, bucket) grain;
+    the per-key windows run over that bounded relation partitioned by
+    key — the weekly_growth/gap_fill precedent. At 100 TB the bucket
+    relation is still tiny (keys x hours), and the detector is
+    deployable incrementally: state per key is (t, running sums, M_t),
+    the applyInPandasWithState shape, with THIS batch form as its
+    replayable oracle.
+    """
+    from pyspark.sql import Window
+
+    from dump1090_db_stream_spark.operators.relevance import _quantized
+
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    kcols = list(keys or [])
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+        F.floor(F.unix_timestamp(F.col(ts_col))
+                / F.lit(bucket_seconds)).cast("long").alias("b"),
+        v.alias("x"),
+    ).filter(F.col("x").isNotNull() & ~F.isnan(F.col("x"))
+             & F.col("b").isNotNull())
+    for i in range(len(kcols)):
+        base = base.filter(F.col(f"k{i}").isNotNull())
+
+    ks_ = [f"k{i}" for i in range(len(kcols))]
+    buckets = base.groupBy(*ks_, "b").agg(
+        F.sum(_quantized(F.col("x"))).alias("_qsum"),
+        F.count(F.lit(1)).alias("_cnt"))
+
+    w = (Window.partitionBy(*ks_).orderBy("b")
+         if ks_ else Window.orderBy("b"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    # pinned division order: (decimal -> double) / 1e9 / count
+    x_t = (F.col("_qsum").cast("double") / F.lit(1e9)
+           / F.col("_cnt").cast("double"))
+    staged = (buckets
+              .withColumn("_x", x_t)
+              .withColumn("_qx", _quantized(F.col("_x")))
+              .withColumn("_t", F.row_number().over(w))
+              .withColumn("_sx", F.sum("_qx").over(wrun)))
+    mean_t = (F.col("_sx").cast("double") / F.lit(1e9)
+              / F.col("_t").cast("double"))
+    staged = (staged
+              .withColumn("_qdev", _quantized(
+                  F.col("_x") - mean_t - F.lit(delta)))
+              .withColumn("_m", F.sum("_qdev").over(wrun))
+              .withColumn("_mmin", F.min("_m").over(wrun))
+              .withColumn("_exc", F.col("_m") - F.col("_mmin")))
+    # one comparison grain for BOTH outputs (excess_double > lam*1e9):
+    # deriving `drifted` from a second, differently-rounded comparison
+    # (max_exc/1e9 > lam) could disagree with the first-crossing scan
+    # on an exact-boundary tie — drifted IS "an alarm bucket exists"
+    qlam = F.lit(lam) * F.lit(1e9)
+    return (staged.groupBy(*ks_)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 (F.max("_exc").cast("double") / F.lit(1e9))
+                 .alias("_ph"),
+                 F.min(F.when(F.col("_exc").cast("double") > qlam,
+                              F.col("b"))).alias("alarm_bucket"))
+            .select(
+                *[F.col(f"k{i}").alias(k)
+                  for i, k in enumerate(kcols)],
+                "n_buckets",
+                (F.floor(F.col("_ph") * F.lit(1e6) + F.lit(0.5))
+                 / F.lit(1e6)).alias("ph_stat"),
+                F.col("alarm_bucket").isNotNull().alias("drifted"),
+                "alarm_bucket"))

@@ -498,3 +498,100 @@ def test_jsd_grouped_one_sided_and_shuffle_invariance(spark):
             js_divergence_drift(ref.repartition(1), cur.coalesce(1),
                                 "c", keys=["k"]).collect()}
     assert got == got1
+
+
+def _py_page_hinkley(pairs, bucket_seconds=3600, delta=0.0, lam=5.0):
+    """Independent Page-Hinkley reference replicating the engine's
+    quantization disciplines exactly (per-bucket 1e-9 decimal means,
+    exact integer running sums/min, the single scaled comparison
+    grain), so comparisons are bit-exact. ``pairs``: (epoch_sec, x)."""
+    import math
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for e, x in pairs:
+        b = e // bucket_seconds
+        agg[b][0] += math.floor(x * 1e9 + 0.5)
+        agg[b][1] += 1
+    sx = m = 0
+    mmin = None
+    ph_max = 0
+    alarm = None
+    for t, b in enumerate(sorted(agg), start=1):
+        qsum, cnt = agg[b]
+        x = qsum / 1e9 / cnt
+        sx += math.floor(x * 1e9 + 0.5)
+        mean = sx / 1e9 / t
+        m += math.floor((x - mean - delta) * 1e9 + 0.5)
+        mmin = m if mmin is None else min(mmin, m)
+        exc = m - mmin
+        ph_max = max(ph_max, exc)
+        if alarm is None and float(exc) > lam * 1e9:
+            alarm = b
+    ph = math.floor(float(ph_max) / 1e9 * 1e6 + 0.5) / 1e6
+    return len(agg), ph, alarm
+
+
+def test_page_hinkley_matches_python_reference_bit_exact(spark):
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.drift import (
+        page_hinkley_drift,
+    )
+
+    def series(key, shift_at, shift):
+        # deterministic pseudo-noise around 10.0, +shift after the
+        # changepoint; 3 readings per hourly bucket over 48 buckets
+        out = []
+        for i in range(144):
+            e = 1700000000 + i * 1200
+            x = 10.0 + ((i * 37) % 11 - 5) * 0.05 \
+                + (shift if i >= shift_at else 0.0)
+            out.append((key, e, x))
+        return out
+
+    rows = series("stable", 999, 0.0) + series("shifted", 72, 3.0)
+    df = spark.createDataFrame(rows, ["k", "e", "x"]).select(
+        "k", F.col("e").cast("timestamp").alias("ts"), "x")
+    got = {r["k"]: r for r in page_hinkley_drift(
+        df, "x", keys=["k"], delta=0.05, lam=5.0).collect()}
+    for key, shift_at, shift in [("stable", 999, 0.0),
+                                 ("shifted", 72, 3.0)]:
+        nb, ph, alarm = _py_page_hinkley(
+            [(e, x) for k, e, x in rows if k == key],
+            delta=0.05, lam=5.0)
+        r = got[key]
+        assert r["n_buckets"] == nb == 48
+        assert r["ph_stat"] == ph          # bit-exact
+        assert r["alarm_bucket"] == alarm
+        assert r["drifted"] is (alarm is not None)
+    assert got["stable"]["drifted"] is False
+    assert got["shifted"]["drifted"] is True
+    # the alarm fires at/after the planted changepoint's bucket
+    assert got["shifted"]["alarm_bucket"] >= (1700000000
+                                              + 72 * 1200) // 3600
+
+
+def test_page_hinkley_exclusions_and_validation(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.drift import (
+        page_hinkley_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1700000000, 1.0), ("a", 1700000100, float("nan")),
+         ("a", None, 9.0), ("a", 1700003600, None),
+         (None, 1700000200, 2.0), ("a", 1700000300, 3.0)],
+        ["k", "e", "x"]).select(
+        "k", F.col("e").cast("timestamp").alias("ts"),
+        F.col("x").cast("double").alias("x"))
+    [r] = page_hinkley_drift(df, "x", keys=["k"]).collect()
+    assert r["k"] == "a" and r["n_buckets"] == 1   # one surviving bucket
+    assert r["ph_stat"] == 0.0 and r["drifted"] is False
+    assert math.isfinite(r["ph_stat"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        page_hinkley_drift(df, "x", bucket_seconds=0)

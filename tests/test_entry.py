@@ -71,9 +71,9 @@ def test_r13_window_composition():
     r12-window greens (freshest) close the registry."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:3] == ["jsd_snapshot_drift", "capstone_export",
-                          "bpe_merges_k64_local"]
-    assert window[3:20] == [        # tier 3: changed since last green
+    assert window[:4] == ["jsd_snapshot_drift", "ph_value_drift",
+                          "capstone_export", "bpe_merges_k64_local"]
+    assert window[4:21] == [        # tier 3: changed since last green
         "pipeline_capstone", "bpe_merges", "bpe_vocab",
         "bpe_encoded_stats", "bpe_merges_k64", "bpe_vocab_k64",
         "ranksum_snapshot_drift", "chisq_snapshot_drift",
@@ -81,8 +81,8 @@ def test_r13_window_composition():
         "neardup_clusters", "neardup_clusters_star",
         "neardup_survivors", "quality_survivors",
         "entity_resolution", "pagerank_neardups", "pagerank_docs"]
-    assert window[20] == "aircraft_json_parse"  # streaming cadence
-    assert window[21:43] == [       # tier 1: the full r8-stale set
+    assert window[21] == "aircraft_json_parse"  # streaming cadence
+    assert window[22:44] == [       # tier 1: the full r8-stale set
         "set_ops_segments", "cosine_neardup_pairs", "doc_quality",
         "lang_id_counts", "doc_fingerprints", "exact_dup_docs",
         "embedding_topk", "revenue_by_nation", "doc_token_stats",
@@ -92,16 +92,16 @@ def test_r13_window_composition():
         "event_transitions", "event_type_extremes",
         "value_histograms", "disjunctive_revenue"]
     # tier 1 fill: the r9 greens in recorded staleness order (the
-    # late jsd_snapshot_drift insertion at position 0 pushed
-    # market_share to the tail head — it stays r9, so the "no entry
-    # predates r9 after r13" promise holds)
-    assert window[43:50] == [
+    # late jsd/ph insertions at the window head pushed
+    # winsorized_values and market_share to the tail head — both stay
+    # r9, so the "no entry predates r9 after r13" promise holds)
+    assert window[44:50] == [
         "retrieval_metrics", "dsir_calibration", "late_sole_suppliers",
         "value_runs_scd2", "weekly_active_users",
-        "weekly_active_by_type", "winsorized_values"]
+        "weekly_active_by_type"]
     # positions 51+: remaining r9 greens lead the r14 rotation
-    assert order[50:53] == ["market_share", "event_transitions_k2",
-                            "scd2_point_lookup"]
+    assert order[50:53] == ["winsorized_values", "market_share",
+                            "event_transitions_k2"]
     # r9 greens precede r10 greens precede r11 greens precede the
     # r12 window's greens
     assert order.index("sbs1_rejects") < order.index("callsign_sessions")
