@@ -396,6 +396,14 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # (n_ref, n_cur, k) attach onto the
                                   # bounded category-cell relation
                                   # (same class as tfidf/bm25)
+        "jsd_snapshot_drift",     # same ungrouped one-row margins
+                                  # attach as chisq_snapshot_drift
+                                  # (identical cells/margins shape)
+        "capstone_export",        # inherits pipeline_capstone's
+                                  # temperature_sample one-row n_min
+                                  # attach (stages shared via
+                                  # _capstone_stages); the export adds
+                                  # only a hash-repartition + write
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
