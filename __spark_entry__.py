@@ -9430,16 +9430,21 @@ def q_bpe_merges_k64_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_vocab_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 64-merge vocabulary through the CHUNKED encode path
     (operators.bpe.encode_words_chunked — the r11 ask's encode half):
-    merges apply in 16-fold batches with an eager localCheckpoint
-    between batches, so no plan is ever more than 16 folds deep no
-    matter how long the merge list — the shape a 32k-merge corpus
-    encode needs. Training rides the incremental trainer; the oracle
-    replays training AND encoding from scratch at K=64."""
+    merges apply in fold batches with an eager localCheckpoint
+    between batches, so no plan is ever more than ``chunk`` folds deep
+    no matter how long the merge list — the shape a 32k-merge corpus
+    encode needs. chunk=4 since r13: the vocabulary explode pays
+    super-linearly for the residual fold depth feeding it (measured
+    16 s at depth 12 vs 0.5 s at depth 4 — bpe_vocab's docstring),
+    so the batch size that was right for a plain projection chain is
+    wrong in front of a Generate. Training rides the incremental
+    trainer; the oracle replays training AND encoding from scratch
+    at K=64."""
     from dump1090_db_stream_spark.operators.bpe import bpe_vocab
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_vocab(docs, _trained_merges_k(spark, sf_dir, 64),
-                     chunk=16)
+                     chunk=4)
 
 
 def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:

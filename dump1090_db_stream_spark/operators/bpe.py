@@ -570,13 +570,20 @@ def merges_df(spark, merges: Sequence[dict]) -> DataFrame:
 
 def bpe_vocab(df: DataFrame, merges: Sequence[dict],
               text_col: str = "text", tokenizer="word",
-              min_freq: int = 1, chunk: int | None = None) -> DataFrame:
+              min_freq: int = 1, chunk: int | None = 4) -> DataFrame:
     """Final symbol vocabulary after applying ``merges``: per symbol,
     the corpus-weighted occurrence count and the number of word types
     containing it.  Declarative end to end (fold chain + explode +
     one vocabulary-sized aggregation).  ``chunk`` routes the encode
-    through :func:`encode_words_chunked` — required past the
-    fold-chain plan-depth limit (high-K merge lists)."""
+    through :func:`encode_words_chunked`; the default (4) is
+    deliberately SMALLER than a plain encode needs, because the
+    explode below pays super-linearly for the residual fold-chain
+    depth feeding it (measured r13 at sf0.1, 31 word types: depth 4
+    -> 0.5 s, 6 -> 1.5 s, 8 -> 2.0 s, 12 -> 16 s — Generate +
+    deep nested ``aggregate`` lambdas blow up planning/codegen where
+    the same chain under a plain projection costs 0.5 s). Pass
+    ``chunk=None`` only for merge lists short enough to feed the
+    explode directly."""
     base = with_symbols(word_freqs(df, text_col, tokenizer, min_freq))
     words = (encode_words_chunked(base, merges, chunk=chunk)
              if chunk else encode_words(base, merges))
