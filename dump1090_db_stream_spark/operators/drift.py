@@ -773,8 +773,26 @@ def page_hinkley_drift(
     the applyInPandasWithState shape, with THIS batch form as its
     replayable oracle.
     """
-    from pyspark.sql import Window
+    buckets = ph_bucketize(df, value_col, ts_col, keys, bucket_seconds)
+    return page_hinkley_from_buckets(buckets, keys, delta, lam)
 
+
+def ph_bucketize(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """The Page-Hinkley pipeline's BUCKET-GRAIN state: one row per
+    (key, epoch-bucket) with the exact quantized-decimal value sum and
+    count — the relation :func:`page_hinkley_from_buckets` consumes
+    and the one a streaming monitor persists between micro-batches.
+    Associative by construction: bucketizing a UNION of batches equals
+    merging per-batch rows with ``sum(qsum), sum(cnt)`` (decimal sums
+    — :func:`ph_stream_sink` relies on this for batch == stream
+    bit-equality). Output: ``(*keys, b, qsum DECIMAL(38,0),
+    cnt BIGINT)``."""
     from dump1090_db_stream_spark.operators.relevance import _quantized
 
     if bucket_seconds < 1:
@@ -783,20 +801,39 @@ def page_hinkley_drift(
     kcols = list(keys or [])
     v = F.col(value_col).cast("double")
     base = df.select(
-        *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+        *[F.col(k) for k in kcols],
         F.floor(F.unix_timestamp(F.col(ts_col))
                 / F.lit(bucket_seconds)).cast("long").alias("b"),
         v.alias("x"),
     ).filter(F.col("x").isNotNull() & ~F.isnan(F.col("x"))
              & F.col("b").isNotNull())
-    for i in range(len(kcols)):
-        base = base.filter(F.col(f"k{i}").isNotNull())
+    for k in kcols:
+        base = base.filter(F.col(k).isNotNull())
+    return base.groupBy(*kcols, "b").agg(
+        F.sum(_quantized(F.col("x"))).alias("qsum"),
+        F.count(F.lit(1)).alias("cnt"))
 
+
+def page_hinkley_from_buckets(
+    buckets: DataFrame,
+    keys: list[str] | None = None,
+    delta: float = 0.0,
+    lam: float = 5.0,
+) -> DataFrame:
+    """:func:`page_hinkley_drift`'s detection windows over an
+    already-built (and possibly batch-merged) :func:`ph_bucketize`
+    relation — the seam a streaming monitor recomputes from
+    accumulated state. Same output contract and determinism
+    disciplines as the one-shot form."""
+    from pyspark.sql import Window
+
+    from dump1090_db_stream_spark.operators.relevance import _quantized
+
+    kcols = list(keys or [])
+    buckets = buckets.select(
+        *[F.col(k).alias(f"k{i}") for i, k in enumerate(kcols)],
+        "b", F.col("qsum").alias("_qsum"), F.col("cnt").alias("_cnt"))
     ks_ = [f"k{i}" for i in range(len(kcols))]
-    buckets = base.groupBy(*ks_, "b").agg(
-        F.sum(_quantized(F.col("x"))).alias("_qsum"),
-        F.count(F.lit(1)).alias("_cnt"))
-
     w = (Window.partitionBy(*ks_).orderBy("b")
          if ks_ else Window.orderBy("b"))
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -835,3 +872,65 @@ def page_hinkley_drift(
                  / F.lit(1e6)).alias("ph_stat"),
                 F.col("alarm_bucket").isNotNull().alias("drifted"),
                 "alarm_bucket"))
+
+
+def ph_stream_sink(
+    out_path: str,
+    value_col: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    delta: float = 0.0,
+    lam: float = 5.0,
+):
+    """foreachBatch sink turning :func:`page_hinkley_drift` into a
+    LIVE changepoint monitor — the drift family's sequential arm
+    deployed the way :func:`drift_stream_sink` deploys KS, except PH
+    needs HISTORY, so the sink carries bucket-grain state across
+    micro-batches:
+
+    1. each batch's :func:`ph_bucketize` rows land under
+       ``<out_path>/state/batch=<batchId>`` with overwrite — the
+       exactly-once discipline: an at-least-once replay after a
+       crash-between-write-and-checkpoint rewrites the same
+       subdirectory instead of double-counting a batch;
+    2. the accumulated state re-merges by ``(keys, b)`` with
+       ``sum(qsum), sum(cnt)`` — EXACT decimal sums, so a bucket split
+       across batch boundaries reassembles bit-identically to
+       bucketizing the full history at once (the
+       :func:`ph_bucketize` associativity contract);
+    3. :func:`page_hinkley_from_buckets` over the merged relation
+       overwrites ``<out_path>/latest`` — after any prefix of the
+       stream, ``latest`` equals the one-shot batch computation on
+       everything ingested so far (test-pinned), which is what makes
+       the batch form the streaming monitor's replayable oracle.
+
+    Per-batch cost: one bucketize of the batch + one merge/detect over
+    the accumulated BUCKET relation (keys x buckets — O(hours), never
+    the ingested row count). State is a plain parquet layout, so the
+    monitor survives restarts with no driver-memory state and
+    "alarm history" is an ordinary read of ``latest`` over time (or
+    of the state partitions for forensics)."""
+    kcols = list(keys or [])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from dump1090_db_stream_spark.cache import (
+            release_after,
+            tracked_mark,
+        )
+
+        mark = tracked_mark()
+        state = ph_bucketize(batch_df, value_col, ts_col, kcols,
+                             bucket_seconds)
+        (state.write.mode("overwrite")
+         .parquet(f"{out_path}/state/batch={batch_id}"))
+        spark = batch_df.sparkSession
+        merged = (spark.read.parquet(f"{out_path}/state")
+                  .groupBy(*kcols, "b")
+                  .agg(F.sum("qsum").alias("qsum"),
+                       F.sum("cnt").alias("cnt")))
+        stats = page_hinkley_from_buckets(merged, kcols, delta, lam)
+        stats.write.mode("overwrite").parquet(f"{out_path}/latest")
+        release_after(mark)
+
+    return sink

@@ -595,3 +595,50 @@ def test_page_hinkley_exclusions_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         page_hinkley_drift(df, "x", bucket_seconds=0)
+
+
+def test_ph_stream_sink_accumulates_and_equals_batch(spark, tmp_path):
+    """The sequential arm's deployment shape: the PH monitor carries
+    bucket-grain state across micro-batches, and after ANY prefix of
+    the stream its `latest` rows equal the one-shot
+    page_hinkley_drift over everything ingested so far — including a
+    bucket split across a batch boundary (exact decimal re-merge). An
+    at-least-once redelivery overwrites its state partition instead
+    of double-counting."""
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.drift import (
+        page_hinkley_drift,
+        ph_stream_sink,
+    )
+
+    def rows(lo, hi, shift):
+        return [("m", 1700000000 + i * 1200,
+                 10.0 + ((i * 37) % 11 - 5) * 0.05 + shift)
+                for i in range(lo, hi)]
+
+    # batch 1 ends mid-bucket (3 readings/hour; 50 is not a multiple
+    # of 3) and batch 2 plants the upward shift
+    b0, b1, b2 = rows(0, 50, 0.0), rows(50, 96, 0.0), rows(96, 144, 3.0)
+
+    def mk(rs):
+        return spark.createDataFrame(rs, ["k", "e", "x"]).select(
+            "k", F.col("e").cast("timestamp").alias("ts"), "x")
+
+    out = str(tmp_path / "ph_monitor")
+    sink = ph_stream_sink(out, "x", keys=["k"], delta=0.05, lam=5.0)
+    seen: list = []
+    for bid, batch in enumerate((b0, b1, b2)):
+        sink(mk(batch), bid)
+        seen += batch
+        got = spark.read.parquet(f"{out}/latest").collect()
+        want = page_hinkley_drift(mk(seen), "x", keys=["k"],
+                                  delta=0.05, lam=5.0).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), bid
+    [r] = spark.read.parquet(f"{out}/latest").collect()
+    assert r["drifted"] is True and r["n_buckets"] == 48
+    # redelivery of batch 1 must not double-count its buckets
+    sink(mk(b1), 1)
+    spark.catalog.refreshByPath(f"{out}/latest")
+    [r2] = spark.read.parquet(f"{out}/latest").collect()
+    assert tuple(r2) == tuple(r)
