@@ -652,8 +652,10 @@ def js_divergence_drift(
     double of exactly-represented integers in ONE pinned expression
     order; contributions are quantized to 1e-9 scaled DECIMAL(38,0)
     before summation (the ``_quantized`` partition-order discipline —
-    cell terms can be NEGATIVE, which floor(x*1e9+0.5) handles
-    identically in both engines) and the final values use the
+    an INDIVIDUAL p- or q-term can be negative, but the cell sum
+    ``0.5 p log2(p/m) + 0.5 q log2(q/m)`` is provably >= 0 by
+    convexity of x log x, so quantized cell values are nonnegative)
+    and the final values use the
     floor-based 1e-6 micro-quantization (NOT round(): Spark's exact
     BigDecimal HALF_UP diverges from a float multiply on .5e-6 ties).
     ``drifted`` compares the UNROUNDED divergence against
@@ -724,9 +726,9 @@ def js_divergence_drift(
     return agg.select(
         *sel, "n_ref", "n_cur", "n_categories",
         F.when(ok, _micro(jsd)).alias("jsd"),
-        # quantization can land an exact-zero divergence at -0.0 /
-        # tiny negative; clamp at 0 so sqrt stays defined and the
-        # metric honors its [0, 1] range in both engines
+        # DEFENSIVE only: each quantized cell sum is >= 0 (see the
+        # docstring), so the total cannot go negative — the clamp just
+        # pins the invariant in front of sqrt
         F.when(ok, _micro(F.sqrt(F.greatest(jsd, F.lit(0.0)))))
         .alias("js_distance"),
         F.when(ok, jsd > F.lit(threshold)).alias("drifted"))
@@ -874,6 +876,78 @@ def page_hinkley_from_buckets(
                 "alarm_bucket"))
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for a Hadoop-compatible URI via py4j."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _atomic_overwrite(df: DataFrame, dest: str) -> None:
+    """Publish ``df`` at ``dest`` via write-to-staging + rename, so a
+    concurrent reader never observes a half-written parquet directory
+    (r13 ADVICE: plain mode("overwrite") deletes then rewrites files
+    over the whole write window). The residual race is the instant
+    between delete and rename — a reader then sees a MISSING dir (a
+    clean retryable error), never partial data; a crash there is
+    repaired by the batch's replay re-publishing."""
+    spark = df.sparkSession
+    fs, dest_p = _hadoop_fs(spark, dest)
+    staging = dest + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    fs.delete(dest_p, True)
+    _, staging_p = _hadoop_fs(spark, staging)
+    if not fs.rename(staging_p, dest_p):
+        raise IOError(f"atomic publish rename failed: {staging} -> {dest}")
+
+
+def _compact_ph_state(spark, out_path: str, kcols: list[str],
+                      batch_id: int) -> None:
+    """Fold every state partition of a batch STRICTLY OLDER than
+    ``batch_id`` (including prior compaction outputs, which carry
+    negative ids) into one ``batch=-<batch_id>`` partition and drop
+    the consumed ones — bounding the state listing/read at
+    O(keys x buckets) + one partition per batch since the last
+    compaction (r13 ADVICE: without this the merge re-read ALL prior
+    batch partitions, O(n_batches) growth on a long-lived monitor).
+
+    Exactly-once under foreachBatch replay (only the CURRENT batch can
+    be redelivered — older ones are checkpoint-committed, so their
+    partitions are stable fold inputs):
+    - the fold never reads its own output (``-batch_id`` excluded), so
+      recomputing it on replay is idempotent;
+    - consumed partitions are deleted only AFTER the fold's _SUCCESS
+      marker lands; a replay that finds the marker skips the fold and
+      just finishes the deletes, so a crash mid-delete cannot feed a
+      partial fold input back in."""
+    fs, state_p = _hadoop_fs(spark, f"{out_path}/state")
+    if not fs.exists(state_p):
+        return
+    consumed = []
+    for st in fs.listStatus(state_p):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name[len("batch="):])
+        except ValueError:
+            continue
+        if bid < batch_id and bid != -batch_id:
+            consumed.append(st.getPath())
+    if not consumed:
+        return
+    out_dir = f"{out_path}/state/batch=-{batch_id}"
+    fs_ok, marker = _hadoop_fs(spark, f"{out_dir}/_SUCCESS")
+    if not fs_ok.exists(marker):
+        folded = (spark.read.parquet(*[p.toString() for p in consumed])
+                  .groupBy(*kcols, "b")
+                  .agg(F.sum("qsum").alias("qsum"),
+                       F.sum("cnt").alias("cnt")))
+        folded.write.mode("overwrite").parquet(out_dir)
+    for p in consumed:
+        fs.delete(p, True)
+
+
 def ph_stream_sink(
     out_path: str,
     value_col: str,
@@ -882,6 +956,7 @@ def ph_stream_sink(
     bucket_seconds: int = 3600,
     delta: float = 0.0,
     lam: float = 5.0,
+    compact_every: int = 8,
 ):
     """foreachBatch sink turning :func:`page_hinkley_drift` into a
     LIVE changepoint monitor — the drift family's sequential arm
@@ -907,11 +982,23 @@ def ph_stream_sink(
 
     Per-batch cost: one bucketize of the batch + one merge/detect over
     the accumulated BUCKET relation (keys x buckets — O(hours), never
-    the ingested row count). State is a plain parquet layout, so the
-    monitor survives restarts with no driver-memory state and
-    "alarm history" is an ordinary read of ``latest`` over time (or
-    of the state partitions for forensics)."""
+    the ingested row count). Every ``compact_every`` batches the
+    consumed state partitions fold into one (``_compact_ph_state``),
+    so the per-batch listing/read stays bounded at the bucket relation
+    plus at most ``compact_every`` partitions instead of growing
+    O(n_batches) over a long-lived monitor; ``latest`` is published by
+    staging + rename (``_atomic_overwrite``) so concurrent readers
+    never see a half-written snapshot. State is a plain parquet
+    layout, so the monitor survives restarts with no driver-memory
+    state and "alarm history" is an ordinary read of ``latest`` over
+    time (or of the state partitions for forensics — transiently, a
+    forensic read BETWEEN a compaction's fold and its deletes can see
+    a bucket twice; ``latest`` itself is always consistent because the
+    detect merge runs after compaction completes)."""
     kcols = list(keys or [])
+    if compact_every < 0:
+        raise ValueError(
+            f"compact_every must be >= 0 (0 disables), got {compact_every}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from dump1090_db_stream_spark.cache import (
@@ -925,12 +1012,15 @@ def ph_stream_sink(
         (state.write.mode("overwrite")
          .parquet(f"{out_path}/state/batch={batch_id}"))
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 \
+                and batch_id % compact_every == 0:
+            _compact_ph_state(spark, out_path, kcols, batch_id)
         merged = (spark.read.parquet(f"{out_path}/state")
                   .groupBy(*kcols, "b")
                   .agg(F.sum("qsum").alias("qsum"),
                        F.sum("cnt").alias("cnt")))
         stats = page_hinkley_from_buckets(merged, kcols, delta, lam)
-        stats.write.mode("overwrite").parquet(f"{out_path}/latest")
+        _atomic_overwrite(stats, f"{out_path}/latest")
         release_after(mark)
 
     return sink

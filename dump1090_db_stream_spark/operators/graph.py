@@ -67,6 +67,11 @@ def connected_components(
               .distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
+    # `new_labels` stays visible to the except handler so a failure
+    # BETWEEN the successor's eager checkpoint and the swap (e.g. the
+    # convergence probe throwing) releases BOTH pins, not just the old
+    # one (r13 ADVICE: error-path-only checkpoint leak).
+    new_labels = None
     try:
         for _ in range(max_iterations):
             # neighbor's current component, min'd per node
@@ -84,7 +89,7 @@ def connected_components(
                        .filter(F.col("n.comp") != F.col("o.comp"))
                        .count())
             release_local_checkpoint(labels)  # probe consumed the old pin
-            labels = new_labels
+            labels, new_labels = new_labels, None
             if changed == 0:
                 break
         else:
@@ -96,6 +101,8 @@ def connected_components(
                 f"{max_iterations} rounds (graph diameter exceeds it); "
                 f"raise max_iterations or use connected_components_star")
     except BaseException:
+        if new_labels is not None:
+            release_local_checkpoint(new_labels)
         release_local_checkpoint(labels)
         raise
     return register_for_release(labels)
@@ -147,6 +154,9 @@ def connected_components_star(
              .transform(track_local_checkpoint))
 
     rounds, converged = 0, False
+    # Visible to the handler: releases the successor too if the
+    # fixpoint probe throws after its checkpoint (r13 ADVICE).
+    new_down = None
     try:
         for _ in range(max_iterations):
             rounds += 1
@@ -176,10 +186,12 @@ def connected_components_star(
                          and new_down.exceptAll(down).limit(1).count()
                          == 0)
             release_local_checkpoint(down)  # probe consumed the old pin
-            down = new_down
+            down, new_down = new_down, None
             if converged:
                 break
     except BaseException:
+        if new_down is not None:
+            release_local_checkpoint(new_down)
         release_local_checkpoint(down)
         raise
     if rounds_out is not None:
@@ -399,6 +411,9 @@ def pagerank(
     # connected_components / train_bpe_from_words (r12 ADVICE).
     ranks = (ids.withColumn("_rank", F.lit(1.0 / n))
              .localCheckpoint(eager=True))
+    # Visible to the handler — same release-both discipline as
+    # connected_components (r13 ADVICE).
+    new_ranks = None
     try:
         for _ in range(n_iters):
             contrib = (sym_deg
@@ -422,8 +437,10 @@ def pagerank(
                                  .alias("_rank"))
                          .localCheckpoint(eager=True))
             release_local_checkpoint(ranks)
-            ranks = new_ranks
+            ranks, new_ranks = new_ranks, None
     except BaseException:
+        if new_ranks is not None:
+            release_local_checkpoint(new_ranks)
         release_local_checkpoint(ranks)
         raise
     register_for_release(ranks)

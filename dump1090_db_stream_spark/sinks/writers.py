@@ -271,8 +271,25 @@ def jsonl_shard_manifest(path: str) -> list[tuple[int, int, int]]:
     files), NOT from the DataFrame that produced them — so comparing
     the manifest against a recomputation of the expected lines (the
     capstone_export oracle) proves the writer emitted exactly the
-    predicted bytes. Bounded by construction: one row per shard."""
+    predicted bytes. Bounded by construction: one row per shard.
+
+    CONTRACT: ``path`` must be a LOCAL filesystem directory — the
+    audit deliberately bypasses Spark and reads the raw bytes via
+    ``os`` (that independence is what makes it evidence). The writer
+    itself accepts any Hadoop-compatible URI; auditing an ``s3://`` /
+    ``hdfs://`` layout raises ``ValueError`` here — route such paths
+    through the Hadoop FileSystem API (or audit a synced local copy)
+    instead (r13 ADVICE: previously this failed with a confusing
+    FileNotFoundError or silently returned [])."""
     import os
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and \
+            not path.startswith("file://"):
+        raise ValueError(
+            f"jsonl_shard_manifest audits local paths only, got {path!r}")
+    if path.startswith("file://"):
+        path = path[len("file://"):]
 
     out: list[tuple[int, int, int]] = []
     for d in sorted(os.listdir(path)):

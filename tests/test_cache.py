@@ -128,3 +128,59 @@ def test_iterative_operators_leave_no_storage_residue(spark):
     assert train_bpe_incremental(docs, 4, checkpoint_every=2)
     release_tracked()
     assert jsc.getPersistentRDDs().size() == base
+
+
+def test_iteration_error_path_releases_successor_pin(spark, monkeypatch):
+    """r14 regression (r13 ADVICE): if an exception fires BETWEEN the
+    successor checkpoint's creation and the ``labels = new_labels``
+    swap (the convergence probe throwing is the realistic case), the
+    handler must release BOTH the superseded pin and the freshly
+    created successor — with the old handler only the former was
+    freed, leaking one checkpoint per failed call until session end.
+    Simulated by failing the Nth DataFrame.count() (the probe), when
+    both generations' checkpoints are live."""
+    import pytest
+    # pyspark 4: instances are the classic subclass, which defines its
+    # own count() — patch there, not on the facade base class.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    real_count = DataFrame.count
+
+    def fail_on(nth):
+        calls = {"n": 0}
+
+        def failing_count(self):
+            calls["n"] += 1
+            if calls["n"] == nth:
+                raise RuntimeError("probe failed")
+            return real_count(self)
+
+        return failing_count
+
+    # min-label: the probe is the loop's only count; fail iteration 2's
+    # probe — new_labels (iter 2) and labels (iter 1) are both pinned.
+    monkeypatch.setattr(DataFrame, "count", fail_on(2))
+    with pytest.raises(RuntimeError, match="probe failed"):
+        connected_components(chain)
+    monkeypatch.setattr(DataFrame, "count", real_count)
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
+
+    # star: 3 counts per iteration (fixpoint probe); fail iteration 2's
+    # first — new_down (iter 2) and down (iter 1) are both pinned.
+    monkeypatch.setattr(DataFrame, "count", fail_on(4))
+    with pytest.raises(RuntimeError, match="probe failed"):
+        connected_components_star(chain)
+    monkeypatch.setattr(DataFrame, "count", real_count)
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base

@@ -642,3 +642,62 @@ def test_ph_stream_sink_accumulates_and_equals_batch(spark, tmp_path):
     spark.catalog.refreshByPath(f"{out}/latest")
     [r2] = spark.read.parquet(f"{out}/latest").collect()
     assert tuple(r2) == tuple(r)
+
+
+def test_ph_stream_sink_compaction_bounds_state(spark, tmp_path):
+    """r14 (r13 ADVICE): a long-lived monitor must not re-read one
+    state partition per batch forever. With compact_every=4, batches
+    4 and 8 fold everything older into a single negative-id partition
+    and drop the consumed ones; `latest` still equals the one-shot
+    batch computation after EVERY prefix, and replaying the batch
+    that ran the compaction (the only batch foreachBatch can
+    redeliver) is idempotent even though it re-runs the fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.drift import (
+        page_hinkley_drift,
+        ph_stream_sink,
+    )
+
+    def rows(lo, hi, shift):
+        return [("m", 1700000000 + i * 1200,
+                 10.0 + ((i * 37) % 11 - 5) * 0.05 + shift)
+                for i in range(lo, hi)]
+
+    def mk(rs):
+        return spark.createDataFrame(rs, ["k", "e", "x"]).select(
+            "k", F.col("e").cast("timestamp").alias("ts"), "x")
+
+    out = str(tmp_path / "ph_compact")
+    sink = ph_stream_sink(out, "x", keys=["k"], delta=0.05, lam=5.0,
+                          compact_every=4)
+    batches = [rows(i * 16, (i + 1) * 16, 3.0 if i >= 6 else 0.0)
+               for i in range(9)]
+    seen: list = []
+    for bid, batch in enumerate(batches):
+        sink(mk(batch), bid)
+        seen += batch
+        spark.catalog.refreshByPath(f"{out}/latest")
+        got = spark.read.parquet(f"{out}/latest").collect()
+        want = page_hinkley_drift(mk(seen), "x", keys=["k"],
+                                  delta=0.05, lam=5.0).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), bid
+
+    def state_parts():
+        return sorted(d for d in os.listdir(f"{out}/state")
+                      if d.startswith("batch="))
+
+    # after batch 8: fold of everything < 8 (incl. batch=-4) + 8
+    assert state_parts() == ["batch=-8", "batch=8"]
+
+    # replay of batch 8 re-runs the compaction branch: the fold input
+    # excludes batch=-8 itself and its _SUCCESS marker short-circuits
+    # the refold, so nothing double-counts
+    [before] = spark.read.parquet(f"{out}/latest").collect()
+    sink(mk(batches[8]), 8)
+    spark.catalog.refreshByPath(f"{out}/latest")
+    [after] = spark.read.parquet(f"{out}/latest").collect()
+    assert tuple(after) == tuple(before)
+    assert state_parts() == ["batch=-8", "batch=8"]
