@@ -3308,35 +3308,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        untouched since — the only safe ones to leave outside.
     """
     return {
-        # -- r13 window 1-2 (tier 2, NEW): the capstone's JSONL
-        #    training-shard export with its disk-measured manifest
-        #    oracled byte-for-byte, and the driver-local
-        #    production-K BPE trainer against the same 64-stage
-        #    trajectory replay; plus the bounded symmetric
-        #    Jensen-Shannon categorical drift (the effect-size
-        #    sibling of chisq_snapshot_drift on the same mix)
-        "jsd_snapshot_drift": q_jsd_snapshot_drift,
-        "ph_value_drift": q_ph_value_drift,
-        "capstone_export": q_capstone_export,
-        "bpe_merges_k64_local": q_bpe_merges_k64_local,
-        # -- r13 window 3-19 (tier 3, CHANGED since their last
-        #    driver green): the K=12 BPE contracts now train via
-        #    the incremental trainer; bpe.py gained the empty-syms
-        #    slice clamps (K=64 pair); the four snapshot-drift
-        #    oracles gained the NULL-ts symmetry filter; every
-        #    graph.py consumer re-queues for the per-iteration
-        #    checkpoint-release change (capstone included — its
-        #    stages refactored into _capstone_stages)
-        "pipeline_capstone": q_pipeline_capstone,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encoded_stats": q_bpe_encoded_stats,
-        "bpe_merges_k64": q_bpe_merges_k64,
-        "bpe_vocab_k64": q_bpe_vocab_k64,
-        "ranksum_snapshot_drift": q_ranksum_snapshot_drift,
-        "chisq_snapshot_drift": q_chisq_snapshot_drift,
-        "ks_snapshot_drift": q_ks_snapshot_drift,
-        "w1_snapshot_drift": q_w1_snapshot_drift,
+        # -- r14 window 1-3 (tier 2, NEW): the unigram-LM
+        #    (SentencePiece-style) tokenizer trainer — full-trajectory
+        #    DuckDB replay — its distributed encode-stats pass, and
+        #    the composed PSI+KS+JSD+PH drift dashboard over one
+        #    snapshot pair (cross-metric consistency pin)
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_encoded_stats": q_unigram_encoded_stats,
+        "drift_dashboard": q_drift_dashboard,
+        # -- r14 window 4-10 (tier 3, CHANGED since their last
+        #    driver green): every registry consumer of the graph.py
+        #    iterative loops, re-queued for the r13-ADVICE error-path
+        #    release fix (exception-handler-only, happy path
+        #    byte-identical — pinned by
+        #    test_iteration_error_path_releases_successor_pin — but
+        #    the changed-file policy re-verifies consumers anyway);
+        #    pipeline_capstone/capstone_export (r13-green, same
+        #    upstream) stay in the tail: the handler change cannot
+        #    alter a successful run's plan or values
         "neardup_clusters": q_neardup_clusters,
         "neardup_clusters_star": q_neardup_clusters_star,
         "neardup_survivors": q_neardup_survivors,
@@ -3344,51 +3333,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "pagerank_neardups": q_pagerank_neardups,
         "pagerank_docs": q_pagerank_docs,
-        # -- r13 window 20 (streaming cadence, COVERAGE.md policy:
-        #    batch-replay oracles of streaming paths never exceed
-        #    2 rounds' driver staleness; aircraft_json_parse is
-        #    r10)
-        "aircraft_json_parse": q_aircraft_json_parse,
-        # -- r13 window 21-42 (tier 1 rotation): ALL 22 queries
-        #    whose last driver row is r8 — the stalest hard
-        #    signal (the r12 verdict's ask #2), stalest first
-        "set_ops_segments": q_set_ops_segments,
-        "cosine_neardup_pairs": q_cosine_neardup_pairs,
-        "doc_quality": q_doc_quality,
-        "lang_id_counts": q_lang_id_counts,
-        "doc_fingerprints": q_doc_fingerprints,
-        "exact_dup_docs": q_exact_dup_docs,
-        "embedding_topk": q_embedding_topk,
-        "revenue_by_nation": q_revenue_by_nation,
-        "doc_token_stats": q_doc_token_stats,
-        "sbs1_parse": q_sbs1_parse,
-        "top_revenue_orders": q_top_revenue_orders,
-        "session_windows": q_session_windows,
-        "event_stats": q_event_stats,
-        "event_type_pivot": q_event_type_pivot,
-        "asof_join": q_asof_join,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "gap_fill_locf": q_gap_fill_locf,
-        "cohort_retention": q_cohort_retention,
-        "event_transitions": q_event_transitions,
-        "event_type_extremes": q_event_type_extremes,
-        "value_histograms": q_value_histograms,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        # -- r13 window 43-50 (tier 1 fill): the head of the
-        #    r9-verified greens, in recorded staleness order
-        "retrieval_metrics": q_retrieval_metrics,
-        "dsir_calibration": q_dsir_calibration,
-        "late_sole_suppliers": q_late_sole_suppliers,
-        "value_runs_scd2": q_value_runs_scd2,
-        "weekly_active_users": q_weekly_active_users,
-        "weekly_active_by_type": q_weekly_active_by_type,
+        # -- r14 window 11-12 (streaming cadence, COVERAGE.md
+        #    policy: batch-replay oracles of streaming paths never
+        #    exceed 2 rounds' driver staleness; both are r12)
+        "streaming_window_counts": q_streaming_window_counts,
+        "stateful_sessions": q_stateful_sessions,
+        # -- r14 window 13-50 (tier 1 rotation): ALL 38 queries
+        #    whose last driver green is r9 — the stalest hard signal
+        #    (r13 verdict ask #2: after r14 nothing predates r10),
+        #    stalest-position first (scripts/staleness_report.py)
         "winsorized_values": q_winsorized_values,
         "market_share": q_market_share,
-        # -- positions 51+ (tier 4 tail, r14 rotation queue):
-        #    the remaining r9 greens, then the r10 greens, then
-        #    the r11 greens, then the r12-window greens
-        #    (freshest last) — scripts/check_correctness.py
-        #    still covers every one locally each round
         "event_transitions_k2": q_event_transitions_k2,
         "scd2_point_lookup": q_scd2_point_lookup,
         "track_lines_wkb": q_track_lines_wkb,
@@ -3425,6 +3380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locations_projection": q_locations_projection,
         "flights_band_join": q_flights_band_join,
         "window_track_lines": q_window_track_lines,
+        # -- positions 51+ (tier 4 tail, r15 rotation queue):
+        #    r10 greens stalest-first, then r11, r12, r13 (freshest
+        #    last) — scripts/check_correctness.py still covers every
+        #    one locally each round
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_recall_ivfpq": q_ann_recall_ivfpq,
         "ann_recall_ivf": q_ann_recall_ivf,
@@ -3541,7 +3500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_journey_paths": q_top_journey_paths,
         "table_profile": q_table_profile,
         "close_encounters": q_close_encounters,
-        "stateful_sessions": q_stateful_sessions,
         "json_extract": q_json_extract,
         "sales_rollup": q_sales_rollup,
         "cube_order_stats": q_cube_order_stats,
@@ -3549,7 +3507,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "segment_order_activity": q_segment_order_activity,
         "customer_order_counts": q_customer_order_counts,
-        "streaming_window_counts": q_streaming_window_counts,
+        "jsd_snapshot_drift": q_jsd_snapshot_drift,
+        "ph_value_drift": q_ph_value_drift,
+        "capstone_export": q_capstone_export,
+        "bpe_merges_k64_local": q_bpe_merges_k64_local,
+        "pipeline_capstone": q_pipeline_capstone,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encoded_stats": q_bpe_encoded_stats,
+        "bpe_merges_k64": q_bpe_merges_k64,
+        "bpe_vocab_k64": q_bpe_vocab_k64,
+        "ranksum_snapshot_drift": q_ranksum_snapshot_drift,
+        "chisq_snapshot_drift": q_chisq_snapshot_drift,
+        "ks_snapshot_drift": q_ks_snapshot_drift,
+        "w1_snapshot_drift": q_w1_snapshot_drift,
+        "aircraft_json_parse": q_aircraft_json_parse,
+        "set_ops_segments": q_set_ops_segments,
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "doc_quality": q_doc_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_docs": q_exact_dup_docs,
+        "embedding_topk": q_embedding_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "doc_token_stats": q_doc_token_stats,
+        "sbs1_parse": q_sbs1_parse,
+        "top_revenue_orders": q_top_revenue_orders,
+        "session_windows": q_session_windows,
+        "event_stats": q_event_stats,
+        "event_type_pivot": q_event_type_pivot,
+        "asof_join": q_asof_join,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "gap_fill_locf": q_gap_fill_locf,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "event_type_extremes": q_event_type_extremes,
+        "value_histograms": q_value_histograms,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "retrieval_metrics": q_retrieval_metrics,
+        "dsir_calibration": q_dsir_calibration,
+        "late_sole_suppliers": q_late_sole_suppliers,
+        "value_runs_scd2": q_value_runs_scd2,
+        "weekly_active_users": q_weekly_active_users,
+        "weekly_active_by_type": q_weekly_active_by_type,
+
     }
 
 
@@ -8465,6 +8466,41 @@ def _alias_oracles(oracles: dict[str, str]) -> dict[str, str]:
                        / CAST(n_types AS DOUBLE), 6) AS gini
         FROM agg
     """
+
+    # r14: unigram-LM trajectory replays (generated — the
+    # bpe_merges_k64 discipline: the oracle re-trains from the raw
+    # table, so hash-equality proves the full EM trajectory)
+    from dump1090_db_stream_spark.operators.unigram import (
+        encoded_stats_sql as _uni_encoded_sql,
+    )
+    from dump1090_db_stream_spark.operators.unigram import (
+        replay_sql as _uni_replay_sql,
+    )
+    from dump1090_db_stream_spark.operators.unigram import (
+        vocab_select_sql as _uni_vocab_sql,
+    )
+
+    oracles["unigram_vocab"] = _uni_replay_sql() + _uni_vocab_sql()
+    oracles["unigram_encoded_stats"] = (
+        _uni_replay_sql() + _uni_encoded_sql())
+
+    # r14: the composed drift dashboard — the union of the four
+    # standalone replays under one projection (cross-metric
+    # consistency pin)
+    oracles["drift_dashboard"] = f"""
+        SELECT 'psi' AS metric, event_type AS key, psi AS statistic,
+               verdict <> 'stable' AS drifted
+        FROM ({oracles["event_drift"]})
+        UNION ALL
+        SELECT 'ks', event_type, ks, drifted
+        FROM ({oracles["ks_snapshot_drift"]})
+        UNION ALL
+        SELECT 'jsd', CAST(NULL AS VARCHAR), jsd, drifted
+        FROM ({oracles["jsd_snapshot_drift"]})
+        UNION ALL
+        SELECT 'ph', event_type, ph_stat, drifted
+        FROM ({oracles["ph_value_drift"]})
+    """
     return oracles
 
 
@@ -9920,3 +9956,116 @@ def q_exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_by(
         _events(spark, sf_dir), "value", keys=["event_type"],
         probs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+# --- r14: unigram-LM tokenizer family + drift dashboard ---------------------
+
+_UNIGRAM_TRAINED: dict[str, list] = {}
+
+
+def _trained_unigram(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized distributed unigram-LM training per sf_dir (the
+    _trained_merges_k idiom): both unigram contracts and the bench
+    share one trained model per scale factor."""
+    if sf_dir not in _UNIGRAM_TRAINED:
+        from dump1090_db_stream_spark.operators.unigram import (
+            train_unigram,
+        )
+
+        _UNIGRAM_TRAINED[sf_dir] = train_unigram(
+            load_table(spark, sf_dir, "documents"))
+    return _UNIGRAM_TRAINED[sf_dir]
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators.unigram.train_unigram — r13 verdict ask #3): hard-EM
+    with Viterbi E-steps over a bounded substring-candidate seed,
+    integer-quantized log2 scores so every DP comparison is
+    engine-portable integer arithmetic. The E-step is fully
+    distributed and fully JVM-side (one Catalyst fold expression per
+    word type, scores broadcast as a map literal); the M-step is a
+    vocabulary-bounded collect + driver arithmetic. The oracle replays
+    the ENTIRE trajectory closed-form — seed substring enumeration,
+    every EM iteration's per-prefix-length DP unroll, count
+    re-estimation — the bpe_merges_k64 discipline; an equivalence
+    test additionally pins distributed == pure-Python reference."""
+    from dump1090_db_stream_spark.operators.unigram import (
+        train_unigram,
+        vocab_df,
+    )
+
+    # trains on EVERY call (the honest bench cost of the trainer) and
+    # refreshes the memo so the encode contract reuses the model
+    _UNIGRAM_TRAINED[sf_dir] = train_unigram(
+        load_table(spark, sf_dir, "documents"))
+    return vocab_df(spark, _UNIGRAM_TRAINED[sf_dir])
+
+
+def q_unigram_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encode statistics under the trained unigram model
+    (operators.unigram.unigram_encoded_stats): the Viterbi DP runs
+    once per word TYPE (distinct), broadcast-joins onto the token
+    stream, one aggregation to (doc_id, n_words, n_pieces,
+    pieces_per_word) — the 100 TB encode shape (never a per-token DP).
+    Over-cap and uncoverable word types take the documented
+    character-split fallback. pieces_per_word is micro-quantized from
+    one exact integer division; the oracle replays training AND the
+    encode pass from the raw table."""
+    from dump1090_db_stream_spark.operators.unigram import (
+        scores_from_rows,
+        unigram_encoded_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encoded_stats(
+        docs, scores_from_rows(_trained_unigram(spark, sf_dir)))
+
+
+def q_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-source drift dashboard (r13 verdict ask #8,
+    stretch): PSI + KS + JSD + Page-Hinkley over the SAME month-split
+    snapshot pair / value series the standalone contracts use, unified
+    to one (metric, key, statistic, drifted) relation — pinning
+    CROSS-METRIC consistency (same inputs, four detectors, one
+    hash-checked relation) the way pipeline_capstone pins cross-stage
+    row flow. Each arm is the already-oracled operator; the oracle is
+    the union of the four replays under the same projection, so a
+    regression in any one metric breaks this hash too."""
+    from dump1090_db_stream_spark.operators.drift import (
+        js_divergence_drift,
+        ks_drift,
+        page_hinkley_drift,
+    )
+    from dump1090_db_stream_spark.operators.profiling import psi_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("ts") < "2024-01-16")
+    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+
+    psi = psi_drift(ref, cur, "value", keys=["event_type"],
+                    n_bins=10).select(
+        F.lit("psi").alias("metric"),
+        F.col("event_type").alias("key"),
+        F.col("psi").alias("statistic"),
+        (F.col("verdict") != "stable").alias("drifted"))
+    ks = ks_drift(ref, cur, "value", keys=["event_type"]).select(
+        F.lit("ks").alias("metric"),
+        F.col("event_type").alias("key"),
+        F.col("ks").alias("statistic"),
+        "drifted")
+    jsd = js_divergence_drift(
+        ev.filter(cutoff), ev.filter(~cutoff), "event_type").select(
+        F.lit("jsd").alias("metric"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("jsd").alias("statistic"),
+        "drifted")
+    ph = page_hinkley_drift(ev, "value", keys=["event_type"],
+                            bucket_seconds=3600, delta=0.05,
+                            lam=1.0).select(
+        F.lit("ph").alias("metric"),
+        F.col("event_type").alias("key"),
+        F.col("ph_stat").alias("statistic"),
+        "drifted")
+    return psi.unionByName(ks).unionByName(jsd).unionByName(ph)

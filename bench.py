@@ -195,6 +195,15 @@ EXTENDED = [
     "capstone_export",
     "jsd_snapshot_drift",
     "ph_value_drift",
+    # r14 additions: the unigram-LM trainer (distributed seed + three
+    # distributed Viterbi E-steps — unigram_vocab re-trains on EVERY
+    # call, so its number IS the full EM cost; the trained model is
+    # memoized for the encode contract), the word-type +
+    # broadcast-join encode pass, and the composed four-metric drift
+    # dashboard
+    "unigram_vocab",
+    "unigram_encoded_stats",
+    "drift_dashboard",
 ]
 
 

@@ -53,67 +53,63 @@ def test_hll_estimates_land_inside_documented_bands(spark, sf_dir):
                 assert r[c] is True, (name, c, r)
 
 
-def test_r13_window_composition():
-    """Pins the round-13 driver-window invariants (COVERAGE.md "Driver
-    correctness window"): tier 2 — the capstone JSONL-export manifest
-    and the driver-local production-K BPE trainer; tier 3 — every
-    query whose implementation OR oracle changed since its last driver
-    green (K=12 BPE contracts on the incremental trainer, the K=64
-    pair for the bpe.py slice clamps, the four snapshot-drift oracles'
-    NULL-ts symmetry, all seven graph.py consumers for the
-    per-iteration checkpoint release, the refactored capstone); the
-    streaming-cadence slot (aircraft_json_parse, r10 — batch-replay
-    oracles of streaming paths never exceed 2 rounds' staleness);
-    tier 1 — ALL 22 queries whose last driver row is r8 (the r12
-    verdict's ask #2), then the head of the r9 greens fills to exactly
-    50. Positions 51+: the remaining r9 greens (the r14 rotation
-    queue), then the r10 greens, then the r11 greens, then the
-    r12-window greens (freshest) close the registry."""
+def test_r14_window_composition():
+    """Pins the round-14 driver-window invariants (COVERAGE.md "Driver
+    correctness window"): tier 2 — the unigram-LM trainer pair and the
+    composed drift dashboard; tier 3 — the seven graph.py consumers
+    re-queued for the r13-ADVICE error-path release fix (the only
+    operator-file change feeding r13-green contracts;
+    pipeline_capstone/capstone_export stay in the tail because the
+    exception-handler change cannot alter a successful run); the two
+    streaming-cadence slots (both r12 — due at the 2-round bound);
+    tier 1 — ALL 38 queries whose last driver green is r9 (the r13
+    verdict's ask #2: after r14 nothing predates r10), closing the
+    window at exactly 50. Positions 51+: r10 greens stalest-first,
+    then r11, r12, r13 (freshest last) — the committed staleness
+    record is scripts/staleness_r13.json
+    (scripts/staleness_report.py)."""
     order = list(entrymod.queries())
     window = order[:50]
-    assert window[:4] == ["jsd_snapshot_drift", "ph_value_drift",
-                          "capstone_export", "bpe_merges_k64_local"]
-    assert window[4:21] == [        # tier 3: changed since last green
-        "pipeline_capstone", "bpe_merges", "bpe_vocab",
-        "bpe_encoded_stats", "bpe_merges_k64", "bpe_vocab_k64",
-        "ranksum_snapshot_drift", "chisq_snapshot_drift",
-        "ks_snapshot_drift", "w1_snapshot_drift",
+    assert window[:3] == ["unigram_vocab", "unigram_encoded_stats",
+                          "drift_dashboard"]
+    assert window[3:10] == [        # tier 3: graph.py consumers
         "neardup_clusters", "neardup_clusters_star",
         "neardup_survivors", "quality_survivors",
         "entity_resolution", "pagerank_neardups", "pagerank_docs"]
-    assert window[21] == "aircraft_json_parse"  # streaming cadence
-    assert window[22:44] == [       # tier 1: the full r8-stale set
-        "set_ops_segments", "cosine_neardup_pairs", "doc_quality",
-        "lang_id_counts", "doc_fingerprints", "exact_dup_docs",
-        "embedding_topk", "revenue_by_nation", "doc_token_stats",
-        "sbs1_parse", "top_revenue_orders", "session_windows",
-        "event_stats", "event_type_pivot", "asof_join",
-        "ngram_jaccard_dups", "gap_fill_locf", "cohort_retention",
-        "event_transitions", "event_type_extremes",
-        "value_histograms", "disjunctive_revenue"]
-    # tier 1 fill: the r9 greens in recorded staleness order (the
-    # late jsd/ph insertions at the window head pushed
-    # winsorized_values and market_share to the tail head — both stay
-    # r9, so the "no entry predates r9 after r13" promise holds)
-    assert window[44:50] == [
-        "retrieval_metrics", "dsir_calibration", "late_sole_suppliers",
-        "value_runs_scd2", "weekly_active_users",
-        "weekly_active_by_type"]
-    # positions 51+: remaining r9 greens lead the r14 rotation
-    assert order[50:53] == ["winsorized_values", "market_share",
-                            "event_transitions_k2"]
-    # r9 greens precede r10 greens precede r11 greens precede the
-    # r12 window's greens
-    assert order.index("sbs1_rejects") < order.index("callsign_sessions")
-    assert order.index("ann_recall_lsh") > \
-        order.index("window_track_lines")
-    assert order.index("line_dedup_docs") < \
-        order.index("bootstrap_mean_chars")
-    # the r12-window greens close the registry (freshest last); every
-    # entry promoted into the r13 window is absent from the tail
-    assert order[-1] == "streaming_window_counts"
+    assert window[10:12] == [       # streaming cadence (both r12)
+        "streaming_window_counts", "stateful_sessions"]
+    assert window[12:50] == [       # tier 1: the FULL r9-stale set
+        "winsorized_values", "market_share", "event_transitions_k2",
+        "scd2_point_lookup", "track_lines_wkb",
+        "embedding_ivf_trained", "embedding_quantized",
+        "embedding_quantized_topk", "funnel_conversions",
+        "event_mad_outliers", "event_zscore_outliers",
+        "sliding_window_counts", "event_trailing_stats",
+        "corpus_merge", "attribution_join", "weighted_fixed_sample",
+        "doc_unigram_logprob", "cluster_profiles",
+        "neardup_triangles", "lineitem_unpivot", "null_safe_join",
+        "order_value_ranks", "tolerant_arithmetic", "sbs1_rejects",
+        "event_value_quantiles", "daily_quantile_rollup",
+        "embedding_projected", "temperature_mixture_docs",
+        "contrastive_negatives", "containment_pairs",
+        "hard_negative_candidates", "data_expectations",
+        "concurrent_sessions", "fuzzy_name_matches",
+        "callsign_sessions", "locations_projection",
+        "flights_band_join", "window_track_lines"]
+    # positions 51+: r10 greens lead the r15 rotation queue
+    assert order[50:54] == ["ann_recall_lsh", "ann_recall_ivfpq",
+                            "ann_recall_ivf", "dsir_auc"]
+    # staleness tiers stay ordered: r10 < r11 < r12 < r13 in the tail
+    assert order.index("dedup_by_key") < order.index("minhash_lsh_dups")
+    assert order.index("minhash_lsh_dups") < \
+        order.index("gopher_quality")
+    assert order.index("gopher_quality") < \
+        order.index("jsd_snapshot_drift")
+    # every entry promoted into the r14 window is absent from the tail
     tail = set(order[50:])
     for promoted in ("quality_survivors", "pagerank_docs",
-                     "ks_snapshot_drift", "bpe_merges_k64",
-                     "aircraft_json_parse", "capstone_export"):
+                     "streaming_window_counts", "stateful_sessions",
+                     "winsorized_values", "window_track_lines"):
         assert promoted not in tail, promoted
+    # the r13-window greens close the registry (freshest last)
+    assert order[-1] == "weekly_active_by_type"

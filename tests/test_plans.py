@@ -404,6 +404,11 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # attach (stages shared via
                                   # _capstone_stages); the export adds
                                   # only a hash-repartition + write
+        "drift_dashboard",        # inherits jsd_snapshot_drift's
+                                  # one-row margins attach (the JSD
+                                  # arm of the composed dashboard);
+                                  # the PSI/KS/PH arms join on
+                                  # event_type
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, sf))
