@@ -157,6 +157,97 @@ def estimate_candidate_pairs(df: DataFrame, id_col: str, str_col: str,
         track(_prefix_relation(df, id_col, str_col, k, q)))
 
 
+def _deletion_variants(s, k: int):
+    """array<string> of all distinct strings reachable from ``s`` by at
+    most ``k`` character deletions (including ``s`` itself), as one
+    Catalyst expression. k is 1 or 2."""
+    def dels(col):
+        # all single-deletion variants of `col`
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(col))),
+            lambda i: F.concat(
+                col.substr(F.lit(1), (i - F.lit(1)).cast("int")),
+                col.substr((i + F.lit(1)).cast("int"),
+                           F.length(col))))
+
+    d1 = F.concat(F.array(s), F.when(F.length(s) > 0, dels(s))
+                  .otherwise(F.array()))
+    if k == 1:
+        return F.array_distinct(d1)
+    # k == 2: one more deletion layer over every 1-deletion variant
+    d2 = F.flatten(F.transform(
+        d1, lambda v: F.when(F.length(v) > 0, dels(v))
+        .otherwise(F.array())))
+    return F.array_distinct(F.concat(d1, d2))
+
+
+def deletion_neighborhood_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """All pairs (id1 < id2) with levenshtein(s1, s2) <= k via the
+    DELETION-NEIGHBORHOOD blocking (the SymSpell principle, public:
+    Garbe's symmetric delete algorithm): ed(s, t) <= k implies the
+    <=k-deletion variant sets of s and t intersect (delete from each
+    side the characters an optimal alignment substitutes/inserts — at
+    most k per side — and both reduce to the alignment's common
+    subsequence). Candidates = pairs sharing a variant; every
+    candidate is then VERIFIED with the thresholded built-in
+    levenshtein, so the output is exactly the <=k pairs — the same
+    contract (and the same brute-force-equality test) as the q-gram
+    prefix path.
+
+    Why it exists next to the prefix filter: on LOW-DIVERSITY keys
+    (zero-padded numeric tails — the measured 739x candidate blowup at
+    q=3 on Customer# names) even rare q-grams concentrate, while a
+    shared deletion variant pins agreement on every OTHER character
+    position, so candidate volume stays near the true-pair volume.
+    The price is a wider index — L+1 variants of ~L bytes per string
+    for k=1 (vs k*q+1 prefix rows) — so the prefix path remains the
+    default for k > 2 and gram-diverse corpora; this path requires
+    k <= 2 (variant count is C(L,2)-quadratic at k=2 and explodes
+    beyond).
+
+    Scale shape: one map-side variant explode, one equi-join on the
+    variant string, per-candidate thresholded levenshtein, distinct on
+    surviving pairs. No short-string fallback needed: the empty string
+    is its own variant, so length-0/1 strings participate in the same
+    equi-join. Skew: a hot variant bucket of size c means c mutually
+    near-identical strings (a true dense cluster) — cost proportional
+    to real output, the same class as the prefix path's dense-cluster
+    cost."""
+    if k not in (1, 2):
+        raise ValueError(
+            f"deletion_neighborhood_join supports k in (1, 2), got {k}")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(str_col).alias("s"))
+    from dump1090_db_stream_spark.cache import track
+
+    # variants feed both self-join sides — persist, or the explode
+    # pipeline runs twice (no CSE across self-join branches)
+    var = track(base.select(
+        "id", "s",
+        F.explode(_deletion_variants(F.col("s"), k)).alias("v")))
+    # spread the expansion join exactly like the prefix path: the
+    # variant relation is small enough for AQE to coalesce to ~1
+    # partition, but the join EXPANDS inside hot variant buckets
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = var.repartition(n_part, "v").alias("a")
+    b = var.repartition(n_part, "v").alias("b")
+    cands = (a.join(b, ["v"])
+             .filter(F.col("a.id") < F.col("b.id"))
+             .filter(F.abs(F.length("a.s") - F.length("b.s")) <= k)
+             .select(F.col("a.id").alias("id1"),
+                     F.col("b.id").alias("id2"),
+                     F.col("a.s").alias("s1"),
+                     F.col("b.s").alias("s2")))
+    return (cands.withColumn("dist", F.levenshtein("s1", "s2", k))
+            .filter(F.col("dist") >= 0)
+            .distinct())
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -165,11 +256,17 @@ def edit_distance_join(
     q: int = 2,
     max_candidate_ratio: float | None = 256.0,
     on_exceed: str = "warn",
+    method: str = "prefix",
 ) -> DataFrame:
     """All pairs (id1 < id2) with levenshtein(s1, s2) <= k.
 
     Output: id1, id2, s1, s2, dist. See module docstring for the
     algorithm and its no-lost-pair argument.
+
+    ``method``: "prefix" (default — the q-gram prefix filter below) or
+    "deletions" (k <= 2 only — :func:`deletion_neighborhood_join`, the
+    right choice for low-gram-diversity keys where the prefix filter's
+    candidate volume detonates; same verified output either way).
 
     CANDIDATE-VOLUME GUARDRAIL (enforcing the module docstring's
     q-tuning note): before the expansion join runs, the exact upper
@@ -194,6 +291,15 @@ def edit_distance_join(
     if on_exceed not in ("warn", "raise"):
         raise ValueError(
             f"on_exceed must be 'warn' or 'raise', got {on_exceed!r}")
+    if method not in ("prefix", "deletions"):
+        raise ValueError(
+            f"method must be 'prefix' or 'deletions', got {method!r}")
+    if method == "deletions":
+        # identical output contract, different blocking (see
+        # deletion_neighborhood_join) — the candidate-volume guard is
+        # prefix-specific and does not apply (deletion buckets are
+        # bounded by true near-cluster density, not gram diversity)
+        return deletion_neighborhood_join(df, id_col, str_col, k)
 
     # |G| = len - q + 1 <= k*q  <=>  len <= k*q + q - 1: below this the
     # prefix guarantee can fail (A\B may be all of A), so brute-force

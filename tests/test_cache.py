@@ -87,12 +87,12 @@ def test_iterative_loops_release_superseded_checkpoints_eagerly(spark):
     base = jsc.getPersistentRDDs().size()
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], ["id_a", "id_b"])
-    connected_components(chain).count()
+    connected_components(chain, local_threshold=0).count()
     assert jsc.getPersistentRDDs().size() <= base + 2  # sym + final pin
     release_tracked()
     assert jsc.getPersistentRDDs().size() == base
 
-    connected_components_star(chain).count()
+    connected_components_star(chain, local_threshold=0).count()
     assert jsc.getPersistentRDDs().size() <= base + 2  # nodes + final
     release_tracked()
     assert jsc.getPersistentRDDs().size() == base
@@ -171,7 +171,7 @@ def test_iteration_error_path_releases_successor_pin(spark, monkeypatch):
     # probe — new_labels (iter 2) and labels (iter 1) are both pinned.
     monkeypatch.setattr(DataFrame, "count", fail_on(2))
     with pytest.raises(RuntimeError, match="probe failed"):
-        connected_components(chain)
+        connected_components(chain, local_threshold=0)
     monkeypatch.setattr(DataFrame, "count", real_count)
     release_tracked()
     assert jsc.getPersistentRDDs().size() == base
@@ -180,7 +180,7 @@ def test_iteration_error_path_releases_successor_pin(spark, monkeypatch):
     # first — new_down (iter 2) and down (iter 1) are both pinned.
     monkeypatch.setattr(DataFrame, "count", fail_on(4))
     with pytest.raises(RuntimeError, match="probe failed"):
-        connected_components_star(chain)
+        connected_components_star(chain, local_threshold=0)
     monkeypatch.setattr(DataFrame, "count", real_count)
     release_tracked()
     assert jsc.getPersistentRDDs().size() == base

@@ -111,3 +111,52 @@ def test_candidate_volume_guard(spark):
     assert got == _brute(diverse, 1)
     with pytest.raises(ValueError, match="on_exceed"):
         edit_distance_join(df, "sid", "s", on_exceed="explode")
+
+
+# --- r14: deletion-neighborhood blocking (method="deletions") ---------------
+
+
+def _del_pairs(spark, strings: list[str], k: int):
+    df = spark.createDataFrame(list(enumerate(strings)), ["sid", "s"])
+    res = edit_distance_join(df, "sid", "s", k=k, method="deletions")
+    return {(r.id1, r.id2, r.dist) for r in res.collect()}
+
+
+def test_deletions_matches_brute_force_mixed_lengths(spark):
+    # the prefix path's hard cases — short strings, empty string,
+    # duplicate-gram content — must fall out of the same equi-join
+    # (no fallback branch exists on this path)
+    strings = ["ab", "cd", "abc", "abd", "abcd", "xabc", "hello world",
+               "hello world!", "hallo world", "spark", "sparc", "spork",
+               "a", "b", "", "query engine", "query engines",
+               "aaaa", "aaab", "aaba", "bbbb"]
+    for k in (1, 2):
+        assert _del_pairs(spark, strings, k) == _brute(strings, k)
+
+
+def test_deletions_matches_prefix_on_customer_names(spark):
+    # the call-site shape: zero-padded numeric tails (the measured
+    # low-gram-diversity blowup case for the prefix filter)
+    strings = [f"Customer#{i:09d}" for i in range(60)] + [
+        "Customer#0000000x1", "Customer#00000001"]
+    assert _del_pairs(spark, strings, 1) == _brute(strings, 1)
+
+
+def test_deletions_rejects_large_k(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "abc")], ["sid", "s"])
+    with pytest.raises(ValueError, match="k in \\(1, 2\\)"):
+        edit_distance_join(df, "sid", "s", k=3, method="deletions")
+    with pytest.raises(ValueError, match="method"):
+        edit_distance_join(df, "sid", "s", method="anagram")
+
+
+def test_deletions_is_equi_join_not_cross(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    res = edit_distance_join(cust, "c_custkey", "c_name", k=1,
+                             method="deletions")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan

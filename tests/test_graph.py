@@ -24,7 +24,7 @@ def test_components_long_chain_converges(spark):
     # a 40-node path: worst case for min-propagation (diameter rounds)
     comp = {r["id"]: r["comp"] for r in connected_components(
         _edges(spark, [(i, i + 1) for i in range(40)]),
-        max_iterations=50).collect()}
+        max_iterations=50, local_threshold=0).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
 
@@ -61,9 +61,10 @@ def test_star_equals_propagation_on_random_graphs(spark):
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         pairs = [(a, b) for a, b in pairs if a != b]
         base = sorted(map(tuple, connected_components(
-            _edges(spark, pairs), max_iterations=60).collect()))
+            _edges(spark, pairs), max_iterations=60,
+            local_threshold=0).collect()))
         star = sorted(map(tuple, connected_components_star(
-            _edges(spark, pairs)).collect()))
+            _edges(spark, pairs), local_threshold=0).collect()))
         assert star == base, f"seed={seed}"
 
 
@@ -78,7 +79,7 @@ def test_star_chain_converges_logarithmically(spark):
     rounds: list[int] = []
     comp = {r["id"]: r["comp"] for r in connected_components_star(
         _edges(spark, [(i, i + 1) for i in range(63)]),
-        rounds_out=rounds).collect()}
+        rounds_out=rounds, local_threshold=0).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 64
     assert rounds[0] <= 8, rounds
@@ -117,9 +118,11 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
 
     chain = _edges(spark, [(i, i + 1) for i in range(30)])
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components_star(chain, max_iterations=2).collect()
+        connected_components_star(chain, max_iterations=2,
+                                  local_threshold=0).collect()
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iterations=3).collect()
+        connected_components(chain, max_iterations=3,
+                             local_threshold=0).collect()
 
 
 def test_triangles_known_graph(spark):
@@ -217,3 +220,51 @@ def test_pagerank_empty_nodes_and_duplicate_ids(spark):
     want = {r["id"]: r["pagerank"]
             for r in pagerank(uniq_nodes, edges, n_iters=2).collect()}
     assert got == want and len(got) == 3
+
+
+def test_local_equals_distributed(spark):
+    """r14: the bounded driver-local union-find fast path must produce
+    the identical (id, comp) labeling as both distributed loops, on
+    random graphs including multi-component, duplicate and reversed
+    edges."""
+    import random
+
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n, m in [(7, 30, 15), (8, 40, 60), (9, 12, 50)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        dist = sorted(map(tuple, connected_components(
+            _edges(spark, pairs), max_iterations=60,
+            local_threshold=0).collect()))
+        loc = sorted(map(tuple, connected_components(
+            _edges(spark, pairs)).collect()))  # default threshold: local
+        loc_star = sorted(map(tuple, connected_components_star(
+            _edges(spark, pairs)).collect()))  # local via star entry
+        assert loc == dist, f"seed={seed}"
+        assert loc_star == dist, f"seed={seed}"
+
+
+def test_local_path_taken_under_threshold(spark):
+    """The fast path must not leave pins behind and must report zero
+    star rounds (the observability hook)."""
+    from dump1090_db_stream_spark import release_tracked
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    rounds: list[int] = []
+    comp = {r["id"]: r["comp"] for r in connected_components_star(
+        _edges(spark, [(i, i + 1) for i in range(20)]),
+        rounds_out=rounds).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 21
+    assert rounds == [0]
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() == base
