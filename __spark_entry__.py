@@ -9574,19 +9574,43 @@ def _capstone_stages(spark: SparkSession, sf_dir: str):
     contam = (cross_ngram_overlap(docs, refs, n=2, min_common=3)
               .select("doc_id").distinct())
 
-    w_exact = Window.partitionBy(F.md5("text"))
-    flt = (docs
-           .withColumn("_exact_min", F.min("doc_id").over(w_exact))
+    # exact-dup minimum via aggregate + equi-join on the digest instead
+    # of a window over md5(text) (r14, guide §2.3): the window shuffled
+    # every FULL document row — text included — keyed on the digest;
+    # here only (digest, doc_id) crosses for the map-side-combined
+    # aggregate and a narrow (doc_id, digest, source, n_chars)
+    # projection for the join, so document bodies never shuffle. AQE
+    # broadcasts the per-digest minimum at bench scale; at 100 TB it
+    # stays a keyed equi-join of two narrow relations. Values are
+    # identical (min over equal keys either way).
+    exact_min = (docs.select(F.md5("text").alias("_h"), "doc_id")
+                 .groupBy("_h").agg(F.min("doc_id").alias("_exact_min")))
+    flt = (docs.select("doc_id", F.md5("text").alias("_h"),
+                       "source", "n_chars")
+           .join(exact_min, "_h")
            .join(gop, "doc_id")
            .join(canon, "doc_id")
            .filter(F.col("gopher_pass")
                    & (F.col("doc_id") == F.col("_exact_min")))
            .join(contam, "doc_id", "left_anti"))
+    # same narrowing for the cluster minimum: the window input carries
+    # only the four columns the survivor projection needs
     w_clust = Window.partitionBy("canonical_id")
-    surv = (flt.withColumn("_cmin", F.min("doc_id").over(w_clust))
+    surv = (flt.select("doc_id", "canonical_id", "source", "n_chars")
+            .withColumn("_cmin", F.min("doc_id").over(w_clust))
             .filter(F.col("doc_id") == F.col("_cmin"))
             .select("doc_id", "canonical_id", "source", "n_chars"))
-    split = hash_split(surv, "canonical_id")
+    # materialize the split assignment ONCE (r14): it feeds the
+    # non-train pool arm, the train filter, the mixture rates AND the
+    # packing window — without the barrier each consumer re-executes
+    # the whole hygiene/dedup/decontamination pipeline above (Catalyst
+    # has no cross-branch reuse; measured 3.4 s of recompute per
+    # capstone action at sf0.1). ~survivor-count narrow rows; released
+    # by the caller's release_tracked() like every operator
+    # intermediate.
+    from dump1090_db_stream_spark.cache import track
+
+    split = track(hash_split(surv, "canonical_id"))
 
     train = split.filter(F.col("split") == "train")
     mixed = temperature_sample(train, alpha=0.5, seed=0).select(

@@ -35,8 +35,12 @@ def test_corpus_diff_shuffles_digests_not_bodies(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # the projection to (id, md5) happens BELOW the join exchange:
     # no 'text' column crosses the shuffle
-    post_join = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan \
-        else plan.split("BroadcastHashJoin")[0]
+    for _j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        if _j in plan:
+            post_join = plan.split(_j)[0]
+            break
+    else:
+        raise AssertionError("no join node in plan")
     assert "old_md5" in plan and "new_md5" in plan
     assert "text" not in post_join.split("Exchange")[0]
 
