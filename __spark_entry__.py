@@ -10064,9 +10064,15 @@ def q_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dump1090_db_stream_spark.operators.profiling import psi_drift
 
-    ev = _events(spark, sf_dir)
-    ref = ev.filter(F.col("ts") < "2024-01-16")
-    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    from dump1090_db_stream_spark.cache import track
+
+    # one materialization of the snapshot pair (r14): the four arms
+    # otherwise each re-scan events and re-apply the cutoff — 5 scans
+    # + repeated timestamp conversion for one dashboard. Narrow rows,
+    # released by the caller's release_tracked().
+    ev = track(_events(spark, sf_dir))
+    ref = track(ev.filter(F.col("ts") < "2024-01-16"))
+    cur = track(ev.filter(F.col("ts") >= "2024-01-16"))
     cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
 
     psi = psi_drift(ref, cur, "value", keys=["event_type"],

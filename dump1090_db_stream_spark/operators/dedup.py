@@ -129,15 +129,41 @@ def ngram_jaccard_pairs(
     sh = track(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
-        keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= max_df).select("sh"))
-        sh = sh.join(keep, "sh")
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        # CAPPED mode (r14, guide §2.4): group the index by shingle and
+        # explode each bucket's i<j pairs directly — ONE exchange of the
+        # index (the groupBy) instead of three (the df-filter join plus
+        # both self-join sides), with the df cap applied as a size
+        # filter on the collected bucket. Per-bucket pair volume is
+        # bounded by C(max_df, 2), so the flattened pair array a single
+        # row materializes is bounded too — which is exactly why the
+        # UNCAPPED branch below keeps the streaming self-join (an
+        # unbounded bucket must never materialize C(df, 2) structs in
+        # one row). Pair sets and counts are identical: the sorted
+        # bucket's i<j expansion enumerates precisely the join's
+        # (a.sh == b.sh) & (a.id < b.id) matches.
+        buckets = (sh.groupBy("sh")
+                   .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+                   .filter(F.size("ids") <= max_df)
+                   .filter(F.size("ids") >= 2))
+        pair = F.explode(F.flatten(F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2),
+                        F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))))
+        common = (buckets.select(pair.alias("p"))
+                  .select("p.id_a", "p.id_b")
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("n_common")))
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
