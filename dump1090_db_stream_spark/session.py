@@ -13,6 +13,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _env_bool(name: str, default: str) -> str:
+    """Normalize a boolean-ish env var to the literal "true"/"false" a
+    Spark boolean conf requires. Spark 4.1 does NOT reject an invalid
+    boolean at session build — the session comes up and then the first
+    ``conf.get``/query HANGS (reproduced on this box with
+    ``spark.sql.join.preferSortMergeJoin=bogus``), so the natural
+    ``SPARK_GRAFT_PREFER_SMJ=1`` would silently wedge the engine if the
+    raw string were passed through."""
+    raw = os.environ.get(name, default).strip().lower()
+    return "true" if raw in ("1", "true", "yes", "on") else "false"
+
 # Pin UTC so timestamp semantics are stable and oracle (DuckDB) comparisons
 # are deterministic — the reference uses timestamptz throughout
 # (create_schema.sql:75); UTC is the lossless common denominator.
@@ -40,7 +52,7 @@ _DEFAULTS = {
     # SPARK_GRAFT_PREFER_SMJ=true to restore the spill-graceful
     # default.
     "spark.sql.join.preferSortMergeJoin":
-        os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        _env_bool("SPARK_GRAFT_PREFER_SMJ", "false"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
