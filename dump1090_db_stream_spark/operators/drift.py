@@ -175,11 +175,13 @@ def ks_drift(
         right = |cum_ref(x)/n_ref - (cum_all(x) - cum_ref(x))/n_cur|
         left  = the same over the exclusive cumulatives
 
-    Both cumulative relations come from the grouped
-    :func:`operators.prefix_sum.distributed_prev_counts` over the SAME
-    per-(key, score) grain — one pass for the union counts, one for
-    the ref-side counts (zero-filled at cur-only points so both passes
-    see identical row sets and join 1:1 on (key, score)) — so no
+    Both cumulative relations come from ONE grouped
+    :func:`operators.prefix_sum.distributed_prev_counts_multi` pass
+    over the per-(key, score) grain — the union counts and the
+    ref-side counts (zero-filled at cur-only points) ride the same
+    rows through one shared bucket decomposition (r15: previously two
+    single-column passes re-joined 1:1 on (key, score); the fused pass
+    is bit-identical by construction and halves the relations) — so no
     unpartitioned ordered window exists for any slice, however
     dominant. Integer cumulatives end-to-end; the four divisions are
     the only float ops (oracle-identical). ``keys=None``/``[]`` gives
@@ -213,22 +215,20 @@ def ks_drift(
 
     from dump1090_db_stream_spark.cache import track
     from dump1090_db_stream_spark.operators.prefix_sum import (
-        distributed_prev_counts,
+        distributed_prev_counts_multi,
     )
 
-    per = track(per)  # feeds both prefix-sum passes
-    pc = dict(n_range_buckets=n_range_buckets, with_totals=True,
-              partition_cols=tuple(ks_), bounds_join=bounds_join)
-    alls = distributed_prev_counts(per, "s", "_call", **pc)
-    refs = distributed_prev_counts(per, "s", "_cref", **pc)
-    pts = (alls
-           .withColumnRenamed("_prev", "_pall")
-           .withColumnRenamed("_total", "_nall")
-           .join(refs.select(*ks_, "s",
-                             F.col("_cref").alias("_cr"),
-                             F.col("_prev").alias("_pref"),
-                             F.col("_total").alias("n_ref")),
-                 ks_ + ["s"]))
+    per = track(per)  # feeds the pass's bounds/totals/ranked branches
+    pts = (distributed_prev_counts_multi(
+        per, "s", ("_call", "_cref"), n_range_buckets=n_range_buckets,
+        partition_cols=tuple(ks_), with_totals=True,
+        bounds_join=bounds_join)
+        .select(*ks_, "s", "_call",
+                F.col("_prev_call").alias("_pall"),
+                F.col("_total_call").alias("_nall"),
+                F.col("_cref").alias("_cr"),
+                F.col("_prev_cref").alias("_pref"),
+                F.col("_total_cref").alias("n_ref")))
     n_cur = (F.col("_nall") - F.col("n_ref")).alias("n_cur")
     cum_r = F.col("_pref") + F.col("_cr")
     cum_a = F.col("_pall") + F.col("_call")
@@ -329,13 +329,15 @@ def w1_drift(
         W1 = sum over consecutive distinct scores s_i < s_{i+1} of
              |cum_ref(s_i)/n_ref - cum_cur(s_i)/n_cur| * (s_{i+1}-s_i)
 
-    Cumulatives come from the grouped
-    :func:`operators.prefix_sum.distributed_prev_counts` (two passes
-    over the same (key, score) grain, ref counts zero-filled — the
-    :func:`ks_drift` plumbing) and the interval widths from
-    :func:`operators.prefix_sum.distributed_next` — the
-    ordered-NEIGHBOR primitive, so neither the CDFs nor the gaps ever
-    route through an unpartitioned ordered window.
+    Cumulatives AND the interval widths come from ONE grouped
+    :func:`operators.prefix_sum.distributed_prev_counts_multi` pass
+    over the (key, score) grain (ref counts zero-filled — the
+    :func:`ks_drift` plumbing; ``with_next`` adds the
+    ordered-neighbor stitch to the same bucketed rows — r15:
+    previously two prefix-count passes plus a
+    :func:`operators.prefix_sum.distributed_next` pass, re-joined 1:1
+    on (key, score)), so neither the CDFs nor the gaps ever route
+    through an unpartitioned ordered window.
 
     DETERMINISM: the per-interval contributions are doubles (the gap
     width is a score difference), so their SUM is quantized to 1e-9
@@ -365,30 +367,22 @@ def w1_drift(
 
     from dump1090_db_stream_spark.cache import track
     from dump1090_db_stream_spark.operators.prefix_sum import (
-        distributed_next,
-        distributed_prev_counts,
+        distributed_prev_counts_multi,
     )
     from dump1090_db_stream_spark.operators.relevance import _quantized
 
-    per = track(per)  # three passes share the distinct grain
-    pc = dict(n_range_buckets=n_range_buckets,
-              partition_cols=tuple(ks_), bounds_join=bounds_join)
-    alls = distributed_prev_counts(per, "s", "_call",
-                                   with_totals=True, **pc)
-    refs = distributed_prev_counts(per, "s", "_cref",
-                                   with_totals=True, **pc)
-    nxt = distributed_next(per, "s", partition_cols=tuple(ks_),
-                           n_range_buckets=n_range_buckets,
-                           bounds_join=bounds_join)
-    pts = (alls
-           .withColumnRenamed("_prev", "_pall")
-           .withColumnRenamed("_total", "_nall")
-           .join(refs.select(*ks_, "s",
-                             F.col("_cref").alias("_cr"),
-                             F.col("_prev").alias("_pref"),
-                             F.col("_total").alias("n_ref")),
-                 ks_ + ["s"])
-           .join(nxt, ks_ + ["s"]))
+    per = track(per)  # feeds the pass's bounds/totals/ranked branches
+    pts = (distributed_prev_counts_multi(
+        per, "s", ("_call", "_cref"), n_range_buckets=n_range_buckets,
+        partition_cols=tuple(ks_), with_totals=True, with_next=True,
+        bounds_join=bounds_join)
+        .select(*ks_, "s", "_call",
+                F.col("_prev_call").alias("_pall"),
+                F.col("_total_call").alias("_nall"),
+                F.col("_cref").alias("_cr"),
+                F.col("_prev_cref").alias("_pref"),
+                F.col("_total_cref").alias("n_ref"),
+                "_next"))
     n_cur = (F.col("_nall") - F.col("n_ref")).alias("n_cur")
     cum_r = (F.col("_pref") + F.col("_cr")).alias("_cumr")
     cum_a = (F.col("_pall") + F.col("_call")).alias("_cuma")

@@ -211,6 +211,171 @@ def distributed_prev_counts(
                     *(["_total"] if with_totals else [])))
 
 
+def distributed_prev_counts_multi(
+    rel: DataFrame,
+    order_col: str,
+    cnt_cols: tuple[str, ...],
+    n_range_buckets: int = 64,
+    extra_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = (),
+    with_totals: bool = False,
+    with_next: bool = False,
+    max_partition_groups: int | None = 65_536,
+    bounds_join: str = "broadcast",
+) -> DataFrame:
+    """:func:`distributed_prev_counts` for SEVERAL count columns at
+    once over the SAME ordered relation — plus, optionally, the
+    :func:`distributed_next` neighbor — in ONE bucketed pass.
+
+    The two-sample drift family (``operators.drift.ks_drift`` /
+    ``w1_drift``) needs the exclusive running sum of BOTH the union
+    count and the ref-side count at every distinct (key, score) point,
+    and W1 additionally needs the next distinct score. Built from the
+    single-column primitives that is two (three with the neighbor)
+    full bucket-decomposition passes over the same rows — each with
+    its own bounds aggregate, guarded vocabulary count, cumulative
+    window, offsets relation — re-joined 1:1 on (key, score) at the
+    end. Every one of those stages is IDENTICAL across the passes
+    except for which column the sums read, so this primitive shares
+    them (optimization guide §2.4 "remove shuffles outright" / §1.2
+    "the distributed algorithm"): one quantile-bounds aggregate (one
+    guard count), one bucketed relation, one cumulative window pass
+    computing every ``_prev<c>`` (same window spec — one sort), one
+    bucket-totals aggregate carrying every ``_btot<c>`` (plus the
+    next-bucket first value when ``with_next``), one offsets join —
+    and NO re-join, because every output column rides the same row.
+
+    Bit-identity with the single-column passes is by construction:
+    the bucketing is the same monotone quantile bucketing (bounds from
+    the same ``percentile_approx`` over the same relation), and every
+    cumulative is the same integer sum — only the number of columns
+    riding each stage changes. Pinned by
+    ``tests/test_prefix_sum.py::test_multi_matches_single_passes``.
+
+    Output columns: ``*partition_cols, order_col, *cnt_cols,
+    *extra_cols``, one ``_prev<c>`` per count column, one
+    ``_total<c>`` per count column when ``with_totals``, and ``_next``
+    (the next distinct ``order_col`` value per group, NULL on the last
+    row) when ``with_next``. ``rel`` must be DISTINCT on
+    ``(*partition_cols, order_col)`` when ``with_next`` (the
+    :func:`distributed_next` contract); the vocabulary guard /
+    ``bounds_join`` semantics are :func:`distributed_prev_counts`'s.
+    """
+    if bounds_join not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"bounds_join must be 'broadcast' or 'shuffle', "
+            f"got {bounds_join!r}")
+    if n_range_buckets < 1:
+        raise ValueError(
+            f"n_range_buckets must be >= 1, got {n_range_buckets}")
+    if not cnt_cols:
+        raise ValueError("cnt_cols must be non-empty")
+    pcols = list(partition_cols)
+    cnts = list(cnt_cols)
+    probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    tot = ([F.sum(c).alias(f"_total{c}") for c in cnts]
+           if with_totals else [])
+
+    def _guard(small: DataFrame) -> DataFrame:
+        # the distributed_prev_counts guarded count, verbatim: the
+        # ceiling covers the LARGER grouped broadcast (offsets /
+        # nxt-first are groups x buckets rows); the count only ever
+        # RAISES — it never changes the plan
+        if not pcols or max_partition_groups is None:
+            return small
+        from dump1090_db_stream_spark.cache import track
+
+        allowed = min(max_partition_groups,
+                      max(1, _OFFSET_ROW_BUDGET // n_range_buckets))
+        small = track(small)       # the count and the join reuse it
+        n_groups = small.count()
+        if n_groups > allowed:
+            raise ValueError(
+                f"distributed_prev_counts_multi vocabulary guard: "
+                f"partition_cols {pcols} has {n_groups} distinct "
+                f"combinations (allowed {allowed} = "
+                f"min(max_partition_groups={max_partition_groups}, "
+                f"{_OFFSET_ROW_BUDGET}//n_range_buckets="
+                f"{n_range_buckets})); the per-group quantile bounds "
+                f"and bucket offsets are BROADCAST, so the group key "
+                f"must be a bounded vocabulary. Group by an enum-like "
+                f"column, bucket the key upstream, pass "
+                f"bounds_join='shuffle' (plain equi-joins — scales to "
+                f"any cardinality), or raise max_partition_groups / "
+                f"pass None if the broadcast genuinely fits.")
+        return small
+
+    def _keyed(small: DataFrame):
+        return (F.broadcast(_guard(small)) if bounds_join == "broadcast"
+                else small)
+
+    def _attach(small: DataFrame) -> DataFrame:
+        return (rel.join(_keyed(small), pcols) if pcols
+                else rel.crossJoin(F.broadcast(small)))
+
+    if not probs:                       # n_range_buckets == 1: degenerate
+        if tot:
+            bucketed = _attach(rel.groupBy(*pcols).agg(*tot))
+        else:
+            # nothing to attach, but grouped broadcast mode still
+            # broadcasts the offsets relation below — run the guard
+            # (the distributed_next degenerate-path discipline)
+            if pcols and bounds_join == "broadcast":
+                _guard(rel.groupBy(*pcols).agg(F.lit(1).alias("_one")))
+            bucketed = rel
+        bucketed = bucketed.withColumn("_b", F.lit(0))
+    else:
+        bnds = F.percentile_approx(order_col, probs, 1_000).alias("_bnds")
+        bucket = F.aggregate(
+            "_bnds", F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) >= b,
+                                        F.lit(1)).otherwise(F.lit(0)))
+        bucketed = (_attach(rel.groupBy(*pcols).agg(bnds, *tot))
+                    .withColumn("_b", bucket)
+                    .drop("_bnds"))
+    w_local = (Window.partitionBy(*pcols, "_b").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    btot = bucketed.groupBy(*pcols, "_b").agg(
+        *[F.sum(c).alias(f"_btot{c}") for c in cnts],
+        *([F.min(order_col).alias("_bfirst")] if with_next else []))
+    w_off = (Window.partitionBy(*pcols).orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_cols = [F.coalesce(F.sum(f"_btot{c}").over(w_off), F.lit(0))
+                .alias(f"_off{c}") for c in cnts]
+    if with_next:
+        # the cross-bucket stitch value rides the SAME bounded offsets
+        # relation instead of a second broadcast + join
+        off_cols.append(
+            F.first("_bfirst").over(
+                Window.partitionBy(*pcols).orderBy("_b")
+                .rowsBetween(1, Window.unboundedFollowing))
+            .alias("_nextb_first"))
+    offsets = btot.select(*pcols, "_b", *off_cols)
+    offsets = (F.broadcast(offsets)
+               if not pcols or bounds_join == "broadcast" else offsets)
+    out = bucketed
+    for c in cnts:
+        out = out.withColumn(
+            f"_loc{c}",
+            F.coalesce(F.sum(c).over(w_local), F.lit(0)))
+    if with_next:
+        # same (group, bucket) partitioning and order as w_local — the
+        # planner reuses the one exchange + sort
+        out = out.withColumn(
+            "_lead",
+            F.lead(order_col).over(
+                Window.partitionBy(*pcols, "_b").orderBy(order_col)))
+    return (out
+            .join(offsets, pcols + ["_b"])
+            .select(*pcols, order_col, *cnts, *extra_cols,
+                    *[(F.col(f"_off{c}") + F.col(f"_loc{c}"))
+                      .alias(f"_prev{c}") for c in cnts],
+                    *([f"_total{c}" for c in cnts] if with_totals
+                      else []),
+                    *([F.coalesce("_lead", "_nextb_first").alias("_next")]
+                      if with_next else [])))
+
+
 def distributed_next(
     rel: DataFrame,
     order_col: str,

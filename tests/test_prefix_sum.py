@@ -216,6 +216,98 @@ def test_distributed_next_matches_plain_lead(spark):
     assert gots == expected
 
 
+def test_multi_matches_single_passes(spark):
+    """r15: distributed_prev_counts_multi — ONE bucketed pass carrying
+    several count columns (plus the ordered neighbor) — must equal the
+    composition of single-column distributed_prev_counts passes and
+    distributed_next re-joined on (group, order): same bucketing, same
+    integer window sums, only the number of columns riding each stage
+    differs. Covers grouped + ungrouped, ties (zero-filled second
+    count), degenerate n_range_buckets=1, and shuffle mode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_next,
+        distributed_prev_counts,
+        distributed_prev_counts_multi,
+    )
+
+    rng = random.Random(15)
+    rows = [(f"g{i % 5}", float(rng.randrange(40)),
+             1 + i % 3, (i % 4 == 0) * (1 + i % 2))
+            for i in range(400)]
+    rel = (spark.createDataFrame(rows, ["g", "s", "ca", "cb"])
+           .groupBy("g", "s")
+           .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb")))
+
+    def _single(pcols, nb, bj):
+        a = distributed_prev_counts(
+            rel, "s", "ca", n_range_buckets=nb, partition_cols=pcols,
+            with_totals=True, bounds_join=bj)
+        b = distributed_prev_counts(
+            rel, "s", "cb", n_range_buckets=nb, partition_cols=pcols,
+            with_totals=True, bounds_join=bj)
+        n = distributed_next(rel, "s", partition_cols=pcols,
+                             n_range_buckets=nb, bounds_join=bj)
+        keyed = {}
+        for r in a.collect():
+            k = tuple(r[p] for p in pcols) + (r["s"],)
+            keyed[k] = [r["_prev"], r["_total"], None, None, None]
+        for r in b.collect():
+            k = tuple(r[p] for p in pcols) + (r["s"],)
+            keyed[k][2:4] = [r["_prev"], r["_total"]]
+        for r in n.collect():
+            k = tuple(r[p] for p in pcols) + (r["s"],)
+            keyed[k][4] = r["_next"]
+        return keyed
+
+    def _multi(pcols, nb, bj):
+        out = distributed_prev_counts_multi(
+            rel, "s", ("ca", "cb"), n_range_buckets=nb,
+            partition_cols=pcols, with_totals=True, with_next=True,
+            bounds_join=bj)
+        return {tuple(r[p] for p in pcols) + (r["s"],):
+                [r["_prevca"], r["_totalca"],
+                 r["_prevcb"], r["_totalcb"], r["_next"]]
+                for r in out.collect()}
+
+    for pcols, nb, bj in ((("g",), 64, "broadcast"),
+                          (("g",), 1, "broadcast"),
+                          (("g",), 7, "shuffle"),
+                          ((), 64, "broadcast"),
+                          ((), 1, "broadcast")):
+        assert _multi(pcols, nb, bj) == _single(pcols, nb, bj), \
+            (pcols, nb, bj)
+
+
+def test_multi_vocabulary_guard_and_validation(spark):
+    """The fused pass guards its grouped broadcasts exactly like the
+    single-column primitives (including the degenerate one-bucket
+    branch with no totals), and validates its arguments."""
+    from dump1090_db_stream_spark.operators.prefix_sum import (
+        distributed_prev_counts_multi,
+    )
+
+    rows = [(f"domain_{i}", float(i % 97), 1, 1) for i in range(300)]
+    rel = spark.createDataFrame(rows, ["g", "s", "ca", "cb"])
+    for nb, tot in ((64, True), (1, False)):
+        with pytest.raises(ValueError, match="vocabulary guard"):
+            distributed_prev_counts_multi(
+                rel, "s", ("ca", "cb"), n_range_buckets=nb,
+                partition_cols=("g",), with_totals=tot,
+                max_partition_groups=256).collect()
+    with pytest.raises(ValueError, match="bounds_join"):
+        distributed_prev_counts_multi(rel, "s", ("ca",),
+                                      bounds_join="hash")
+    with pytest.raises(ValueError, match="cnt_cols"):
+        distributed_prev_counts_multi(rel, "s", ())
+    with pytest.raises(ValueError, match="n_range_buckets"):
+        distributed_prev_counts_multi(rel, "s", ("ca",),
+                                      n_range_buckets=0)
+
+
 def test_distributed_next_vocabulary_guard(spark):
     """r11 ADVICE: distributed_next's grouped broadcast mode
     broadcasts the per-group bounds row AND the groups x buckets
