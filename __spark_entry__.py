@@ -9583,9 +9583,15 @@ def _capstone_stages(spark: SparkSession, sf_dir: str):
     # broadcasts the per-digest minimum at bench scale; at 100 TB it
     # stays a keyed equi-join of two narrow relations. Values are
     # identical (min over equal keys either way).
-    exact_min = (docs.select(F.md5("text").alias("_h"), "doc_id")
+    # NULL-SAFE digest (r14 ADVICE): md5(NULL) is NULL and an equi-join
+    # drops NULL keys, whereas the window this replaced grouped all
+    # NULL-text rows together and kept one survivor — coalesce to a
+    # non-hex sentinel (md5 output is [0-9a-f]{32}, so no collision)
+    # to preserve that contract.
+    _dig = F.coalesce(F.md5("text"), F.lit("\0NULL"))
+    exact_min = (docs.select(_dig.alias("_h"), "doc_id")
                  .groupBy("_h").agg(F.min("doc_id").alias("_exact_min")))
-    flt = (docs.select("doc_id", F.md5("text").alias("_h"),
+    flt = (docs.select("doc_id", _dig.alias("_h"),
                        "source", "n_chars")
            .join(exact_min, "_h")
            .join(gop, "doc_id")

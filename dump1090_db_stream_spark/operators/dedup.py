@@ -128,7 +128,28 @@ def ngram_jaccard_pairs(
     # temp table), it is ~2 longs per (doc, shingle).
     sh = track(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is not None:
+    if max_df is not None and \
+            max_df * (max_df - 1) // 2 > _CAPPED_PAIR_BUDGET:
+        # r14 ADVICE: the grouped-bucket explode below materializes up
+        # to C(max_df, 2) structs in ONE row — quadratic in max_df.
+        # Above the budget (~2M pair structs/row) fall back to the
+        # df-capped STREAMING self-join: identical pair multiset (the
+        # same (a.sh == b.sh) & (a.id < b.id) matches over the same
+        # capped shingle set), per-row memory flat.
+        keep = (sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("sh"))
+        shc = sh.join(keep, "sh")
+        a, b = shc.alias("a"), shc.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    elif max_df is not None:
         # CAPPED mode (r14, guide §2.4): group the index by shingle and
         # explode each bucket's i<j pairs directly — ONE exchange of the
         # index (the groupBy) instead of three (the df-filter join plus
@@ -177,6 +198,13 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
 
+
+#: Per-row pair-struct budget for ngram_jaccard_pairs' capped
+#: grouped-bucket explode (r14 ADVICE): one bucket row materializes up
+#: to C(max_df, 2) structs, so max_df above ~2000 (2M structs, ~50 MB
+#: of (long, long) pairs in one row) routes to the df-capped streaming
+#: self-join instead — identical results, flat per-row memory.
+_CAPPED_PAIR_BUDGET = 2_000_000
 
 # Universal-hash family over a Mersenne-ish prime: h_i(x) = (a_i x + b_i)
 # mod P. P < 2^31 keeps a_i * x inside signed-64 arithmetic.

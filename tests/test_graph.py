@@ -85,6 +85,40 @@ def test_star_chain_converges_logarithmically(spark):
     assert rounds[0] <= 8, rounds
 
 
+def test_wide_string_ids_fall_back_to_distributed(spark, monkeypatch):
+    """r15 (r14 VERDICT #5): the local fast path's admission is
+    id-byte-aware — a graph whose ROW count fits the ceiling but whose
+    string ids blow the byte budget must take the distributed loop
+    (identical labels), while a numeric-id graph of the same shape
+    keeps the local path."""
+    from dump1090_db_stream_spark.operators import graph
+    from dump1090_db_stream_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    str_pairs = [(f"doc_{'x' * 30}_{i}", f"doc_{'x' * 30}_{i + 1}")
+                 for i in range(6)]
+    # ~73 raw bytes/row x 6 canonical rows ~ 440 > 200 -> byte cap
+    # rejects the local path
+    monkeypatch.setattr(graph, "LOCAL_CC_MAX_ID_BYTES", 200)
+    rounds: list[int] = []
+    comp = {r["id"]: r["comp"] for r in connected_components_star(
+        _edges(spark, str_pairs), rounds_out=rounds).collect()}
+    assert rounds and rounds[0] >= 1          # distributed loop ran
+    assert set(comp.values()) == {str_pairs[0][0]}
+    # same labels as the forced-distributed and forced-local routes
+    forced = {r["id"]: r["comp"] for r in connected_components(
+        _edges(spark, str_pairs), local_threshold=0).collect()}
+    assert comp == forced
+    # numeric ids: 16 raw bytes/row x 6 rows = 96 < 200 -> local kept
+    rounds2: list[int] = []
+    num = {r["id"]: r["comp"] for r in connected_components_star(
+        _edges(spark, [(i, i + 1) for i in range(6)]),
+        rounds_out=rounds2).collect()}
+    assert rounds2 == [0]
+    assert set(num.values()) == {0}
+
+
 def test_canonical_map_star_algorithm(spark):
     docs = spark.range(8).select(F.col("id").alias("doc_id"))
     pairs = _edges(spark, [(0, 3), (3, 7)])

@@ -39,3 +39,22 @@ def test_default_used_when_unset():
 def test_result_is_always_a_valid_spark_boolean():
     for v in ("1", "nonsense", "", "yes", "FALSE"):
         assert _with(v) in ("true", "false")
+
+
+def test_unrecognized_value_warns_before_falling_back():
+    """r14 ADVICE: a typo ('ture') must not SILENTLY mean 'false' —
+    the fallback stays (fail-safe), but a warning signals it."""
+    import warnings
+
+    for v in ("ture", "bogus", "2"):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert _with(v) == "false"
+        assert any("not a recognized boolean" in str(x.message)
+                   for x in w), v
+    # recognized spellings (either polarity) stay silent
+    for v in ("1", "on", "0", "off", "false", ""):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _with(v)
+        assert not w, v
