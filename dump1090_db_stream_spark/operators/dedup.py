@@ -606,11 +606,13 @@ def write_minhash_index(
     100 TB per batch. Signature assignment is paid once at write; the
     index is ~bands x 40 B per document regardless of text size.
 
-    The sidecar is written as a one-row Spark JSON dataset under
+    The sidecar is a one-record JSON-lines directory under
     ``<path>/_lsh_meta`` (underscore-prefixed, so parquet discovery
-    ignores it) — through the same Hadoop filesystem layer as the
-    parquet, so hdfs:// and s3a:// index paths work, not just local
-    disk."""
+    ignores it), written driver-side through the same Hadoop
+    filesystem layer as the parquet (hdfs:// and s3a:// index paths
+    work, not just local disk) in the DataFrame-json-writer layout —
+    readable by ``spark.read.json`` and by sidecars written before
+    r15."""
     from dump1090_db_stream_spark.operators.text import TOKENIZERS
 
     # only NAMED tokenizers are allowed here: the choice must persist
@@ -632,15 +634,12 @@ def write_minhash_index(
         # other read failure (permissions, transient fs error) must
         # propagate — swallowing it would skip the very guard that
         # protects the index.
-        from pyspark.errors import AnalysisException
+        from dump1090_db_stream_spark.sinks.writers import (
+            read_json_sidecar,
+        )
 
-        try:
-            old = spark.read.json(path + "/_lsh_meta").first().asDict()
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" \
-                    not in str(e):
-                raise
-            old = None
+        old = read_json_sidecar(spark, path + "/_lsh_meta",
+                                missing_ok=True)
         if old is not None:
             want = {"n": n, "num_hashes": num_hashes, "bands": bands,
                     "portable_base_hash": bool(portable_base_hash),
@@ -664,11 +663,14 @@ def write_minhash_index(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              portable_base_hash, tok_name)
     _banded(sig, bands, rows).write.mode(mode).parquet(path)
-    (spark.createDataFrame(
-        [(n, num_hashes, bands, bool(portable_base_hash), tok_name)],
-        "n int, num_hashes int, bands int, portable_base_hash boolean, "
-        "tokenizer string")
-     .coalesce(1).write.mode("overwrite").json(path + "/_lsh_meta"))
+    from dump1090_db_stream_spark.sinks.writers import write_json_sidecar
+
+    # driver-side 1-row metadata write (r15, guide §5) — replaces a
+    # full createDataFrame -> coalesce(1) -> write.json Spark job
+    write_json_sidecar(spark, path + "/_lsh_meta", {
+        "n": n, "num_hashes": num_hashes, "bands": bands,
+        "portable_base_hash": bool(portable_base_hash),
+        "tokenizer": tok_name})
 
 
 def neardup_vs_index(
@@ -691,7 +693,9 @@ def neardup_vs_index(
     so probe signatures always match the stored ones. ``corpus`` must
     be the same relation the index was built from (needed only for
     verification texts)."""
-    meta = spark.read.json(index_path + "/_lsh_meta").first().asDict()
+    from dump1090_db_stream_spark.sinks.writers import read_json_sidecar
+
+    meta = read_json_sidecar(spark, index_path + "/_lsh_meta")
     # pre-seam sidecars lack the tokenizer key (whitespace default)
     tok_name = str(meta.pop("tokenizer", None) or "whitespace")
     meta = {k: (int(v) if k != "portable_base_hash" else bool(v))

@@ -733,11 +733,16 @@ def write_ivf_index(
     if mode != "append":
         import json as _json
 
-        (spark.createDataFrame(
-            [(_json.dumps([[float(x) for x in c] for c in centroids]),)],
-            "centroids_json string")
-         .coalesce(1).write.mode("overwrite")
-         .json(path + "/_ivf_meta"))
+        from dump1090_db_stream_spark.sinks.writers import (
+            write_json_sidecar,
+        )
+
+        # driver-side 1-row metadata write (r15, guide §5): the
+        # createDataFrame -> coalesce(1) -> write.json job this
+        # replaces cost ~1.3-2.2 s of pure scheduling per build
+        write_json_sidecar(spark, path + "/_ivf_meta", {
+            "centroids_json": _json.dumps(
+                [[float(x) for x in c] for c in centroids])})
 
 
 def read_ivf_centroids(spark, path: str,
@@ -747,15 +752,12 @@ def read_ivf_centroids(spark, path: str,
     indexes: rebuild once to adopt the guard)."""
     import json as _json
 
-    from pyspark.errors import AnalysisException
+    from dump1090_db_stream_spark.sinks.writers import read_json_sidecar
 
-    try:
-        row = spark.read.json(path + "/_ivf_meta").first()
-    except AnalysisException as e:
-        if missing_ok and ("PATH_NOT_FOUND" in str(e)
-                           or "Path does not exist" in str(e)):
-            return None
-        raise
+    row = read_json_sidecar(spark, path + "/_ivf_meta",
+                            missing_ok=missing_ok)
+    if row is None:
+        return None
     return _json.loads(row["centroids_json"])
 
 
@@ -1264,11 +1266,15 @@ def write_ivfpq_index(
     if mode != "append":
         import json as _json
 
-        (spark.createDataFrame(
-            [(_json.dumps(cents), _json.dumps(books))],
-            "centroids_json string, codebooks_json string")
-         .coalesce(1).write.mode("overwrite")
-         .json(path + "/_ivfpq_meta"))
+        from dump1090_db_stream_spark.sinks.writers import (
+            write_json_sidecar,
+        )
+
+        # driver-side 1-row metadata write (r15, guide §5) — see
+        # write_ivf_index
+        write_json_sidecar(spark, path + "/_ivfpq_meta", {
+            "centroids_json": _json.dumps(cents),
+            "codebooks_json": _json.dumps(books)})
 
 
 def read_ivfpq_quantizers(
@@ -1280,15 +1286,12 @@ def read_ivfpq_quantizers(
     the guard)."""
     import json as _json
 
-    from pyspark.errors import AnalysisException
+    from dump1090_db_stream_spark.sinks.writers import read_json_sidecar
 
-    try:
-        row = spark.read.json(path + "/_ivfpq_meta").first()
-    except AnalysisException as e:
-        if missing_ok and ("PATH_NOT_FOUND" in str(e)
-                           or "Path does not exist" in str(e)):
-            return None
-        raise
+    row = read_json_sidecar(spark, path + "/_ivfpq_meta",
+                            missing_ok=missing_ok)
+    if row is None:
+        return None
     return (_json.loads(row["centroids_json"]),
             _json.loads(row["codebooks_json"]))
 

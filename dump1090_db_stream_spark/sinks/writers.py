@@ -406,3 +406,76 @@ def pg_upsert_foreach_batch(
         batch_df.foreachPartition(write_partition)
 
     return write_batch
+
+
+def write_json_sidecar(spark, dir_path: str, record: dict) -> None:
+    """One-record JSON-lines sidecar written DRIVER-SIDE through the
+    Hadoop FS API — layout-compatible with the DataFrame json writer
+    (a directory holding one ``part-*.json`` file plus ``_SUCCESS``),
+    so ``spark.read.json`` and :func:`read_json_sidecar` both read old
+    and new sidecars interchangeably.
+
+    Why (r15, optimization guide §5): the index sidecars
+    (``_ivf_meta``/``_ivfpq_meta``/``_lsh_meta``) carry ONE row of
+    quantizer/parameter metadata, but ``createDataFrame ->
+    coalesce(1) -> write.json`` spins a full Spark job for it —
+    measured ~1.3-2.2 s per index build at sf0.1, pure scheduling.
+    A driver-side metadata write is milliseconds and survives on any
+    Hadoop-compatible filesystem."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = dest.getFileSystem(conf)
+    fs.delete(dest, True)          # mode("overwrite") semantics
+    fs.mkdirs(dest)
+    part = jvm.org.apache.hadoop.fs.Path(dir_path + "/part-00000.json")
+    out = fs.create(part, True)
+    try:
+        out.write(bytearray((_json.dumps(record) + "\n").encode("utf-8")))
+    finally:
+        out.close()
+    # _SUCCESS marker for parity with the DataFrame writer's layout
+    fs.create(jvm.org.apache.hadoop.fs.Path(dir_path + "/_SUCCESS"),
+              True).close()
+
+
+def read_json_sidecar(spark, dir_path: str,
+                      missing_ok: bool = False) -> dict | None:
+    """The first JSON record of a sidecar directory, read DRIVER-SIDE
+    (no Spark job, no schema-inference pass — the read half of
+    :func:`write_json_sidecar`). Reads both driver-written and
+    DataFrame-writer-written sidecars (any non-hidden data file; the
+    record is a single JSON line in both layouts). Returns ``None``
+    when the directory is missing and ``missing_ok``; raises
+    ``FileNotFoundError`` otherwise."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = dest.getFileSystem(conf)
+    if not fs.exists(dest):
+        if missing_ok:
+            return None
+        raise FileNotFoundError(f"sidecar not found: {dir_path}")
+    names = sorted(
+        (st.getPath() for st in fs.listStatus(dest)
+         if not st.getPath().getName().startswith(("_", "."))),
+        key=lambda p: p.getName())
+    for p in names:
+        stream = fs.open(p)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = reader.readLine()
+            while line is not None:
+                if line.strip():
+                    return _json.loads(line)
+                line = reader.readLine()
+        finally:
+            stream.close()
+    if missing_ok:
+        return None
+    raise FileNotFoundError(f"sidecar at {dir_path} has no data file")
