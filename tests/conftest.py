@@ -32,6 +32,49 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+@pytest.fixture(scope="session")
+def registry_sweep(spark, sf_dir) -> dict:
+    """EVERY registry query, built and executed ONCE, with everything
+    the registry-wide gates assert on captured at build time:
+
+    - ``plan``: the executed physical plan string (the three textual
+      sweeps: python-eval, cartesian/BNLJ, single-partition sort)
+    - ``continuous_global`` / ``grouped_funnels``: the two logical-plan
+      audit detectors (plans.audit)
+    - ``count``: the executed row count (the every-query-runs gate)
+
+    r15 suite-cost fix (r14 verdict ask #1): the five plan gates and
+    the every-query-runs gate each re-CONSTRUCTED all ~216 queries —
+    and construction is the expensive half (trainer loops, CC
+    closures, index writes, guard counts), so the suite paid the same
+    ~4-6 min sweep six times (~25 of its 42 minutes). One shared
+    sweep preserves every assertion per query name.
+
+    Per-query caches are released inside the loop (the bench
+    discipline) so the sweep leaves no storage residue; captured
+    artifacts are plain strings/ints, safe across the autouse
+    release fixture (a shared DataFrame would not be: released
+    localCheckpoint blocks cannot recompute)."""
+    import __spark_entry__ as entrymod
+    from dump1090_db_stream_spark.cache import release_tracked
+    from dump1090_db_stream_spark.plans.audit import (
+        continuous_key_global_windows,
+        grouped_continuous_window_funnels,
+    )
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        out[name] = {
+            "plan": df._jdf.queryExecution().executedPlan().toString(),
+            "continuous_global": continuous_key_global_windows(df),
+            "grouped_funnels": grouped_continuous_window_funnels(df),
+            "count": df.count(),
+        }
+        release_tracked()
+    return out
+
+
 #: collector for hypothesis-generated WKT coordinate cases — evaluated
 #: in ONE Spark job by test_properties.test_wkt_coord_formatting_spark_batch
 _WKT_RESULTS: list[tuple[float, str]] = []

@@ -6,12 +6,15 @@ validates the output contract."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_bench_end_to_end_smoke(tmp_path):
     env = dict(os.environ)
     env.update({

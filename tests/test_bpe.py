@@ -168,6 +168,7 @@ def test_contract_queries_match_oracle_at_sf(spark, sf_dir):
         assert got == want, name
 
 
+@pytest.mark.slow
 def test_incremental_train_matches_classic_and_reference(spark):
     """The pair-delta trainer (r12: train_bpe_incremental) is
     bit-identical to train_bpe and the pure-Python reference on the
@@ -192,6 +193,7 @@ def test_incremental_train_matches_classic_and_reference(spark):
                                   checkpoint_every=0)
 
 
+@pytest.mark.slow
 def test_incremental_train_deep_trajectory(spark):
     """K=40 on a corpus rich enough to sustain it — the parameter
     range the r11 verdict flagged as intractable for the classic
@@ -208,6 +210,7 @@ def test_incremental_train_deep_trajectory(spark):
     assert got == ref_merges
 
 
+@pytest.mark.slow
 def test_local_trainer_matches_reference_and_distributed(spark, sf_dir):
     """r13 (r12 verdict ask #4): train_bpe_local — one distributed
     word-type count, classic fast BPE in driver Python — is
@@ -251,6 +254,7 @@ def test_from_words_tolerates_empty_symbol_arrays(spark):
     assert [m["merged"] for m in got] == ["ab", "abc"]
 
 
+@pytest.mark.slow
 def test_encode_chunked_and_arrow_match_declarative(spark):
     """encode_words_chunked (fold batches + checkpoint) and
     encode_words_arrow (rank-order greedy kernel) are bit-identical to

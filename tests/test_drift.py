@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.operators.drift import ks_drift_by
@@ -180,6 +181,7 @@ def test_ks_drift_decomposition_and_shuffle_mode_bit_identical(spark):
                     bounds_join="shuffle").orderBy("k").collect() == base
 
 
+@pytest.mark.slow
 def test_drift_stream_sink_matches_batch_and_replays(spark, tmp_path):
     """The deployment shape: freeze a reference, monitor a value
     stream per micro-batch. Each streamed batch's KS rows equal the
@@ -644,6 +646,7 @@ def test_ph_stream_sink_accumulates_and_equals_batch(spark, tmp_path):
     assert tuple(r2) == tuple(r)
 
 
+@pytest.mark.slow
 def test_ph_stream_sink_compaction_bounds_state(spark, tmp_path):
     """r14 (r13 ADVICE): a long-lived monitor must not re-read one
     state partition per batch forever. With compact_every=4, batches

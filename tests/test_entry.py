@@ -12,10 +12,10 @@ def test_entry_returns_rows(spark):
     assert df.columns == ["user_id", "ts", "value", "event_type"]
 
 
-def test_every_query_runs(spark, sf_dir):
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+def test_every_query_runs(registry_sweep):
+    # built + executed once per suite (conftest.registry_sweep)
+    for name in entrymod.queries():
+        assert registry_sweep[name]["count"] >= 0, name
 
 
 def test_oracle_keys_subset_of_queries():

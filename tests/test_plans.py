@@ -111,12 +111,11 @@ def test_window_single_shuffle(spark, sf):
     assert plan.count("Window") == 1
 
 
-def test_native_queries_have_no_python_eval(spark, sf):
-    for name, fn in entrymod.queries().items():
+def test_native_queries_have_no_python_eval(registry_sweep):
+    for name, rec in registry_sweep.items():
         if name == "multimodal_features":  # documented Pandas-UDF path
             continue
-        plan = plan_of(fn(spark, sf))
-        assert "EvalPython" not in plan, name
+        assert "EvalPython" not in rec["plan"], name
 
 
 def test_multimodal_prunes_before_python(spark, sf):
@@ -290,7 +289,7 @@ def test_threshold_quantiles_filters_before_shuffle(spark, sf):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
-def test_no_query_plans_an_undocumented_cross_product(spark, sf):
+def test_no_query_plans_an_undocumented_cross_product(registry_sweep):
     """Blanket scale guard over EVERY contract query: a CartesianProduct
     or BroadcastNestedLoopJoin anywhere in a plan is a 100 TB
     scale-killer unless the operator is explicitly a documented
@@ -412,8 +411,8 @@ def test_no_query_plans_an_undocumented_cross_product(spark, sf):
                                   # the PSI/KS/PH arms join on
                                   # event_type
     }
-    for name, fn in entrymod.queries().items():
-        plan = plan_of(fn(spark, sf))
+    for name, rec in registry_sweep.items():
+        plan = rec["plan"]
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, name
@@ -722,14 +721,14 @@ def test_single_partition_gate_catches_regressed_fixture(spark, sf):
     assert single_partition_window_sites(plan_of(good)) == []
 
 
-def test_no_query_plans_a_single_partition_input_grain_sort(spark, sf):
+def test_no_query_plans_a_single_partition_input_grain_sort(registry_sweep):
     """Blanket gate over EVERY contract query: no plan may sort
     input-grain rows into one partition. As of r7 the registry is
     clean with NO allowlist — keep it that way; if a new operator
     genuinely needs a documented exception, add it here with the
     docstring pointer, the cross-product gate's discipline."""
-    for name, fn in entrymod.queries().items():
-        bad = single_partition_window_sites(plan_of(fn(spark, sf)))
+    for name, rec in registry_sweep.items():
+        bad = single_partition_window_sites(rec["plan"])
         assert bad == [], f"{name}: single-partition input-grain sort: {bad}"
 
 
@@ -769,19 +768,15 @@ def test_continuous_key_gate_catches_non_reducing_aggregate(spark, sf):
 
 
 def test_no_query_plans_a_global_window_over_continuous_key_aggregate(
-        spark, sf):
+        registry_sweep):
     """Registry-wide sweep of the hardened gate: no contract query may
     run a globally-ordered Sort/Window whose first upstream aggregate
     is keyed on a float/double — on continuous data that relation is
     input-sized and still funnels one task (the r7 dsir_auc residual,
     fixed in r8 by the distributed prefix-sum). NO allowlist."""
-    from dump1090_db_stream_spark.plans.audit import (
-        continuous_key_global_windows,
-    )
-
-    for name, fn in entrymod.queries().items():
-        bad = continuous_key_global_windows(fn(spark, sf))
-        assert bad == [], f"{name}: {bad}"
+    for name, rec in registry_sweep.items():
+        assert rec["continuous_global"] == [], \
+            f"{name}: {rec['continuous_global']}"
 
 
 def test_grouped_funnel_gate_catches_pre_r9_auc_score_by_shape(spark, sf):
@@ -834,17 +829,13 @@ def test_grouped_funnel_gate_catches_pre_r9_auc_score_by_shape(spark, sf):
     assert grouped_continuous_window_funnels(voc) == []
 
 
-def test_no_query_plans_a_grouped_continuous_window_funnel(spark, sf):
+def test_no_query_plans_a_grouped_continuous_window_funnel(registry_sweep):
     """Registry-wide sweep of the r9 gate: no contract query may run a
     partitioned ordered window whose per-partition grain is
     per-distinct-continuous-value (a dominant group funnels one task
     while the group vocabulary stays fixed as the corpus grows). NO
     allowlist — auc_score_by and quantile_normalize were rewired onto
     the grouped prefix-sum to make this sweep pass structurally."""
-    from dump1090_db_stream_spark.plans.audit import (
-        grouped_continuous_window_funnels,
-    )
-
-    for name, fn in entrymod.queries().items():
-        bad = grouped_continuous_window_funnels(fn(spark, sf))
-        assert bad == [], f"{name}: {bad}"
+    for name, rec in registry_sweep.items():
+        assert rec["grouped_funnels"] == [], \
+            f"{name}: {rec['grouped_funnels']}"

@@ -7,6 +7,8 @@ as authored — no wall-clock sleeps, same output on every run.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -181,6 +183,7 @@ def _run_ph_stream(spark, src, out, ck):
     assert q.awaitTermination(180)
 
 
+@pytest.mark.slow
 def test_ph_monitor_stream_equals_batch_per_finalized_bucket(
         spark, tmp_path):
     """r14 (r13 verdict ask #4): every trajectory row the incremental
