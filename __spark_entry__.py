@@ -9262,16 +9262,25 @@ def q_quality_classifier_scores(spark: SparkSession,
     oracle replays the ENTIRE train-then-score pipeline closed-form:
     portable md5 bucket hash, exact-integer count ratios into ln,
     1e-9-quantized decimal score sums, sigmoid rounded 6."""
+    from dump1090_db_stream_spark.cache import track
     from dump1090_db_stream_spark.operators.classify import (
         classifier_scores,
+        hashed_unit_buckets,
         nb_logodds_weights,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     labeled = docs.withColumn("_y", F.col("lang") == "en")
+    # one tokenize -> n-gram -> explode -> hash pass feeds BOTH the
+    # trainer and the scorer (r15, guide §2.4) — previously each
+    # re-featurized the whole corpus; released by the caller's
+    # release_tracked()
+    occ = track(hashed_unit_buckets(labeled, ["doc_id", "_y"],
+                                    n_buckets=1024, ngrams=(1, 2)))
     w = nb_logodds_weights(labeled, "_y", n_buckets=1024,
-                           ngrams=(1, 2), alpha=1.0)
-    return classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2))
+                           ngrams=(1, 2), alpha=1.0, unit_buckets=occ)
+    return classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2),
+                             unit_buckets=occ)
 
 
 def q_classifier_pareto_sample(spark: SparkSession,
@@ -9287,8 +9296,10 @@ def q_classifier_pareto_sample(spark: SparkSession,
     integers so a ~1-ulp cross-engine pow() difference cannot flip a
     knife-edge row; the oracle replays train -> score -> draw ->
     accept closed-form."""
+    from dump1090_db_stream_spark.cache import track
     from dump1090_db_stream_spark.operators.classify import (
         classifier_scores,
+        hashed_unit_buckets,
         nb_logodds_weights,
     )
     from dump1090_db_stream_spark.operators.sampling import (
@@ -9297,9 +9308,13 @@ def q_classifier_pareto_sample(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents")
     labeled = docs.withColumn("_y", F.col("lang") == "en")
+    # shared featurization pass (r15) — see q_quality_classifier_scores
+    occ = track(hashed_unit_buckets(labeled, ["doc_id", "_y"],
+                                    n_buckets=1024, ngrams=(1, 2)))
     w = nb_logodds_weights(labeled, "_y", n_buckets=1024,
-                           ngrams=(1, 2), alpha=1.0)
-    scores = classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2))
+                           ngrams=(1, 2), alpha=1.0, unit_buckets=occ)
+    scores = classifier_scores(docs, w, n_buckets=1024, ngrams=(1, 2),
+                               unit_buckets=occ)
     return pareto_quality_filter(scores, "prob", alpha=9.0,
                                  id_col="doc_id", seed=1)
 

@@ -75,6 +75,33 @@ def _bucket(unit: Column, n_buckets: int) -> Column:
     return F.pmod(_portable_hash60(unit), F.lit(n_buckets))
 
 
+def hashed_unit_buckets(
+    df: DataFrame,
+    carry_cols: list[str],
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    ngrams: tuple[int, ...] = (1, 2),
+    tokenizer=None,
+) -> DataFrame:
+    """The per-occurrence ``(*carry_cols, bucket)`` relation both the
+    trainer and the scorer consume — exposed (r15, guide §2.4) so ONE
+    tokenize -> n-gram -> explode -> hash pass can feed BOTH through
+    their ``unit_buckets`` parameter instead of each re-running the
+    expensive half of the pipeline on the same corpus. Callers that
+    feed two consumers should persist it (``cache.track``). The
+    featurization parameters are part of the relation's identity: pass
+    the SAME ``n_buckets``/``ngrams``/``tokenizer`` to every consumer
+    (the existing weights<->scores contract)."""
+    _validate(n_buckets, ngrams)
+    toked = with_tokens(df.select(*carry_cols, text_col), text_col,
+                        "_cf_toks", tokenizer=tokenizer)
+    return (toked
+            .select(*carry_cols,
+                    F.explode(_units("_cf_toks", ngrams)).alias("u"))
+            .select(*carry_cols,
+                    _bucket(F.col("u"), n_buckets).alias("bucket")))
+
+
 def nb_logodds_weights(
     df: DataFrame,
     label_col: str,
@@ -83,6 +110,7 @@ def nb_logodds_weights(
     ngrams: tuple[int, ...] = (1, 2),
     alpha: float = 1.0,
     tokenizer=None,
+    unit_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Closed-form Naive-Bayes log-count-ratio weights per feature
     bucket (Wang & Manning 2012):
@@ -104,19 +132,34 @@ def nb_logodds_weights(
 
     Output: (bucket, n_pos, n_neg, weight) — at most B rows, the
     broadcastable model relation ``classifier_scores`` consumes.
+
+    ``unit_buckets`` (r15): a precomputed
+    :func:`hashed_unit_buckets` relation carrying ``label_col`` and
+    ``bucket`` — the trainer then skips its own tokenize pass, so one
+    corpus featurization can feed training AND scoring. The NULL-label
+    exclusion applies either way (filtered before tokenize when built
+    here, after when supplied), and the counts are identical either
+    way (test-pinned).
     """
     _validate(n_buckets, ngrams)
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     y = F.col(label_col).cast("boolean")
-    toked = with_tokens(
-        df.filter(y.isNotNull()).select(y.alias("_y"), text_col),
-        text_col, "_cf_toks", tokenizer=tokenizer)
-    units = toked.select(
-        "_y", F.explode(_units("_cf_toks", ngrams)).alias("u"))
-    per_bucket = (units
-                  .select("_y", _bucket(F.col("u"), n_buckets)
-                          .alias("bucket"))
+    if unit_buckets is not None:
+        buckets = (unit_buckets
+                   .select(y.alias("_y"), "bucket")
+                   .filter(F.col("_y").isNotNull()))
+    else:
+        toked = with_tokens(
+            df.filter(y.isNotNull()).select(y.alias("_y"), text_col),
+            text_col, "_cf_toks", tokenizer=tokenizer)
+        buckets = (toked
+                   .select("_y",
+                           F.explode(_units("_cf_toks", ngrams))
+                           .alias("u"))
+                   .select("_y", _bucket(F.col("u"), n_buckets)
+                           .alias("bucket")))
+    per_bucket = (buckets
                   .groupBy("bucket")
                   .agg(F.sum(F.col("_y").cast("long")).alias("n_pos"),
                        F.sum((~F.col("_y")).cast("long")).alias("n_neg")))
@@ -141,6 +184,7 @@ def classifier_scores(
     bias: float = 0.0,
     default_weight: float = 0.0,
     tokenizer=None,
+    unit_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with a linear model over hashed n-gram
     features: mean per-occurrence bucket weight through a sigmoid —
@@ -169,16 +213,25 @@ def classifier_scores(
     Output: (id_col, n_units, score rounded 6, prob rounded 6) — one
     row per document that produced at least one unit (empty-token-
     array documents are absent; callers union them back if needed).
+
+    ``unit_buckets`` (r15): a precomputed
+    :func:`hashed_unit_buckets` relation carrying ``id_col`` and
+    ``bucket`` — the scorer then skips its own tokenize pass (the
+    train-and-score pipelines share one corpus featurization).
     """
     _validate(n_buckets, ngrams)
-    toked = with_tokens(df.select(id_col, text_col), text_col,
-                        "_cf_toks", tokenizer=tokenizer)
-    occurrences = (toked
-                   .select(F.col(id_col).alias("_id"),
-                           F.explode(_units("_cf_toks", ngrams))
-                           .alias("u"))
-                   .select("_id", _bucket(F.col("u"), n_buckets)
-                           .alias("bucket")))
+    if unit_buckets is not None:
+        occurrences = unit_buckets.select(
+            F.col(id_col).alias("_id"), "bucket")
+    else:
+        toked = with_tokens(df.select(id_col, text_col), text_col,
+                            "_cf_toks", tokenizer=tokenizer)
+        occurrences = (toked
+                       .select(F.col(id_col).alias("_id"),
+                               F.explode(_units("_cf_toks", ngrams))
+                               .alias("u"))
+                       .select("_id", _bucket(F.col("u"), n_buckets)
+                               .alias("bucket")))
     w = F.coalesce(F.col("weight"), F.lit(float(default_weight)))
     scored = (occurrences
               .join(F.broadcast(weights.select("bucket", "weight")),

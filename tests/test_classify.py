@@ -66,6 +66,39 @@ def test_nb_weights_match_independent_replication(spark):
         assert got[b][2] == pytest.approx(want[b][2], abs=1e-12)
 
 
+def test_shared_unit_buckets_match_inline_featurization(spark):
+    """r15 (r14 verdict ask #7): one hashed_unit_buckets pass feeding
+    BOTH trainer and scorer must produce bit-identical weights and
+    scores to each operator featurizing inline — including the
+    NULL-label exclusion (filtered after the shared pass instead of
+    before tokenize)."""
+    from dump1090_db_stream_spark.cache import release_tracked, track
+    from dump1090_db_stream_spark.operators.classify import (
+        classifier_scores,
+        hashed_unit_buckets,
+        nb_logodds_weights,
+    )
+
+    rows = [(i, t, True) for i, t in enumerate(POS)] + \
+           [(100 + i, t, False) for i, t in enumerate(NEG)] + \
+           [(200, "unlabeled text here", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w_inline = nb_logodds_weights(df, "y", n_buckets=B)
+    s_inline = sorted(map(tuple, classifier_scores(
+        df, w_inline, n_buckets=B).collect()))
+    want_w = sorted(map(tuple, w_inline.collect()))
+
+    occ = track(hashed_unit_buckets(df, ["doc_id", "y"], n_buckets=B))
+    w_shared = nb_logodds_weights(df, "y", n_buckets=B,
+                                  unit_buckets=occ)
+    got_w = sorted(map(tuple, w_shared.collect()))
+    got_s = sorted(map(tuple, classifier_scores(
+        df, w_shared, n_buckets=B, unit_buckets=occ).collect()))
+    release_tracked()
+    assert got_w == want_w
+    assert got_s == s_inline
+
+
 def test_scores_separate_the_classes(spark):
     from dump1090_db_stream_spark.operators.classify import (
         classifier_scores,
