@@ -9562,7 +9562,7 @@ def _capstone_stages(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     from dump1090_db_stream_spark.operators.dedup import (
-        cross_ngram_overlap,
+        _hash64,
         ngram_jaccard_pairs,
     )
     from dump1090_db_stream_spark.operators.graph import canonical_map
@@ -9571,49 +9571,120 @@ def _capstone_stages(spark: SparkSession, sf_dir: str):
         hash_split,
         temperature_sample,
     )
-    from dump1090_db_stream_spark.operators.text import gopher_rules
+    from dump1090_db_stream_spark.operators.text import (
+        gopher_rules,
+        shingles,
+        with_tokens,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # min_stop_hits=1: the fixture corpus is synthetic word soup whose
-    # only Gopher stopword is 'the' — the paper's >=2 gate would zero
-    # the pipeline; the oracle applies the same relaxed conjunction
-    gop = gopher_rules(docs, min_words=40, min_stop_hits=1).select(
-        "doc_id", "gopher_pass")
-    canon = canonical_map(
-        docs, ngram_jaccard_pairs(docs, n=3, threshold=0.03))
     refs = (docs.filter(F.col("doc_id").isin(3, 47, 90))
             .select(F.col("doc_id").alias("ref_id"),
                     F.concat_ws(" ", F.slice(
                         F.split(F.trim(F.col("text")), r"\s+"),
                         1, 12)).alias("text")))
-    contam = (cross_ngram_overlap(docs, refs, n=2, min_common=3)
-              .select("doc_id").distinct())
 
-    # exact-dup minimum via aggregate + equi-join on the digest instead
-    # of a window over md5(text) (r14, guide §2.3): the window shuffled
-    # every FULL document row — text included — keyed on the digest;
-    # here only (digest, doc_id) crosses for the map-side-combined
-    # aggregate and a narrow (doc_id, digest, source, n_chars)
-    # projection for the join, so document bodies never shuffle. AQE
-    # broadcasts the per-digest minimum at bench scale; at 100 TB it
-    # stays a keyed equi-join of two narrow relations. Values are
-    # identical (min over equal keys either way).
+    # ONE-PASS per-doc featurization (r15, guide §2.3/§2.4): hygiene,
+    # decontamination, the exact-dup digest and the near-dup shingle
+    # index previously ran as FOUR independent scans+tokenizations of
+    # documents.text — the gopher projection, cross_ngram_overlap's
+    # doc-side bigram explode + (doc, ref) shuffle aggregation,
+    # jaccard's shingle pass, and md5 computed separately for the
+    # dup-aggregate and join sides — stitched back per flag with an
+    # equi-join and an anti-join. One projection now computes every
+    # per-doc column in a single pass over text; track() materializes
+    # it once and every stage below reads the cache (this REPLACES
+    # ngram_jaccard_pairs' internal index persist via its
+    # shingle_index seam, so total cached volume is unchanged: the
+    # trigram hash arrays here are the same longs the exploded index
+    # held, minus the duplicated ids).
+    #
+    # Decontamination equivalence: cross_ngram_overlap(docs, refs,
+    # n=2, min_common=3) marks doc_ids sharing >= 3 DISTINCT 2-gram
+    # hashes (same seed-0 _hash64 family) with SOME ref. The ref side
+    # is 3 short rows by construction, so the per-ref distinct hash
+    # sets ride ONE broadcast row (a deliberate 1-row cross join) and
+    # the identical test evaluates per doc as array_intersect sizes —
+    # no corpus-wide bigram explode, no (doc, ref) shuffle, no
+    # anti-join. NULL text never matched in the exploded form
+    # (explode drops the null shingle array) and never matches here
+    # (the NULL-intersect predicate coalesces to false).
+    ref_sets = (with_tokens(refs)
+                .select("ref_id",
+                        F.explode(F.array_distinct(
+                            shingles(F.col("_toks"), 2))).alias("s"))
+                .select("ref_id", _hash64(F.col("s"), 0).alias("sh"))
+                .groupBy("ref_id")
+                .agg(F.collect_set("sh").alias("shs"))
+                .agg(F.collect_list("shs").alias("_ref_sets")))
     # NULL-SAFE digest (r14 ADVICE): md5(NULL) is NULL and an equi-join
     # drops NULL keys, whereas the window this replaced grouped all
     # NULL-text rows together and kept one survivor — coalesce to a
     # non-hex sentinel (md5 output is [0-9a-f]{32}, so no collision)
     # to preserve that contract.
     _dig = F.coalesce(F.md5("text"), F.lit("\0NULL"))
-    exact_min = (docs.select(_dig.alias("_h"), "doc_id")
+    doc2 = (with_tokens(docs)
+            .withColumn("_h", _dig)
+            .withColumn("_sh2", F.array_distinct(
+                shingles(F.col("_toks"), 2)))
+            .withColumn("_sh3", F.transform(
+                F.array_distinct(shingles(F.col("_toks"), 3)),
+                lambda s: _hash64(s, 0))))
+    # min_stop_hits=1: the fixture corpus is synthetic word soup whose
+    # only Gopher stopword is 'the' — the paper's >=2 gate would zero
+    # the pipeline; the oracle applies the same relaxed conjunction
+    g = gopher_rules(doc2, min_words=40, min_stop_hits=1,
+                     keep=("source", "n_chars", "_h", "_sh2", "_sh3"))
+    feats = (g.crossJoin(F.broadcast(ref_sets))
+             .select("doc_id", "source", "n_chars", "_h", "gopher_pass",
+                     "_sh3",
+                     F.coalesce(
+                         F.exists("_ref_sets", lambda r: F.size(
+                             F.array_intersect(
+                                 F.transform(F.col("_sh2"),
+                                             lambda s: _hash64(s, 0)),
+                                 r)) >= F.lit(3)),
+                         F.lit(False)).alias("_contam")))
+    # track_local_checkpoint, not track: feats is a LARGE expression
+    # tree (gopher HOF metrics + two shingle transforms + the
+    # intersect test) and it feeds FIVE downstream branches — with a
+    # plain persist every branch still carries the full analyzed tree,
+    # and re-canonicalizing it per cache lookup at every composition
+    # level measurably dominates construction (the bpe_vocab/ivfpq
+    # Catalyst-cost precedent: +2.5 s at sf0.1). The eager checkpoint
+    # truncates lineage so every consumer plans against a LogicalRDD
+    # leaf; storage volume is the same longs the r14 exploded-index
+    # persist held, and release_tracked() frees it like any other
+    # operator intermediate.
+    from dump1090_db_stream_spark.cache import track, track_local_checkpoint
+
+    feats = track_local_checkpoint(feats)
+    sh_idx = feats.select(F.col("doc_id").alias("id"),
+                          F.explode("_sh3").alias("sh"))
+    canon = canonical_map(
+        feats, ngram_jaccard_pairs(docs, n=3, threshold=0.03,
+                                   shingle_index=sh_idx))
+
+    # exact-dup minimum via aggregate + equi-join on the digest instead
+    # of a window over md5(text) (r14, guide §2.3): the window shuffled
+    # every FULL document row — text included — keyed on the digest;
+    # here only (digest, doc_id) crosses for the map-side-combined
+    # aggregate and a narrow flag projection (off the feats cache) for
+    # the join, so document bodies never shuffle. AQE broadcasts the
+    # per-digest minimum at bench scale; at 100 TB it stays a keyed
+    # equi-join of two narrow relations. Values are identical (min
+    # over equal keys either way). The gopher and contamination flags
+    # now ride the same cached row, so the r14 plan's gopher equi-join
+    # and decontamination anti-join are gone outright.
+    exact_min = (feats.select("_h", "doc_id")
                  .groupBy("_h").agg(F.min("doc_id").alias("_exact_min")))
-    flt = (docs.select("doc_id", _dig.alias("_h"),
-                       "source", "n_chars")
+    flt = (feats.select("doc_id", "_h", "source", "n_chars",
+                        "gopher_pass", "_contam")
            .join(exact_min, "_h")
-           .join(gop, "doc_id")
            .join(canon, "doc_id")
            .filter(F.col("gopher_pass")
-                   & (F.col("doc_id") == F.col("_exact_min")))
-           .join(contam, "doc_id", "left_anti"))
+                   & (F.col("doc_id") == F.col("_exact_min"))
+                   & ~F.col("_contam")))
     # same narrowing for the cluster minimum: the window input carries
     # only the four columns the survivor projection needs
     w_clust = Window.partitionBy("canonical_id")
@@ -9629,8 +9700,6 @@ def _capstone_stages(spark: SparkSession, sf_dir: str):
     # capstone action at sf0.1). ~survivor-count narrow rows; released
     # by the caller's release_tracked() like every operator
     # intermediate.
-    from dump1090_db_stream_spark.cache import track
-
     split = track(hash_split(surv, "canonical_id"))
 
     train = split.filter(F.col("split") == "train")

@@ -94,6 +94,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 1000,
     tokenizer=None,
+    shingle_index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -115,18 +116,33 @@ def ngram_jaccard_pairs(
       to exact Jaccard when the corpus is known stop-phrase-free. The
       ``ngram_skew`` bench quantifies the cap's effect on a hot-shingle
       corpus.
+
+    ``shingle_index`` (r15 fusion seam, like classify's
+    ``unit_buckets``): a prebuilt ``(id, sh)`` relation — ``sh`` the
+    same seed-0 :func:`_hash64` of each DISTINCT word n-gram — built
+    by a caller that already tokenized the corpus for other per-doc
+    features (the capstone's single featurization pass). The CALLER
+    owns its materialization (cache/track); this operator consumes it
+    as-is instead of re-tokenizing, and everything downstream of the
+    index is unchanged, so the pair multiset is identical whenever the
+    index is (test-pinned).
     """
-    sh = (
-        with_tokens(df, text_col, tokenizer=tokenizer)
-        .select(F.col(id_col).alias("id"),
-                F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"))
-        .select("id", _hash64(F.col("s"), 0).alias("sh"))
-    )
-    # The inverted index feeds three consumers (sizes, both join sides);
-    # persist it so tokenize+hash runs once, not three times. At cluster
-    # scale the same principle holds — materialize the index (cache or a
-    # temp table), it is ~2 longs per (doc, shingle).
-    sh = track(sh)
+    if shingle_index is not None:
+        sh = shingle_index
+    else:
+        sh = (
+            with_tokens(df, text_col, tokenizer=tokenizer)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(shingles(F.col("_toks"), n))).alias("s"))
+            .select("id", _hash64(F.col("s"), 0).alias("sh"))
+        )
+        # The inverted index feeds three consumers (sizes, both join
+        # sides); persist it so tokenize+hash runs once, not three
+        # times. At cluster scale the same principle holds —
+        # materialize the index (cache or a temp table), it is ~2
+        # longs per (doc, shingle). (A caller-supplied shingle_index
+        # is the caller's to materialize — see above.)
+        sh = track(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None and \
             max_df * (max_df - 1) // 2 > _CAPPED_PAIR_BUDGET:

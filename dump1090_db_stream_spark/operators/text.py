@@ -257,6 +257,7 @@ def gopher_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher document-quality rule set (Rae et al. 2021, app. A1.1
     — the published heuristics most LLM corpus pipelines apply before
@@ -276,6 +277,11 @@ def gopher_rules(
     split; single-line documents make the two line-fraction rules
     trivially true (0-fractions), which is faithful to the paper —
     they exist to kill list/boilerplate pages.
+
+    ``keep``: input columns appended unchanged AFTER the rule columns,
+    so a caller fusing gopher into a wider single-pass featurization
+    (the capstone does) keeps its other per-doc columns without a
+    re-join. Default () is the historical output, bit-identical.
     """
     df = with_tokens(df, text_col, "_g_toks")
     c = F.col(text_col)
@@ -336,6 +342,7 @@ def gopher_rules(
         stop_hits.alias("stop_hits"),
         *[expr.alias(name) for name, expr in rules.items()],
         passed.alias("gopher_pass"),
+        *[F.col(k) for k in keep],
     )
 
 
