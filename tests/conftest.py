@@ -4,14 +4,33 @@ import os
 
 import pytest
 
-os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small JVM for unit tests
+# 16 executor threads for the suite (r15, driver-budget item): at
+# fixture data sizes every test is scheduling-latency-bound and the
+# latency scales with free task slots — measured 865/594/275 ms per
+# small 2-shuffle action at local[4]/[8]/[16] on the 32-core box.
+# shuffle.partitions stays 4 (below) so every shuffle still crosses
+# real partition boundaries; a caller-exported SPARK_GRAFT_CPUS
+# still wins (setdefault).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
 
 
 @pytest.fixture(scope="session")
 def spark():
     from dump1090_db_stream_spark import get_spark
 
-    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    # AQE OFF for the suite (r15, driver-budget item): adaptive
+    # re-planning adds ~550 ms of fixed coordinator latency to EVERY
+    # action (measured 792 -> 243 ms/action on this box at test data
+    # sizes), and the suite is ~thousands of sub-second actions over
+    # KB-scale fixtures where AQE can never help. Operator SEMANTICS
+    # are AQE-invariant, so every value assertion is unaffected; the
+    # handful of tests that exercise adaptive behavior itself set the
+    # conf locally and restore it. Production/bench sessions keep the
+    # get_spark default (AQE on).
+    s = get_spark("tests", extra_conf={
+        "spark.sql.shuffle.partitions": "4",
+        "spark.sql.adaptive.enabled": "false",
+    })
     yield s
 
 
@@ -55,6 +74,8 @@ def registry_sweep(spark, sf_dir) -> dict:
     artifacts are plain strings/ints, safe across the autouse
     release fixture (a shared DataFrame would not be: released
     localCheckpoint blocks cannot recompute)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import __spark_entry__ as entrymod
     from dump1090_db_stream_spark.cache import release_tracked
     from dump1090_db_stream_spark.plans.audit import (
@@ -62,16 +83,29 @@ def registry_sweep(spark, sf_dir) -> dict:
         grouped_continuous_window_funnels,
     )
 
-    out = {}
-    for name, fn in entrymod.queries().items():
+    # THREADED sweep (r15, driver-budget item): at sf0.001 every query
+    # is scheduling/planning-latency-bound, so 8 concurrent build+run
+    # threads overlap almost perfectly (measured 1084 s serial ->
+    # ~350 s on this box; py4j calls release the GIL). Spark sessions
+    # are thread-safe for concurrent actions; construction side
+    # effects (trainer memos, cache.track registration) are plain
+    # CPython list/dict appends. Caches are released ONCE after the
+    # sweep instead of per query — a per-query release from one thread
+    # would unpersist a relation another thread is mid-consuming
+    # (safe but thrashing); total tracked storage at sf0.001 is KBs.
+    def one(item):
+        name, fn = item
         df = fn(spark, sf_dir)
-        out[name] = {
+        return name, {
             "plan": df._jdf.queryExecution().executedPlan().toString(),
             "continuous_global": continuous_key_global_windows(df),
             "grouped_funnels": grouped_continuous_window_funnels(df),
             "count": df.count(),
         }
-        release_tracked()
+
+    with ThreadPoolExecutor(8) as ex:
+        out = dict(ex.map(one, entrymod.queries().items()))
+    release_tracked()
     return out
 
 

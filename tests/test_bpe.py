@@ -277,6 +277,7 @@ def test_encode_chunked_and_arrow_match_declarative(spark):
         bpe.encode_words_chunked(words, merges, chunk=0)
 
 
+@pytest.mark.slow
 def test_encode_chunked_survives_high_k(spark):
     """200 merges as one fold chain is past any sane Catalyst plan
     depth; the chunked path materializes every 25 and finishes. The

@@ -599,6 +599,7 @@ def test_page_hinkley_exclusions_and_validation(spark):
         page_hinkley_drift(df, "x", bucket_seconds=0)
 
 
+@pytest.mark.slow
 def test_ph_stream_sink_accumulates_and_equals_batch(spark, tmp_path):
     """The sequential arm's deployment shape: the PH monitor carries
     bucket-grain state across micro-batches, and after ANY prefix of

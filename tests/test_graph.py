@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dump1090_db_stream_spark.operators.graph import (
@@ -45,6 +46,7 @@ def test_canonical_map_covers_singletons(spark):
     assert sum(1 for k, v in got.items() if k == v) == 6
 
 
+@pytest.mark.slow
 def test_star_equals_propagation_on_random_graphs(spark):
     """Property check: large-star/small-star contraction produces the
     SAME (id, component) labeling as min-label propagation on seeded

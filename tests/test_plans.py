@@ -181,6 +181,7 @@ def test_bucketed_tables_join_without_shuffle(spark, sf, tmp_path_factory):
     write_bucketed_table(
         ev.groupBy("user_id").count(), "users_bucketed", "user_id",
         n_buckets=4)
+    aqe_default = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -194,7 +195,7 @@ def test_bucketed_tables_join_without_shuffle(spark, sf, tmp_path_factory):
         assert "SelectedBucketsCount" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_default)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS users_bucketed")
 
